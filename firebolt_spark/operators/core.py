@@ -1,0 +1,247 @@
+"""Core declarative operators — the SyncNode/FanoutNode family rebuilt.
+
+The reference's SyncNode contract is 1→(0|1): ``(result, nil)`` pass,
+``(nil, nil)`` filter, ``(nil, err)`` error (reference node/node.go:24-27,
+178-196). FanoutNode is 1→N via a returned slice, empty ≡ filter
+(node/node.go:30-33). Here:
+
+- pass/transform  → ``select`` / ``withColumn`` (Catalyst-optimizable),
+- filter          → ``DataFrame.filter`` (pushed down to the scan),
+- error           → attach a nullable ``_error`` struct column; the
+                    pipeline splits and routes it (errors.split_errors),
+- fanout          → ``explode`` (whole-stage-codegen'd, no Python).
+
+Every operator here is pure column expressions — no Python row loop, so
+plans stay inside WholeStageCodegen and scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from firebolt_spark.errors import error_struct
+
+ERROR_COL = "_error"
+
+
+class FilterNode:
+    """Keep rows matching ``predicate`` (SQL expression string).
+
+    The filter-by-nil protocol (node/node.go:184-188) — dropped rows are
+    simply absent; the complement count is the ``Filtered`` metric.
+    Params: predicate (required).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.predicate = params["predicate"]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.expr(self.predicate))
+
+
+class ProjectNode:
+    """Project/compute payload columns; envelope columns ride along.
+
+    Params: exprs — list of SQL ``<expr> AS <name>`` strings (or plain
+    column names); keep_envelope (default True).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.exprs = list(params["exprs"])
+        self.keep_envelope = bool(params.get("keep_envelope", True))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = []
+        if self.keep_envelope:
+            from firebolt_spark.event import ENVELOPE_COLS
+
+            cols = [F.col(c) for c in df.columns if c in ENVELOPE_COLS]
+        return df.select(*cols, *[F.expr(e) for e in self.exprs])
+
+
+class FanoutNode:
+    """1→N: explode an array-of-structs (or array-of-scalar) expression.
+
+    Params: expr — SQL expression evaluating to an array; alias — output
+    column name; outer (default False) — keep rows with empty arrays as
+    NULL (the reference's empty-slice ≡ filter when outer=False,
+    node/node.go:171-176).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.expr = params["expr"]
+        self.alias = params.get("alias", "item")
+        self.outer = bool(params.get("outer", False))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        arr = F.expr(self.expr)
+        exploded = F.explode_outer(arr) if self.outer else F.explode(arr)
+        return df.withColumn(self.alias, exploded)
+
+
+class RaiseWhenNode:
+    """Attach ``_error`` where ``predicate`` holds — the declarative form
+    of a node returning ``(nil, err)`` (reference internal/
+    testnodetypes.go:199-209 errornode: payload prefix 'error' → error).
+
+    Params: predicate; message (SQL expr, default a literal); code.
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.predicate = params["predicate"]
+        self.message = params.get("message", "'processing failed'")
+        self.code = params.get("code")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        err = error_struct(
+            F.expr(self.message),
+            code=F.lit(self.code) if self.code else None,
+        )
+        return df.withColumn(
+            ERROR_COL, F.when(F.expr(self.predicate), err).otherwise(F.lit(None))
+        )
+
+
+class JsonParseNode:
+    """Parse a JSON string column into typed columns.
+
+    Params: column (default 'props'); fields — mapping name → {path, type}
+    using JSONPath; or schema — a DDL string for full from_json parsing.
+    Mirrors the reference's CEE-JSON parse stage (syslogparser.go:25-40).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.column = params.get("column", "props")
+        self.fields = params.get("fields")
+        self.schema = params.get("schema")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        if self.schema:
+            out = out.withColumn(
+                "_parsed", F.from_json(F.col(self.column), self.schema)
+            ).select("*", "_parsed.*").drop("_parsed")
+        if self.fields:
+            for name, spec in self.fields.items():
+                col = F.get_json_object(F.col(self.column), spec["path"])
+                if spec.get("type"):
+                    col = col.cast(spec["type"])
+                out = out.withColumn(name, col)
+        return out
+
+
+# RFC3164-with-CEE syslog line, the reference's canonical input shape
+# (reference inttest/integration_test.go:226-251; examples/shared/
+# testdata.go:47):  <PRI>TIMESTAMP HOST TAG[PID]: @cee:{json}
+_SYSLOG_RE = (
+    r"^<(\d+)>(\S+)\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:\s*(.*)$"
+)
+
+
+class SyslogParserNode:
+    """Parse RFC3164/CEE syslog text into structured columns.
+
+    The rebuild of the reference's syslogparser node (reference
+    node/syslogparser/syslogparser.go:25-40, backed by captainslog):
+    pure regexp_extract + to_timestamp + JSON extraction — no Python.
+    Unparseable lines get ``_error`` (parse failure → error,
+    syslogparser.go:33-36).
+
+    Params: column (default 'payload'); binary (default False) — decode
+    bytes as UTF-8 first.
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.column = params.get("column", "payload")
+        self.binary = bool(params.get("binary", False))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        line = F.col(self.column)
+        if self.binary:
+            line = F.decode(line, "UTF-8")
+        pri = F.regexp_extract(line, _SYSLOG_RE, 1)
+        parsed_ok = pri != F.lit("")
+        content = F.regexp_extract(line, _SYSLOG_RE, 6)
+        cee = F.when(content.startswith("@cee:"), F.substring(content, 6, 1 << 24))
+        out = (
+            df.withColumn("pri", pri.cast("int"))
+            .withColumn("ts", F.to_timestamp(F.regexp_extract(line, _SYSLOG_RE, 2)))
+            .withColumn("host", F.regexp_extract(line, _SYSLOG_RE, 3))
+            .withColumn("program", F.regexp_extract(line, _SYSLOG_RE, 4))
+            .withColumn("pid", F.regexp_extract(line, _SYSLOG_RE, 5).cast("int"))
+            .withColumn("content", content)
+            .withColumn("cee", cee)
+        )
+        return out.withColumn(
+            ERROR_COL,
+            F.when(
+                ~parsed_ok,
+                error_struct(F.concat(F.lit("unable to parse syslog: "), line)),
+            ),
+        )
+
+
+class JsonBuilderNode:
+    """Project fields into a JSON string + ProduceRequest shape.
+
+    Rebuild of examples/kafkatokafka/jsonbuilder.go:37-61: select fields,
+    ``to_json(struct(...))``, emit (topic, value) — the Spark Kafka sink
+    contract (matches ProduceRequest, reference types.go:4-14).
+
+    Params: fields — list of column names; topic — literal topic string
+    (NULL → sink default, kafkaproducer.go:99-106).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.fields = list(params["fields"])
+        self.topic = params.get("topic")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        value = F.to_json(F.struct(*[F.col(c) for c in self.fields]))
+        out = df.withColumn("value", F.encode(value, "UTF-8"))
+        topic = F.lit(self.topic) if self.topic else F.lit(None).cast("string")
+        return out.withColumn("topic", topic)
+
+
+class DocBuilderNode:
+    """Build an Elasticsearch IndexRequest envelope from parsed events.
+
+    Rebuild of examples/logging/docbuilder.go:55-98 — including its
+    deliberate mapping-conflict generator: a field whose JSON type
+    branches on ``pid < 100`` (numeric vs object).
+
+    Params: index (required); id_col; branch_col (default 'pid');
+    threshold (default 100).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.index = params["index"]
+        self.id_col = params.get("id_col")
+        self.branch_col = params.get("branch_col", "pid")
+        self.threshold = int(params.get("threshold", 100))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        b = F.col(self.branch_col)
+        doc_id = (
+            F.col(self.id_col)
+            if self.id_col
+            else F.concat(
+                F.row_number()
+                .over(Window.orderBy(F.monotonically_increasing_id()))
+                .cast("string"),
+                F.lit(":"),
+                b.cast("string"),
+            )
+        )
+        return df.select(
+            F.lit(self.index).alias("index"),
+            F.lit("").alias("mapping_type"),
+            doc_id.cast("string").alias("doc_id"),
+            F.when(b < self.threshold, b.cast("string"))
+            .otherwise(F.to_json(F.struct(b)))
+            .alias("doc"),
+        )

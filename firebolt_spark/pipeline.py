@@ -1,0 +1,163 @@
+"""Pipeline — build and execute the node tree.
+
+The rebuild of the reference's executor (reference executor/
+executor.go:46-207): one source feeds every root node; each node's
+successful output is delivered to ALL of its children (tree fan-out is
+replication, executor.go:183-186, node/node.go:190-194); rows that error
+are wrapped into the EventError envelope and routed to the node's
+error_handler (node/node.go:278-295).
+
+Execution is declarative: walking the tree composes DataFrames; Catalyst
+pipelines the whole thing (the reference's per-node goroutines + bounded
+channels collapse into whole-stage codegen — SURVEY §4.2). A parent with
+more than one child is persisted so the shared prefix is computed once
+per branch-set rather than once per leaf.
+
+Metrics parity (reference metrics/metrics.go:106-185): per-node
+received/success/filtered/error counts are computed lazily via
+``PipelineResult.counts`` (batch) or ``df.observe`` (streaming).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from firebolt_spark import config as cfg
+from firebolt_spark.errors import split_errors
+from firebolt_spark.event import CREATED_COL, ENVELOPE_COLS
+from firebolt_spark.registry import Registry, get_registry
+
+ERROR_COL = "_error"
+
+
+@dataclass
+class NodeRuntime:
+    """A node.Context analogue (reference node/node.go:62-73)."""
+
+    id: str
+    type_name: str
+    operator: Any
+    children: list["NodeRuntime"] = field(default_factory=list)
+    error_handler: "NodeRuntime | None" = None
+
+
+@dataclass
+class PipelineResult:
+    """Outputs of a batch run: every node's ok-output and dead letters."""
+
+    outputs: dict[str, DataFrame]
+    errors: dict[str, DataFrame]
+    leaves: list[str]
+
+    def counts(self, node_id: str) -> dict[str, int]:
+        """success/error counts for a node (Filtered = parent success
+        minus this node's success+error, computed by callers that know
+        the parent)."""
+        out = {"success": self.outputs[node_id].count()}
+        if node_id in self.errors:
+            out["error"] = self.errors[node_id].count()
+        return out
+
+
+def _to_event_error(df: DataFrame) -> DataFrame:
+    """Wrap errored rows into the EventError envelope (error.go:12-47):
+    timestamp = event's created, event = JSON of the payload columns,
+    error = the normalized error struct."""
+    payload_cols = [
+        c for c in df.columns if c not in ENVELOPE_COLS and c != ERROR_COL
+    ]
+    event_json = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    ts = F.col(CREATED_COL) if CREATED_COL in df.columns else F.current_timestamp()
+    return df.select(
+        ts.alias("timestamp"),
+        event_json.alias("event"),
+        F.col(ERROR_COL).alias("error"),
+    )
+
+
+class Pipeline:
+    """Build from YAML/config (the reference's entry point 1,
+    executor.go:46-107) or programmatically (entry point 2)."""
+
+    def __init__(
+        self,
+        pipeline_config: cfg.PipelineConfig,
+        registry: Registry | None = None,
+    ):
+        self.config = pipeline_config
+        self.registry = registry or get_registry()
+        cfg.validate(self.config, self.registry)
+        self._source_type = self.registry.get(self.config.source.name)
+        self.roots = [self._build(n) for n in self.config.nodes]
+
+    @classmethod
+    def from_yaml(cls, text: str, registry: Registry | None = None) -> "Pipeline":
+        return cls(cfg.parse(text), registry)
+
+    @classmethod
+    def from_file(cls, path: str, registry: Registry | None = None) -> "Pipeline":
+        return cls(cfg.read(path), registry)
+
+    def _build(self, nc: cfg.NodeConfig) -> NodeRuntime:
+        nt = self.registry.get(nc.name)
+        rt = NodeRuntime(nc.id, nc.name, nt.factory(nc.params))
+        rt.children = [self._build(c) for c in nc.children]
+        if nc.error_handler is not None:
+            et = self.registry.get(nc.error_handler.name)
+            rt.error_handler = NodeRuntime(
+                nc.error_handler.id,
+                nc.error_handler.name,
+                et.factory(nc.error_handler.params),
+            )
+        return rt
+
+    def source_dataframe(self, spark: SparkSession) -> DataFrame:
+        src = self._source_type.factory(self.config.source.params)
+        return src.load(spark)
+
+    def run_batch(
+        self, spark: SparkSession, source_df: DataFrame | None = None
+    ) -> PipelineResult:
+        """Execute the tree over a batch DataFrame.
+
+        Mirrors Execute() (executor.go:142-207) with the channel tree
+        replaced by DataFrame composition. Returns every node's output
+        so tests can assert firebolt-style exact counts per branch.
+        """
+        df = source_df if source_df is not None else self.source_dataframe(spark)
+        outputs: dict[str, DataFrame] = {}
+        errors: dict[str, DataFrame] = {}
+        leaves: list[str] = []
+
+        def walk(rt: NodeRuntime, parent_df: DataFrame) -> None:
+            out = rt.operator.transform(parent_df)
+            if ERROR_COL in out.columns:
+                ok, dlq = split_errors(out, ERROR_COL)
+                dlq_env = _to_event_error(dlq)
+                errors[rt.id] = dlq_env
+                if rt.error_handler is not None:
+                    handled = rt.error_handler.operator.transform(dlq_env)
+                    outputs[rt.error_handler.id] = handled
+                    leaves.append(rt.error_handler.id)
+            else:
+                ok = out
+            outputs[rt.id] = ok
+            if not rt.children:
+                leaves.append(rt.id)
+                return
+            if len(rt.children) > 1:
+                # replicated fan-out: compute the shared prefix once
+                ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+            for child in rt.children:
+                walk(child, ok)
+
+        if len(self.roots) > 1:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        for root in self.roots:
+            walk(root, df)
+        return PipelineResult(outputs=outputs, errors=errors, leaves=leaves)

@@ -1,0 +1,559 @@
+"""Relational capability suite (SURVEY §2.10 / M3).
+
+The reference deliberately has no joins/aggregations/windows/sorts/set
+operations (reference README.md:47-49); in the rebuild they come from
+Spark SQL built-ins. This suite pins those capabilities with TPC-H-style
+queries over the driver fixtures so the "same capabilities, plus
+Spark's" claim stays oracle-tested (FIXTURES.md §3).
+
+Determinism across engines:
+- money aggregates go through DECIMAL(18,2) so the sum is exact and
+  identical regardless of partial-aggregation order, then cast to DOUBLE
+  (same IEEE bits both engines);
+- top-k queries always carry a unique tiebreak key;
+- CUBE null markers are coalesced to 'ALL' (source columns are non-null).
+
+Scale notes (the 100 TB story):
+- dimension joins (region/nation/customer/supplier) are explicit
+  ``broadcast()`` — no shuffle of the fact table for them;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  AQE handles skew;
+- top-k is ``ORDER BY ... LIMIT k`` which Spark executes as per-partition
+  TakeOrdered (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from firebolt_spark.catalog import load_table
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def q_tpch1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filtered aggregation on lineitem."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    out = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("_sum_qty"),
+            F.sum(price).alias("_sum_base"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)).alias("_sum_disc"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(3,2)") - disc)
+                * (F.lit(1).cast("decimal(3,2)") + tax)
+            ).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("_sum_qty", 2).alias("sum_qty"),
+            F.col("_sum_base").cast("double").alias("sum_base_price"),
+            F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+            F.col("_sum_charge").cast("double").alias("sum_charge"),
+            F.round(F.col("_sum_qty") / F.col("count_order"), 2).alias("avg_qty"),
+            F.round(
+                F.col("_sum_base").cast("double") / F.col("count_order"), 2
+            ).alias("avg_price"),
+            "count_order",
+        )
+    )
+    return out
+
+
+Q_TPCH1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
+           round(sum(l_quantity) / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 2) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-10. The customer dim is
+    broadcast (no fact shuffle for it); orders⋈lineitem shuffles on the
+    orderkey once."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q_TPCH3_SQL = """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def q_tpch5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast, group by nation."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") != "__none__")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+Q_TPCH5_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+def q_join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: per-customer order count (0 for orderless)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+Q_JOIN_LEFT_SQL = """
+    SELECT c_custkey, c_name, count(o_orderkey) AS order_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one 'F' order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+Q_JOIN_SEMI_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+Q_JOIN_ANTI_SQL = """
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer by totalprice."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+Q_WINDOW_RANK_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    WHERE rn <= 3
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order-value total (decimal-exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with unique tiebreak — executes as TakeOrdered, not a
+    full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+Q_TOPK_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over projected key sets, discriminated."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("k")
+    )
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    a = building.intersect(f_orders).select(F.lit("b_and_f").alias("src"), "k")
+    b = building.exceptAll(f_orders.distinct()).distinct().select(
+        F.lit("b_not_f").alias("src"), "k"
+    )
+    c = building.union(machinery).distinct().select(
+        F.lit("b_or_m").alias("src"), "k"
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+Q_SETOPS_SQL = """
+    SELECT 'b_and_f' AS src, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'b_not_f', k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'b_or_m', k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set rollups at once."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+Q_AGG_CUBE_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group + global distinct key counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_AGG_DISTINCT_SQL = """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS distinct_customers,
+           count(DISTINCT o_orderpriority) AS distinct_priorities,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function parity over part."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.floor(F.col("p_retailprice") / 10).cast("bigint").alias("price_bucket"),
+        F.round(F.col("p_retailprice") * 0.5, 2).alias("half_price"),
+    )
+
+
+Q_SCALAR_SQL = """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           p_brand || '#' || p_type AS brand_type,
+           abs(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod,
+           CAST(floor(p_retailprice / 10) AS BIGINT) AS price_bucket,
+           round(p_retailprice * 0.5, 2) AS half_price
+    FROM part
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function parity over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start_us"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch_start"),
+    )
+
+
+Q_DATE_SQL = """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS INTEGER) AS days_since_epoch_start
+    FROM orders
+"""
+
+
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery threshold: orders above the mean price
+    (mean computed decimal-exact then in double — identical bits)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("s") / F.col("n"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+Q_SUBQUERY_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM orders)
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING over a join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 400)
+    )
+
+
+Q_HAVING_SQL = """
+    SELECT c_nationkey, count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    HAVING count(*) > 400
+"""
+
+
+QUERIES = {
+    "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
+    "q_tpch3_shipping_priority": q_tpch3_shipping_priority,
+    "q_tpch5_local_supplier": q_tpch5_local_supplier,
+    "q_join_left_counts": q_join_left_counts,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_window_rank": q_window_rank,
+    "q_window_running_total": q_window_running_total,
+    "q_topk_orders": q_topk_orders,
+    "q_setops": q_setops,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_distinct": q_agg_distinct,
+    "q_scalar_functions": q_scalar_functions,
+    "q_date_functions": q_date_functions,
+    "q_subquery_above_avg": q_subquery_above_avg,
+    "q_having": q_having,
+}
+
+ORACLE = {
+    "q_tpch1_pricing_summary": Q_TPCH1_SQL,
+    "q_tpch3_shipping_priority": Q_TPCH3_SQL,
+    "q_tpch5_local_supplier": Q_TPCH5_SQL,
+    "q_join_left_counts": Q_JOIN_LEFT_SQL,
+    "q_join_semi": Q_JOIN_SEMI_SQL,
+    "q_join_anti": Q_JOIN_ANTI_SQL,
+    "q_window_rank": Q_WINDOW_RANK_SQL,
+    "q_window_running_total": Q_WINDOW_RUNNING_SQL,
+    "q_topk_orders": Q_TOPK_SQL,
+    "q_setops": Q_SETOPS_SQL,
+    "q_agg_cube": Q_AGG_CUBE_SQL,
+    "q_agg_distinct": Q_AGG_DISTINCT_SQL,
+    "q_scalar_functions": Q_SCALAR_SQL,
+    "q_date_functions": Q_DATE_SQL,
+    "q_subquery_above_avg": Q_SUBQUERY_SQL,
+    "q_having": Q_HAVING_SQL,
+}

@@ -1,0 +1,182 @@
+"""Elasticsearch-style bulk sink with the reference's retry taxonomy.
+
+Rebuild of the reference's ES node (reference node/elasticsearch/
+elasticsearch.go:30-140, elastic_index_client.go:91-280):
+
+- input rows are IndexRequest envelopes ``(index, mapping_type, doc_id,
+  doc)`` (elasticsearch.go:14-19);
+- docs are indexed in bulk batches of ``batch_size`` (default 100) — in
+  Spark each partition iterates its rows and flushes every batch_size
+  (the time-based ``batch-max-wait-ms`` flush is meaningless in a
+  finite micro-batch — the partition end is the flush);
+- whole-batch failure → retry with exponential backoff 5 s → 180 s cap
+  (elastic_index_client.go:128-151); bounded by ``max_batch_retries``
+  here instead of infinite, so a poisoned micro-batch surfaces instead
+  of hanging the stream;
+- per-doc failures → retried up to ``bulk_index_max_retries`` (3) in
+  subsequent batches, EXCEPT ``mapper_parsing_exception`` which is never
+  retried and is routed to the dead-letter output
+  (elastic_index_client.go:211-280);
+- the HTTP client is injected (``client_factory``) — tests use a fake;
+  a real cluster would plug an elasticsearch-py client in. The periodic
+  reconnect-every-N-batches behavior (connectionfactory.go:55-69) is the
+  factory's concern.
+
+Used from streaming via ``foreachBatch`` (streaming/runner.py); in batch
+mode ``transform`` indexes the whole DataFrame partition-parallel and
+returns the dead-letter rows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+MAPPER_PARSING_EXCEPTION = "mapper_parsing_exception"
+
+
+class BulkIndexError(Exception):
+    """Whole-batch failure (transport-level)."""
+
+
+@dataclass
+class DocFailure:
+    doc_id: str
+    error_type: str
+    message: str = ""
+
+
+class BulkClient:
+    """Injectable bulk-index client interface.
+
+    ``bulk(actions) -> list[DocFailure]``: index a batch; raise
+    BulkIndexError for whole-batch failure; return per-doc failures.
+    """
+
+    def bulk(self, actions: list[dict]) -> list[DocFailure]:  # pragma: no cover
+        raise NotImplementedError(
+            "no Elasticsearch client in this environment — inject a "
+            "client_factory (tests use a fake; production wires "
+            "elasticsearch-py helpers.bulk)"
+        )
+
+
+@dataclass
+class InMemoryBulkClient(BulkClient):
+    """Deterministic fake for tests: records indexed docs; doc_ids in
+    ``fail_ids`` fail with ``fail_type``; first ``transient_failures``
+    bulk calls raise BulkIndexError."""
+
+    fail_ids: set = field(default_factory=set)
+    fail_type: str = MAPPER_PARSING_EXCEPTION
+    transient_failures: int = 0
+    indexed: list = field(default_factory=list)
+    calls: int = 0
+
+    def bulk(self, actions: list[dict]) -> list[DocFailure]:
+        self.calls += 1
+        if self.calls <= self.transient_failures:
+            raise BulkIndexError("simulated transport failure")
+        failures = []
+        for a in actions:
+            if a["doc_id"] in self.fail_ids:
+                failures.append(DocFailure(a["doc_id"], self.fail_type))
+            else:
+                self.indexed.append(a)
+        return failures
+
+
+class ElasticsearchSink:
+    """Params: batch_size (100), bulk_index_max_retries (3),
+    max_batch_retries (5), initial_backoff_s (5), max_backoff_s (180),
+    client_factory — zero-arg callable returning a BulkClient."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.batch_size = int(params.get("batch_size", 100))
+        self.doc_retries = int(params.get("bulk_index_max_retries", 3))
+        self.max_batch_retries = int(params.get("max_batch_retries", 5))
+        self.initial_backoff_s = float(params.get("initial_backoff_s", 5.0))
+        self.max_backoff_s = float(params.get("max_backoff_s", 180.0))
+        self.client_factory: Callable[[], BulkClient] = params.get(
+            "client_factory", BulkClient
+        )
+
+    def _index_partition(self, rows: Iterator[Row]) -> Iterator[Row]:
+        client = self.client_factory()
+        dead: list[Row] = []
+
+        def flush(batch: list[dict], attempts_left: dict[str, int]) -> None:
+            # whole-batch retry with exponential backoff
+            # (elastic_index_client.go:128-151), bounded
+            backoff = self.initial_backoff_s
+            for attempt in range(self.max_batch_retries + 1):
+                try:
+                    failures = client.bulk(batch)
+                    break
+                except BulkIndexError:
+                    if attempt == self.max_batch_retries:
+                        raise
+                    time.sleep(min(backoff, self.max_backoff_s))
+                    backoff *= 2
+            retry: list[dict] = []
+            for f in failures:
+                doc = next(d for d in batch if d["doc_id"] == f.doc_id)
+                if f.error_type == MAPPER_PARSING_EXCEPTION:
+                    # never retried — straight to DLQ
+                    # (elastic_index_client.go:239-255)
+                    dead.append(
+                        Row(
+                            index=doc["index"],
+                            doc_id=doc["doc_id"],
+                            error_type=f.error_type,
+                            message=f.message,
+                        )
+                    )
+                    continue
+                attempts_left[f.doc_id] = attempts_left.get(
+                    f.doc_id, self.doc_retries
+                ) - 1
+                if attempts_left[f.doc_id] <= 0:
+                    dead.append(
+                        Row(
+                            index=doc["index"],
+                            doc_id=doc["doc_id"],
+                            error_type=f.error_type,
+                            message=f.message,
+                        )
+                    )
+                else:
+                    retry.append(doc)
+            if retry:
+                flush(retry, attempts_left)
+
+        batch: list[dict] = []
+        attempts: dict[str, int] = {}
+        for row in rows:
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= self.batch_size:
+                flush(batch, attempts)
+                batch = []
+        if batch:
+            flush(batch, attempts)
+        yield from dead
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Bulk-index every partition in parallel; returns the DLQ rows
+        (index, doc_id, error_type, message)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        dlq_schema = StructType(
+            [
+                StructField("index", StringType()),
+                StructField("doc_id", StringType()),
+                StructField("error_type", StringType()),
+                StructField("message", StringType()),
+            ]
+        )
+        sink = self
+        rdd = df.rdd.mapPartitions(sink._index_partition)
+        return df.sparkSession.createDataFrame(rdd, schema=dlq_schema)
