@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ...}
+
+Queries are forced with the noop sink (full computation, no driver
+materialization or disk cost) after one warm-up scan so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from firebolt_spark import get_spark  # noqa: E402
+from firebolt_spark.catalog import load_table  # noqa: E402
+from firebolt_spark.queries import all_queries  # noqa: E402
+
+HEADLINE = [
+    # reference-parity pipeline shapes
+    "q_s2_scan",
+    "q_s3_lag_cap",
+    "q_s6_compaction",
+    "q_e1_error_split",
+    "q_x1_fanout",
+    # relational capability
+    "q_tpch1_pricing_summary",
+    "q_tpch3_shipping_priority",
+    "q_tpch5_local_supplier",
+    "q_window_rank",
+    "q_topk_orders",
+    # LLM-data-pipeline operators
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_similarity_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("firebolt-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footers
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (noop-sink forced)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no dedup — SURVEY §2.10), these
+are the operators a 100 TB text-corpus pipeline needs. All of them are
+pure Spark built-ins (no Python in the hot path) and follow the
+standard scale shapes:
+
+- **exact**: hash-groupBy on a content digest — one shuffle keyed by
+  md5(text), so identical docs co-locate regardless of corpus size;
+- **minhash + LSH**: shingle → k minhashes → band buckets → candidate
+  pairs only within a bucket (the classic sub-quadratic near-dup join:
+  the cross product never materializes, only same-bucket pairs do);
+- **simhash**: 16-bit signed-dimension fingerprint; near-dups are
+  pairs at small Hamming distance, found by joining on the fingerprint
+  neighborhood instead of all-pairs;
+- **n-gram Jaccard**: exact set overlap via a shared-shingle join
+  (an inverted-index join — pairs sharing no shingle are never formed).
+
+Hash functions are md5-based so results are engine-portable (the
+DuckDB oracle computes identical digests); at production scale you'd
+swap xxhash64 for speed, the topology is unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8          # minhash permutations
+N_BANDS = 4            # LSH bands (rows per band = N_MINHASH // N_BANDS)
+SIMHASH_BITS = 16      # simhash dimensions
+
+
+def tokens(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built entirely from higher-order array functions — stays in
+    whole-stage codegen, no UDF.
+    """
+    toks = f"split({text_col}, ' ')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: one row per distinct content digest with the
+    kept (minimum) doc_id and the duplicate count. Single hash shuffle
+    on the digest; at 100 TB the digest (16 bytes) shuffles, never the
+    document bodies."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(text_col, n)).alias("sh")
+    ).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
+) -> DataFrame:
+    """Wide minhash signature per doc: h0..h{k-1} = min over shingles of
+    md5(shingle || '#' || perm). One shuffle (groupBy doc_id); signature
+    width is k * 32 bytes regardless of document size."""
+    sh = shingle_table(docs, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
+    """Long-format LSH buckets: (doc_id, band, band_hash). Docs agreeing
+    on all rows of any band land in the same bucket."""
+    rows_per_band = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_hash"),
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via minhash-LSH with estimated
+    Jaccard = fraction of agreeing minhashes.
+
+    Scale shape: the self-join is on (band, band_hash) — only docs
+    sharing a bucket ever meet, so the pair count tracks true near-dup
+    density, not |corpus|². The signature join that scores candidates
+    is a broadcast-or-shuffle join on doc_id of a k-column table.
+    """
+    sig = minhash_signatures(docs, text_col, k)
+    b = lsh_bands(sig, k, bands)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma = sig.alias("ma")
+    mb = sig.alias("mb")
+    matches = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
+            for j in range(k)
+        ],
+    )
+    return (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count intersections, then Jaccard from per-doc shingle counts.
+    Hot shingles fan out — at scale, drop stop-shingles (document
+    frequency cap) before the join; AQE skew-split handles the rest.
+    """
+    sh = shingle_table(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _hexval(expr: str) -> str:
+    """SQL: value 0-15 of one hex char expression."""
+    return f"(instr('0123456789abcdef', {expr}) - 1)"
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc simhash fingerprint (bits dims, packed into an int).
+
+    Dimension i's bit for a token is hexdigit_i(md5(token)) >= 8; the
+    doc's dim sign is the majority over tokens (with multiplicity) —
+    the standard simhash construction with md5 as the hash family.
+    One explode + one groupBy; fingerprints are engine-portable.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", F.md5(F.col("tok")))
+    dim_sums = [
+        F.sum(
+            F.expr(f"CASE WHEN {_hexval(f'substr(h, {i + 1}, 1)')} >= 8 THEN 1 ELSE -1 END")
+        ).alias(f"d{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*dim_sums)
+    packed = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"d{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ],
+    )
+    return agg.select("doc_id", packed.cast("int").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance.
+
+    At this corpus size a direct self-join + bit_count(xor) is fine; at
+    100 TB you split the fingerprint into (max_hamming+1) blocks and
+    join on exact block match (pigeonhole) before verifying distance —
+    same output, sub-quadratic candidate generation.
+    """
+    s = simhash(docs, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

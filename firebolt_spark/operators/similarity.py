@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- **brute-force cosine top-k** — the exactness baseline. The query set
+  is broadcast (it's small); the corpus is scanned once, scored with a
+  sequential-fold dot product (deterministic summation order — required
+  for oracle parity and for reproducible ranking), and top-k is a
+  window over rounded scores with id tiebreaks.
+- **LSH-bucketed ANN** — random-hyperplane signs bucket the corpus;
+  queries only score their own bucket (and optionally neighboring
+  probes). Hyperplanes are derived deterministically from md5 so the
+  index is reproducible across runs and engines. At scale the bucketed
+  corpus is written bucketed-by signature so a query touches one
+  bucket's files only.
+
+All expressions are Spark built-ins (zip_with/aggregate higher-order
+functions) — scoring stays JVM-side; no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EMB_DIM = 64
+LSH_PLANES = 4
+
+
+def dot_fold(a: str, b: str) -> Column:
+    """Sequential-fold double dot product of two float-array columns.
+
+    ``aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)``
+    evaluates left-to-right — the same order every engine and every run,
+    unlike a shuffle-order SUM over exploded rows.
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id against the whole corpus.
+
+    Output: (query_id, vec_id, cos_sim, rnk) with cos_sim rounded to 4
+    decimals and ranking on (rounded score desc, vec_id) — fully
+    deterministic across engines and partitionings.
+    """
+    corpus = embeddings.withColumn("_norm", norm(vec_col))
+    q = (
+        corpus.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+        )
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = F.round(
+        dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
+    ).alias("cos_sim")
+    scored = pairs.select("query_id", F.col(id_col).alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _plane_component(plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    hexdigit(md5('plane#<p>#<d>')) - 7.5. Reproducible in any engine
+    with md5."""
+    return f"(instr('0123456789abcdef', substr(md5('plane#{plane}#{dim}'), 1 + ({dim} % 32), 1)) - 1 - 7.5)"
+
+
+def lsh_signature(vec_col: str, planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
+    """Random-hyperplane LSH signature: bit p = sign(v · plane_p) packed
+    into an int. Computed wholly with built-in expressions."""
+    bits = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_component(p, d)}"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(bits) + ")").cast("int")
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    Same output columns as cosine_topk (rank within retrieved set).
+    Recall depends on planes/probes; tested against the brute-force
+    baseline in tests. At 100 TB the corpus would be bucketed/bucketBy
+    on sig so each query reads one bucket.
+    """
+    with_sig = embeddings.withColumn("sig", lsh_signature(vec_col, planes))
+    q = (
+        with_sig.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("sig").alias("q_sig"),
+        )
+    )
+    cand = with_sig.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("q_sig")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = F.round(
+        dot_fold(vec_col, "q_vec") / (norm(vec_col) * norm("q_vec")), 4
+    ).alias("cos_sim")
+    scored = cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

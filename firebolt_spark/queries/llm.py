@@ -1,0 +1,332 @@
+"""LLM-data-pipeline query surface (SURVEY §7.1 M6) — oracle-checked.
+
+Dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity
+search over embeddings, and text analysis over ``documents``; the
+multimodal plumbing queries are rows-only (their decode step is a
+deterministic stub — no SQL-expressible oracle by design).
+
+The oracle SQL mirrors the Spark operators hash-for-hash (md5-based
+hash families) so near-dup candidates and fingerprints are identical
+across engines — see firebolt_spark/operators/{dedup,similarity,text}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firebolt_spark.catalog import load_table
+from firebolt_spark.operators import dedup, multimodal, similarity, text
+from firebolt_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS
+
+_QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of the first 100 docs (offset ids) — gives the
+    exact-dedup query real duplicate groups to find."""
+    d = _documents(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionAll(dup)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 100
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_documents_with_dups(spark, sf_dir))
+
+
+Q_DEDUP_EXACT_SQL = f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL})
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM docs
+    GROUP BY md5(text)
+"""
+
+
+# ---- minhash LSH ----------------------------------------------------------
+
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+           FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))
+"""
+
+_MH_COLS = ", ".join(
+    f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_MINHASH)
+)
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM mh".format(
+        b=b,
+        cols="||".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(N_BANDS)
+)
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_documents(spark, sf_dir))
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+    WITH {_SHINGLE_SQL},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, ({_MATCH_SUM}) / {float(N_MINHASH)} AS est_jaccard
+    FROM cand
+    JOIN mh x ON x.doc_id = doc_a
+    JOIN mh y ON y.doc_id = doc_b
+    WHERE ({_MATCH_SUM}) / {float(N_MINHASH)} >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+Q_DEDUP_NGRAM_SQL = f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+
+# ---- simhash --------------------------------------------------------------
+
+_SIM_DIMS = ", ".join(
+    f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+    f"THEN 1 ELSE -1 END) AS d{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIM_PACK = " + ".join(
+    f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    dims AS (SELECT doc_id, {_SIM_DIMS} FROM th GROUP BY doc_id),
+    sh2 AS (SELECT doc_id, CAST({_SIM_PACK} AS INTEGER) AS simhash FROM dims)
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_documents(spark, sf_dir))
+
+
+Q_DEDUP_SIMHASH_SQL = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh2
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_documents(spark, sf_dir))
+
+
+Q_DEDUP_SIMHASH_PAIRS_SQL = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---- similarity search ----------------------------------------------------
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_VEC_IDS, k=10)
+
+
+_DOT = (
+    "(SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)) "
+    "FROM generate_series(1, 64) s(i))"
+)
+_NORM_E = (
+    "sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) "
+    "FROM generate_series(1, 64) s(i)))"
+)
+_NORM_Q = (
+    "sqrt((SELECT sum(CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)) "
+    "FROM generate_series(1, 64) s(i)))"
+)
+
+Q_SIMILARITY_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk
+    FROM (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant — rows-only check (no oracle): approximation quality
+    is pinned against the brute-force baseline in tests instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _QUERY_VEC_IDS, k=10)
+
+
+# ---- text analysis --------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_documents(spark, sf_dir))
+
+
+_STOP_EN = " + ".join(
+    f"CAST((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2} AS INTEGER)"
+    for w in text.LANG_PROFILES["en"]
+)
+
+Q_TEXT_STATS_SQL = f"""
+    WITH d AS (SELECT *, ' ' || text || ' ' AS p,
+                      string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len(t), 4) AS avg_token_len,
+           round(CAST(length(text) - length(translate(text, '.,;:!?''"()-', ''))
+               AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST({_STOP_EN} AS DOUBLE) / len(t), 4) AS stopword_ratio
+    FROM d
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_documents(spark, sf_dir))
+
+
+def _stop_count_sql(words: list[str]) -> str:
+    return " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2} AS INTEGER)"
+        for w in words
+    )
+
+
+_LANGS = sorted(text.LANG_PROFILES)
+_SCORE_COLS = ", ".join(
+    f"({_stop_count_sql(text.LANG_PROFILES[lang])}) AS score_{lang}"
+    for lang in text.LANG_PROFILES
+)
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN score_{lang} = greatest({', '.join('score_' + x for x in _LANGS)}) "
+    f"THEN '{lang}'"
+    for lang in _LANGS
+) + " END"
+
+Q_TEXT_LANGID_SQL = f"""
+    WITH d AS (SELECT *, ' ' || text || ' ' AS p FROM documents),
+    scored AS (SELECT doc_id, lang AS lang_actual, {_SCORE_COLS} FROM d)
+    SELECT scored.*, {_PRED_CASE} AS lang_pred FROM scored
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_documents(spark, sf_dir))
+
+
+Q_TEXT_TOKENS_SQL = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                    x -> x <> ''))
+                + length(text) - length(translate(text, '.,;:!?''"()-', ''))
+               AS INTEGER) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4_tokens
+    FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_documents(spark, sf_dir))
+
+
+Q_TEXT_FINGERPRINT_SQL = f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id, min(md5(sh)) AS fingerprint
+    FROM sh
+    GROUP BY doc_id
+"""
+
+
+# ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_media(_documents(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_media(_documents(spark, sf_dir), kind="video")
+    return multimodal.frame_sample(multimodal.extract_features(media))
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "q_similarity_bruteforce": q_similarity_bruteforce,
+    "q_similarity_ann_lsh": q_similarity_ann_lsh,
+    "q_text_stats": q_text_stats,
+    "q_text_langid": q_text_langid,
+    "q_text_token_counts": q_text_token_counts,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+ORACLE = {
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+    "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_SQL,
+    "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+    "q_dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
+    "q_similarity_bruteforce": Q_SIMILARITY_SQL,
+    "q_text_stats": Q_TEXT_STATS_SQL,
+    "q_text_langid": Q_TEXT_LANGID_SQL,
+    "q_text_token_counts": Q_TEXT_TOKENS_SQL,
+    "q_text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+    # q_similarity_ann_lsh, q_multimodal_*: rows-only by design
+}

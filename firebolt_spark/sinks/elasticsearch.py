@@ -89,6 +89,52 @@ class InMemoryBulkClient(BulkClient):
         return failures
 
 
+@dataclass
+class FileBackedBulkClient(BulkClient):
+    """Test fake observable across process boundaries: Spark runs
+    partitions in separate Python workers, so an in-memory fake's state
+    never reaches the driver. This one records indexed docs and bulk
+    calls as files under ``spool_dir``."""
+
+    spool_dir: str = "/tmp/fb-es-spool"
+    fail_ids: set = field(default_factory=set)
+    fail_type: str = MAPPER_PARSING_EXCEPTION
+    transient_failures: int = 0
+
+    def bulk(self, actions: list[dict]) -> list[DocFailure]:
+        import os
+        import uuid
+
+        calls_dir = os.path.join(self.spool_dir, "calls")
+        indexed_dir = os.path.join(self.spool_dir, "indexed")
+        os.makedirs(calls_dir, exist_ok=True)
+        os.makedirs(indexed_dir, exist_ok=True)
+        call_no = len(os.listdir(calls_dir)) + 1
+        with open(os.path.join(calls_dir, uuid.uuid4().hex), "w") as f:
+            f.write(str(len(actions)))
+        if call_no <= self.transient_failures:
+            raise BulkIndexError("simulated transport failure")
+        failures = []
+        for a in actions:
+            if a["doc_id"] in self.fail_ids:
+                failures.append(DocFailure(a["doc_id"], self.fail_type))
+            else:
+                open(os.path.join(indexed_dir, a["doc_id"]), "w").close()
+        return failures
+
+    def indexed_ids(self) -> list[str]:
+        import os
+
+        d = os.path.join(self.spool_dir, "indexed")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def call_count(self) -> int:
+        import os
+
+        d = os.path.join(self.spool_dir, "calls")
+        return len(os.listdir(d)) if os.path.isdir(d) else 0
+
+
 class ElasticsearchSink:
     """Params: batch_size (100), bulk_index_max_retries (3),
     max_batch_retries (5), initial_backoff_s (5), max_backoff_s (180),
@@ -137,7 +183,7 @@ class ElasticsearchSink:
                     )
                     continue
                 attempts_left[f.doc_id] = attempts_left.get(
-                    f.doc_id, self.doc_retries
+                    f.doc_id, self.doc_retries + 1
                 ) - 1
                 if attempts_left[f.doc_id] <= 0:
                     dead.append(

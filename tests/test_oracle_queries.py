@@ -1,0 +1,43 @@
+"""Every declared query must match the DuckDB oracle (the driver's t2
+gate, run locally at sf0.001 for speed — the driver re-runs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, open_oracle
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = open_oracle(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(name, spark, oracle_con):
+    res = compare(QUERIES[name](spark, SF_DIR), oracle_con, ORACLE[name])
+    assert res["rows_match"], f"row count: {res['spark_rows']} vs {res['duck_rows']}"
+    assert res["cols_match"], f"cols: {res['spark_cols']} vs {res['duck_cols']}"
+    assert res["values_match"], f"first diff: {res['first_diff']}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark):
+    assert QUERIES[name](spark, SF_DIR).count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"event_id", "user_id", "event_type", "value", "k"}
