@@ -119,9 +119,11 @@ def minhash_candidate_pairs(
     Scale shape: the self-join is on (band, band_hash) — only docs
     sharing a bucket ever meet, so the pair count tracks true near-dup
     density, not |corpus|². The signature join that scores candidates
-    is a broadcast-or-shuffle join on doc_id of a k-column table.
+    is a broadcast-or-shuffle join on doc_id of a k-column table. The
+    signature table feeds three consumers (bands + both scoring sides),
+    so it is persisted — at 100 TB it would be a checkpointed table.
     """
-    sig = minhash_signatures(docs, text_col, k)
+    sig = minhash_signatures(docs, text_col, k).persist()
     b = lsh_bands(sig, k, bands)
     cand = (
         b.alias("a")

@@ -107,12 +107,10 @@ Q_S2_SQL = """
 def q_s3_lag_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-S3 maxpartitionlag analogue: newest N per partition key
     (kafkaconsumer.go:362-374 keeps only the last maxlag offsets)."""
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-    return (
-        _events(spark, sf_dir)
-        .select("event_id", "user_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 100)
-    )
+    from firebolt_spark.functions import newest_per_key
+
+    e = _events(spark, sf_dir).select("event_id", "user_id")
+    return newest_per_key(e, ["user_id"], "event_id", n=100, keep_rank=True)
 
 
 Q_S3_SQL = """
@@ -180,14 +178,14 @@ Q_S5_SQL = f"""
 
 
 def q_s6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q-S6 control-topic replay: last-write-wins per (message_type, key)
-    by offset, drop acknowledged (kakfamessagereceiver.go:195-236)."""
+    """Q-S6 control-topic replay via the engine's LWW compaction
+    function: latest per (message_type, key) by offset, drop
+    acknowledged (kakfamessagereceiver.go:195-236)."""
+    from firebolt_spark.functions import compact_lww
+
     m = _messages(spark, sf_dir)
-    w = Window.partitionBy("message_type", "key").orderBy(F.col("offset").desc())
-    return (
-        m.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & ~F.col("ack"))
-        .select("message_type", "key", "offset")
+    return compact_lww(m, ["message_type", "key"], "offset", "ack").select(
+        "message_type", "key", "offset"
     )
 
 

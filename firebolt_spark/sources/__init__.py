@@ -38,6 +38,35 @@ class ParquetSource:
         return ensure_envelope(df, created=self.created_col)
 
 
+class FileSource:
+    """Generic file scan (parquet/json/csv/orc/text), batch or streaming.
+
+    Params: path, format (default parquet); options — reader options
+    (e.g. header for csv); schema — DDL string (required for streaming
+    file sources, recommended for csv/json so the scan never pays an
+    inference pass); created_col; streaming (default False).
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.path = params["path"]
+        self.format = params.get("format", "parquet")
+        self.options = dict(params.get("options") or {})
+        self.schema = params.get("schema")
+        self.created_col = params.get("created_col")
+        self.streaming = bool(params.get("streaming", False))
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = (spark.readStream if self.streaming else spark.read).format(
+            self.format
+        )
+        if self.schema:
+            reader = reader.schema(self.schema)
+        for k, v in self.options.items():
+            reader = reader.option(k, str(v))
+        df = reader.load(self.path)
+        return ensure_envelope(df, created=self.created_col)
+
+
 class MemorySource:
     """Literal rows for tests (the reference's SimpleSource analogue,
     internal/testnodetypes.go:85-131). Params: rows — list of dicts;
@@ -129,6 +158,7 @@ class KafkaSource:
 
 def register_builtin_source_types(registry: Registry) -> None:
     registry.register_source_type("parquet", ParquetSource, None)
+    registry.register_source_type("file", FileSource, None)
     registry.register_source_type("memory", MemorySource, None)
     registry.register_source_type("rate", RateSource, None)
     registry.register_source_type("kafka", KafkaSource, None)

@@ -1,0 +1,139 @@
+"""Streaming mode: the same pipeline over a streaming source via
+foreachBatch, with per-node metrics and checkpointing — plus the
+recovery orchestrator cycle (reference TestRecovery shape,
+inttest/integration_test.go:125-212, scaled to a file-backed source)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firebolt_spark import Pipeline
+from firebolt_spark.catalog import load_table
+from firebolt_spark.streaming.offsets import RecoveryRange
+from firebolt_spark.streaming.recovery import RecoveryOrchestrator, RecoveryTracker
+from firebolt_spark.streaming.runner import StreamingPipelineRunner, await_batches
+
+STREAM_YAML = """
+application: stream-test
+source: {name: rate, params: {rows_per_second: 200}}
+nodes:
+  - name: project
+    id: shape
+    params: {exprs: ["value", "value % 10 AS bucket"]}
+    children:
+      - name: filter
+        id: keep_evens
+        params: {predicate: "value % 2 = 0"}
+"""
+
+
+def test_streaming_pipeline_over_rate_source(spark, tmp_path):
+    pipeline = Pipeline.from_yaml(STREAM_YAML)
+    seen: list[int] = []
+
+    def sink(df, batch_id):
+        seen.extend(r["value"] for r in df.select("value").collect())
+
+    runner = StreamingPipelineRunner(
+        pipeline,
+        sinks={"keep_evens": sink},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    query = runner.start(
+        spark, trigger={"processingTime": "1 second"}, query_name="t-rate"
+    )
+    try:
+        assert await_batches(runner, 3, timeout_s=60)
+    finally:
+        query.stop()
+    # the filter held on every micro-batch
+    assert seen and all(v % 2 == 0 for v in seen)
+    # metrics parity: keep_evens success ≤ shape success, both counted
+    m = runner.metrics
+    assert m.node("shape").success >= m.node("keep_evens").success > 0
+    assert m.rows_in >= m.node("shape").success
+
+
+def test_streaming_rejects_batch_source(spark, sf_dir):
+    pipeline = Pipeline.from_yaml(STREAM_YAML)
+    runner = StreamingPipelineRunner(pipeline)
+    with pytest.raises(ValueError, match="not a streaming"):
+        runner.start(spark, source_df=load_table(spark, sf_dir, "events"))
+
+
+PIPE_YAML = """
+application: recovery-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: project
+    id: out
+    params: {exprs: ["event_id", "user_id"]}
+"""
+
+
+def _offsets_view(spark, sf_dir):
+    """events as an offset-addressed stream: partition = user_id % 4,
+    offset = event_id (dense per-partition offsets aren't required by
+    the planner, only ordering)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("partition", (F.col("user_id") % 4).cast("int"))
+        .withColumn("offset", F.col("event_id"))
+    )
+
+
+def test_recovery_cycle(spark, sf_dir, tmp_path):
+    src = _offsets_view(spark, sf_dir)
+    pipeline = Pipeline.from_yaml(PIPE_YAML % {"path": f"{sf_dir}/events.parquet"})
+    tracker = RecoveryTracker(spark, str(tmp_path / "state"))
+    orch = RecoveryOrchestrator(pipeline, tracker, max_partition_lag=100)
+
+    highs = {
+        r["partition"]: r["high"]
+        for r in src.groupBy("partition").agg(F.max("offset").alias("high")).collect()
+    }
+    committed = {p: 0 for p in highs}
+    plan = orch.plan(committed, highs)
+
+    # live query starts high-maxlag; the gap is tracked for backfill
+    for p, high in highs.items():
+        assert plan.starting_offsets[p] == high - 100
+    assert {r.partition_id for r in plan.ranges} == set(highs)
+
+    rng = plan.ranges[0]
+    result = orch.run_backfill_batch(spark, src, rng)
+    out = result.outputs["out"]
+    n = out.count()
+    expect = src.filter(
+        (F.col("partition") == rng.partition_id)
+        & (F.col("offset") >= rng.from_offset)
+        & (F.col("offset") < rng.to_offset)
+    ).count()
+    assert n == expect > 0
+    # recovery stamp rides the envelope (recoveryconsumer.go:311-315)
+    assert out.filter(~F.col("recovery")).count() == 0
+    # completed range leaves the pending set
+    assert rng not in tracker.pending()
+    assert len(tracker.pending()) == len(plan.ranges) - 1
+
+
+def test_recovery_max_records_cap(spark, sf_dir, tmp_path):
+    pipeline = Pipeline.from_yaml(PIPE_YAML % {"path": f"{sf_dir}/events.parquet"})
+    tracker = RecoveryTracker(spark, str(tmp_path / "state"))
+    orch = RecoveryOrchestrator(
+        pipeline, tracker, max_partition_lag=10, max_records_per_partition=50
+    )
+    plan = orch.plan({0: 0}, {0: 1000})
+    # parallelrecoverymaxrecords: only the newest 50 of the 990-gap
+    assert plan.ranges == [RecoveryRange(0, 940, 990)]
+
+
+def test_tracker_merge_and_cancel(spark, tmp_path):
+    tracker = RecoveryTracker(spark, str(tmp_path / "state"))
+    tracker.add([RecoveryRange(0, 0, 10), RecoveryRange(0, 5, 20)])
+    assert tracker.pending() == [RecoveryRange(0, 0, 20)]
+    tracker.add([RecoveryRange(0, 15, 30), RecoveryRange(1, 0, 5)])
+    assert tracker.pending() == [RecoveryRange(0, 0, 30), RecoveryRange(1, 0, 5)]
+    tracker.cancel_all()
+    assert tracker.pending() == []
