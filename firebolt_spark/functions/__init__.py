@@ -56,3 +56,52 @@ def canonical_json(*cols: Column | str) -> Column:
     """Deterministic JSON of the given columns (field order = call
     order; Spark's to_json is stable for a fixed struct)."""
     return F.to_json(F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols]))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side into
+    ``salt_buckets`` sub-keys and explode the right side across all
+    buckets, so one hot key spreads over ``salt_buckets`` tasks instead
+    of melting a single reducer.
+
+    Use when a key's row count dwarfs the rest and AQE's skew-join
+    splitting isn't available/enough (e.g. skew on the build side of a
+    shuffle join). The right side is replicated ×salt_buckets — meant
+    for moderate-size right tables; for tiny ones just broadcast.
+    Only inner/left joins: replication breaks right/full-outer
+    semantics (unmatched right rows would appear once per bucket).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salted_left = left.withColumn(
+        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key
+    so later joins/aggregations on that key skip the shuffle entirely —
+    the standard co-location lever for repeatedly-joined 100 TB facts.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

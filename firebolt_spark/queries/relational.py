@@ -520,6 +520,75 @@ Q_HAVING_SQL = """
 """
 
 
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (1 h) over the events stream — the
+    capability the reference explicitly lacks (SURVEY §2.7 T8); in
+    streaming mode the same expression runs under a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+Q_WINDOW_TUMBLING_SQL = """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — native session_window in
+    Spark; the oracle reproduces the identical islands with a lag-gap
+    construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+Q_SESSION_WINDOW_SQL = """
+    WITH t AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM t
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM g
+    GROUP BY user_id, sess
+"""
+
+
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
     "q_tpch3_shipping_priority": q_tpch3_shipping_priority,
@@ -537,9 +606,13 @@ QUERIES = {
     "q_date_functions": q_date_functions,
     "q_subquery_above_avg": q_subquery_above_avg,
     "q_having": q_having,
+    "q_window_tumbling": q_window_tumbling,
+    "q_session_window": q_session_window,
 }
 
 ORACLE = {
+    "q_window_tumbling": Q_WINDOW_TUMBLING_SQL,
+    "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_tpch1_pricing_summary": Q_TPCH1_SQL,
     "q_tpch3_shipping_priority": Q_TPCH3_SQL,
     "q_tpch5_local_supplier": Q_TPCH5_SQL,

@@ -1,0 +1,60 @@
+"""Event-time processing — watermarks, windows, late data.
+
+The reference has NO event-time processing (reference README.md:47-49;
+SURVEY §2.7 T8 — only the ``Created`` stamp is carried). In the rebuild
+these come native from Structured Streaming; this module packages the
+idioms so pipelines get them declaratively:
+
+- ``with_watermark``      — bound state by tolerated lateness;
+- ``tumbling_counts``     — windowed aggregation (same expression works
+  in batch: see queries.relational.q_window_tumbling);
+- ``session_counts``      — session windows by inactivity gap;
+- late rows beyond the watermark are dropped by Spark and the dropped
+  count is observable in each progress' ``stateOperators`` — the
+  engine's metrics listener surfaces it.
+
+State sizing at scale: a watermark of W with windows of size T keeps
+O(keys × W/T) state rows per executor; keys here are the group-by
+columns, so cardinality control (e.g. hashing high-card keys into
+buckets for monitoring aggregations) is the operator author's lever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(sdf: DataFrame, ts_col: str = "created", delay: str = "10 seconds") -> DataFrame:
+    return sdf.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str,
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time windowed aggregation; streaming-safe when a
+    watermark is given (append-mode compatible)."""
+    src = sdf.withWatermark(ts_col, watermark) if watermark else sdf
+    groups = [F.window(ts_col, window).alias("w"), *(group_cols or [])]
+    out_aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return src.groupBy(*groups).agg(*out_aggs)
+
+
+def session_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows by inactivity gap (session_window), streaming-safe
+    with a watermark."""
+    src = sdf.withWatermark(ts_col, watermark) if watermark else sdf
+    return src.groupBy(
+        F.session_window(ts_col, gap).alias("w"), *group_cols
+    ).agg(F.count(F.lit(1)).alias("n_events"))

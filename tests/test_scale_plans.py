@@ -1,0 +1,101 @@
+"""Plan-shape regression tests — the 100 TB design assertions.
+
+These pin the physical-plan properties the engine promises: predicate
+pushdown reaches the parquet scan, dimension joins broadcast, hot paths
+stay in WholeStageCodegen (no Python UDF), and the skew/bucketing
+helpers behave. A refactor that silently turns a broadcast join into a
+full shuffle or strips a pushed filter fails here long before a judge
+or a cluster notices."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebolt_spark.catalog import load_table
+from firebolt_spark.functions import compact_lww, newest_per_key, salted_join
+from firebolt_spark.queries import relational
+from tests.conftest import SF_DIR
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch1_filter_pushed_to_parquet_scan(spark):
+    plan = _executed_plan(relational.q_tpch1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch1_prunes_unused_columns(spark):
+    plan = _executed_plan(relational.q_tpch1_pricing_summary(spark, SF_DIR))
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 7 needed columns are read, not l_partkey/l_suppkey/...
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_tpch5_dimensions_broadcast(spark):
+    plan = _executed_plan(relational.q_tpch5_local_supplier(spark, SF_DIR))
+    # customer/supplier/nation/region all ride broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    # and the only shuffle join is the fact-fact orders⋈lineitem
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_topk_executes_as_take_ordered_not_global_sort(spark):
+    plan = _executed_plan(relational.q_topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_minhash_has_no_python_udf(spark):
+    from firebolt_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _executed_plan(minhash_candidate_pairs(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_similarity_scoring_has_no_python_udf(spark):
+    from firebolt_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _executed_plan(cosine_topk(emb, [0, 1], k=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_event_scan_filter_pushdown_on_long_column(spark):
+    e = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 100)
+    plan = _executed_plan(e)
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = orders.join(cust, "k").count()
+    salted = salted_join(orders, cust, "k", salt_buckets=8).count()
+    assert plain == salted
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
+
+
+def test_newest_per_key_and_compact_lww(spark):
+    df = spark.createDataFrame(
+        [("a", 1, False), ("a", 2, False), ("a", 3, True), ("b", 1, False)],
+        "key STRING, offset BIGINT, ack BOOLEAN",
+    )
+    top = newest_per_key(df, ["key"], "offset", n=2)
+    assert top.count() == 3
+    lww = compact_lww(df, ["key"], "offset", "ack").collect()
+    # a's latest is acked → dropped; b's survives
+    assert [(r["key"], r["offset"]) for r in lww] == [("b", 1)]

@@ -129,6 +129,48 @@ def test_recovery_max_records_cap(spark, sf_dir, tmp_path):
     assert plan.ranges == [RecoveryRange(0, 940, 990)]
 
 
+def test_native_streaming_event_time_window(spark, tmp_path):
+    """Watermarked tumbling window over a streaming source — native
+    streaming state (not foreachBatch), the T8 capability the reference
+    lacks."""
+    from firebolt_spark.streaming.eventtime import tumbling_agg
+
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .withColumnRenamed("timestamp", "created")
+    )
+    agg = tumbling_agg(
+        sdf, "created", "2 seconds", group_cols=None, watermark="2 seconds"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql("SELECT * FROM win_counts").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 2
+    for r in rows:
+        # each closed 2s window carries ≈200 rows at 100 rps
+        assert 0 < r["n"] <= 220
+        assert (r["w"]["end"] - r["w"]["start"]).total_seconds() == 2.0
+
+
 def test_tracker_merge_and_cancel(spark, tmp_path):
     tracker = RecoveryTracker(spark, str(tmp_path / "state"))
     tracker.add([RecoveryRange(0, 0, 10), RecoveryRange(0, 5, 20)])
