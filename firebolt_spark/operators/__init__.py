@@ -26,5 +26,10 @@ def register_builtin_node_types(registry: Registry) -> None:
     registry.register_node_type("syslog_parser", core.SyslogParserNode, None, None)
     registry.register_node_type("json_builder", core.JsonBuilderNode, None, None)
     registry.register_node_type("doc_builder", core.DocBuilderNode, None, None)
+    registry.register_node_type("sql", core.SqlNode, None, None)
     registry.register_node_type("python_map", sync.PythonMapNode, None, None)
     register_sink_node_types(registry)
+
+    from firebolt_spark.operators.llm_nodes import register_llm_node_types
+
+    register_llm_node_types(registry)

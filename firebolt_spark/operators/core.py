@@ -185,6 +185,32 @@ class SyslogParserNode:
         )
 
 
+class SqlNode:
+    """Run arbitrary Spark SQL over the node's input (registered as a
+    view) — the engine's full relational surface inside a pipeline
+    (SURVEY §7.0 (4): joins/aggregations/windows from Spark SQL).
+
+    Params: statement (required) — SQL text referencing ``{view}`` or
+    the literal view name 'input'; view (default 'input').
+    """
+
+    _counter = 0
+
+    def __init__(self, params: dict[str, Any]):
+        self.statement = params["statement"]
+        self.view = params.get("view", "input")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import re
+
+        SqlNode._counter += 1
+        name = f"_fb_sql_{SqlNode._counter}_{self.view}"
+        df.createOrReplaceTempView(name)
+        stmt = self.statement.replace("{view}", name)
+        stmt = re.sub(rf"\b{re.escape(self.view)}\b", name, stmt)
+        return df.sparkSession.sql(stmt)
+
+
 class JsonBuilderNode:
     """Project fields into a JSON string + ProduceRequest shape.
 

@@ -42,13 +42,17 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
     Built entirely from higher-order array functions — stays in
-    whole-stage codegen, no UDF.
+    whole-stage codegen, no UDF. The tokenization is bound once via a
+    lambda argument (``transform(array(split(..)), t -> ...)``) instead
+    of being re-evaluated inside the per-index lambda — the naive form
+    re-splits the text for every shingle position, turning an O(tokens)
+    row into O(tokens²).
     """
-    toks = f"split({text_col}, ' ')"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-            f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+            f"flatten(transform(array(split({text_col}, ' ')), t -> "
+            f"transform(sequence(1, greatest(size(t) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(t, i, {n})))))"
         )
     )
 
@@ -69,10 +73,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingles."""
+    """(doc_id, shingle) exploded distinct shingles.
+
+    Distinctness comes from the per-row ``array_distinct`` alone: within
+    a doc the array is already deduped, and (doc_id, sh) can't collide
+    across docs — so no cross-row ``.distinct()`` shuffle is needed.
+    """
     return docs.select(
         "doc_id", F.explode(word_shingles(text_col, n)).alias("sh")
-    ).distinct()
+    )
 
 
 def minhash_signatures(

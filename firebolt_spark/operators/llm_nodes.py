@@ -1,0 +1,151 @@
+"""LLM-pipeline operators as registry node types — so training-data
+pipelines compose them from YAML exactly like core nodes.
+
+Each node wraps the corresponding function in operators/{dedup,
+similarity,text,multimodal}.py; see those modules for semantics and
+scale notes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from firebolt_spark.operators import dedup, multimodal, similarity, text
+
+
+class ExactDedupNode:
+    """Params: text_col (default 'text')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.exact_duplicates(df, self.text_col)
+
+
+class MinhashDedupNode:
+    """Params: text_col, threshold (0.5), k (8), bands (4)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.threshold = float(params.get("threshold", 0.5))
+        self.k = int(params.get("k", dedup.N_MINHASH))
+        self.bands = int(params.get("bands", dedup.N_BANDS))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.minhash_candidate_pairs(
+            df, self.text_col, self.k, self.bands, self.threshold
+        )
+
+
+class SimhashNode:
+    """Params: text_col; pairs (default False) → emit near-dup pairs
+    instead of per-doc fingerprints; max_hamming (3)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.pairs = bool(params.get("pairs", False))
+        self.max_hamming = int(params.get("max_hamming", 3))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.pairs:
+            return dedup.simhash_pairs(df, self.text_col, self.max_hamming)
+        return dedup.simhash(df, self.text_col)
+
+
+class NgramJaccardNode:
+    """Params: text_col, n (3), threshold (0.3)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.n = int(params.get("n", 3))
+        self.threshold = float(params.get("threshold", 0.3))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.ngram_jaccard_pairs(df, self.text_col, self.n, self.threshold)
+
+
+class SimilaritySearchNode:
+    """Params: query_ids (required list), k (10), method ('bruteforce' |
+    'lsh'), id_col, vec_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.query_ids = list(params["query_ids"])
+        self.k = int(params.get("k", 10))
+        self.method = params.get("method", "bruteforce")
+        self.id_col = params.get("id_col", "vec_id")
+        self.vec_col = params.get("vec_col", "embedding")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        fn = (
+            similarity.ann_lsh_topk
+            if self.method == "lsh"
+            else similarity.cosine_topk
+        )
+        return fn(df, self.query_ids, self.k, id_col=self.id_col, vec_col=self.vec_col)
+
+
+class TextStatsNode:
+    """Params: text_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.text_stats(df, self.text_col)
+
+
+class LanguageIdNode:
+    """Params: text_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.language_id(df, self.text_col)
+
+
+class TokenCountNode:
+    """Params: text_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.token_counts(df, self.text_col)
+
+
+class FingerprintNode:
+    """Params: text_col, n (3)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.n = int(params.get("n", 3))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.fingerprints(df, self.text_col, self.n)
+
+
+class MediaFeaturesNode:
+    """Params: decode_stub (default True) — see operators/multimodal.py."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.decode_stub = bool(params.get("decode_stub", True))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return multimodal.extract_features(df, decode_stub=self.decode_stub)
+
+
+def register_llm_node_types(registry) -> None:
+    registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
+    registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
+    registry.register_node_type("simhash", SimhashNode, None, None)
+    registry.register_node_type("ngram_jaccard", NgramJaccardNode, None, None)
+    registry.register_node_type("similarity_search", SimilaritySearchNode, None, None)
+    registry.register_node_type("text_stats", TextStatsNode, None, None)
+    registry.register_node_type("language_id", LanguageIdNode, None, None)
+    registry.register_node_type("token_count", TokenCountNode, None, None)
+    registry.register_node_type("fingerprint", FingerprintNode, None, None)
+    registry.register_node_type("media_features", MediaFeaturesNode, None, None)

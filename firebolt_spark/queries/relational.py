@@ -520,6 +520,36 @@ Q_HAVING_SQL = """
 """
 
 
+def q_tpch6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filtered aggregate — every predicate is
+    parquet-pushable, the scan reads 3 columns, and the aggregation is
+    a single map-side-combinable sum."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q_TPCH6_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (1 h) over the events stream — the
     capability the reference explicitly lacks (SURVEY §2.7 T8); in
@@ -608,11 +638,13 @@ QUERIES = {
     "q_having": q_having,
     "q_window_tumbling": q_window_tumbling,
     "q_session_window": q_session_window,
+    "q_tpch6_revenue_forecast": q_tpch6_revenue_forecast,
 }
 
 ORACLE = {
     "q_window_tumbling": Q_WINDOW_TUMBLING_SQL,
     "q_session_window": Q_SESSION_WINDOW_SQL,
+    "q_tpch6_revenue_forecast": Q_TPCH6_SQL,
     "q_tpch1_pricing_summary": Q_TPCH1_SQL,
     "q_tpch3_shipping_priority": Q_TPCH3_SQL,
     "q_tpch5_local_supplier": Q_TPCH5_SQL,

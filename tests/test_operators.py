@@ -1,0 +1,124 @@
+"""Direct operator tests: syslog parser (the reference's flagship
+parse node), fanout modes, doc/json builders, SQL node, and the
+YAML-registered LLM node types."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebolt_spark import Pipeline
+from firebolt_spark.errors import split_errors
+from firebolt_spark.operators.core import (
+    DocBuilderNode,
+    FanoutNode,
+    JsonBuilderNode,
+    SqlNode,
+    SyslogParserNode,
+)
+
+SYSLOG_OK = (
+    '<191>2006-01-02T15:04:05.999999-07:00 host.example.org '
+    'test[42]: @cee:{"msg":"log 1","user":7}'
+)
+SYSLOG_NO_PID = "<13>2020-05-05T01:02:03Z web01 cron: job done"
+SYSLOG_BAD = "this is not syslog"
+
+
+def _lines(spark):
+    return spark.createDataFrame(
+        [(SYSLOG_OK,), (SYSLOG_NO_PID,), (SYSLOG_BAD,)], "payload STRING"
+    )
+
+
+def test_syslog_parser_fields_and_errors(spark):
+    node = SyslogParserNode({"column": "payload"})
+    ok, dlq = split_errors(node.transform(_lines(spark)))
+    rows = {r["host"]: r for r in ok.collect()}
+    assert set(rows) == {"host.example.org", "web01"}
+    good = rows["host.example.org"]
+    assert good["pri"] == 191
+    assert good["program"] == "test"
+    assert good["pid"] == 42
+    assert good["cee"] == '{"msg":"log 1","user":7}'
+    assert good["ts"] is not None
+    no_pid = rows["web01"]
+    assert no_pid["pid"] is None and no_pid["cee"] is None
+    assert no_pid["content"] == "job done"
+    # unparseable → error routed, not dropped (syslogparser.go:33-36)
+    errs = dlq.collect()
+    assert len(errs) == 1
+    assert "unable to parse syslog" in errs[0]["_error"]["message"]
+
+
+def test_syslog_parser_binary_payload(spark):
+    df = spark.createDataFrame(
+        [(SYSLOG_OK.encode("utf-8"),)], "payload BINARY"
+    )
+    node = SyslogParserNode({"column": "payload", "binary": True})
+    out, _ = split_errors(node.transform(df))
+    assert out.first()["program"] == "test"
+
+
+def test_fanout_outer_vs_inner(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [])], "id INT, xs ARRAY<INT>")
+    inner = FanoutNode({"expr": "xs", "alias": "x"}).transform(df)
+    assert inner.count() == 2  # empty array ≡ filter (node.go:171-176)
+    outer = FanoutNode({"expr": "xs", "alias": "x", "outer": True}).transform(df)
+    assert outer.count() == 3
+    assert outer.filter("id = 2").first()["x"] is None
+
+
+def test_json_builder_produce_request(spark):
+    df = spark.createDataFrame([(1, "click")], "event_id BIGINT, event_type STRING")
+    out = JsonBuilderNode({"fields": ["event_id", "event_type"], "topic": "t"}).transform(df)
+    row = out.select(F.decode("value", "UTF-8").alias("v"), "topic").first()
+    assert row["topic"] == "t"
+    assert row["v"] == '{"event_id":1,"event_type":"click"}'
+
+
+def test_doc_builder_branches_on_threshold(spark):
+    df = spark.createDataFrame([(5,), (500,)], "pid INT")
+    out = DocBuilderNode({"index": "logs", "threshold": 100}).transform(df)
+    docs = {r["doc_id"]: r["doc"] for r in out.collect()}
+    # pid < 100 → numeric doc; pid >= 100 → object doc (docbuilder.go:73-89)
+    vals = sorted(docs.values())
+    assert "5" in vals[0] or "5" == vals[0]
+    assert any(v.startswith("{") for v in docs.values())
+    assert any(not v.startswith("{") for v in docs.values())
+
+
+def test_sql_node_full_relational_surface(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k STRING, v INT"
+    )
+    node = SqlNode(
+        {"statement": "SELECT k, sum(v) AS total FROM {view} GROUP BY k"}
+    )
+    got = {(r["k"], r["total"]) for r in node.transform(df).collect()}
+    assert got == {("a", 3), ("b", 5)}
+
+
+LLM_PIPELINE = """
+application: corpus
+source:
+  name: parquet
+  params: {path: "%(path)s"}
+nodes:
+  - name: text_stats
+    id: stats
+  - name: dedup_exact
+    id: dd
+  - name: fingerprint
+    id: fp
+"""
+
+
+def test_llm_nodes_compose_from_yaml(spark, sf_dir):
+    p = Pipeline.from_yaml(LLM_PIPELINE % {"path": f"{sf_dir}/documents.parquet"})
+    res = p.run_batch(spark)
+    n_docs = 500
+    assert res.outputs["stats"].count() == n_docs
+    assert res.outputs["dd"].count() == n_docs  # all unique in fixture
+    fp = res.outputs["fp"]
+    assert fp.count() == n_docs
+    assert set(fp.columns) >= {"doc_id", "fingerprint"}
