@@ -42,8 +42,32 @@ TIMESTAMP_COLS: dict[str, list[str]] = {
 }
 
 
+REQUIRED_RUNTIME_CONFS = {
+    # fixtures carry TIMESTAMP(NANOS) parquet — Spark must read them as longs
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics (oracle treats naive ts as UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # engine error protocol: NULL-on-bad-cast, errors via _error routing
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs this engine's semantics depend
+    on. Called from every load path so the engine behaves identically
+    under a caller-provided SparkSession (e.g. the driver's) that was
+    built without firebolt_spark.session.get_spark."""
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # non-settable in this runtime → leave as-is
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, converting nanos-long columns to timestamps."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in TIMESTAMP_COLS.get(name, []):
         if c not in df.columns:
