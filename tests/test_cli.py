@@ -1,0 +1,34 @@
+"""CLI surface: validate/run/explain over the example configs."""
+
+from __future__ import annotations
+
+from firebolt_spark.__main__ import main
+
+
+def test_validate_examples():
+    for cfg in ("logging", "kafkatokafka", "corpus_dedup"):
+        assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
+
+
+def test_validate_missing_file_exits_2(capsys):
+    assert main(["validate", "/nonexistent.yaml"]) == 2
+    assert "error:" in capsys.readouterr().err
+
+
+def test_validate_bad_config_exits_2(tmp_path, capsys):
+    p = tmp_path / "bad.yaml"
+    p.write_text("source: {name: bogus}\nnodes: []\n")
+    assert main(["validate", str(p)]) == 2
+    assert "not registered" in capsys.readouterr().err
+
+
+def test_run_batch_example(spark, capsys):
+    assert main(["run", "/root/repo/examples/kafkatokafka.yaml", "--show", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "=== out (" in out and "rows)" in out
+
+
+def test_explain_example(spark, capsys):
+    assert main(["explain", "/root/repo/examples/logging.yaml", "--node", "docs"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
