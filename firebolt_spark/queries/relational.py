@@ -619,6 +619,50 @@ Q_SESSION_WINDOW_SQL = """
 """
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (wide form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}") for c in ("F", "O", "P")],
+    )
+
+
+Q_PIVOT_SQL = """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp parity: extract / replace-all / match flag over part."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(small|large) ").alias("is_sized"),
+    )
+
+
+Q_REGEXP_SQL = """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(small|large) ') AS is_sized
+    FROM part
+"""
+
+
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
     "q_tpch3_shipping_priority": q_tpch3_shipping_priority,
@@ -639,12 +683,16 @@ QUERIES = {
     "q_window_tumbling": q_window_tumbling,
     "q_session_window": q_session_window,
     "q_tpch6_revenue_forecast": q_tpch6_revenue_forecast,
+    "q_pivot": q_pivot,
+    "q_regexp_functions": q_regexp_functions,
 }
 
 ORACLE = {
     "q_window_tumbling": Q_WINDOW_TUMBLING_SQL,
     "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_tpch6_revenue_forecast": Q_TPCH6_SQL,
+    "q_pivot": Q_PIVOT_SQL,
+    "q_regexp_functions": Q_REGEXP_SQL,
     "q_tpch1_pricing_summary": Q_TPCH1_SQL,
     "q_tpch3_shipping_priority": Q_TPCH3_SQL,
     "q_tpch5_local_supplier": Q_TPCH5_SQL,

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure algorithmic cores:
+interval merge, offset planning, and minhash estimation quality."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from firebolt_spark.streaming.offsets import (
+    RecoveryRange,
+    merge_ranges,
+    plan_assignment,
+)
+
+ranges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # partition
+        st.integers(0, 200),        # from
+        st.integers(1, 100),        # length
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(ranges_strategy)
+@settings(max_examples=200, deadline=None)
+def test_merge_ranges_covers_exactly_the_union(raw):
+    ranges = [RecoveryRange(p, f, f + ln) for p, f, ln in raw]
+    merged = merge_ranges(ranges)
+
+    def covered(rs):
+        out = set()
+        for r in rs:
+            out.update((r.partition_id, o) for o in range(r.from_offset, r.to_offset))
+        return out
+
+    # same offsets covered, no more, no less
+    assert covered(merged) == covered(ranges)
+    # disjoint and sorted per partition, with gaps between islands
+    by_part: dict[int, list[RecoveryRange]] = {}
+    for r in merged:
+        by_part.setdefault(r.partition_id, []).append(r)
+    for rs in by_part.values():
+        for a, b in zip(rs, rs[1:]):
+            assert a.to_offset < b.from_offset  # strict gap → maximal merge
+
+
+@given(
+    st.dictionaries(st.integers(0, 7), st.integers(0, 10_000), max_size=8),
+    st.dictionaries(st.integers(0, 7), st.integers(0, 10_000), max_size=8),
+    st.integers(1, 5_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_assignment_invariants(committed, highs, maxlag):
+    starting, ranges = plan_assignment(committed, highs, maxlag)
+    for pid, high in highs.items():
+        cur = committed.get(pid, 0)
+        start = starting[pid]
+        # never start beyond the watermark, never before committed... unless capped
+        assert start <= max(high, cur)
+        lag = high - cur
+        if lag > maxlag:
+            assert start == high - maxlag
+        else:
+            assert start == cur
+    for r in ranges:
+        # every recovery range is exactly a skipped gap
+        assert r.from_offset == committed.get(r.partition_id, 0)
+        assert r.to_offset == starting[r.partition_id]
+        assert r.from_offset < r.to_offset
+
+
+def test_minhash_operational_precision_and_recall(spark, sf_dir):
+    """Operational quality of minhash-LSH against exact n-gram Jaccard.
+
+    Candidates are conditioned on agreeing bands, so raw estimates are
+    biased upward near zero — the meaningful properties are at the
+    operating point: (precision) pairs passing the est≥0.5 threshold are
+    genuinely similar (true j ≥ 0.3); (recall) every truly-near-dup pair
+    (j ≥ 0.6) is surfaced by some band bucket."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = minhash_candidate_pairs(docs, threshold=0.5)
+    truth = ngram_jaccard_pairs(docs, threshold=0.0)
+
+    joined = flagged.join(truth, ["doc_a", "doc_b"]).collect()
+    assert joined, "LSH flagged nothing at the 0.5 threshold"
+    for r in joined:
+        assert r["jaccard"] >= 0.3, ("false positive", r)
+
+    near_dups = {
+        (r["doc_a"], r["doc_b"])
+        for r in truth.filter("jaccard >= 0.6").collect()
+    }
+    candidates = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs, threshold=0.0).collect()
+    }
+    assert near_dups, "fixture has no true near-dups to recall"
+    missed = near_dups - candidates
+    assert not missed, f"LSH missed true near-dups: {missed}"

@@ -171,6 +171,53 @@ def test_native_streaming_event_time_window(spark, tmp_path):
         assert (r["w"]["end"] - r["w"]["start"]).total_seconds() == 2.0
 
 
+def test_stateful_running_counter(spark, tmp_path):
+    """applyInPandasWithState: per-key counts accumulate ACROSS
+    micro-batches (checkpointed state) — the custom-stateful-operator
+    capability (SURVEY §7.0)."""
+    from firebolt_spark.streaming.stateful import running_counter
+
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .withColumn("key", (F.col("value") % 3).cast("string"))
+    )
+    out = running_counter(sdf, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("counter_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 60
+        done = False
+        while time.monotonic() < deadline and not done:
+            rows = spark.sql(
+                "SELECT key, max(n) AS n, count(*) AS updates "
+                "FROM counter_out GROUP BY key"
+            ).collect()
+            # state accumulated over >1 batch for every key
+            done = len(rows) == 3 and all(
+                r["updates"] >= 2 and r["n"] > r["updates"] for r in rows
+            )
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert done
+    # running totals strictly exceed any single batch's contribution
+    per_update = spark.sql(
+        "SELECT key, n, batch_rows FROM counter_out ORDER BY n DESC"
+    ).collect()
+    top = per_update[0]
+    assert top["n"] > top["batch_rows"] > 0
+
+
 def test_tracker_merge_and_cancel(spark, tmp_path):
     tracker = RecoveryTracker(spark, str(tmp_path / "state"))
     tracker.add([RecoveryRange(0, 0, 10), RecoveryRange(0, 5, 20)])
