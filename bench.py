@@ -33,7 +33,9 @@ HEADLINE = [
     "q_tpch1_pricing_summary",
     "q_tpch3_shipping_priority",
     "q_tpch5_local_supplier",
+    "q_tpch6_revenue_forecast",
     "q_window_rank",
+    "q_window_tumbling",
     "q_topk_orders",
     # LLM-data-pipeline operators
     "q_dedup_exact",

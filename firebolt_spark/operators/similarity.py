@@ -108,6 +108,88 @@ def lsh_signature(vec_col: str, planes: int = LSH_PLANES, dim: int = EMB_DIM) ->
     return F.expr("(" + " + ".join(bits) + ")").cast("int")
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = the first ``n_centroids``
+    vectors by id (deterministic seeding; a production build would run
+    a few k-means iterations — the index topology is identical), each
+    corpus vector assigned to its nearest centroid by cosine.
+
+    Returns (assigned corpus with ``cluster`` column, centroids).
+    At 100 TB the assigned corpus is written partitioned by ``cluster``
+    so a probe reads only its clusters' files.
+    """
+    corpus = embeddings.withColumn("_norm", norm(vec_col))
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cluster"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "c_vec", "c_norm", "_sim")
+    )
+    return assigned, cents
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query scores only the corpus rows in
+    its ``n_probe`` nearest clusters — the classic inverted-file ANN
+    layout (scan cost ≈ n_probe/n_centroids of brute force)."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.persist()
+    q = (
+        assigned.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+        )
+    )
+    # probe list: the n_probe nearest centroids per query
+    probes = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", dot_fold("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cluster"))
+    probe_set = (
+        probes.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cluster")
+    )
+    cand = assigned.join(
+        F.broadcast(probe_set),
+        (assigned.cluster == probe_set.cluster)
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = F.round(
+        dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
+    ).alias("cos_sim")
+    scored = cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -130,6 +130,11 @@ class Pipeline:
         so tests can assert firebolt-style exact counts per branch.
         """
         df = source_df if source_df is not None else self.source_dataframe(spark)
+        if df.isStreaming:
+            raise ValueError(
+                "run_batch received a streaming source — use "
+                "streaming.runner.StreamingPipelineRunner for streams"
+            )
         outputs: dict[str, DataFrame] = {}
         errors: dict[str, DataFrame] = {}
         leaves: list[str] = []

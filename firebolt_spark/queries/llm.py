@@ -207,6 +207,13 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, _QUERY_VEC_IDS, k=10)
 
 
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant — rows-only; recall pinned vs brute force in
+    tests (tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, _QUERY_VEC_IDS, k=10)
+
+
 # ---- text analysis --------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +316,7 @@ QUERIES = {
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
+    "q_similarity_ann_ivf": q_similarity_ann_ivf,
     "q_text_stats": q_text_stats,
     "q_text_langid": q_text_langid,
     "q_text_token_counts": q_text_token_counts,

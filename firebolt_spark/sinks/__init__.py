@@ -115,6 +115,31 @@ class ParquetSink:
         return df
 
 
+class FileSink:
+    """Generic file writer (parquet/json/csv/orc).
+
+    Params: path (required); format (default parquet); mode (overwrite);
+    partition_by; options (e.g. header/compression). Partitioning on the
+    downstream filter keys is the cheap 100 TB pruning lever.
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.path = params["path"]
+        self.format = params.get("format", "parquet")
+        self.mode = params.get("mode", "overwrite")
+        self.partition_by = params.get("partition_by")
+        self.options = dict(params.get("options") or {})
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        writer = df.write.mode(self.mode).format(self.format)
+        for k, v in self.options.items():
+            writer = writer.option(k, str(v))
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self.path)
+        return df
+
+
 class ConsoleSink:
     """Debug sink. Params: num_rows (default 20)."""
 
@@ -134,5 +159,6 @@ def register_sink_node_types(registry) -> None:
         "error_kafka_producer", ErrorKafkaProducerSink, EVENT_ERROR_SCHEMA, None
     )
     registry.register_node_type("parquet_sink", ParquetSink, None, None)
+    registry.register_node_type("file_sink", FileSink, None, None)
     registry.register_node_type("console_sink", ConsoleSink, None, None)
     registry.register_node_type("elasticsearch", ElasticsearchSink, None, None)

@@ -35,6 +35,29 @@ def test_ann_results_are_subset_of_bruteforce_corpus(spark, sf_dir):
     assert ann.count() > 0
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=4/16 must recover most of the exact top-10 —
+    and every hit it returns carries the exact score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    ivf_rows = similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4).collect()
+    ivf = {(r["query_id"], r["vec_id"]) for r in ivf_rows}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # probing every cluster must reproduce brute force exactly
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ann_ivf_topk(
+            emb, qids, k=10, n_centroids=16, n_probe=16
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_media(docs)
