@@ -114,7 +114,7 @@ def q_s3_lag_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_S3_SQL = """
-    SELECT event_id, user_id, rn
+    SELECT event_id, user_id, CAST(rn AS INTEGER) AS rn
     FROM (
         SELECT event_id, user_id,
                row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -271,7 +271,8 @@ def q_p7_docid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_P7_SQL = """
-    SELECT event_type, row_number() OVER (ORDER BY event_id) AS doc_num
+    SELECT event_type,
+           CAST(row_number() OVER (ORDER BY event_id) AS INTEGER) AS doc_num
     FROM events
 """
 

@@ -270,7 +270,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_WINDOW_RANK_SQL = """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey

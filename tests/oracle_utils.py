@@ -49,13 +49,55 @@ def canonicalize(columns: list[str], rows) -> list[str]:
     return out
 
 
+# DuckDB type name → Spark simpleString, for width-strict schema compare
+_DUCK_TO_SPARK_TYPE = {
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "hugeint",  # deliberately unmapped-to-spark: flags a mismatch
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+    "BLOB": "binary",
+}
+
+
+def _duck_types(con, sql: str) -> dict[str, str]:
+    rel = con.sql(sql)
+    return {
+        c: _DUCK_TO_SPARK_TYPE.get(str(t), str(t).lower())
+        for c, t in zip(rel.columns, rel.types)
+    }
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     """Returns dict with match booleans and diagnostics."""
     spark_rows = spark_df.collect()
     spark_cols = list(spark_df.columns)
+    spark_types = {
+        f.name: f.dataType.simpleString() for f in spark_df.schema.fields
+    }
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    duck_types = _duck_types(con, sql)
+
+    type_diffs = {
+        c: (spark_types.get(c), duck_types.get(c))
+        for c in set(spark_cols) & set(duck_cols)
+        if spark_types.get(c) != duck_types.get(c)
+        # decimal payload queries deliberately cast at the edges; any
+        # remaining decimal-vs-decimal spelling difference is benign
+        and not (
+            str(spark_types.get(c, "")).startswith("decimal")
+            and str(duck_types.get(c, "")).startswith("decimal")
+        )
+    }
 
     result = {
         "spark_rows": len(spark_rows),
@@ -64,6 +106,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         "spark_cols": sorted(spark_cols),
         "duck_cols": sorted(duck_cols),
         "cols_match": sorted(spark_cols) == sorted(duck_cols),
+        "type_diffs": type_diffs,
+        "types_match": not type_diffs,
         "values_match": False,
         "first_diff": None,
     }

@@ -40,11 +40,21 @@ def main() -> int:
             print(f"{name:28s} ERROR: {exc}")
             failures.append(name)
             continue
-        ok = res["rows_match"] and res["cols_match"] and res["values_match"]
+        ok = (
+            res["rows_match"]
+            and res["cols_match"]
+            and res["values_match"]
+            and res["types_match"]
+        )
         status = "OK " if ok else "FAIL"
         print(
             f"{name:28s} {status} rows={res['spark_rows']}/{res['duck_rows']}"
-            + ("" if ok else f" cols={res['cols_match']} diff={res['first_diff']}")
+            + (
+                ""
+                if ok
+                else f" cols={res['cols_match']} types={res['type_diffs']} "
+                f"diff={res['first_diff']}"
+            )
         )
         if not ok:
             failures.append(name)

@@ -29,6 +29,7 @@ def test_oracle_match(name, spark, oracle_con):
     res = compare(QUERIES[name](spark, SF_DIR), oracle_con, ORACLE[name])
     assert res["rows_match"], f"row count: {res['spark_rows']} vs {res['duck_rows']}"
     assert res["cols_match"], f"cols: {res['spark_cols']} vs {res['duck_cols']}"
+    assert res["types_match"], f"type diffs: {res['type_diffs']}"
     assert res["values_match"], f"first diff: {res['first_diff']}"
 
 
