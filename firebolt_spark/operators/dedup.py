@@ -209,6 +209,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index_signatures: DataFrame,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest dedup: check a NEW batch against an existing
+    signature index (the realistic 100 TB workflow — the corpus is
+    historical state, only the delta is scored).
+
+    ``index_signatures`` is a previously-persisted output of
+    ``minhash_signatures`` (at scale: a table bucketed by band hash).
+    Returns (matches, new_signatures): matches are (new_doc_id,
+    index_doc_id, est_jaccard ≥ threshold) pairs; new_signatures is the
+    delta to append to the index. Only the delta's shingles are ever
+    computed — cost tracks batch size, not corpus size.
+    """
+    new_sig = minhash_signatures(new_docs, text_col, k).persist()
+    nb = lsh_bands(new_sig, k, bands)
+    ib = lsh_bands(index_signatures, k, bands)
+    cand = (
+        nb.alias("a")
+        .join(
+            ib.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+    )
+    matches = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
+            for j in range(k)
+        ],
+    )
+    scored = (
+        cand.join(new_sig.alias("ma"), F.col("new_doc_id") == F.col("ma.doc_id"))
+        .join(
+            index_signatures.alias("mb"),
+            F.col("index_doc_id") == F.col("mb.doc_id"),
+        )
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            (matches / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return scored, new_sig
+
+
 def _hexval(expr: str) -> str:
     """SQL: value 0-15 of one hex char expression."""
     return f"(instr('0123456789abcdef', {expr}) - 1)"

@@ -509,7 +509,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") > 400)
+        .filter(F.col("n_orders") > 600)
     )
 
 
@@ -517,7 +517,7 @@ Q_HAVING_SQL = """
     SELECT c_nationkey, count(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
-    HAVING count(*) > 400
+    HAVING count(*) > 600
 """
 
 

@@ -58,6 +58,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+def test_incremental_near_dups(spark, sf_dir):
+    """Delta-vs-index dedup: a new batch containing one exact copy of an
+    indexed doc and one novel doc — the copy matches its original at
+    est=1.0, the novel doc passes clean, and the returned delta
+    signatures extend the index."""
+    from pyspark.sql import functions as F
+
+    from firebolt_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_signatures(docs.filter("doc_id < 400")).persist()
+    novel_text = " ".join(f"novelword{i}" for i in range(40))
+    new_batch = (
+        docs.filter("doc_id = 7")
+        .withColumn("doc_id", F.lit(900000))  # duplicate of indexed doc 7
+        .unionAll(
+            docs.filter("doc_id = 450")
+            .withColumn("doc_id", F.lit(900001))
+            .withColumn("text", F.lit(novel_text))  # shares no shingle
+        )
+    )
+    matches, new_sig = incremental_near_dups(new_batch, index, threshold=0.5)
+    got = {(r["new_doc_id"], r["index_doc_id"], r["est_jaccard"]) for r in matches.collect()}
+    assert (900000, 7, 1.0) in got
+    assert not any(m[0] == 900001 for m in got)
+    assert new_sig.count() == 2
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_media(docs)
