@@ -105,16 +105,28 @@ class Pipeline:
 
     def _build(self, nc: cfg.NodeConfig) -> NodeRuntime:
         nt = self.registry.get(nc.name)
-        rt = NodeRuntime(nc.id, nc.name, nt.factory(nc.params))
+        rt = NodeRuntime(nc.id, nc.name, self._make(nt, nc))
         rt.children = [self._build(c) for c in nc.children]
         if nc.error_handler is not None:
             et = self.registry.get(nc.error_handler.name)
             rt.error_handler = NodeRuntime(
                 nc.error_handler.id,
                 nc.error_handler.name,
-                et.factory(nc.error_handler.params),
+                self._make(et, nc.error_handler),
             )
         return rt
+
+    @staticmethod
+    def _make(nt, nc: cfg.NodeConfig):
+        """Instantiate a node, turning factory failures (missing/invalid
+        params) into ConfigError naming the node — the analogue of the
+        reference's Nodeconfig validation errors (helpers.go:9-94)."""
+        try:
+            return nt.factory(nc.params)
+        except (KeyError, TypeError, ValueError) as exc:
+            raise cfg.ConfigError(
+                f"node '{nc.id}' (type '{nc.name}'): invalid params: {exc!r}"
+            ) from exc
 
     def source_dataframe(self, spark: SparkSession) -> DataFrame:
         src = self._source_type.factory(self.config.source.params)

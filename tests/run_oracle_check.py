@@ -14,15 +14,27 @@ from tests.oracle_utils import compare, open_oracle  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
     oracle = entry_mod.oracle_sql()
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    if vanilla:
+        # simulate the driver: a plain SparkSession with no engine confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = open_oracle(sf_dir)
 
