@@ -58,6 +58,49 @@ def canonical_json(*cols: Column | str) -> Column:
     return F.to_json(F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols]))
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global 1-based row numbering by ``order_cols``.
+
+    A bare ``row_number() OVER (ORDER BY …)`` funnels every row through
+    ONE task — correct, but a single-node bottleneck at scale. This is
+    the two-phase form: range-partition on the order keys (so partition
+    p's keys all precede partition p+1's), number within partitions,
+    then add broadcast per-partition offsets. Output numbering is
+    identical to the global window when the order keys are unique.
+
+    Triggers one small job to collect per-partition counts (a few
+    numbers per partition).
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_offset")).cast("int"))
+        .drop("_pid", "_offset")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -242,6 +242,11 @@ class DocBuilderNode:
 
     Params: index (required); id_col; branch_col (default 'pid');
     threshold (default 100).
+
+    Prefer ``id_col`` (a natural key) in production: the fallback
+    auto-numbering uses a global window (single-task at scale) —
+    functions.global_row_number is the scalable alternative when a
+    synthetic ordered id is genuinely required.
     """
 
     def __init__(self, params: dict[str, Any]):

@@ -264,10 +264,14 @@ Q_P5_SQL = """
 
 
 def q_p7_docid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q-P7 running doc-counter assignment (testnodetypes.go:412-430)."""
-    e = _events(spark, sf_dir)
-    w = Window.orderBy("event_id")
-    return e.select("event_type", F.row_number().over(w).alias("doc_num"))
+    """Q-P7 running doc-counter assignment (testnodetypes.go:412-430) via
+    the engine's two-phase global numbering (no single-task window)."""
+    from firebolt_spark.functions import global_row_number
+
+    e = _events(spark, sf_dir).select("event_type", "event_id")
+    return global_row_number(e, ["event_id"], out_col="doc_num").select(
+        "event_type", "doc_num"
+    )
 
 
 Q_P7_SQL = """
@@ -421,13 +425,16 @@ def q_k2_index_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-K2 IndexRequest envelope (elasticsearch.go:14-19 as built by
     testnodetypes.go:412-430: doc_id = '<n>:<value>', doc = {id, value}),
     flattened for hashing."""
-    e = _events(spark, sf_dir)
-    w = Window.orderBy("event_id")
-    rn = F.row_number().over(w)
-    return e.select(
+    from firebolt_spark.functions import global_row_number
+
+    e = _events(spark, sf_dir).select("event_type", "event_id")
+    numbered = global_row_number(e, ["event_id"], out_col="_rn")
+    return numbered.select(
         F.lit("inttest").alias("index"),
         F.lit("").alias("mapping_type"),
-        F.concat(rn.cast("string"), F.lit(":"), F.col("event_type")).alias("doc_id"),
+        F.concat(F.col("_rn").cast("string"), F.lit(":"), F.col("event_type")).alias(
+            "doc_id"
+        ),
         F.col("event_type").alias("doc_id_field"),
         F.col("event_type").alias("doc_value"),
     )

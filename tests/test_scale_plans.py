@@ -89,6 +89,34 @@ def test_salted_join_rejects_outer(spark):
         salted_join(df, df, "k", how="full")
 
 
+def test_global_row_number_matches_naive_window(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 5000).alias("k"), F.col("id").alias("v")
+    )
+    scalable = {
+        (r["k"], r["rn"])
+        for r in __import__(
+            "firebolt_spark.functions", fromlist=["global_row_number"]
+        ).global_row_number(df, ["k"]).collect()
+    }
+    naive = {
+        (r["k"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert scalable == naive
+    # and the scalable form has no single-partition global window
+    plan = _executed_plan(
+        __import__(
+            "firebolt_spark.functions", fromlist=["global_row_number"]
+        ).global_row_number(df, ["k"])
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_newest_per_key_and_compact_lww(spark):
     df = spark.createDataFrame(
         [("a", 1, False), ("a", 2, False), ("a", 3, True), ("b", 1, False)],
