@@ -6,7 +6,7 @@ from firebolt_spark.__main__ import main
 
 
 def test_validate_examples():
-    for cfg in ("logging", "kafkatokafka", "corpus_dedup"):
+    for cfg in ("logging", "kafkatokafka", "corpus_dedup", "corpus_curation"):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 
 

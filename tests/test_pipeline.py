@@ -59,6 +59,30 @@ def test_counts_split_exactly(spark, sf_dir):
     assert set(res.leaves) == {"dlq", "proj_a", "proj_b"}
 
 
+def test_multiple_root_nodes_each_see_full_source(spark, sf_dir):
+    """The source feeds EVERY root node (executor.go:183-186 copies each
+    event into all root channels)."""
+    yaml_text = """
+application: two-roots
+source:
+  name: parquet
+  params: {path: "%(path)s"}
+nodes:
+  - name: filter
+    id: root_a
+    params: {predicate: "value >= 0"}
+  - name: project
+    id: root_b
+    params: {exprs: ["event_id"]}
+"""
+    p = Pipeline.from_yaml(yaml_text % {"path": f"{sf_dir}/events.parquet"})
+    res = p.run_batch(spark)
+    total = load_table(spark, sf_dir, "events").count()
+    assert res.outputs["root_b"].count() == total
+    assert res.outputs["root_a"].count() == total
+    assert set(res.leaves) == {"root_a", "root_b"}
+
+
 def test_dlq_event_error_json_shape(spark, sf_dir):
     src = load_table(spark, sf_dir, "events")
     p = Pipeline.from_yaml(PIPELINE_YAML % {"path": f"{sf_dir}/events.parquet"})

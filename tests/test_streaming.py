@@ -171,6 +171,61 @@ def test_native_streaming_event_time_window(spark, tmp_path):
         assert (r["w"]["end"] - r["w"]["start"]).total_seconds() == 2.0
 
 
+def test_streaming_file_source_picks_up_new_files(spark, tmp_path):
+    """FileSource in streaming mode: rows flow as files land in the
+    directory, including files added after the query starts."""
+    import time
+
+    from firebolt_spark.sources import FileSource
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, s STRING").write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    src = FileSource(
+        {
+            "path": str(in_dir),
+            "streaming": True,
+            "schema": "id BIGINT, s STRING",
+        }
+    ).load(spark)
+    pipeline = Pipeline.from_yaml(
+        """
+application: file-stream
+source: {name: rate, params: {}}
+nodes:
+  - name: project
+    id: shape
+    params: {exprs: ["id", "upper(s) AS s_up"]}
+"""
+    )
+    seen: list[tuple] = []
+    runner = StreamingPipelineRunner(
+        pipeline,
+        sinks={"shape": lambda df, bid: seen.extend(
+            (r["id"], r["s_up"]) for r in df.collect()
+        )},
+        checkpoint_dir=str(tmp_path / "ckpt_fs"),
+    )
+    q = runner.start(spark, source_df=src, trigger={"processingTime": "1 second"})
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and len(seen) < 2:
+            time.sleep(0.3)
+        assert sorted(seen) == [(1, "A"), (2, "B")]
+        # land a new file mid-stream
+        spark.createDataFrame([(3, "c")], "id BIGINT, s STRING").write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        while time.monotonic() < deadline and len(seen) < 3:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert sorted(seen) == [(1, "A"), (2, "B"), (3, "C")]
+
+
 def test_stateful_running_counter(spark, tmp_path):
     """applyInPandasWithState: per-key counts accumulate ACROSS
     micro-batches (checkpointed state) — the custom-stateful-operator
