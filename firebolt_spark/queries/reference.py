@@ -340,6 +340,7 @@ def q_e2_error_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).filter(F.expr("startswith(event_type, 'err')"))
     return e.select(
         "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("event_json"),
         F.to_json(
             F.struct(
                 F.lit(ERR_UNKNOWN).alias("code"),
@@ -353,6 +354,8 @@ def q_e2_error_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_E2_SQL = """
     SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+               AS event_json,
            '{"code":"ERR_UNKNOWN","message":"failed on event ' || event_id || '"}'
                AS error_json
     FROM events

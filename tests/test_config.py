@@ -59,6 +59,75 @@ def test_disabled_prunes_subtree():
     assert c.nodes == []
 
 
+def test_typed_edge_incompatibility_rejected():
+    """Declared consumes/produces schemas are statically checked on
+    every edge (config.go:162-171 reflect.Type equality)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from firebolt_spark.registry import Registry
+
+    reg = Registry()
+    str_schema = StructType([StructField("s", StringType())])
+    long_schema = StructType([StructField("n", LongType())])
+
+    class _Passthrough:
+        def __init__(self, params):
+            pass
+
+        def transform(self, df):
+            return df
+
+    class _Src:
+        def __init__(self, params):
+            pass
+
+        def load(self, spark):
+            raise NotImplementedError
+
+    reg.register_source_type("str_source", _Src, str_schema)
+    reg.register_node_type("wants_str", _Passthrough, str_schema, str_schema)
+    reg.register_node_type("wants_long", _Passthrough, long_schema, long_schema)
+
+    ok = cfg.parse(
+        """
+source: {name: str_source}
+nodes:
+  - {name: wants_str, id: a}
+"""
+    )
+    cfg.validate(ok, reg)
+
+    with pytest.raises(ConfigError, match="incompatible"):
+        cfg.validate(
+            cfg.parse(
+                """
+source: {name: str_source}
+nodes:
+  - {name: wants_long, id: a}
+"""
+            ),
+            reg,
+        )
+    with pytest.raises(ConfigError, match="incompatible"):
+        cfg.validate(
+            cfg.parse(
+                """
+source: {name: str_source}
+nodes:
+  - name: wants_str
+    id: a
+    children: [{name: wants_long, id: b}]
+"""
+            ),
+            reg,
+        )
+
+
 @pytest.mark.parametrize(
     "mutation, message",
     [
