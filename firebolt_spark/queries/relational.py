@@ -853,6 +853,29 @@ Q_AGG_ROLLUP_SQL = """
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/p90) per order status —
+    both engines use linear interpolation on the sorted values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+Q_PERCENTILES_SQL = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority × status (wide form)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -925,9 +948,11 @@ QUERIES = {
     "q_tpch18_large_orders": q_tpch18_large_orders,
     "q_tpch19_bracket_revenue": q_tpch19_bracket_revenue,
     "q_agg_rollup": q_agg_rollup,
+    "q_percentiles": q_percentiles,
 }
 
 ORACLE = {
+    "q_percentiles": Q_PERCENTILES_SQL,
     "q_tpch4_order_priority": Q_TPCH4_SQL,
     "q_tpch7_nation_volume": Q_TPCH7_SQL,
     "q_tpch14_promo_share": Q_TPCH14_SQL,

@@ -226,6 +226,44 @@ nodes:
     assert sorted(seen) == [(1, "A"), (2, "B"), (3, "C")]
 
 
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys landed across files
+    are emitted once."""
+    import time
+
+    from firebolt_spark.sources import FileSource
+    from firebolt_spark.streaming.eventtime import streaming_exact_dedup
+
+    in_dir = tmp_path / "dup_in"
+    in_dir.mkdir()
+    rows = [(1, "a"), (2, "b"), (1, "a"), (3, "c"), (2, "b")]
+    spark.createDataFrame(rows, "k BIGINT, v STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    src = FileSource(
+        {"path": str(in_dir), "streaming": True, "schema": "k BIGINT, v STRING"}
+    ).load(spark)
+    deduped = streaming_exact_dedup(src, ["k"], "created", "5 seconds")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        got = []
+        while time.monotonic() < deadline and len(got) < 3:
+            got = spark.sql("SELECT k FROM dedup_out").collect()
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in got) == [1, 2, 3]
+
+
 def test_stateful_running_counter(spark, tmp_path):
     """applyInPandasWithState: per-key counts accumulate ACROSS
     micro-batches (checkpointed state) — the custom-stateful-operator
