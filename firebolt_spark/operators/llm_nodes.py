@@ -128,6 +128,19 @@ class FingerprintNode:
         return text.fingerprints(df, self.text_col, self.n)
 
 
+class RedactNode:
+    """Params: text_col (default 'text'); out_col; patterns — mapping
+    tag → regex (default text.PII_PATTERNS)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.out_col = params.get("out_col")
+        self.patterns = params.get("patterns")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.redact(df, self.text_col, self.patterns, self.out_col)
+
+
 class MediaFeaturesNode:
     """Params: decode_stub (default True) — see operators/multimodal.py."""
 
@@ -148,4 +161,5 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("language_id", LanguageIdNode, None, None)
     registry.register_node_type("token_count", TokenCountNode, None, None)
     registry.register_node_type("fingerprint", FingerprintNode, None, None)
+    registry.register_node_type("redact", RedactNode, None, None)
     registry.register_node_type("media_features", MediaFeaturesNode, None, None)

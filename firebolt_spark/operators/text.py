@@ -116,6 +116,38 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# common PII shapes for corpus scrubbing; each replacement is a typed tag
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII scrubbing: replace each pattern class with ``<TAG>`` and
+    count the redactions per class. Pure regexp_replace column chain —
+    single scan, no shuffle, whole-stage codegen."""
+    pats = patterns or PII_PATTERNS
+    col = F.col(text_col)
+    counts = []
+    for tag, pattern in pats.items():
+        n_before = F.size(F.split(col, pattern)) - 1
+        counts.append(n_before.alias(f"n_{tag}"))
+        col = F.regexp_replace(col, pattern, f"<{tag.upper()}>")
+    return docs.select(
+        "*",
+        col.alias(out_col or f"{text_col}_redacted"),
+        *counts,
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Content fingerprint: the minimum md5 over word n-gram shingles
     (a 1-permutation minhash — winnowing-style document signature).

@@ -122,6 +122,27 @@ def test_frame_sample_bounds(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_redact_pii(spark):
+    from firebolt_spark.operators.text import redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 555-123-4567 now"),
+            (2, "server at 10.0.0.1 ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in redact(docs).collect()}
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<PHONE>" in out[1]["text_redacted"]
+    assert "bob@example.com" not in out[1]["text_redacted"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<IPV4>" in out[2]["text_redacted"] and "<SSN>" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == 0
+
+
 def _docs_df(spark, n=10):
     return spark.createDataFrame(
         [("idx", "", f"d{i}", "payload") for i in range(n)],
