@@ -178,3 +178,60 @@ class Pipeline:
         for root in self.roots:
             walk(root, df)
         return PipelineResult(outputs=outputs, errors=errors, leaves=leaves)
+
+    def streaming_transform(
+        self, spark: SparkSession, source_df: DataFrame | None = None
+    ) -> PipelineResult:
+        """Compose the node tree directly over a STREAMING DataFrame.
+
+        The native-streaming execution mode: pure-column nodes (filters,
+        projections, fanout, error-split, windowed aggregations via
+        SqlNode-free exprs) apply to the stream itself, so event-time
+        state (watermarks, windows) runs natively rather than per
+        micro-batch. BATCH_ONLY nodes (file/console/ES sinks) pass
+        through unchanged — attach their writes via ``writeStream`` /
+        ``foreachBatch`` on the returned DataFrames.
+
+        Returns a PipelineResult whose outputs are streaming DataFrames;
+        the caller starts queries on the ones it sinks. (foreachBatch
+        mode — streaming/runner.py — remains the general path for nodes
+        needing batch actions.)
+        """
+        sdf = (
+            source_df if source_df is not None else self.source_dataframe(spark)
+        )
+        if not sdf.isStreaming:
+            raise ValueError("streaming_transform requires a streaming source")
+        outputs: dict[str, DataFrame] = {}
+        errors: dict[str, DataFrame] = {}
+        leaves: list[str] = []
+
+        def walk(rt: NodeRuntime, parent_df: DataFrame) -> None:
+            if getattr(rt.operator, "BATCH_ONLY", False):
+                out = parent_df  # write side attaches outside the plan
+            else:
+                out = rt.operator.transform(parent_df)
+            if ERROR_COL in out.columns:
+                ok, dlq = split_errors(out, ERROR_COL)
+                dlq_env = _to_event_error(dlq)
+                errors[rt.id] = dlq_env
+                if rt.error_handler is not None:
+                    eh = rt.error_handler
+                    handled = (
+                        dlq_env
+                        if getattr(eh.operator, "BATCH_ONLY", False)
+                        else eh.operator.transform(dlq_env)
+                    )
+                    outputs[eh.id] = handled
+                    leaves.append(eh.id)
+            else:
+                ok = out
+            outputs[rt.id] = ok
+            if not rt.children:
+                leaves.append(rt.id)
+                return
+            for child in rt.children:  # no persist on streams; Spark
+                walk(child, ok)        # shares the source across sinks
+        for root in self.roots:
+            walk(root, sdf)
+        return PipelineResult(outputs=outputs, errors=errors, leaves=leaves)

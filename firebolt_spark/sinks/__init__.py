@@ -97,10 +97,15 @@ class ErrorKafkaProducerSink:
 class ParquetSink:
     """Write rows to parquet; returns the input for downstream counting.
 
+    BATCH_ONLY: in native-streaming composition this node is a
+    passthrough — attach the write via writeStream/foreachBatch instead.
+
     Params: path (required); mode (default 'overwrite'); partition_by —
     list of partition columns (the 100 TB lever: partition on the read
     path's filter keys so downstream scans prune).
     """
+
+    BATCH_ONLY = True
 
     def __init__(self, params: dict[str, Any]):
         self.path = params["path"]
@@ -116,12 +121,15 @@ class ParquetSink:
 
 
 class FileSink:
-    """Generic file writer (parquet/json/csv/orc).
+    """Generic file writer (parquet/json/csv/orc). BATCH_ONLY in
+    native-streaming composition.
 
     Params: path (required); format (default parquet); mode (overwrite);
     partition_by; options (e.g. header/compression). Partitioning on the
     downstream filter keys is the cheap 100 TB pruning lever.
     """
+
+    BATCH_ONLY = True
 
     def __init__(self, params: dict[str, Any]):
         self.path = params["path"]
@@ -141,7 +149,9 @@ class FileSink:
 
 
 class ConsoleSink:
-    """Debug sink. Params: num_rows (default 20)."""
+    """Debug sink. Params: num_rows (default 20). BATCH_ONLY."""
+
+    BATCH_ONLY = True
 
     def __init__(self, params: dict[str, Any]):
         self.num_rows = int(params.get("num_rows", 20))

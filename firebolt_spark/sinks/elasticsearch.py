@@ -140,6 +140,8 @@ class ElasticsearchSink:
     max_batch_retries (5), initial_backoff_s (5), max_backoff_s (180),
     client_factory — zero-arg callable returning a BulkClient."""
 
+    BATCH_ONLY = True  # streaming attaches via foreachBatch
+
     def __init__(self, params: dict[str, Any]):
         self.batch_size = int(params.get("batch_size", 100))
         self.doc_retries = int(params.get("bulk_index_max_retries", 3))

@@ -226,6 +226,71 @@ nodes:
     assert sorted(seen) == [(1, "A"), (2, "B"), (3, "C")]
 
 
+def test_native_streaming_composition_with_error_split(spark, tmp_path):
+    """streaming_transform: the YAML tree applied directly to a stream —
+    filter + error-split run natively; ok and dlq branches are separate
+    streaming DataFrames, each sinkable."""
+    import time
+
+    from firebolt_spark.sources import FileSource
+
+    in_dir = tmp_path / "native_in"
+    in_dir.mkdir()
+    rows = [(1, "good"), (2, "error"), (3, "good"), (4, "error"), (5, "skipme")]
+    spark.createDataFrame(rows, "id BIGINT, tag STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    pipeline = Pipeline.from_yaml(
+        """
+application: native
+source: {name: rate, params: {}}
+nodes:
+  - name: filter
+    id: keep
+    params: {predicate: "tag <> 'skipme'"}
+    children:
+      - name: raise_when
+        id: split
+        params: {predicate: "tag = 'error'", message: "'native stream error'"}
+        error_handler:
+          name: error_kafka_producer
+          id: dlq
+          params: {topic: errs}
+"""
+    )
+    src = FileSource(
+        {"path": str(in_dir), "streaming": True, "schema": "id BIGINT, tag STRING"}
+    ).load(spark)
+    res = pipeline.streaming_transform(spark, source_df=src)
+    assert res.outputs["split"].isStreaming and res.outputs["dlq"].isStreaming
+
+    q_ok = (
+        res.outputs["split"].select("id").writeStream.format("memory")
+        .queryName("native_ok").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ok")).start()
+    )
+    q_dlq = (
+        res.outputs["dlq"].writeStream.format("memory")
+        .queryName("native_dlq").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dlq")).start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        ok_rows, dlq_rows = [], []
+        while time.monotonic() < deadline and (len(ok_rows) < 2 or len(dlq_rows) < 2):
+            ok_rows = spark.sql("SELECT id FROM native_ok").collect()
+            dlq_rows = spark.sql("SELECT value FROM native_dlq").collect()
+            time.sleep(0.3)
+    finally:
+        q_ok.stop()
+        q_dlq.stop()
+    assert sorted(r["id"] for r in ok_rows) == [1, 3]
+    assert len(dlq_rows) == 2
+    payload = bytes(dlq_rows[0]["value"]).decode()
+    assert "native stream error" in payload and '"code":"ERR_UNKNOWN"' in payload
+
+
 def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicate keys landed across files
     are emitted once."""
