@@ -58,6 +58,34 @@ def canonical_json(*cols: Column | str) -> Column:
     return F.to_json(F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols]))
 
 
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with row/null/distinct
+    counts. A single wide aggregation job (count + count(col) +
+    count(distinct col) per column) unpivoted to long form — no per-
+    column scans. Exact distincts; swap in approx_count_distinct for
+    trillion-row profiling.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_non_null, n_distinct)",
+        "_n_rows AS n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],

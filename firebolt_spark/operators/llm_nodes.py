@@ -128,6 +128,18 @@ class FingerprintNode:
         return text.fingerprints(df, self.text_col, self.n)
 
 
+class ChunkNode:
+    """Params: text_col (default 'text'), chunk_tokens (64), overlap (16)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.chunk_tokens = int(params.get("chunk_tokens", 64))
+        self.overlap = int(params.get("overlap", 16))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.chunk(df, self.text_col, self.chunk_tokens, self.overlap)
+
+
 class RedactNode:
     """Params: text_col (default 'text'); out_col; patterns — mapping
     tag → regex (default text.PII_PATTERNS)."""
@@ -162,4 +174,5 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("token_count", TokenCountNode, None, None)
     registry.register_node_type("fingerprint", FingerprintNode, None, None)
     registry.register_node_type("redact", RedactNode, None, None)
+    registry.register_node_type("chunk", ChunkNode, None, None)
     registry.register_node_type("media_features", MediaFeaturesNode, None, None)

@@ -108,6 +108,31 @@ def lsh_signature(vec_col: str, planes: int = LSH_PLANES, dim: int = EMB_DIM) ->
     return F.expr("(" + " + ".join(bits) + ")").cast("int")
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+) -> DataFrame:
+    """Symmetric int8 quantization of a float-vector column: scale =
+    max(|x|)/127 per vector, q = round(x/scale) — the standard 4×
+    storage/bandwidth lever for 100 TB embedding corpora. Emits the
+    per-vector scale for dequantization; all higher-order built-ins.
+    """
+    max_abs = F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    with_scale = embeddings.withColumn(
+        "q_scale", F.greatest(max_abs / F.lit(127.0), F.lit(1e-12))
+    )
+    return with_scale.withColumn(
+        out_col,
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) / q_scale, 0) AS TINYINT))"
+        ),
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -116,6 +116,43 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard LLM training/RAG prep step. One explode per doc; chunk
+    boundaries are token offsets (stride = chunk_tokens - overlap).
+
+    Output: doc_id, chunk_idx (0-based), chunk_text, n_chunk_tokens.
+    Built from higher-order array functions (no UDF); at scale the
+    explode fan-out is bounded by tokens/stride per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = f"split({text_col}, ' ')"
+    starts = (
+        f"sequence(1, greatest(size({toks}) - {overlap}, 1), {stride})"
+    )
+    chunks = (
+        f"transform(array({toks}), t -> transform({starts}, "
+        f"s -> slice(t, s, {chunk_tokens})))[0]"
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "_chunk_toks"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.col("_chunk_toks")).alias("chunk_text"),
+        F.size("_chunk_toks").alias("n_chunk_tokens"),
+    )
+
+
 # common PII shapes for corpus scrubbing; each replacement is a typed tag
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -296,6 +296,81 @@ Q_TEXT_FINGERPRINT_SQL = f"""
 """
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap)."""
+    return text.chunk(_documents(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+Q_TEXT_CHUNKS_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+           array_to_string(t[s:s+63], ' ') AS chunk_text,
+           CAST(len(t[s:s+63]) AS INTEGER) AS n_chunk_tokens
+    FROM starts
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization with per-vector scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 8).alias("q_scale_r"),
+        F.col("embedding_q8").cast("array<int>").alias("q8"),
+    )
+
+
+Q_EMBED_QUANT_SQL = """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS q_scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(q_scale, 8) AS q_scale_r,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / q_scale, 0) AS INTEGER)) AS q8
+    FROM s
+"""
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (rows/non-null/nulls/exact distinct) of events."""
+    from firebolt_spark.functions import profile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return profile(e)
+
+
+_PROFILE_COLS = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
+Q_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count({c}) AS n_non_null,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct
+    FROM (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                 value, props FROM events)
+    """
+    for c in _PROFILE_COLS
+)
+
+
 # ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +396,9 @@ QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_token_counts": q_text_token_counts,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_chunks": q_text_chunks,
+    "q_embedding_quantize": q_embedding_quantize,
+    "q_profile_events": q_profile_events,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -336,5 +414,8 @@ ORACLE = {
     "q_text_langid": Q_TEXT_LANGID_SQL,
     "q_text_token_counts": Q_TEXT_TOKENS_SQL,
     "q_text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+    "q_text_chunks": Q_TEXT_CHUNKS_SQL,
+    "q_embedding_quantize": Q_EMBED_QUANT_SQL,
+    "q_profile_events": Q_PROFILE_SQL,
     # q_similarity_ann_lsh, q_multimodal_*: rows-only by design
 }

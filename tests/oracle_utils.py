@@ -67,11 +67,16 @@ _DUCK_TO_SPARK_TYPE = {
 }
 
 
+def _normalize_duck_type(t: str) -> str:
+    if t.endswith("[]"):
+        return f"array<{_normalize_duck_type(t[:-2])}>"
+    return _DUCK_TO_SPARK_TYPE.get(t, t.lower())
+
+
 def _duck_types(con, sql: str) -> dict[str, str]:
     rel = con.sql(sql)
     return {
-        c: _DUCK_TO_SPARK_TYPE.get(str(t), str(t).lower())
-        for c, t in zip(rel.columns, rel.types)
+        c: _normalize_duck_type(str(t)) for c, t in zip(rel.columns, rel.types)
     }
 
 
