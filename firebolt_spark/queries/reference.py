@@ -455,6 +455,75 @@ Q_K2_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# custom join operators (engine extensions: as-of + range joins)
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each event picks the latest 'rate update'
+    (events with event_id % 5 = 0) for its user at or before its time.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from firebolt_spark.operators.joins import asof_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", _ts_us().alias("ts_us"), "value"
+    )
+    left = e.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = e.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", F.col("ts_us").alias("rts"), F.col("value").alias("rate")
+    )
+    out = asof_join(
+        left, right, on="ts_us", by=["user_id"], right_cols=["rate"],
+        right_on="rts",
+    )
+    return out.select("user_id", "ts_us", "event_id", "rate", "_asof_time")
+
+
+Q_ASOF_SQL = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+    l AS (SELECT event_id, user_id, ts_us FROM e WHERE event_id % 5 <> 0),
+    r0 AS (SELECT user_id, ts_us AS rts, value AS rate FROM e WHERE event_id % 5 = 0),
+    r AS (SELECT user_id, rts, rate FROM (
+            SELECT r0.*, row_number() OVER (
+                PARTITION BY user_id, rts ORDER BY rate DESC) AS rn FROM r0)
+          WHERE rn = 1)
+    SELECT l.user_id, l.ts_us, l.event_id, r.rate, r.rts AS _asof_time
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.rts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the engine's binned range join:
+    events (by id) against the derived recovery ranges, partition-keyed.
+    Result multiset identical to the naive BETWEEN join."""
+    from firebolt_spark.operators.joins import range_join_binned
+
+    points = _events(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 4).cast("int").alias("partition_id")
+    )
+    intervals = _recovery_requests(spark, sf_dir)
+    out = range_join_binned(
+        points,
+        intervals,
+        point_col="event_id",
+        from_col="from_offset",
+        to_col="to_offset",
+        by=["partition_id"],
+        bin_width=128,
+    )
+    return out.select("partition_id", "event_id", "from_offset", "to_offset")
+
+
+Q_RANGE_JOIN_SQL = f"""
+    WITH r AS ({_RECOVERY_REQUESTS_SQL}),
+    p AS (SELECT event_id, CAST(user_id % 4 AS INTEGER) AS partition_id FROM events)
+    SELECT p.partition_id, p.event_id, r.from_offset, r.to_offset
+    FROM p JOIN r
+      ON p.partition_id = r.partition_id
+     AND p.event_id BETWEEN r.from_offset AND r.to_offset
+"""
+
 
 QUERIES = {
     "q_s2_scan": q_s2_scan,
@@ -473,6 +542,8 @@ QUERIES = {
     "q_x2_tree_fanout": q_x2_tree_fanout,
     "q_k1_produce_request": q_k1_produce_request,
     "q_k2_index_request": q_k2_index_request,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
 }
 
 ORACLE = {
@@ -492,4 +563,6 @@ ORACLE = {
     "q_x2_tree_fanout": Q_X2_SQL,
     "q_k1_produce_request": Q_K1_SQL,
     "q_k2_index_request": Q_K2_SQL,
+    "q_asof_join": Q_ASOF_SQL,
+    "q_range_join": Q_RANGE_JOIN_SQL,
 }
