@@ -28,6 +28,7 @@ def register_builtin_node_types(registry: Registry) -> None:
     registry.register_node_type("doc_builder", core.DocBuilderNode, None, None)
     registry.register_node_type("sql", core.SqlNode, None, None)
     registry.register_node_type("python_map", sync.PythonMapNode, None, None)
+    registry.register_node_type("grouped_map", sync.GroupedPandasNode, None, None)
     register_sink_node_types(registry)
 
     from firebolt_spark.operators.llm_nodes import register_llm_node_types

@@ -86,3 +86,53 @@ class PythonMapNode:
                 yield pd.DataFrame(rows, columns=out_fields + [ERROR_COL])
 
         return df.mapInPandas(run, schema=full_schema)
+
+
+class GroupedPandasNode:
+    """Grouped custom aggregation/transform — ``applyInPandas`` with the
+    engine's error protocol at group granularity.
+
+    Params: fn — Callable[[tuple, pd.DataFrame], pd.DataFrame] (the key
+    and the group's rows → output rows); keys — group-by columns;
+    schema — output payload schema (DDL or StructType). A raising group
+    emits one ``_error`` row (key columns preserved when present in the
+    output schema) instead of failing the task — the grouped analogue of
+    the reference's per-event (nil, err).
+
+    Use for genuinely order/state-dependent group logic (EMA, per-group
+    model fits) that SQL windows can't express cleanly; everything else
+    belongs in groupBy().agg.
+    """
+
+    def __init__(self, params: dict[str, Any]):
+        self.fn: Callable[[tuple, pd.DataFrame], pd.DataFrame] = params["fn"]
+        self.keys: list[str] = list(params["keys"])
+        schema = params["schema"]
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+        self.schema: StructType = schema
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        fn = self.fn
+        keys = self.keys
+        out_fields = [f.name for f in self.schema.fields]
+        full_schema = StructType(self.schema.fields + [ERROR_COL_FIELD])
+
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            try:
+                out = fn(key, pdf)
+            except Exception as exc:
+                code, msg, info = normalize_error(exc)
+                row = {f: None for f in out_fields}
+                for k, v in zip(keys, key):
+                    if k in row:
+                        row[k] = v
+                row[ERROR_COL] = {"code": code, "message": msg, "errorinfo": info}
+                return pd.DataFrame([row], columns=out_fields + [ERROR_COL])
+            out = out.reindex(columns=out_fields)
+            out[ERROR_COL] = None
+            return out
+
+        return df.groupBy(*keys).applyInPandas(run, schema=full_schema)

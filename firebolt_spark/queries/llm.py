@@ -341,6 +341,50 @@ Q_EMBED_QUANT_SQL = """
 """
 
 
+def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly flags: |value - median| / MAD > 3 —
+    median/MAD computed per user, joined back (two aggregations, no
+    window-percentile dependence so both engines agree exactly)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "user_id")
+        .withColumn("_adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(_adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (F.col("_adev") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+Q_ANOMALY_SQL = """
+    WITH e AS (SELECT event_id, user_id, value FROM events),
+    med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM e GROUP BY user_id),
+    dev AS (SELECT e.event_id, e.user_id, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM e JOIN med USING (user_id)),
+    mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY user_id)
+    SELECT dev.event_id, dev.user_id,
+           round(dev.med, 4) AS med,
+           round(mad.mad, 4) AS mad,
+           (dev.adev > 3 * mad.mad) AS is_anomaly
+    FROM dev JOIN mad USING (user_id)
+"""
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile (rows/non-null/nulls/exact distinct) of events."""
     from firebolt_spark.functions import profile
@@ -399,6 +443,7 @@ QUERIES = {
     "q_text_chunks": q_text_chunks,
     "q_embedding_quantize": q_embedding_quantize,
     "q_profile_events": q_profile_events,
+    "q_anomaly_scores": q_anomaly_scores,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -417,5 +462,6 @@ ORACLE = {
     "q_text_chunks": Q_TEXT_CHUNKS_SQL,
     "q_embedding_quantize": Q_EMBED_QUANT_SQL,
     "q_profile_events": Q_PROFILE_SQL,
+    "q_anomaly_scores": Q_ANOMALY_SQL,
     # q_similarity_ann_lsh, q_multimodal_*: rows-only by design
 }

@@ -120,6 +120,36 @@ def test_python_map_error_capture(spark):
     assert "bad row" in errs[0]["_error"]["message"]
 
 
+def test_grouped_map_ema_and_error_capture(spark):
+    """applyInPandas grouped operator: order-dependent per-group logic
+    (EMA) with per-group error capture."""
+    import pandas as pd
+
+    from firebolt_spark.operators.sync import GroupedPandasNode
+
+    src = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("boom", 1, 1.0)],
+        "k STRING, seq INT, x DOUBLE",
+    )
+
+    def ema(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if key[0] == "boom":
+            raise ValueError("bad group")
+        pdf = pdf.sort_values("seq")
+        pdf["ema"] = pdf["x"].ewm(alpha=0.5, adjust=False).mean()
+        return pdf[["k", "seq", "ema"]]
+
+    node = GroupedPandasNode(
+        {"fn": ema, "keys": ["k"], "schema": "k STRING, seq INT, ema DOUBLE"}
+    )
+    ok, dlq = split_errors(node.transform(src))
+    rows = {r["seq"]: r["ema"] for r in ok.filter("k = 'a'").collect()}
+    assert rows == {1: 10.0, 2: 15.0, 3: 22.5}
+    errs = dlq.collect()
+    assert len(errs) == 1
+    assert errs[0]["k"] == "boom" and "bad group" in errs[0]["_error"]["message"]
+
+
 def test_with_payload_preserves_envelope(spark):
     from firebolt_spark.event import ensure_envelope, with_payload
 
