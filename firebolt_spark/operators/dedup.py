@@ -267,6 +267,68 @@ def incremental_near_dups(
     return scored, new_sig
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters.
+
+    Pairs say "these two are near-dups"; choosing canonical documents
+    needs the transitive closure. Iterative min-label propagation: each
+    node's label is the minimum doc_id reachable from it; iterate
+    min-over-neighbors until fixpoint (O(component diameter) rounds,
+    each one join + groupBy). The result — (doc_id, cluster_id=min id
+    in component) — is iteration-order independent, so it is
+    oracle-checkable against a recursive-CTE closure.
+
+    At 100 TB scale: labels/edges are two slim columns; each round
+    shuffles by node id; alternate large-star/small-star if diameters
+    get long (corpus dedup graphs are shallow in practice).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def _hexval(expr: str) -> str:
     """SQL: value 0-15 of one hex char expression."""
     return f"(instr('0123456789abcdef', {expr}) - 1)"

@@ -103,8 +103,39 @@ Q_DEDUP_MINHASH_SQL = f"""
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-id labels) over the
+    minhash-LSH pairs. Oracle: recursive-CTE transitive closure."""
+    pairs = dedup.minhash_candidate_pairs(_documents(spark, sf_dir))
+    return dedup.dedup_clusters(pairs)
+
+
+# oracle SQL built by _make_clusters_sql() below (the pairs CTE embeds
+# the full minhash query; the closure is recursive min-id reachability)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+def _make_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({Q_DEDUP_MINHASH_SQL}),
+    e2 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT e2.src, reach.r
+        FROM e2 JOIN reach ON e2.dst = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach
+    GROUP BY node
+"""
 
 
 Q_DEDUP_NGRAM_SQL = f"""
@@ -430,6 +461,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -451,6 +483,7 @@ QUERIES = {
 ORACLE = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
     "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+    "q_dedup_clusters": _make_clusters_sql(),
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_SQL,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
