@@ -24,6 +24,18 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_query_names_unique_across_modules():
+    """A name collision between query modules would silently overwrite
+    an entry in the aggregated dicts — fail loudly instead."""
+    from firebolt_spark.queries import llm, reference, relational
+
+    mods = [reference.QUERIES, relational.QUERIES, llm.QUERIES]
+    names = [n for m in mods for n in m]
+    assert len(names) == len(set(names)), sorted(
+        n for n in set(names) if names.count(n) > 1
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_match(name, spark, oracle_con):
     res = compare(QUERIES[name](spark, SF_DIR), oracle_con, ORACLE[name])
