@@ -853,6 +853,73 @@ Q_AGG_ROLLUP_SQL = """
 """
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function parity over embeddings + grouped collect:
+    size/slice/contains/sort and a deterministic (sorted) collect_list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # scaled-int view of the vector: exact cross-engine (no float repr,
+    # no negative-zero canonicalization hazards)
+    arr = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice(arr, 1, 3).alias("head3"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sum_milli"),
+        F.array_max(arr).alias("max_el"),
+        F.array_min(arr).alias("min_el"),
+        F.expr(
+            "size(filter(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT)), x -> x > 0))"
+        ).alias("n_positive"),
+        F.sort_array(F.slice(arr, 1, 5)).alias("head5_sorted"),
+    )
+
+
+Q_ARRAY_SQL = """
+    WITH a AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INTEGER)) AS q
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           q[1:3] AS head3,
+           CAST(list_sum(q) AS BIGINT) AS sum_milli,
+           list_max(q) AS max_el,
+           list_min(q) AS min_el,
+           CAST(len(list_filter(q, x -> x > 0)) AS INTEGER) AS n_positive,
+           list_sort(q[1:5]) AS head5_sorted
+    FROM a
+"""
+
+
+def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped collection: per-customer sorted order-key
+    list (sort_array(collect_list) — shuffle-order independent)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 50
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_GROUPED_COLLECT_SQL = """
+    SELECT o_custkey,
+           list_sort(array_agg(o_orderkey)) AS orderkeys,
+           count(*) AS n
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (median/p90) per order status —
     both engines use linear interpolation on the sorted values."""
@@ -949,10 +1016,14 @@ QUERIES = {
     "q_tpch19_bracket_revenue": q_tpch19_bracket_revenue,
     "q_agg_rollup": q_agg_rollup,
     "q_percentiles": q_percentiles,
+    "q_array_functions": q_array_functions,
+    "q_grouped_collect": q_grouped_collect,
 }
 
 ORACLE = {
     "q_percentiles": Q_PERCENTILES_SQL,
+    "q_array_functions": Q_ARRAY_SQL,
+    "q_grouped_collect": Q_GROUPED_COLLECT_SQL,
     "q_tpch4_order_priority": Q_TPCH4_SQL,
     "q_tpch7_nation_volume": Q_TPCH7_SQL,
     "q_tpch14_promo_share": Q_TPCH14_SQL,
