@@ -29,6 +29,11 @@ def register_builtin_node_types(registry: Registry) -> None:
     registry.register_node_type("sql", core.SqlNode, None, None)
     registry.register_node_type("python_map", sync.PythonMapNode, None, None)
     registry.register_node_type("grouped_map", sync.GroupedPandasNode, None, None)
+
+    from firebolt_spark.operators import joins
+
+    registry.register_node_type("asof_join", joins.AsofJoinNode, None, None)
+    registry.register_node_type("range_join", joins.RangeJoinNode, None, None)
     register_sink_node_types(registry)
 
     from firebolt_spark.operators.llm_nodes import register_llm_node_types

@@ -110,6 +110,56 @@ def asof_join(
     )
 
 
+class AsofJoinNode:
+    """YAML node form of asof_join. The pipeline is a single-input tree
+    (reference topology), so the right side loads from ``right_path``
+    (parquet) at transform time.
+
+    Params: right_path (required); left_on (alias "on" — quote it, YAML
+    1.1 reads bare ``on`` as a boolean); by (list); right_cols (list);
+    tolerance; right_on.
+    """
+
+    def __init__(self, params: dict):
+        self.right_path = params["right_path"]
+        self.on = params.get("left_on") or params["on"]
+        self.by = list(params["by"])
+        self.right_cols = list(params["right_cols"])
+        self.tolerance = params.get("tolerance")
+        self.right_on = params.get("right_on")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        right = df.sparkSession.read.parquet(self.right_path)
+        return asof_join(
+            df, right, self.on, self.by, self.right_cols,
+            tolerance=self.tolerance, right_on=self.right_on,
+        )
+
+
+class RangeJoinNode:
+    """YAML node form of range_join_binned; intervals load from
+    ``intervals_path`` (parquet).
+
+    Params: intervals_path (required); point_col; from_col; to_col;
+    by (list, optional); bin_width (1000).
+    """
+
+    def __init__(self, params: dict):
+        self.intervals_path = params["intervals_path"]
+        self.point_col = params["point_col"]
+        self.from_col = params.get("from_col", "from_offset")
+        self.to_col = params.get("to_col", "to_offset")
+        self.by = params.get("by")
+        self.bin_width = int(params.get("bin_width", 1000))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        intervals = df.sparkSession.read.parquet(self.intervals_path)
+        return range_join_binned(
+            df, intervals, self.point_col, self.from_col, self.to_col,
+            by=self.by, bin_width=self.bin_width,
+        )
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

@@ -59,6 +59,33 @@ def test_asof_duplicate_right_timestamps_deterministic(spark):
     assert out.filter("id = 1").first()["rate"] == 7.0
 
 
+def test_asof_join_node_from_yaml(spark, tmp_path):
+    from firebolt_spark import Pipeline
+
+    left_p = str(tmp_path / "l.parquet")
+    right_p = str(tmp_path / "r.parquet")
+    _l(spark).write.parquet(left_p)
+    _r(spark).write.parquet(right_p)
+    p = Pipeline.from_yaml(
+        f"""
+application: asof
+source: {{name: parquet, params: {{path: "{left_p}"}}}}
+nodes:
+  - name: asof_join
+    id: enrich
+    params:
+      right_path: "{right_p}"
+      left_on: t
+      by: [k]
+      right_cols: [rate]
+      right_on: rt
+"""
+    )
+    res = p.run_batch(spark)
+    out = {r["id"]: r["rate"] for r in res.outputs["enrich"].collect()}
+    assert out[2] == 2.0 and out[3] is None
+
+
 def test_range_join_binned_equals_naive(spark):
     points = spark.createDataFrame(
         [(i, i % 3) for i in range(0, 500, 7)], "p BIGINT, g INT"
