@@ -862,10 +862,14 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT))"
     )
+    # Array-valued results are emitted as comma-joined strings: the driver
+    # harness canonicalizes via pandas.sort_values, which cannot hash lists
+    # (CORRECTNESS_r01 ERR) — a deterministic string is harness-safe on both
+    # engines and loses no information for the value-hash comparison.
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice(arr, 1, 3).alias("head3"),
+        F.concat_ws(",", F.slice(arr, 1, 3).cast("array<string>")).alias("head3"),
         F.expr(
             "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT)), "
             "CAST(0 AS BIGINT), (a, x) -> a + x)"
@@ -875,7 +879,9 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "size(filter(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS INT)), x -> x > 0))"
         ).alias("n_positive"),
-        F.sort_array(F.slice(arr, 1, 5)).alias("head5_sorted"),
+        F.concat_ws(",", F.sort_array(F.slice(arr, 1, 5)).cast("array<string>")).alias(
+            "head5_sorted"
+        ),
     )
 
 
@@ -888,12 +894,12 @@ Q_ARRAY_SQL = """
     )
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           q[1:3] AS head3,
+           array_to_string(q[1:3], ',') AS head3,
            CAST(list_sum(q) AS BIGINT) AS sum_milli,
            list_max(q) AS max_el,
            list_min(q) AS min_el,
            CAST(len(list_filter(q, x -> x > 0)) AS INTEGER) AS n_positive,
-           list_sort(q[1:5]) AS head5_sorted
+           array_to_string(list_sort(q[1:5]), ',') AS head5_sorted
     FROM a
 """
 
@@ -904,15 +910,18 @@ def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") < 50
     )
+    # comma-joined string output: see q_array_functions (harness-safe arrays)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("o_orderkey")).cast("array<string>")
+        ).alias("orderkeys"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 Q_GROUPED_COLLECT_SQL = """
     SELECT o_custkey,
-           list_sort(array_agg(o_orderkey)) AS orderkeys,
+           array_to_string(list_sort(array_agg(o_orderkey)), ',') AS orderkeys,
            count(*) AS n
     FROM orders
     WHERE o_custkey < 50
