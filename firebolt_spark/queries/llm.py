@@ -115,7 +115,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
+    """max_df=0.5 exercises the hot-shingle document-frequency cap; the
+    oracle SQL models the identical pruning, so the cap is checked, not
+    just present."""
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), max_df=0.5)
 
 
 def _make_clusters_sql() -> str:
@@ -141,8 +144,12 @@ def _make_clusters_sql() -> str:
 Q_DEDUP_NGRAM_SQL = f"""
     WITH {_SHINGLE_SQL},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hot AS (SELECT sh FROM sh GROUP BY sh
+            HAVING count(*) > greatest(CAST(floor(
+                0.5 * (SELECT count(*) FROM documents)) AS BIGINT), 1)),
+    shc AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
@@ -155,20 +162,25 @@ Q_DEDUP_NGRAM_SQL = f"""
 
 # ---- simhash --------------------------------------------------------------
 
+# 64-dim simhash, mirrored bit-for-bit from operators/dedup.simhash:
+# dim i uses bit (i%4) of hex digit (i//4) of md5(token); bit 63 packs
+# via its two's-complement value (see dedup.py docstring).
 _SIM_DIMS = ", ".join(
-    f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
-    f"THEN 1 ELSE -1 END) AS d{i}"
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1)"
+    f" // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS d{i}"
     for i in range(SIMHASH_BITS)
 )
 _SIM_PACK = " + ".join(
-    f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    f"(CASE WHEN d{i} > 0 THEN CAST({(1 << i) if i < 63 else '-9223372036854775807 - 1'} "
+    f"AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(SIMHASH_BITS)
 )
 
 _SIMHASH_CTE = f"""
     tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     th AS (SELECT doc_id, md5(tok) AS h FROM tok),
     dims AS (SELECT doc_id, {_SIM_DIMS} FROM th GROUP BY doc_id),
-    sh2 AS (SELECT doc_id, CAST({_SIM_PACK} AS INTEGER) AS simhash FROM dims)
+    sh2 AS (SELECT doc_id, CAST({_SIM_PACK} AS BIGINT) AS simhash FROM dims)
 """
 
 

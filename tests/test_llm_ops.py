@@ -89,6 +89,26 @@ def test_incremental_near_dups(spark, sf_dir):
     assert new_sig.count() == 2
 
 
+def test_ngram_jaccard_max_df_collapses_hot_shingle_pairs(spark):
+    """Hot-shingle document-frequency cap (VERDICT r1 #4): a shingle
+    present in every document makes the uncapped inverted-index join
+    all-pairs; with max_df it is pruned and only real near-dups pair."""
+    from firebolt_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the"  # 6 tokens → ubiquitous shingles
+    rows = [(i, f"{boiler} unique{i} body{i} tail{i}") for i in range(40)]
+    rows += [(100, f"{boiler} same same same"), (101, f"{boiler} same same same")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=0.5)
+    capped_rows = capped.collect()
+    # uncapped: every pair shares the boilerplate shingles → ~all-pairs
+    assert uncapped > 600
+    # capped: only the genuine duplicate pair survives
+    assert {(r["doc_a"], r["doc_b"]) for r in capped_rows} == {(100, 101)}
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_media(docs)
