@@ -133,16 +133,35 @@ def quantize_int8(
     )
 
 
+def _nearest(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine
+    (broadcast centroids — the quantizer table is tiny by construction)."""
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "c_vec", "c_norm", "_sim")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: centroids = the first ``n_centroids``
-    vectors by id (deterministic seeding; a production build would run
-    a few k-means iterations — the index topology is identical), each
-    corpus vector assigned to its nearest centroid by cosine.
+    """IVF coarse quantizer: seed centroids with the first
+    ``n_centroids`` vectors by id (deterministic), then refine with
+    ``kmeans_iters`` Lloyd iterations — assignment (broadcast-centroid
+    scan) alternating with the element-wise member mean, computed as
+    DataFrame aggregations: posexplode → avg per (cluster, dim) →
+    re-pack ordered by dim. Each iteration is one corpus scan + two
+    slim shuffles keyed by (cluster, dim) — no driver-side math, so the
+    refinement scales with the corpus.
 
     Returns (assigned corpus with ``cluster`` column, centroids).
     At 100 TB the assigned corpus is written partitioned by ``cluster``
@@ -158,15 +177,27 @@ def ivf_assign(
             F.col("_norm").alias("c_norm"),
         )
     )
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "c_vec", "c_norm", "_sim")
-    )
+    for _ in range(kmeans_iters):
+        assigned = _nearest(corpus, cents, id_col, vec_col)
+        dims = (
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        # re-pack: array_sort on (pos, m) structs orders by pos (unique
+        # per cluster), then project the means out
+        cents = (
+            dims.groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("c_vec")
+            )
+            .withColumn("c_norm", norm("c_vec"))
+        )
+    assigned = _nearest(corpus, cents, id_col, vec_col)
     return assigned, cents
 
 

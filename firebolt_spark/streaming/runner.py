@@ -17,17 +17,23 @@ graceful shutdown is ``query.stop()`` + checkpoint recovery (T6/T7).
 Per-node metrics (the reference's Prometheus counters,
 metrics/metrics.go:106-185) are collected driver-side per batch —
 ``foreachBatch`` executes its body on the driver, so plain dicts work.
+All per-node counters come from ONE sweep job per micro-batch (a union
+of global counts over the persisted shared prefix), not one ``.count()``
+action per node: round 1 ran N+2 jobs per trigger with metrics on — a
+latency multiplier a 100× node-tree would feel immediately.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import reduce
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from firebolt_spark.pipeline import Pipeline
+from firebolt_spark.pipeline import Pipeline, PipelineResult
 
 
 @dataclass
@@ -80,24 +86,50 @@ class StreamingPipelineRunner:
 
             src = ensure_envelope(batch_df)
             if self.collect_metrics:
+                # materialized lazily by the first action; every node and
+                # the metrics sweep then read the cached source
                 src = src.persist()
-                self.metrics.rows_in += src.count()
             result = self.pipeline.run_batch(spark, source_df=src)
             for node_id, sink in self.sinks.items():
                 if node_id in result.outputs:
                     sink(result.outputs[node_id], batch_id)
             if self.collect_metrics:
-                for node_id, df in result.outputs.items():
-                    nm = self.metrics.node(node_id)
-                    nm.batches += 1
-                    nm.success += df.count()
-                for node_id, df in result.errors.items():
-                    self.metrics.node(node_id).error += df.count()
+                self._sweep_metrics(src, result)
+            if self.collect_metrics:
                 src.unpersist()
+            result.unpersist()  # release fan-out prefix caches (r1 leak)
             self.metrics.batches += 1
             self.metrics.last_batch_seconds = time.perf_counter() - t0
 
         return process
+
+    def _sweep_metrics(self, src: DataFrame, result: PipelineResult) -> None:
+        """All per-node counters in ONE Spark job.
+
+        Each node's ok/error output contributes a global count tagged
+        with (node_id, kind); the union is collected once. Node lineages
+        above the persisted source/fan-out prefixes are narrow column
+        ops, so the sweep costs one pass over cached blocks — versus the
+        round-1 shape of one full re-execution per node per batch.
+        """
+
+        def part(df: DataFrame, node_id: str, kind: str) -> DataFrame:
+            return df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(node_id).alias("node_id"), F.lit(kind).alias("kind"), "n"
+            )
+
+        parts = [part(src, "__source__", "source")]
+        parts += [part(df, nid, "ok") for nid, df in result.outputs.items()]
+        parts += [part(df, nid, "error") for nid, df in result.errors.items()]
+        for row in reduce(DataFrame.unionAll, parts).collect():
+            if row["kind"] == "source":
+                self.metrics.rows_in += row["n"]
+            elif row["kind"] == "ok":
+                nm = self.metrics.node(row["node_id"])
+                nm.batches += 1
+                nm.success += row["n"]
+            else:
+                self.metrics.node(row["node_id"]).error += row["n"]
 
     def start(
         self,

@@ -85,6 +85,10 @@ def test_doc_builder_branches_on_threshold(spark):
     assert "5" in vals[0] or "5" == vals[0]
     assert any(v.startswith("{") for v in docs.values())
     assert any(not v.startswith("{") for v in docs.values())
+    # fallback ids are 1..N and the plan has no single-task global window
+    assert {d.split(":")[0] for d in docs} == {"1", "2"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
 
 
 def test_sql_node_full_relational_surface(spark):

@@ -55,6 +55,99 @@ def test_streaming_pipeline_over_rate_source(spark, tmp_path):
     assert m.rows_in >= m.node("shape").success
 
 
+def test_metrics_cost_exactly_one_sweep_job_per_batch(spark):
+    """VERDICT r1 #2: metrics-on must add exactly ONE Spark job per
+    micro-batch (the sweep), not one .count() per node (N+2 jobs)."""
+    pipeline = Pipeline.from_yaml(STREAM_YAML)
+    batch = spark.range(0, 1000).select(
+        F.col("id").alias("value"), F.lit("x").alias("tag")
+    )
+
+    def jobs_for(runner, group):
+        # AQE executes each exchange stage as its own job, which makes
+        # job-count ≠ action-count; disable it so 1 action ≈ 1 job and
+        # the "exactly one extra action" invariant is countable.
+        sc = spark.sparkContext
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup(group, group)
+        try:
+            runner._process_batch(spark)(batch, 0)
+        finally:
+            sc.setJobGroup(None, None)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+    # sink runs exactly one action (collect)
+    on = StreamingPipelineRunner(
+        pipeline, sinks={"keep_evens": lambda df, _b: df.collect()}
+    )
+    off = StreamingPipelineRunner(
+        pipeline,
+        sinks={"keep_evens": lambda df, _b: df.collect()},
+        collect_metrics=False,
+    )
+    n_off = jobs_for(off, "m-off")
+    n_on = jobs_for(on, "m-on")
+    assert n_on == n_off + 1
+    # sweep counted every node and the source
+    assert on.metrics.rows_in == 1000
+    assert on.metrics.node("shape").success == 1000
+    assert on.metrics.node("keep_evens").success == 500
+
+
+def test_prometheus_exposition_for_90_7_3_pipeline(spark):
+    """C4 parity (metrics/metrics.go:106-185): source emitted, per-node
+    received/processed/failed/filtered in exposition format after a
+    100-row batch that filters 3 and errors 7 → 90 successes."""
+    from firebolt_spark.streaming.metrics import (
+        MetricsServer,
+        prometheus_exposition,
+    )
+
+    pipeline = Pipeline.from_yaml(
+        """
+application: metrics-test
+source: {name: rate, params: {rows_per_second: 1}}
+nodes:
+  - name: filter
+    id: keep
+    params: {predicate: "tag <> 'skip'"}
+    children:
+      - name: raise_when
+        id: validate
+        params: {predicate: "tag = 'bad'", message: "'boom'"}
+"""
+    )
+    tags = ["skip"] * 3 + ["bad"] * 7 + ["ok"] * 90
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tags)], "value BIGINT, tag STRING"
+    )
+    runner = StreamingPipelineRunner(pipeline, sinks={})
+    runner._process_batch(spark)(batch, 0)
+
+    text = prometheus_exposition(runner.metrics, pipeline, prefix="fb")
+    assert "# TYPE fb_source_events_emitted_total counter" in text
+    assert "fb_source_events_emitted_total 100" in text
+    assert 'fb_node_received_events_total{node_id="keep"} 100' in text
+    assert 'fb_node_filtered_events_total{node_id="keep"} 3' in text
+    assert 'fb_node_processed_events_total{node_id="keep"} 97' in text
+    assert 'fb_node_received_events_total{node_id="validate"} 97' in text
+    assert 'fb_node_failed_events_total{node_id="validate"} 7' in text
+    assert 'fb_node_processed_events_total{node_id="validate"} 90' in text
+
+    # and the /metrics endpoint serves the same text
+    import urllib.request
+
+    server = MetricsServer(runner.metrics, pipeline, prefix="fb").start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=10
+        ).read().decode()
+        assert body == text
+    finally:
+        server.stop()
+
+
 def test_streaming_rejects_batch_source(spark, sf_dir):
     pipeline = Pipeline.from_yaml(STREAM_YAML)
     runner = StreamingPipelineRunner(pipeline)
