@@ -58,7 +58,7 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = queries[name]
         best = None
