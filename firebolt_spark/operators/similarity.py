@@ -246,6 +246,55 @@ def ann_ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket candidates.
+
+    Semantics (deliberately bucket-restricted so the operator is BOTH
+    scale-safe and exactly oracle-checkable): two vectors are candidate
+    near-dups iff they share the full random-hyperplane signature
+    (md5-derived planes — deterministic in any engine); candidates are
+    then scored with the exact cosine and kept at ``cos_sim >=
+    threshold``. True near-identical vectors agree on every hyperplane
+    sign with probability ≈ 1 − planes·θ/π, so at dedup-grade thresholds
+    (≥0.9) bucket restriction loses almost nothing — and the self-join
+    is an equi-join on ``sig`` whose cost tracks bucket density, never
+    |corpus|². At 100 TB: write the corpus bucketed by ``sig`` and the
+    join is co-located; raise ``planes`` to keep buckets small.
+    """
+    with_sig = embeddings.withColumn("sig", lsh_signature(vec_col, planes)).withColumn(
+        "_norm", norm(vec_col)
+    )
+    a, b = with_sig.alias("a"), with_sig.alias("b")
+    cos = F.round(
+        F.expr(
+            f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.col("a._norm") * F.col("b._norm")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -6,7 +6,7 @@ first 50 keys).  ``_PRIORITY`` therefore front-loads one-of-every-family
 — all LLM-pipeline queries (unchecked in round 1), all reference-parity
 queries, and the headline relational queries (TPC-H, event-time windows,
 the two array queries that ERRed in round 1) — so every capability
-family lands inside the budget.  The 17 tail queries are relational
+family lands inside the budget.  The tail queries are relational
 variants that already have green rows in CORRECTNESS_r01.json.
 """
 
@@ -45,6 +45,7 @@ _PRIORITY = [
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
     "q_similarity_bruteforce",
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",
@@ -71,7 +72,6 @@ _PRIORITY = [
     "q_array_functions",
     "q_grouped_collect",
     "q_window_tumbling",
-    "q_session_window",
 ]
 
 

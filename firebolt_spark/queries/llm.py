@@ -207,6 +207,65 @@ Q_DEDUP_SIMHASH_PAIRS_SQL = f"""
 """
 
 
+# ---- embedding-cosine near-dup -------------------------------------------
+
+# synthetic embeddings are near-uniform (64-dim random ⇒ cosines cluster
+# near 0); 0.35 sits in the top tail so the oracle comparison exercises
+# real pairs rather than matching trivially on an empty result
+_NEAR_DUP_THRESHOLD = 0.35
+
+def _duck_plane(p: int, d: int) -> str:
+    # mirrors similarity._plane_component (instr ≡ strpos, both 1-based)
+    return (
+        f"(strpos('0123456789abcdef', substr(md5('plane#{p}#{d}'), "
+        f"1 + ({d} % 32), 1)) - 1 - 7.5)"
+    )
+
+
+_DUCK_SIG = " + ".join(
+    "(CASE WHEN ("
+    + " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * {_duck_plane(p, d)}"
+        for d in range(similarity.EMB_DIM)
+    )
+    + f") > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(similarity.LSH_PLANES)
+)
+# flat left-associative sums — the same evaluation order as Spark's
+# sequential aggregate() fold, so the doubles agree bit-for-bit
+_DUCK_DOT_AB = " + ".join(
+    f"CAST(a.embedding[{d + 1}] AS DOUBLE) * CAST(b.embedding[{d + 1}] AS DOUBLE)"
+    for d in range(similarity.EMB_DIM)
+)
+_DUCK_NORM = "sqrt(" + " + ".join(
+    f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
+    for d in range(similarity.EMB_DIM)
+) + ")"
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-LSH-bucket candidates
+    (md5-derived hyperplanes, engine-portable) scored with exact cosine.
+    The oracle computes the identical signature, so the bucket-restricted
+    semantics — the scale-safe shape — is itself what's checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=_NEAR_DUP_THRESHOLD)
+
+
+Q_DEDUP_EMBEDDING_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST(({_DUCK_SIG}) AS INTEGER) AS sig,
+               {_DUCK_NORM} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(({_DUCK_DOT_AB}) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(({_DUCK_DOT_AB}) / (a.nrm * b.nrm), 4) >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
 # ---- similarity search ----------------------------------------------------
 
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +536,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "q_dedup_embedding": q_dedup_embedding,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -499,6 +559,7 @@ ORACLE = {
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_SQL,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
+    "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,

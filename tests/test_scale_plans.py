@@ -98,6 +98,49 @@ def test_simhash_pairs_pigeonhole_matches_bruteforce(spark):
     assert fast == naive
 
 
+def test_embedding_near_dups_is_bucket_equi_join(spark):
+    """Embedding near-dup candidates come from an equi-join on the LSH
+    signature — never an all-pairs join — and every returned pair is a
+    genuine high-cosine pair (subset of brute force at the threshold)."""
+    from firebolt_spark.operators.similarity import (
+        dot_fold,
+        embedding_near_dups,
+        norm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    result = embedding_near_dups(emb, threshold=0.3)
+    plan = _executed_plan(result)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    got = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in result.collect()}
+    assert got, "expected some near-dup pairs at threshold 0.3"
+    a = emb.withColumn("_n", norm("embedding")).alias("a")
+    b = emb.withColumn("_n", norm("embedding")).alias("b")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(a.embedding, b.embedding, "
+                    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+                / (F.col("a._n") * F.col("b._n")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .collect()
+    }
+    assert got <= brute
+
+
 def test_similarity_scoring_has_no_python_udf(spark):
     from firebolt_spark.operators.similarity import cosine_topk
 
