@@ -14,7 +14,7 @@ Spark functions (each one shuffle-conscious and AQE-friendly):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -163,16 +163,50 @@ def salted_join(
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_cols: str | list[str],
     num_buckets: int = 32,
-    sort_col: str | None = None,
+    sort_cols: str | list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist a table bucketed (and optionally sorted) on its join key
-    so later joins/aggregations on that key skip the shuffle entirely —
-    the standard co-location lever for repeatedly-joined 100 TB facts.
+    """Persist a table bucketed (and optionally sorted) by its join/agg
+    keys — the co-location lever for repeated 100 TB joins.
+
+    Two tables bucketed by the same keys into the same bucket count
+    sort-merge join with ZERO Exchange (bucket files match one-to-one;
+    pinned by tests/test_scale_plans.py), and a groupBy on the bucket
+    keys skips its exchange too. The write pays one shuffle once; every
+    later join/agg amortizes it — the trade a partitioned Kafka topic
+    gives the reference for free (consumer partition affinity), restated
+    as table layout. Bucket metadata only survives ``saveAsTable``;
+    plain ``.parquet(path)`` writes drop it.
     """
-    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(
+    spark: SparkSession, left: str, right: str, keys: list[str]
+) -> bool:
+    """True when both saved tables are bucketed on ``keys`` with equal
+    bucket counts — i.e. a join on ``keys`` will be exchange-free."""
+
+    def spec(table: str) -> tuple[tuple[str, ...], int] | None:
+        try:
+            rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+        except Exception:
+            return None
+        info = {r["col_name"]: r["data_type"] for r in rows}
+        if "Num Buckets" not in info:
+            return None
+        cols = tuple(
+            c.strip(" `")
+            for c in info.get("Bucket Columns", "").strip("[]").split(",")
+        )
+        return cols, int(info["Num Buckets"])
+
+    ls, rs = spec(left), spec(right)
+    return ls is not None and ls == rs and ls[0] == tuple(keys)

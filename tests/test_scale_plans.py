@@ -156,6 +156,42 @@ def test_event_scan_filter_pushdown_on_long_column(spark):
     assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]" in plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-location: two tables bucketed on the join key with the same
+    bucket count must sort-merge join with ZERO Exchange — the write
+    paid the shuffle once; every later join is free (the 100 TB lever)."""
+    from firebolt_spark.functions import bucketed_join_ready, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    try:
+        write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+        write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], num_buckets=8)
+        assert bucketed_join_ready(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"), "o_orderkey"
+            )
+            plan = _executed_plan(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the co-located join returns the same rows as the plain one
+        assert joined.count() == orders.join(lineitem, "o_orderkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = load_table(spark, SF_DIR, "orders").select(
         F.col("o_custkey").alias("k"), "o_orderkey"
