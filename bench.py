@@ -44,6 +44,14 @@ HEADLINE = [
     "q_similarity_bruteforce",
 ]
 
+# round-2 additions (kept out of HEADLINE so the 16-query subtotal stays
+# comparable round-over-round; the reported value covers the full suite)
+EXTRA = [
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_asof_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +67,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         fn = queries[name]
         best = None
         for _ in range(runs):  # min-of-N: JIT/cache noise doesn't skew rounds
@@ -81,6 +89,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        # same 16 queries as round 1 — the round-over-round anchor
+        "subtotal_r1_suite": round(
+            sum(t for n, t in timings.items() if n in HEADLINE), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

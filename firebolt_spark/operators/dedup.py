@@ -322,7 +322,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -330,6 +330,10 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        # localCheckpoint truncates lineage: each round's plan embeds
+        # the previous labels twice (neighbor-min + update join), so an
+        # un-truncated plan doubles per round and the DRIVER dies
+        # cloning it after ~15 rounds — data size is irrelevant.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -338,7 +342,7 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -346,12 +350,110 @@ def dedup_clusters(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds regardless of component
+    diameter, where plain min-label propagation (``dedup_clusters``)
+    needs O(diameter) rounds and a 1M-doc near-dup *chain* would mean
+    1M shuffles.
+
+    large-star: every node links its larger neighbors to the minimum
+    of its closed neighborhood; small-star: links its smaller-or-self
+    members to that minimum. At fixpoint the edge set is a star forest
+    (member → component-minimum), so the output contract is identical
+    to ``dedup_clusters``: (doc_id, cluster_id = min id in component),
+    deterministic and oracle-checkable.
+
+    Each round is two join+groupBy passes over a two-column edge set —
+    the same per-round shuffle cost as propagation, exponentially fewer
+    rounds on deep graphs.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionAll(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .persist()
+    )
+    # canonical undirected edges as (lo, hi), no self-loops.
+    # localCheckpoint (here and per round) truncates the logical plan:
+    # each round references the previous edge set ~4× (symmetrize + two
+    # joins), so without truncation the plan grows 4^rounds and the
+    # driver OOMs cloning it long before the data is large. On a real
+    # cluster prefer spark.sparkContext.setCheckpointDir + .checkpoint()
+    # for executor-loss resilience; the topology is identical.
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def closed_min(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        sym = symmetric(edges)
+        mins = closed_min(sym)
+        # large-star: (v, m) for neighbors v > u; m ≤ u < v so m < v
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        sym2 = symmetric(ls)
+        mins2 = closed_min(sym2)
+        # small-star: (v, m) for neighbors v < u, plus (u, m) itself
+        ss = (
+            sym2.filter(F.col("v") < F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .unionAll(mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            ss.count() == edges.count()
+            and ss.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = ss
+        if unchanged:
+            break
+    # at fixpoint every non-root node has exactly one star edge; the
+    # min() also covers a max_iter cutoff mid-convergence gracefully
+    roots = edges.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("root")
+    )
+    labels = nodes.join(roots, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
+    )
+    nodes.unpersist()
+    return labels
 
 
 def _hexval(expr: str) -> str:

@@ -37,13 +37,23 @@ ERROR_COL = "_error"
 
 @dataclass
 class NodeRuntime:
-    """A node.Context analogue (reference node/node.go:62-73)."""
+    """A node.Context analogue (reference node/node.go:62-73).
+
+    ``max_rows_per_batch`` carries T3 load shedding
+    (``discard_on_full_buffer``, node/node.go:206-211): the reference
+    drops events when a node's bounded channel is full; the micro-batch
+    analogue is "accept at most ``buffersize`` rows per trigger, shed
+    the rest". Per-trigger rather than instantaneous — documented
+    divergence (COVERAGE.md T3); rows shed before the node never reach
+    its children, exactly like the reference's channel drop.
+    """
 
     id: str
     type_name: str
     operator: Any
     children: list["NodeRuntime"] = field(default_factory=list)
     error_handler: "NodeRuntime | None" = None
+    max_rows_per_batch: int | None = None
 
 
 @dataclass
@@ -115,6 +125,8 @@ class Pipeline:
     def _build(self, nc: cfg.NodeConfig) -> NodeRuntime:
         nt = self.registry.get(nc.name)
         rt = NodeRuntime(nc.id, nc.name, self._make(nt, nc))
+        if nc.discard_on_full_buffer and nc.buffersize > 0:
+            rt.max_rows_per_batch = nc.buffersize
         rt.children = [self._build(c) for c in nc.children]
         if nc.error_handler is not None:
             et = self.registry.get(nc.error_handler.name)
@@ -162,6 +174,10 @@ class Pipeline:
         persisted: list[DataFrame] = []
 
         def walk(rt: NodeRuntime, parent_df: DataFrame) -> None:
+            if rt.max_rows_per_batch is not None:
+                # T3 discard_on_full_buffer: shed input beyond the
+                # node's buffer capacity this trigger (node.go:206-211)
+                parent_df = parent_df.limit(rt.max_rows_per_batch)
             out = rt.operator.transform(parent_df)
             if ERROR_COL in out.columns:
                 ok, dlq = split_errors(out, ERROR_COL)
@@ -209,7 +225,10 @@ class Pipeline:
         Returns a PipelineResult whose outputs are streaming DataFrames;
         the caller starts queries on the ones it sinks. (foreachBatch
         mode — streaming/runner.py — remains the general path for nodes
-        needing batch actions.)
+        needing batch actions.) T3 load shedding (max_rows_per_batch)
+        applies only in micro-batch mode — ``limit`` is not an
+        append-mode streaming operator; pace native streams at the
+        source via ``maxOffsetsPerTrigger`` instead.
         """
         sdf = (
             source_df if source_df is not None else self.source_dataframe(spark)

@@ -105,9 +105,11 @@ Q_DEDUP_MINHASH_SQL = f"""
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (min-id labels) over the
-    minhash-LSH pairs. Oracle: recursive-CTE transitive closure."""
+    minhash-LSH pairs, via alternating large-star/small-star (O(log n)
+    rounds regardless of component diameter — the 100 TB-safe choice).
+    Oracle: recursive-CTE transitive closure."""
     pairs = dedup.minhash_candidate_pairs(_documents(spark, sf_dir))
-    return dedup.dedup_clusters(pairs)
+    return dedup.dedup_clusters_star(pairs)
 
 
 # oracle SQL built by _make_clusters_sql() below (the pairs CTE embeds

@@ -237,3 +237,35 @@ def test_es_sink_whole_batch_retries_bounded(spark, tmp_path):
 
     with pytest.raises(Exception):  # BulkIndexError surfaces, not a hang
         sink.transform(_docs_df(spark, 4)).collect()
+
+
+def test_star_cc_matches_propagation(spark, sf_dir):
+    """dedup_clusters_star has the identical output contract as the
+    min-label propagation version: (doc_id, cluster_id = min id in
+    component)."""
+    from firebolt_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    prop = sorted(map(tuple, dedup.dedup_clusters(pairs).collect()))
+    star = sorted(map(tuple, dedup.dedup_clusters_star(pairs).collect()))
+    assert prop == star
+    assert len(star) > 0
+
+
+def test_star_cc_bounds_rounds_on_deep_chain(spark):
+    """The scale property the star algorithm exists for: a 300-node
+    near-dup CHAIN converges within O(log n) rounds (max_iter=12 is
+    ample), where min-label propagation needs O(diameter)=300 rounds
+    and, capped at 12, provably returns wrong labels."""
+    from firebolt_spark.operators import dedup
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    star = dedup.dedup_clusters_star(pairs, max_iter=12)
+    assert star.filter(F.col("cluster_id") != 0).count() == 0
+    assert star.count() == n
+    prop = dedup.dedup_clusters(pairs, max_iter=12)
+    assert prop.filter(F.col("cluster_id") != 0).count() > 0

@@ -157,3 +157,39 @@ def test_with_payload_preserves_envelope(spark):
     out = with_payload(df, n=F.col("id") * 2)
     assert set(out.columns) == {"created", "recovery", "n"}
     assert out.first()["n"] == 2
+
+
+def test_discard_on_full_buffer_sheds_per_trigger(spark, sf_dir):
+    """T3: a node with discard_on_full_buffer accepts at most
+    `buffersize` rows per batch (reference node/node.go:206-211 drops
+    events when the bounded channel is full; the micro-batch analogue
+    is a per-trigger cap). Shed rows never reach children."""
+    yaml_text = """
+application: shed
+source:
+  name: parquet
+  params: {path: "%(path)s"}
+nodes:
+  - name: project
+    id: capped
+    buffersize: 10
+    discard_on_full_buffer: true
+    params: {exprs: ["event_id"]}
+    children:
+      - name: project
+        id: downstream
+        params: {exprs: ["event_id"]}
+  - name: project
+    id: uncapped
+    buffersize: 10
+    params: {exprs: ["event_id"]}
+"""
+    src = load_table(spark, sf_dir, "events")
+    total = src.count()
+    assert total > 10
+    p = Pipeline.from_yaml(yaml_text % {"path": f"{sf_dir}/events.parquet"})
+    res = p.run_batch(spark, source_df=src)
+    assert res.outputs["capped"].count() == 10
+    assert res.outputs["downstream"].count() == 10  # shed before children
+    # without the flag, buffersize stays advisory (config.go semantics)
+    assert res.outputs["uncapped"].count() == total
