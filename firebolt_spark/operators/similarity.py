@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 EMB_DIM = 64
-LSH_PLANES = 4
+LSH_PLANES = 4       # ANN buckets: coarse (recall-leaning)
+NEAR_DUP_PLANES = 8  # near-dup buckets: fine (256 buckets — candidate
+                     # pair count per bucket drops 16× vs 4 planes; at
+                     # dedup thresholds the sign-agreement loss is ~nil)
 
 
 def dot_fold(a: str, b: str) -> Column:
@@ -249,7 +252,7 @@ def ann_ivf_topk(
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    planes: int = LSH_PLANES,
+    planes: int = NEAR_DUP_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -231,7 +231,7 @@ _DUCK_SIG = " + ".join(
         for d in range(similarity.EMB_DIM)
     )
     + f") > 0 THEN {1 << p} ELSE 0 END)"
-    for p in range(similarity.LSH_PLANES)
+    for p in range(similarity.NEAR_DUP_PLANES)
 )
 # flat left-associative sums — the same evaluation order as Spark's
 # sequential aggregate() fold, so the doubles agree bit-for-bit
@@ -519,6 +519,71 @@ Q_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, as ONE declarative plan:
+
+      quality gate (≥5 tokens, punct_ratio ≤ 0.3; scan-only)
+      → exact-dedup keep (min doc_id per content digest; digest shuffle)
+      → near-dup drop (minhash-LSH est_jaccard ≥ 0.9 drops the higher
+        doc_id of each pair; banded buckets, never all-pairs)
+
+    Returns the curated manifest (doc_id, n_tokens, stopword_ratio).
+    Scale shape: the two keep/drop sides reduce to slim doc_id sets, so
+    the final joins are broadcast-able; every stage is built from the
+    operators this engine already oracle-checks individually.
+    """
+    docs = _documents_with_dups(spark, sf_dir)
+    stats = text.text_stats(docs)
+    quality = stats.filter(
+        (F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.3)
+    )
+    keep_exact = dedup.exact_duplicates(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    drop_near = (
+        dedup.minhash_candidate_pairs(docs, threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(keep_exact, "doc_id")
+        .join(drop_near, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+Q_CORPUS_CURATION_SQL = f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+    d AS (SELECT *, ' ' || text || ' ' AS p,
+                 string_split(text, ' ') AS t FROM docs),
+    stats AS (SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           round(CAST(length(text) - length(translate(text, '.,;:!?''"()-', ''))
+               AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST({_STOP_EN} AS DOUBLE) / len(t), 4) AS stopword_ratio
+        FROM d),
+    quality AS (SELECT * FROM stats WHERE n_tokens >= 5 AND punct_ratio <= 0.3),
+    keep_exact AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+           FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+                  JOIN mh x ON x.doc_id = doc_a
+                  JOIN mh y ON y.doc_id = doc_b
+                  WHERE ({_MATCH_SUM}) / {float(N_MINHASH)} >= 0.9)
+    SELECT q.doc_id, q.n_tokens, q.stopword_ratio
+    FROM quality q
+    JOIN keep_exact k ON q.doc_id = k.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+"""
+
+
 # ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +604,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_corpus_curation": q_corpus_curation,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -562,6 +628,7 @@ ORACLE = {
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
     "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
+    "q_corpus_curation": Q_CORPUS_CURATION_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
