@@ -996,8 +996,301 @@ Q_REGEXP_SQL = """
 """
 
 
+# ---- round-2 TPC-H widening (adapted to the fixture's trimmed schema:
+# no partsupp/commitdate/receiptdate; constants chosen from the fixture
+# domains so every query returns non-trivial rows) ----------------------
+
+def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 6-way join, per-year national market share.
+    Every dimension side (part, customer+nation+region, supplier+nation)
+    is broadcast; the only shuffle join is orders⋈lineitem."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("_vol"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("_vol")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("_nat"),
+            F.sum("_vol").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+Q_TPCH8_SQL = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CASE WHEN n_s.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+               6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+    JOIN region ON n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+    GROUP BY year(o_orderdate)
+"""
+
+
+def q_tpch10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Customer and nation broadcast; one orders⋈lineitem shuffle;
+    top-k via TakeOrdered with the unique c_custkey tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("_rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q_TPCH10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           c_acctbal, n_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_tpch13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT join
+    (customers with zero orders kept) then a second aggregation over the
+    first's result. Both aggregations key on slim columns."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q_TPCH13_SQL = """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+          ON c_custkey = o.o_custkey
+        GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max equality (exact on
+    DECIMAL — no double drift), returning every argmax supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+            ).alias("_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("_rev").alias("_max"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev["_rev"] == max_rev["_max"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q_TPCH15_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS r
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q_tpch17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — lineitem rows
+    below 20% of their part's mean quantity. The threshold is built
+    from an exact DECIMAL sum / count (identical across engines and
+    partition orders); the per-part aggregate joins back broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_part = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_part.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        (
+            F.sum(_dec("l_quantity", 12, 2)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        li_part.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q_TPCH17_SQL = """
+    WITH lp AS (
+        SELECT l.* FROM lineitem l
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+    a AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                   AS avg_q
+        FROM lp GROUP BY l_partkey)
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0, 2) AS avg_yearly
+    FROM lp JOIN a ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_q
+"""
+
+
+def q_tpch22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average positive
+    balance, DECIMAL-exact) + anti join (customers with no URGENT
+    orders — every fixture customer has *some* order, so plain Q22's
+    "no orders" would be vacuously empty), aggregated per nation. The
+    scalar is a one-row broadcast cross join — no driver-side collect."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q_TPCH22_SQL = """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
+    "q_tpch8_market_share": q_tpch8_market_share,
+    "q_tpch10_returned_items": q_tpch10_returned_items,
+    "q_tpch13_order_distribution": q_tpch13_order_distribution,
+    "q_tpch15_top_supplier": q_tpch15_top_supplier,
+    "q_tpch17_small_qty_revenue": q_tpch17_small_qty_revenue,
+    "q_tpch22_idle_balance": q_tpch22_idle_balance,
     "q_tpch3_shipping_priority": q_tpch3_shipping_priority,
     "q_tpch5_local_supplier": q_tpch5_local_supplier,
     "q_join_left_counts": q_join_left_counts,
@@ -1030,6 +1323,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_tpch8_market_share": Q_TPCH8_SQL,
+    "q_tpch10_returned_items": Q_TPCH10_SQL,
+    "q_tpch13_order_distribution": Q_TPCH13_SQL,
+    "q_tpch15_top_supplier": Q_TPCH15_SQL,
+    "q_tpch17_small_qty_revenue": Q_TPCH17_SQL,
+    "q_tpch22_idle_balance": Q_TPCH22_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_array_functions": Q_ARRAY_SQL,
     "q_grouped_collect": Q_GROUPED_COLLECT_SQL,

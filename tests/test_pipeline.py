@@ -193,3 +193,7 @@ nodes:
     assert res.outputs["downstream"].count() == 10  # shed before children
     # without the flag, buffersize stays advisory (config.go semantics)
     assert res.outputs["uncapped"].count() == total
+    # release the multi-root source persist so the cached events scan
+    # doesn't shadow later plan-shape tests (InMemoryRelation would
+    # replace the parquet scan and hide PushedFilters)
+    res.unpersist()
