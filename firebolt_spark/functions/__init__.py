@@ -188,6 +188,34 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist a fact table hive-partitioned by its pruning keys — the
+    second table-layout lever beside bucketing (``write_bucketed``).
+
+    A read filtered on a partition column scans ONLY the matching
+    directories: the scan's ``PartitionFilters`` prunes at planning
+    time, so a day-filtered query over a 100 TB multi-year table reads
+    one day's files (pinned by tests/test_scale_plans.py). Choose
+    low-cardinality keys (date, tenant, event_type) — thousands of
+    partitions, not millions; ``max_records_per_file`` bounds file size
+    under skewed partitions so one hot day still splits into parallel
+    tasks.
+    """
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str) else partition_cols
+    )
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
 def bucketed_join_ready(
     spark: SparkSession, left: str, right: str, keys: list[str]
 ) -> bool:

@@ -9,9 +9,11 @@ timeouts, Arrow-batched updates.
 
 ``running_counter`` is the canonical shape: per-key event counts +
 last-seen timestamp, emitting an update row per key per batch, state
-expiring after ``ttl`` of processing-time inactivity. Replace the
-update body to build sessionizers, rate trackers, dedup-within-horizon,
-CDC reconcilers, etc.
+expiring after ``ttl`` of processing-time inactivity. ``sessionize``
+is the worked example of growing the update body: event-time gap
+sessions with closed-session emission and open-session snapshots.
+The same skeleton builds rate trackers, dedup-within-horizon, CDC
+reconcilers, etc.
 
 Scale: state lives in the state store partitioned by key — the same
 hash shuffle as any groupBy; per-key state here is O(1) bytes, so keys,
@@ -25,6 +27,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 COUNTER_OUTPUT_SCHEMA = "key STRING, n BIGINT, batch_rows BIGINT"
@@ -48,6 +51,92 @@ def _update_counter(
     state.setTimeoutDuration(60_000)
     yield pd.DataFrame(
         [{"key": key[0], "n": n, "batch_rows": batch_rows}]
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "key STRING, session_start BIGINT, session_end BIGINT, "
+    "n_events BIGINT, closed BOOLEAN"
+)
+SESSION_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT"
+
+
+def sessionize(
+    sdf: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    gap_seconds: int = 30,
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Per-key event-time sessionization with cross-batch state.
+
+    A session is a maximal run of a key's events with no inter-event
+    gap above ``gap_seconds`` (event time, microseconds). Sessions that
+    close — because a later event arrives past the gap, or the key goes
+    idle for ``idle_timeout_ms`` of processing time — are emitted with
+    ``closed=true``; each batch also emits the current open session as
+    a ``closed=false`` snapshot (update-mode consumers overwrite it).
+
+    Complements the native ``session_window`` aggregation
+    (``streaming/eventtime.py``): use this form when the per-session
+    logic outgrows an aggregation (custom emit policy, session-scoped
+    counters, early snapshots). State is one (start, last, n) triple
+    per key in the state store — keys, not events, bound memory; the
+    shuffle is the same hash-by-key as any groupBy.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: Tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(start: int, last: int, n: int, closed: bool) -> dict:
+            return {
+                "key": key[0],
+                "session_start": start,
+                "session_end": last,
+                "n_events": n,
+                "closed": closed,
+            }
+
+        if state.hasTimedOut:
+            (start, last, n) = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, True)])
+            return
+        ts: list[int] = []
+        for pdf in batches:
+            ts.extend(int(v) for v in pdf["ts_us"])
+        ts.sort()
+        if not ts:
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], None, 0
+        out = []
+        for t in ts:
+            if last is not None and t - last > gap_us:
+                out.append(row(start, last, n, True))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(idle_timeout_ms)
+        out.append(row(start, last, n, False))
+        yield pd.DataFrame(out)
+
+    keyed = sdf.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

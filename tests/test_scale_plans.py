@@ -250,3 +250,26 @@ def test_newest_per_key_and_compact_lww(spark):
     lww = compact_lww(df, ["key"], "offset", "ack").collect()
     # a's latest is acked → dropped; b's survives
     assert [(r["key"], r["offset"]) for r in lww] == [("b", 1)]
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """Layout lever #2: a read filtered on the partition column scans
+    only matching directories — PartitionFilters in the scan, and the
+    non-matching partition's files are never listed into the plan."""
+    from firebolt_spark.functions import write_partitioned
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, "event_date")
+
+    one_day = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    plan = _executed_plan(one_day)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # correctness: partition-pruned read returns exactly that day's rows
+    expect = events.filter(F.col("event_date") == "2024-01-02").count()
+    assert one_day.count() == expect and expect > 0

@@ -477,3 +477,66 @@ def test_tracker_merge_and_cancel(spark, tmp_path):
     assert tracker.pending() == [RecoveryRange(0, 0, 30), RecoveryRange(1, 0, 5)]
     tracker.cancel_all()
     assert tracker.pending() == []
+
+
+def test_stateful_sessionize_gap_and_cross_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a key's events split into
+    sessions at event-time gaps; state carries the open session across
+    micro-batches (file-per-trigger stream)."""
+    import time as _time
+
+    from firebolt_spark.streaming.stateful import sessionize
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    schema = "k STRING, ts STRING"
+    base = "2024-01-01 00:00:"
+    batch1 = spark.createDataFrame(
+        [("a", f"{base}00"), ("a", f"{base}05"), ("a", f"{base}10")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2 = spark.createDataFrame(
+        # 100s later — past the 30s gap: closes session 1, opens session 2
+        [("a", "2024-01-01 00:01:50"), ("a", "2024-01-01 00:01:55")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    sdf = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out = sessionize(sdf, key_col="k", ts_col="ts", gap_seconds=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            if spark.sql("SELECT * FROM sess_out").count() >= 1:
+                break
+            _time.sleep(0.5)
+        batch2.coalesce(1).write.parquet(str(src_dir / "b2"))
+        deadline = _time.monotonic() + 30
+        closed = []
+        while _time.monotonic() < deadline and not closed:
+            closed = spark.sql(
+                "SELECT * FROM sess_out WHERE closed"
+            ).collect()
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    # session 1 (3 events spanning 10s) closed by the 100s gap
+    assert len(closed) == 1
+    c = closed[0]
+    assert c["n_events"] == 3
+    assert c["session_end"] - c["session_start"] == 10_000_000
+    # and the open session-2 snapshot carries the 2 new events
+    snap = spark.sql(
+        "SELECT * FROM sess_out WHERE NOT closed ORDER BY session_start DESC"
+    ).collect()
+    assert snap and snap[0]["n_events"] == 2
