@@ -129,6 +129,54 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global running sum of ``value_col`` by ``order_cols``.
+
+    Same two-phase shape as ``global_row_number``: a bare
+    ``SUM() OVER (ORDER BY …)`` is a single-task funnel; instead,
+    range-partition on the order keys, cumsum within partitions, and
+    add broadcast per-partition prefix totals. Identical to the global
+    window when the order keys are unique. One small driver job for
+    the per-partition totals (a few numbers per partition).
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    totals = {
+        r["_pid"]: r["s"]
+        for r in parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offsets_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            out_col, (F.sum(value_col).over(w) + F.col("_offset")).cast("bigint")
+        )
+        .drop("_pid", "_offset")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -185,6 +185,39 @@ def redact(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to training shards by token budget: documents
+    are taken in doc_id order and shard ``k`` holds the docs whose
+    exclusive running token total lies in ``[k·budget, (k+1)·budget)``
+    — the standard greedy pack (a shard may overrun by at most one
+    document). Deterministic and order-defined, so it's exactly
+    SQL-expressible.
+
+    The running total uses ``global_cumsum`` (two-phase: range
+    partition + broadcast prefix totals) — NOT a single-partition
+    global window, so packing a 100 TB corpus parallelizes.
+    """
+    from firebolt_spark.functions import global_cumsum
+
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    with_cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cum")
+    return with_cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("_cum") - F.col("n_tokens")) / F.lit(float(budget_tokens))
+        )
+        .cast("int")
+        .alias("shard_id"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Content fingerprint: the minimum md5 over word n-gram shingles
     (a 1-permutation minhash — winnowing-style document signature).

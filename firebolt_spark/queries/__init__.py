@@ -47,6 +47,7 @@ _PRIORITY = [
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_corpus_curation",
+    "q_shard_packing",
     "q_similarity_bruteforce",
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",

@@ -584,6 +584,32 @@ Q_CORPUS_CURATION_SQL = f"""
 """
 
 
+_SHARD_BUDGET = 4096
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing over documents (doc_id order,
+    4096-token shards) via the scalable two-phase running sum — no
+    single-partition window. Oracle: SUM() OVER (ORDER BY doc_id)."""
+    return text.pack_shards(_documents(spark, sf_dir), _SHARD_BUDGET)
+
+
+Q_SHARD_PACKING_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cum
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / {float(_SHARD_BUDGET)}) AS INTEGER)
+               AS shard_id
+    FROM c
+"""
+
+
 # ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,6 +631,7 @@ QUERIES = {
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_embedding": q_dedup_embedding,
     "q_corpus_curation": q_corpus_curation,
+    "q_shard_packing": q_shard_packing,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -629,6 +656,7 @@ ORACLE = {
     "q_dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
     "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "q_corpus_curation": Q_CORPUS_CURATION_SQL,
+    "q_shard_packing": Q_SHARD_PACKING_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,

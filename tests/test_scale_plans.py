@@ -273,3 +273,47 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     # correctness: partition-pruned read returns exactly that day's rows
     expect = events.filter(F.col("event_date") == "2024-01-02").count()
     assert one_day.count() == expect and expect > 0
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Two-phase running sum == the single-partition global window, and
+    the executed plan contains no SinglePartition exchange."""
+    from firebolt_spark.functions import global_cumsum
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    from pyspark.sql.window import Window
+
+    got = global_cumsum(docs, "v", ["doc_id"], out_col="c")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = docs.withColumn("c", F.sum("v").over(w).cast("bigint"))
+    assert sorted(map(tuple, got.select("doc_id", "c").collect())) == sorted(
+        map(tuple, expect.select("doc_id", "c").collect())
+    )
+    assert "SinglePartition" not in _executed_plan(got)
+
+
+def test_pack_shards_budget_property(spark):
+    """Every shard's token total stays under budget + its last doc
+    (greedy overrun bound), shard ids are contiguous from 0, and docs
+    within a shard are doc_id-contiguous."""
+    from firebolt_spark.operators.text import pack_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budget = 1000
+    packed = pack_shards(docs, budget).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    prev_max = None
+    for sid in sorted(by_shard):
+        rows = by_shard[sid]
+        total = sum(r["n_tokens"] for r in rows)
+        assert total < budget + rows[-1]["n_tokens"]
+        if prev_max is not None:  # doc_id-contiguous shards
+            assert rows[0]["doc_id"] > prev_max
+        prev_max = rows[-1]["doc_id"]
