@@ -153,6 +153,36 @@ class RedactNode:
         return text.redact(df, self.text_col, self.patterns, self.out_col)
 
 
+class ShardPackNode:
+    """Params: budget_tokens (4096), text_col. Assigns each document a
+    ``shard_id`` by greedy token-budget packing in doc_id order (see
+    operators/text.py:pack_shards — two-phase cumsum, scale-safe)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.budget = int(params.get("budget_tokens", 4096))
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.pack_shards(df, self.budget, self.text_col)
+
+
+class EmbeddingNearDupNode:
+    """Params: threshold (0.9), planes (8), id_col, vec_col. Emits
+    (vec_a, vec_b, cos_sim) near-dup pairs from same-LSH-bucket
+    candidates (operators/similarity.py:embedding_near_dups)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.threshold = float(params.get("threshold", 0.9))
+        self.planes = int(params.get("planes", similarity.NEAR_DUP_PLANES))
+        self.id_col = params.get("id_col", "vec_id")
+        self.vec_col = params.get("vec_col", "embedding")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return similarity.embedding_near_dups(
+            df, self.threshold, self.planes, self.id_col, self.vec_col
+        )
+
+
 class MediaFeaturesNode:
     """Params: decode_stub (default True) — see operators/multimodal.py."""
 
@@ -176,3 +206,5 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("redact", RedactNode, None, None)
     registry.register_node_type("chunk", ChunkNode, None, None)
     registry.register_node_type("media_features", MediaFeaturesNode, None, None)
+    registry.register_node_type("shard_pack", ShardPackNode, None, None)
+    registry.register_node_type("embedding_near_dup", EmbeddingNearDupNode, None, None)

@@ -114,6 +114,9 @@ nodes:
     id: dd
   - name: fingerprint
     id: fp
+  - name: shard_pack
+    id: shards
+    params: {budget_tokens: 1000}
 """
 
 
@@ -126,3 +129,7 @@ def test_llm_nodes_compose_from_yaml(spark, sf_dir):
     fp = res.outputs["fp"]
     assert fp.count() == n_docs
     assert set(fp.columns) >= {"doc_id", "fingerprint"}
+    shards = res.outputs["shards"]
+    assert shards.count() == n_docs
+    assert set(shards.columns) == {"doc_id", "n_tokens", "shard_id"}
+    res.unpersist()
