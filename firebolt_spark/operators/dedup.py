@@ -476,15 +476,26 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     """
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.col("tok")))
-    dim_sums = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN ({_hexval(f'substr(h, {i // 4 + 1}, 1)')}"
-                f" div {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
-            )
-        ).alias(f"d{i}")
-        for i in range(bits)
-    ]
+    # Pack the first 16 hex chars into two 32-bit ints ONCE per token,
+    # then read each dimension as a bit shift — identical bits to the
+    # per-digit instr/substr form (hex char j is nibble (7-j) / (15-j)
+    # of the big-endian conv value), but 2 string ops per token instead
+    # of 64. The fingerprint aggregation dominates simhash cost; this
+    # keeps it whole-stage-codegen arithmetic.
+    tok = tok.withColumn(
+        "v_hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    ).withColumn("v_lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
+
+    def bit_sign(i: int) -> str:
+        j = i // 4
+        col, shift = (
+            ("v_hi", 4 * (7 - j) + (i % 4))
+            if j < 8
+            else ("v_lo", 4 * (15 - j) + (i % 4))
+        )
+        return f"CASE WHEN (shiftright({col}, {shift}) & 1) = 1 THEN 1 ELSE -1 END"
+
+    dim_sums = [F.sum(F.expr(bit_sign(i))).alias(f"d{i}") for i in range(bits)]
     agg = tok.groupBy("doc_id").agg(*dim_sums)
     bit_values = [
         (1 << i) if i < 63 else -(1 << 63) for i in range(bits)
