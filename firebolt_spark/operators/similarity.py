@@ -270,8 +270,13 @@ def embedding_near_dups(
     |corpus|². At 100 TB: write the corpus bucketed by ``sig`` and the
     join is co-located; raise ``planes`` to keep buckets small.
     """
-    with_sig = embeddings.withColumn("sig", lsh_signature(vec_col, planes)).withColumn(
-        "_norm", norm(vec_col)
+    # persist: the signature is planes×dim multiply-adds per row and
+    # feeds BOTH sides of the self-join — compute it once (at 100 TB,
+    # write the signed corpus bucketed by sig instead)
+    with_sig = (
+        embeddings.withColumn("sig", lsh_signature(vec_col, planes))
+        .withColumn("_norm", norm(vec_col))
+        .persist()
     )
     a, b = with_sig.alias("a"), with_sig.alias("b")
     cos = F.round(
