@@ -1074,6 +1074,67 @@ Q_TPCH8_SQL = """
 """
 
 
+def q_tpch9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so cost = half the part's
+    retail price per unit): per-nation per-year profit over PROMO parts.
+    Profit is computed exactly in DECIMAL as (2*revenue - cost) — both
+    scale 4, so the subtraction is exact — then cast to double once and
+    halved (a power of two, exact). No final round(): rounding a
+    combined double hits half-cent ties where engines' round() rules
+    differ."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    )
+    cost = F.sum(_dec("p_retailprice") * _dec("l_quantity", 12, 2))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(rev.alias("_rev"), cost.alias("_cost"))
+        .select(
+            "nation",
+            "o_year",
+            (
+                (
+                    F.lit(2).cast("decimal(2,0)") * F.col("_rev")
+                    - F.col("_cost")
+                ).cast("double")
+                / 2.0
+            ).alias("profit"),
+        )
+    )
+
+
+Q_TPCH9_SQL = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(2 * sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               - sum(CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / 2.0
+               AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+
 def q_tpch10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer,
     top 20. Customer and nation broadcast; one orders⋈lineitem shuffle;
@@ -1286,6 +1347,7 @@ Q_TPCH22_SQL = """
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
     "q_tpch8_market_share": q_tpch8_market_share,
+    "q_tpch9_product_profit": q_tpch9_product_profit,
     "q_tpch10_returned_items": q_tpch10_returned_items,
     "q_tpch13_order_distribution": q_tpch13_order_distribution,
     "q_tpch15_top_supplier": q_tpch15_top_supplier,
@@ -1324,6 +1386,7 @@ QUERIES = {
 
 ORACLE = {
     "q_tpch8_market_share": Q_TPCH8_SQL,
+    "q_tpch9_product_profit": Q_TPCH9_SQL,
     "q_tpch10_returned_items": Q_TPCH10_SQL,
     "q_tpch13_order_distribution": Q_TPCH13_SQL,
     "q_tpch15_top_supplier": Q_TPCH15_SQL,
