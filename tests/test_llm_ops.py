@@ -269,3 +269,44 @@ def test_star_cc_bounds_rounds_on_deep_chain(spark):
     assert star.count() == n
     prop = dedup.dedup_clusters(pairs, max_iter=12)
     assert prop.filter(F.col("cluster_id") != 0).count() > 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(11, 400, 280), (42, 300, 500)])
+def test_star_cc_matches_union_find_ground_truth(spark, seed, n_nodes, n_edges):
+    """Independent correctness oracle for the distributed star CC: a
+    plain union-find over the same random graph. (The propagation-
+    equality test shares no code with this one, so the two distributed
+    variants and the sequential ground truth must all agree.)"""
+    import random
+
+    from firebolt_spark.operators import dedup
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    # cluster id = min node id in component (the operator's contract)
+    min_of_root: dict[int, int] = {}
+    for v in sorted(touched):
+        min_of_root.setdefault(find(v), v)
+    expect = sorted((v, min_of_root[find(v)]) for v in touched)
+
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = sorted(map(tuple, dedup.dedup_clusters_star(pairs).collect()))
+    assert got == expect
