@@ -50,6 +50,7 @@ EXTRA = [
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_asof_join",
+    "q_corpus_curation",
 ]
 
 

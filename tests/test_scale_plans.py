@@ -317,3 +317,25 @@ def test_pack_shards_budget_property(spark):
         if prev_max is not None:  # doc_id-contiguous shards
             assert rows[0]["doc_id"] > prev_max
         prev_max = rows[-1]["doc_id"]
+
+
+def test_ivf_partitioned_layout_prunes_unprobed_clusters(spark, tmp_path):
+    """The IVF scale path end-to-end: assign → write partitioned by
+    cluster → a probe-restricted read prunes to PartitionFilters, so a
+    query scans n_probe/n_centroids of the corpus files — the inverted-
+    file layout as Spark table layout."""
+    from firebolt_spark.functions import write_partitioned
+    from firebolt_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, _cents = ivf_assign(emb, n_centroids=4, kmeans_iters=1)
+    path = str(tmp_path / "ivf_corpus")
+    write_partitioned(assigned.drop("_norm"), path, "cluster")
+
+    probed = spark.read.parquet(path).filter(F.col("cluster").isin([0, 1]))
+    plan = _executed_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    got = probed.select("vec_id").count()
+    expect = assigned.filter(F.col("cluster").isin([0, 1])).count()
+    assert got == expect and expect > 0
