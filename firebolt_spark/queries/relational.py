@@ -1000,6 +1000,66 @@ Q_REGEXP_SQL = """
 # no partsupp/commitdate/receiptdate; constants chosen from the fixture
 # domains so every query returns non-trivial rows) ----------------------
 
+def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions: per-customer order sequence with the
+    previous/next order's totalprice and the delta — one shuffle on the
+    partition key, offsets computed within sorted partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    nxt = F.lead("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        nxt.alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(prev, F.lit(0.0)), 2).alias(
+            "delta_prev"
+        ),
+    )
+
+
+Q_WINDOW_LEADLAG_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 2)
+               AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status, priority), (status), (priority),
+    and grand total in one aggregation pass (beyond the rollup/cube
+    variants); null markers coalesced to 'ALL' (source cols non-null)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+Q_GROUPING_SETS_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 6-way join, per-year national market share.
     Every dimension side (part, customer+nation+region, supplier+nation)
@@ -1346,6 +1406,8 @@ Q_TPCH22_SQL = """
 
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
+    "q_window_leadlag": q_window_leadlag,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_tpch8_market_share": q_tpch8_market_share,
     "q_tpch9_product_profit": q_tpch9_product_profit,
     "q_tpch10_returned_items": q_tpch10_returned_items,
@@ -1385,6 +1447,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_window_leadlag": Q_WINDOW_LEADLAG_SQL,
+    "q_agg_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_tpch8_market_share": Q_TPCH8_SQL,
     "q_tpch9_product_profit": Q_TPCH9_SQL,
     "q_tpch10_returned_items": Q_TPCH10_SQL,
