@@ -540,3 +540,68 @@ def test_stateful_sessionize_gap_and_cross_batch(spark, tmp_path):
         "SELECT * FROM sess_out WHERE NOT closed ORDER BY session_start DESC"
     ).collect()
     assert snap and snap[0]["n_events"] == 2
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
+    """T6/T7: stop the query, restart a NEW runner from the same
+    checkpoint — already-committed input files are not reprocessed and
+    new files are picked up (effectively-exactly-once to an idempotent
+    sink across restarts)."""
+    import time as _time
+
+    src_dir = tmp_path / "restart_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def write_batch(name, lo, hi):
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "event_id BIGINT"
+        ).coalesce(1).write.parquet(str(src_dir / name))
+
+    yaml_text = """
+application: restart
+source:
+  name: file
+  params: {path: "%(path)s", format: parquet, schema: "event_id BIGINT",
+           streaming: true, options: {maxFilesPerTrigger: 1}}
+nodes:
+  - name: project
+    id: out
+    params: {exprs: ["event_id"]}
+"""
+    seen: list[int] = []
+
+    def sink(df, batch_id):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    def run_until(n_rows, timeout=45):
+        pipeline = Pipeline.from_yaml(yaml_text % {"path": f"{src_dir}/*"})
+        runner = StreamingPipelineRunner(
+            pipeline, sinks={"out": sink}, checkpoint_dir=ckpt
+        )
+        q = runner.start(spark, trigger={"processingTime": "1 second"},
+                         query_name="t-restart")
+        try:
+            deadline = _time.monotonic() + timeout
+            while _time.monotonic() < deadline and len(seen) < n_rows:
+                _time.sleep(0.5)
+            # stopping between foreachBatch and the offset commit would
+            # (correctly, at-least-once) replay the batch on restart;
+            # wait for an EMPTY committed trigger so the data batch's
+            # offsets are durably committed before we stop
+            while _time.monotonic() < deadline:
+                lp = q.lastProgress
+                if lp and lp["numInputRows"] == 0:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+
+    write_batch("f1", 0, 10)
+    run_until(10)
+    assert sorted(seen) == list(range(10))
+
+    write_batch("f2", 10, 20)
+    run_until(20)  # restart from the same checkpoint
+    # f1 was NOT reprocessed; f2 arrived exactly once
+    assert sorted(seen) == list(range(20))
