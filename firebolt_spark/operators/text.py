@@ -185,6 +185,29 @@ def redact(
     )
 
 
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus text normalization: collapse whitespace runs, trim, and
+    (optionally) lowercase — the canonical pre-dedup normalization so
+    near-identical docs differing only in casing/spacing hash together.
+    Pure column expressions, single scan; emits a change flag so the
+    pipeline can count affected docs without a second pass."""
+    col = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    col = F.trim(col)
+    if lowercase:
+        col = F.lower(col)
+    out = out_col or f"{text_col}_norm"
+    return docs.select(
+        "*",
+        col.alias(out),
+        (col != F.col(text_col)).alias("changed"),
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget_tokens: int = 4096,

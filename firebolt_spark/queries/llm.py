@@ -584,6 +584,25 @@ Q_CORPUS_CURATION_SQL = f"""
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-collapse + trim + lowercase normalization with a
+    change flag — the canonical pre-dedup cleanup. Oracle mirrors the
+    regex with DuckDB's 'g' flag (Spark regexp_replace is global by
+    default)."""
+    return text.normalize_text(_documents(spark, sf_dir)).select(
+        "doc_id", "text_norm", "changed"
+    )
+
+
+Q_TEXT_NORMALIZE_SQL = r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_norm,
+           (lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) <> text)
+               AS changed
+    FROM documents
+"""
+
+
 _SHARD_BUDGET = 4096
 
 
@@ -632,6 +651,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_corpus_curation": q_corpus_curation,
     "q_shard_packing": q_shard_packing,
+    "q_text_normalize": q_text_normalize,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -657,6 +677,7 @@ ORACLE = {
     "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "q_corpus_curation": Q_CORPUS_CURATION_SQL,
     "q_shard_packing": Q_SHARD_PACKING_SQL,
+    "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
