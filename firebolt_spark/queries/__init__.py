@@ -61,16 +61,22 @@ _PRIORITY = [
     "q_anomaly_scores",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    # headline relational (SURVEY §2.10)
+    # headline relational (SURVEY §2.10). Round-2 swap: the five
+    # second-tier TPC-H queries that earned green rows in
+    # CORRECTNESS_r01 (q_tpch4/7/14/18/19) yield their budget slots to
+    # five round-2 queries that have never had a driver row
+    # (q_tpch8/9/13/22, q_text_normalize) — maximizing how much of the
+    # surface has at least one driver-verified row across rounds. The
+    # two r1-ERRed array queries stay in-budget to prove their fix.
     "q_tpch1_pricing_summary",
     "q_tpch3_shipping_priority",
-    "q_tpch4_order_priority",
     "q_tpch5_local_supplier",
     "q_tpch6_revenue_forecast",
-    "q_tpch7_nation_volume",
-    "q_tpch14_promo_share",
-    "q_tpch18_large_orders",
-    "q_tpch19_bracket_revenue",
+    "q_tpch8_market_share",
+    "q_tpch9_product_profit",
+    "q_tpch13_order_distribution",
+    "q_tpch22_idle_balance",
+    "q_text_normalize",
     "q_array_functions",
     "q_grouped_collect",
     "q_window_tumbling",
