@@ -46,11 +46,12 @@ _PRIORITY = [
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
+    "q_dedup_incremental",
     "q_corpus_curation",
     "q_shard_packing",
     "q_similarity_bruteforce",
     "q_similarity_ann_lsh",
-    "q_similarity_ann_ivf",
+    # q_similarity_ann_ivf: rows-only; one ANN rows-only row suffices
     "q_text_stats",
     "q_text_langid",
     "q_text_token_counts",
@@ -60,7 +61,8 @@ _PRIORITY = [
     "q_profile_events",
     "q_anomaly_scores",
     "q_multimodal_features",
-    "q_multimodal_frame_sample",
+    # q_multimodal_frame_sample: rows-only twin of q_multimodal_features;
+    # first out-of-budget rather than displacing an oracle query
     # headline relational (SURVEY §2.10). Round-2 swap: the five
     # second-tier TPC-H queries that earned green rows in
     # CORRECTNESS_r01 (q_tpch4/7/14/18/19) yield their budget slots to
@@ -79,7 +81,6 @@ _PRIORITY = [
     "q_text_normalize",
     "q_array_functions",
     "q_grouped_collect",
-    "q_window_tumbling",
 ]
 
 

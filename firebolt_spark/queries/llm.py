@@ -584,6 +584,57 @@ Q_CORPUS_CURATION_SQL = f"""
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the realistic 100 TB workflow: a new
+    batch (first 50 docs re-labeled) is scored against the EXISTING
+    signature index; only the delta's shingles are computed. Oracle
+    mirrors both signature tables and the band join."""
+    docs = _documents(spark, sf_dir)
+    index_sigs = dedup.minhash_signatures(docs)
+    new_docs = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    matches, _new_sigs = dedup.incremental_near_dups(new_docs, index_sigs)
+    return matches
+
+
+_NEW_DOCS_SQL = """
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE doc_id < 50
+"""
+
+_NEW_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM nmh".format(
+        b=b,
+        cols="||".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(N_BANDS)
+)
+
+Q_DEDUP_INCREMENTAL_SQL = f"""
+    WITH {_SHINGLE_SQL},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    ntoks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM ({_NEW_DOCS_SQL})),
+    nsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+            FROM ntoks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    nmh AS (SELECT doc_id, {_MH_COLS} FROM nsh GROUP BY doc_id),
+    nbands AS ({_NEW_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS index_doc_id
+             FROM nbands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh)
+    SELECT new_doc_id, index_doc_id,
+           ({_MATCH_SUM}) / {float(N_MINHASH)} AS est_jaccard
+    FROM cand
+    JOIN nmh x ON x.doc_id = new_doc_id
+    JOIN mh y ON y.doc_id = index_doc_id
+    WHERE ({_MATCH_SUM}) / {float(N_MINHASH)} >= 0.5
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-collapse + trim + lowercase normalization with a
     change flag — the canonical pre-dedup cleanup. Oracle mirrors the
@@ -652,6 +703,7 @@ QUERIES = {
     "q_corpus_curation": q_corpus_curation,
     "q_shard_packing": q_shard_packing,
     "q_text_normalize": q_text_normalize,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -678,6 +730,7 @@ ORACLE = {
     "q_corpus_curation": Q_CORPUS_CURATION_SQL,
     "q_shard_packing": Q_SHARD_PACKING_SQL,
     "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
+    "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
