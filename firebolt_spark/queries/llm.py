@@ -420,13 +420,22 @@ Q_TEXT_CHUNKS_SQL = """
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 vector quantization with per-vector scale."""
+    """Symmetric int8 vector quantization with per-vector scale.
+
+    Declared queries must emit only scalar columns (the driver's
+    canonicalizer sorts pandas frames, and list cells are unhashable —
+    the round-1/round-2 ERR class), so the int8 vector is emitted as a
+    deterministic comma-joined string; the operator itself keeps the
+    array-typed ``embedding_q8``.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.quantize_int8(emb)
     return q.select(
         "vec_id",
         F.round("q_scale", 8).alias("q_scale_r"),
-        F.col("embedding_q8").cast("array<int>").alias("q8"),
+        F.array_join(
+            F.col("embedding_q8").cast("array<int>").cast("array<string>"), ","
+        ).alias("q8_csv"),
     )
 
 
@@ -439,8 +448,9 @@ Q_EMBED_QUANT_SQL = """
     )
     SELECT vec_id,
            round(q_scale, 8) AS q_scale_r,
-           list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) / q_scale, 0) AS INTEGER)) AS q8
+           array_to_string(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) / q_scale, 0) AS INTEGER)
+                         AS VARCHAR)), ',') AS q8_csv
     FROM s
 """
 
@@ -683,8 +693,23 @@ Q_SHARD_PACKING_SQL = f"""
 # ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check; the feature vector is emitted as a comma-joined
+    string because declared queries must be scalar-only (driver
+    canonicalizer crashes on list cells — the r1/r2 ERR class)."""
     media = multimodal.attach_media(_documents(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        "width",
+        "height",
+        "n_frames",
+        F.array_join(F.col("feature").cast("array<string>"), ",").alias(
+            "feature_csv"
+        ),
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

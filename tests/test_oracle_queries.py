@@ -50,6 +50,30 @@ def test_rows_only_queries_run(name, spark):
     assert QUERIES[name](spark, SF_DIR).count() >= 0
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_declared_query_returns_complex_columns(name, spark):
+    """The driver's canonicalizer sorts a pandas frame over all columns;
+    list/dict cells are unhashable and crash it (the r1 ERR on
+    q_array_functions/q_grouped_collect, repeated in r2 on
+    q_embedding_quantize/q_multimodal_features). Declared queries must
+    therefore emit only scalar top-level columns — arrays go out as
+    deterministic strings (to_json / array_join). Schema-only: no job
+    is run."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name](spark, SF_DIR).schema
+    offenders = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not offenders, (
+        f"{name} emits complex-typed top-level columns {offenders}; "
+        "stringify them in the declared query (the operator may keep "
+        "the typed column)"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
