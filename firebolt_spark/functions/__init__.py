@@ -103,12 +103,29 @@ def global_row_number(
 
     Triggers one small job to collect per-partition counts (a few
     numbers per partition).
+
+    The range partitioning MUST be pinned before that job:
+    ``repartitionByRange`` picks its boundaries by sampling with a
+    per-execution seed, so the counts job and the final join would
+    otherwise each sample their own boundaries and could place rows in
+    DIFFERENT partitions — offsets from one partitioning applied to
+    another silently corrupts the numbering (invisible on small
+    fixtures, where sampling degenerates to a full scan).
+    ``localCheckpoint`` materializes the partitioning once and cuts the
+    lineage, so every downstream job reads the same frozen blocks; a
+    lost executor then fails the query loudly instead of recomputing a
+    differently-sampled partitioning silently. Blocks are freed by the
+    ContextCleaner once the result is garbage-collected.
     """
     parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
-    ).withColumn("_pid", F.spark_partition_id())
+        (
+            df.repartitionByRange(num_partitions, *order_cols)
+            if num_partitions
+            else df.repartitionByRange(*order_cols)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = {
         r["_pid"]: r["n"]
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -144,12 +161,22 @@ def global_cumsum(
     add broadcast per-partition prefix totals. Identical to the global
     window when the order keys are unique. One small driver job for
     the per-partition totals (a few numbers per partition).
+
+    As in ``global_row_number``, the sampled range partitioning is
+    pinned with an eager ``localCheckpoint`` so the totals job and the
+    final join see ONE fixed row→partition assignment (two independent
+    executions of ``repartitionByRange`` may sample different
+    boundaries, silently corrupting every downstream running sum).
     """
     parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
-    ).withColumn("_pid", F.spark_partition_id())
+        (
+            df.repartitionByRange(num_partitions, *order_cols)
+            if num_partitions
+            else df.repartitionByRange(*order_cols)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     totals = {
         r["_pid"]: r["s"]
         for r in parts.groupBy("_pid")

@@ -296,6 +296,32 @@ def test_global_cumsum_matches_single_window(spark):
     assert "SinglePartition" not in _executed_plan(got)
 
 
+def test_two_phase_partitioning_is_pinned(spark):
+    """``repartitionByRange`` samples its boundaries with a
+    per-execution seed, so if the offsets/totals job and the final
+    result job each executed their own range exchange they could place
+    rows in different partitions — per-partition offsets applied to the
+    wrong partitioning silently corrupts every row number / running sum
+    (small fixtures can't catch it: sampling degenerates to a full
+    scan). The implementation pins the partitioning with an eager
+    localCheckpoint, so the result plan reads the frozen blocks and
+    contains NO live range exchange that could re-sample."""
+    from firebolt_spark.functions import global_cumsum, global_row_number
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 2654435761 % 20000).alias("k"), F.lit(1).alias("v")
+    )
+    for out in (
+        global_row_number(df, ["k"], num_partitions=16),
+        global_cumsum(df, "v", ["k"], out_col="c", num_partitions=16),
+    ):
+        plan = _executed_plan(out)
+        assert "rangepartitioning" not in plan.lower()
+        # numbering is still dense 1..N / running sum still totals N
+        n = out.count()
+        assert n == 20000
+
+
 def test_pack_shards_budget_property(spark):
     """Every shard's token total stays under budget + its last doc
     (greedy overrun bound), shard ids are contiguous from 0, and docs
