@@ -10,9 +10,10 @@ text format and, optionally, serves them over a stdlib HTTP server —
 no client library needed, the text format is the contract.
 
 Derived counters: ``received`` for a node is its parent's success count
-(the source's row count for roots) and ``filtered`` is
-``received - success - error`` — the events a filter-style node dropped
-without erroring, exactly the reference's Filtered semantics
+(the source's row count for roots; for an ERROR HANDLER, the parent's
+error count — handlers consume the dead-letter stream) and ``filtered``
+is ``received - success - error`` — the events a filter-style node
+dropped without erroring, exactly the reference's Filtered semantics
 (node/node.go: a nil return counts as filtered).
 """
 
@@ -36,23 +37,30 @@ _HELP = {
 }
 
 
-def _parents(pipeline: Pipeline | None) -> dict[str, str | None]:
-    """node_id → parent node_id (None for roots); error handlers parent
-    to the node whose dead letters they consume."""
+def _parents(
+    pipeline: Pipeline | None,
+) -> tuple[dict[str, str | None], set[str]]:
+    """node_id → parent node_id (None for roots), plus the set of ids
+    that are error handlers — a handler parents to the node whose dead
+    letters it consumes, and its received count must be derived from
+    that parent's ERROR count (the dead-letter stream), not its success
+    count like an ordinary child."""
     out: dict[str, str | None] = {}
+    handlers: set[str] = set()
     if pipeline is None:
-        return out
+        return out, handlers
 
     def walk(rt, parent_id):
         out[rt.id] = parent_id
         if rt.error_handler is not None:
             out[rt.error_handler.id] = rt.id
+            handlers.add(rt.error_handler.id)
         for child in rt.children:
             walk(child, rt.id)
 
     for root in pipeline.roots:
         walk(root, None)
-    return out
+    return out, handlers
 
 
 def prometheus_exposition(
@@ -65,7 +73,7 @@ def prometheus_exposition(
     With ``pipeline`` given, received/filtered are derived from the node
     tree; without it only the directly-tracked counters are emitted.
     """
-    parents = _parents(pipeline)
+    parents, handlers = _parents(pipeline)
 
     def received(node_id: str) -> int | None:
         if node_id not in parents:
@@ -73,7 +81,14 @@ def prometheus_exposition(
         parent = parents[node_id]
         if parent is None:
             return metrics.rows_in
-        return metrics.nodes[parent].success if parent in metrics.nodes else None
+        if parent not in metrics.nodes:
+            return None
+        parent_counts = metrics.nodes[parent]
+        # an error handler consumes its parent's dead letters, so it
+        # receives the parent's error count, not its success count
+        return (
+            parent_counts.error if node_id in handlers else parent_counts.success
+        )
 
     lines: list[str] = []
 

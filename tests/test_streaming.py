@@ -116,6 +116,10 @@ nodes:
       - name: raise_when
         id: validate
         params: {predicate: "tag = 'bad'", message: "'boom'"}
+        error_handler:
+          name: error_kafka_producer
+          id: dlq
+          params: {topic: errors}
 """
     )
     tags = ["skip"] * 3 + ["bad"] * 7 + ["ok"] * 90
@@ -134,6 +138,12 @@ nodes:
     assert 'fb_node_received_events_total{node_id="validate"} 97' in text
     assert 'fb_node_failed_events_total{node_id="validate"} 7' in text
     assert 'fb_node_processed_events_total{node_id="validate"} 90' in text
+    # the error handler consumes validate's DEAD LETTERS: it receives
+    # the parent's 7 errors (not its 90 successes), processes all 7,
+    # and filters none
+    assert 'fb_node_received_events_total{node_id="dlq"} 7' in text
+    assert 'fb_node_processed_events_total{node_id="dlq"} 7' in text
+    assert 'fb_node_filtered_events_total{node_id="dlq"} 0' in text
 
     # and the /metrics endpoint serves the same text
     import urllib.request
