@@ -80,6 +80,13 @@ def main() -> None:
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # free operator-persisted intermediates (minhash signatures,
+            # simhash fingerprints, signed corpora) between runs: Spark's
+            # CacheManager matches cached plan fragments, so without this
+            # runs 2..N of the dedup queries partially reuse run 1's
+            # cached tables and min-of-N reports warm-cache times instead
+            # of the query's real cost (see PERF.md round-3 note)
+            spark.catalog.clearCache()
         if best is not None:
             timings[name] = round(best, 3)
 

@@ -21,6 +21,34 @@ from pyspark.sql.window import Window
 from firebolt_spark.errors import split_errors as dead_letter_split  # noqa: F401
 
 
+def track_persisted(result: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Attach the persisted inputs that back ``result`` so callers can
+    free them once the result is materialized (the operator-function
+    analogue of ``PipelineResult.persisted``).
+
+    Operators that persist an intermediate (minhash signatures, simhash
+    fingerprints, signed embedding corpora) return a lazy DataFrame that
+    still references the cached blocks, so they cannot unpersist before
+    returning; without a release path the blocks accumulate — one leak
+    per bench run or per micro-batch. Handles ride on the returned
+    DataFrame object; derived DataFrames don't inherit them, so release
+    at the point the operator output is consumed.
+    """
+    held = list(getattr(result, "_persisted_inputs", []))
+    result._persisted_inputs = held + list(handles)
+    return result
+
+
+def release(*dfs: DataFrame) -> None:
+    """Unpersist every cached input attached via ``track_persisted``.
+    Call after materializing an operator's result (collect/write)."""
+    for df in dfs:
+        for h in getattr(df, "_persisted_inputs", ()):
+            h.unpersist()
+        if hasattr(df, "_persisted_inputs"):
+            df._persisted_inputs = []
+
+
 def newest_per_key(
     df: DataFrame,
     keys: list[str],

@@ -28,10 +28,40 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_MINHASH = 8          # minhash permutations
 N_BANDS = 4            # LSH bands (rows per band = N_MINHASH // N_BANDS)
 SIMHASH_BITS = 64      # simhash dimensions (packed into one BIGINT)
+
+
+def cap_bucket_size(
+    df: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Degenerate-bucket guard for LSH band self-joins (the band-join
+    analogue of ``max_df``): drop every row of any bucket holding more
+    than ``max_bucket`` members BEFORE the self-join.
+
+    A bucket with b members contributes b² candidate pairs to ONE join
+    key — a boilerplate-heavy corpus (1M identical license headers) puts
+    its whole clone set in one bucket and melts a single reducer. Rows
+    in capped buckets are dropped, not salted: such buckets are
+    near-duplicate *cliques*, so the candidate set they would generate
+    is quadratic by construction and is better handled by exact dedup
+    first (the curation pipeline runs exact dedup upstream).
+
+    Implemented as a window count over the bucket keys — one shuffle on
+    exactly the keys the following self-join uses, so the exchange is
+    reused, not added. ``None`` disables the cap (exact semantics).
+    """
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
 
 
 def tokens(col: Column | str = "text") -> Column:
@@ -122,6 +152,7 @@ def minhash_candidate_pairs(
     k: int = N_MINHASH,
     bands: int = N_BANDS,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via minhash-LSH with estimated
     Jaccard = fraction of agreeing minhashes.
@@ -132,9 +163,12 @@ def minhash_candidate_pairs(
     is a broadcast-or-shuffle join on doc_id of a k-column table. The
     signature table feeds three consumers (bands + both scoring sides),
     so it is persisted — at 100 TB it would be a checkpointed table.
+
+    ``max_bucket`` (see ``cap_bucket_size``) drops degenerate band
+    buckets before the self-join — at 100 TB always set it.
     """
     sig = minhash_signatures(docs, text_col, k).persist()
-    b = lsh_bands(sig, k, bands)
+    b = cap_bucket_size(lsh_bands(sig, k, bands), ["band", "band_hash"], max_bucket)
     cand = (
         b.alias("a")
         .join(
@@ -157,7 +191,9 @@ def minhash_candidate_pairs(
             for j in range(k)
         ],
     )
-    return (
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
         cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
         .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
         .select(
@@ -165,7 +201,8 @@ def minhash_candidate_pairs(
             "doc_b",
             (matches / F.lit(float(k))).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("est_jaccard") >= threshold),
+        sig,
     )
 
 
@@ -195,12 +232,21 @@ def ngram_jaccard_pairs(
     sh = shingle_table(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
-        n_docs = docs.select("doc_id").count()
-        cap = max(int(max_df * n_docs), 1)
+        # corpus size as an in-plan scalar (1-row aggregate broadcast
+        # into the document-frequency filter) — no separate driver-side
+        # count() job per invocation, the cap resolves inside the same
+        # execution (mirrors the oracle's scalar subquery)
+        n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > cap)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("df")
+                > F.greatest(
+                    F.floor(F.lit(float(max_df)) * F.col("_n_docs")), F.lit(1)
+                )
+            )
             .select("sh")
         )
         # broadcast anti-join: the hot-shingle list is tiny by definition
@@ -543,7 +589,10 @@ def simhash_blocks(
 
 
 def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
@@ -554,9 +603,18 @@ def simhash_pairs(
     equi-join keys make this a shuffled hash join whose cost tracks
     bucket density, not |corpus|². The fingerprint table is persisted
     once and feeds all blocks.
+
+    ``max_bucket`` (see ``cap_bucket_size``) drops degenerate
+    (block, block_val) buckets before the self-join; with it set the
+    pigeonhole completeness guarantee no longer covers pairs inside
+    capped buckets — run exact dedup upstream. At 100 TB always set it.
     """
     s = simhash(docs, text_col).persist()
-    blk = simhash_blocks(s, n_blocks=max_hamming + 1)
+    blk = cap_bucket_size(
+        simhash_blocks(s, n_blocks=max_hamming + 1),
+        ["block", "block_val"],
+        max_bucket,
+    )
     a, b = blk.alias("a"), blk.alias("b")
     cand = (
         a.join(
@@ -572,4 +630,6 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(cand.filter(F.col("hamming") <= max_hamming), s)

@@ -255,6 +255,7 @@ def embedding_near_dups(
     planes: int = NEAR_DUP_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidates.
 
@@ -269,15 +270,22 @@ def embedding_near_dups(
     is an equi-join on ``sig`` whose cost tracks bucket density, never
     |corpus|². At 100 TB: write the corpus bucketed by ``sig`` and the
     join is co-located; raise ``planes`` to keep buckets small.
+
+    ``max_bucket`` drops degenerate sig buckets before the self-join
+    (the band-join analogue of ngram's ``max_df``; see
+    ``dedup.cap_bucket_size``) — at 100 TB always set it.
     """
+    from firebolt_spark.operators.dedup import cap_bucket_size
+
     # persist: the signature is planes×dim multiply-adds per row and
     # feeds BOTH sides of the self-join — compute it once (at 100 TB,
     # write the signed corpus bucketed by sig instead)
-    with_sig = (
+    with_sig = cap_bucket_size(
         embeddings.withColumn("sig", lsh_signature(vec_col, planes))
-        .withColumn("_norm", norm(vec_col))
-        .persist()
-    )
+        .withColumn("_norm", norm(vec_col)),
+        ["sig"],
+        max_bucket,
+    ).persist()
     a, b = with_sig.alias("a"), with_sig.alias("b")
     cos = F.round(
         F.expr(
@@ -288,7 +296,9 @@ def embedding_near_dups(
         / (F.col("a._norm") * F.col("b._norm")),
         4,
     )
-    return (
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
@@ -299,7 +309,8 @@ def embedding_near_dups(
             F.col(f"b.{id_col}").alias("vec_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("cos_sim") >= threshold),
+        with_sig,
     )
 
 
@@ -317,14 +328,25 @@ def ann_lsh_topk(
     Recall depends on planes/probes; tested against the brute-force
     baseline in tests. At 100 TB the corpus would be bucketed/bucketBy
     on sig so each query reads one bucket.
+
+    Norms are computed ONCE per row on the signed corpus (carried as
+    ``_norm``, like ``embedding_near_dups``) rather than per candidate
+    pair in the post-join projection — O(dim) per row, not per pair —
+    and the signed corpus is persisted because it feeds both the query
+    lookup and the probe side.
     """
-    with_sig = embeddings.withColumn("sig", lsh_signature(vec_col, planes))
+    with_sig = (
+        embeddings.withColumn("sig", lsh_signature(vec_col, planes))
+        .withColumn("_norm", norm(vec_col))
+        .persist()
+    )
     q = (
         with_sig.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.col("sig").alias("q_sig"),
+            F.col("_norm").alias("q_norm"),
         )
     )
     cand = with_sig.join(
@@ -332,12 +354,17 @@ def ann_lsh_topk(
         (F.col("sig") == F.col("q_sig")) & (F.col(id_col) != F.col("query_id")),
     )
     cos = F.round(
-        dot_fold(vec_col, "q_vec") / (norm(vec_col) * norm("q_vec")), 4
+        dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
     ).alias("cos_sim")
     scored = cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
+        scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        ),
+        with_sig,
     )

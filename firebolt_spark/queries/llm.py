@@ -83,17 +83,37 @@ _MATCH_SUM = " + ".join(
     f"(CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
 )
 
+# Hot-bucket caps for the three LSH band self-joins (the band-join
+# analogue of max_df — see dedup.cap_bucket_size). Values are chosen to
+# be a NO-OP at every tested scale (max observed bucket sizes at sf0.1:
+# minhash 11, simhash 291, embedding-sig 20) so the oracle checks the
+# cap MECHANISM while the declared results stay exact; a production run
+# sets them from the reducer memory budget.
+_MAX_BUCKET_BANDS = 1000
+_MAX_BUCKET_SIMHASH = 10000
+_MAX_BUCKET_SIG = 1000
+
+# band buckets with the degenerate-bucket cap applied (QUALIFY mirrors
+# Spark's window-count filter in cap_bucket_size)
+_BANDSC_SQL = (
+    f"SELECT * FROM bands QUALIFY "
+    f"count(*) OVER (PARTITION BY band, bh) <= {_MAX_BUCKET_BANDS}"
+)
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_candidate_pairs(_documents(spark, sf_dir))
+    return dedup.minhash_candidate_pairs(
+        _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_BANDS
+    )
 
 
 Q_DEDUP_MINHASH_SQL = f"""
     WITH {_SHINGLE_SQL},
     mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS ({_BANDS_SQL}),
+    bandsc AS ({_BANDSC_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
+             FROM bandsc a JOIN bandsc b
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, ({_MATCH_SUM}) / {float(N_MINHASH)} AS est_jaccard
     FROM cand
@@ -108,7 +128,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-LSH pairs, via alternating large-star/small-star (O(log n)
     rounds regardless of component diameter — the 100 TB-safe choice).
     Oracle: recursive-CTE transitive closure."""
-    pairs = dedup.minhash_candidate_pairs(_documents(spark, sf_dir))
+    pairs = dedup.minhash_candidate_pairs(
+        _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_BANDS
+    )
     return dedup.dedup_clusters_star(pairs)
 
 
@@ -197,15 +219,38 @@ Q_DEDUP_SIMHASH_SQL = f"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_documents(spark, sf_dir))
+    return dedup.simhash_pairs(
+        _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_SIMHASH
+    )
 
+
+# The oracle mirrors the pigeonhole MECHANISM, not just its result: the
+# 64-bit fingerprint splits into 4 16-bit blocks, candidates share an
+# uncapped (block, block_val) bucket (QUALIFY = cap_bucket_size), and
+# bit_count(xor) verifies true distance — so the block decomposition
+# and the degenerate-bucket cap are both checked. With the cap a no-op
+# (test scales), this equals the all-pairs hamming<=3 semantics by the
+# pigeonhole principle.
+_SIM_BLOCKS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS block, "
+    f"(simhash >> {16 * b}) & 65535 AS block_val FROM sh2"
+    for b in range(4)
+)
 
 Q_DEDUP_SIMHASH_PAIRS_SQL = f"""
-    WITH {_SIMHASH_CTE}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WITH {_SIMHASH_CTE},
+    blks AS ({_SIM_BLOCKS_SQL}),
+    blkc AS (SELECT * FROM blks QUALIFY
+             count(*) OVER (PARTITION BY block, block_val) <= {_MAX_BUCKET_SIMHASH}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+             FROM blkc a JOIN blkc b
+               ON a.block = b.block AND a.block_val = b.block_val
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 
@@ -251,16 +296,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the identical signature, so the bucket-restricted
     semantics — the scale-safe shape — is itself what's checked."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=_NEAR_DUP_THRESHOLD)
+    return similarity.embedding_near_dups(
+        emb, threshold=_NEAR_DUP_THRESHOLD, max_bucket=_MAX_BUCKET_SIG
+    )
 
 
 Q_DEDUP_EMBEDDING_SQL = f"""
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, embedding,
                CAST(({_DUCK_SIG}) AS INTEGER) AS sig,
                {_DUCK_NORM} AS nrm
         FROM embeddings
-    )
+    ),
+    e AS (SELECT * FROM e0 QUALIFY
+          count(*) OVER (PARTITION BY sig) <= {_MAX_BUCKET_SIG})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(({_DUCK_DOT_AB}) / (a.nrm * b.nrm), 4) AS cos_sim
     FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
@@ -552,7 +601,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     drop_near = (
-        dedup.minhash_candidate_pairs(docs, threshold=0.9)
+        dedup.minhash_candidate_pairs(
+            docs, threshold=0.9, max_bucket=_MAX_BUCKET_BANDS
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -580,8 +631,9 @@ Q_CORPUS_CURATION_SQL = f"""
            FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
     mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS ({_BANDS_SQL}),
+    bandsc AS ({_BANDSC_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
+             FROM bandsc a JOIN bandsc b
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
     drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM cand
                   JOIN mh x ON x.doc_id = doc_a

@@ -120,6 +120,98 @@ def test_ngram_jaccard_max_df_collapses_hot_shingle_pairs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped_rows} == {(100, 101)}
 
 
+def test_ngram_max_df_cap_resolves_in_plan_not_driver(spark):
+    """VERDICT r2 #6: the max_df cap used to run a separate
+    docs.count() DRIVER action at plan-construction time — one extra
+    scan per invocation. It is now a 1-row in-plan aggregate, so merely
+    building the DataFrame launches zero Spark jobs."""
+    from firebolt_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i}") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = ngram_jaccard_pairs(docs, max_df=0.5)  # construction only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction must not launch jobs"
+    assert df.count() >= 0  # and the capped query still executes
+
+
+def test_hot_bucket_cap_kills_degenerate_band_joins(spark):
+    """Degenerate-bucket guard (VERDICT r2 #3): 1k identical docs land
+    in ONE (band, bucket) key, so the uncapped self-join materializes
+    ~500k pairs on a single reducer. With max_bucket the bucket is
+    dropped before the join: zero candidate pairs from the clone set,
+    while distinct docs keep pairing normally."""
+    from firebolt_spark.operators import dedup
+
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text forever").alias("text"),
+    )
+    assert dedup.minhash_candidate_pairs(clones, max_bucket=100).count() == 0
+    assert dedup.simhash_pairs(clones, max_bucket=100).count() == 0
+
+    # uncapped control on a small clone slice: the quadratic blow-up is
+    # real (n=60 → 1770 pairs per mechanism)
+    small = clones.filter(F.col("doc_id") < 60)
+    assert dedup.minhash_candidate_pairs(small).count() == 60 * 59 // 2
+    assert dedup.simhash_pairs(small).count() == 60 * 59 // 2
+
+    # embedding analogue: identical vectors share the full signature
+    clone_vecs = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d % 7) - 3.0) for d in range(64)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    assert (
+        similarity.embedding_near_dups(
+            clone_vecs, threshold=0.9, max_bucket=100
+        ).count()
+        == 0
+    )
+    small_vecs = clone_vecs.filter(F.col("vec_id") < 60)
+    assert (
+        similarity.embedding_near_dups(small_vecs, threshold=0.9).count()
+        == 60 * 59 // 2
+    )
+
+
+def test_bucket_cap_noop_preserves_exact_results(spark, sf_dir):
+    """The declared-query caps must be no-ops at test scale: capped and
+    uncapped minhash pairs agree exactly on the fixture corpus (the
+    oracle run then checks the capped SQL against the capped Spark)."""
+    from firebolt_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = set(
+        map(tuple, dedup.minhash_candidate_pairs(docs, max_bucket=1000).collect())
+    )
+    uncapped = set(map(tuple, dedup.minhash_candidate_pairs(docs).collect()))
+    assert capped == uncapped
+
+
+def test_release_frees_operator_caches(spark, sf_dir):
+    """track_persisted/release (ADVICE r2): the persisted intermediates
+    backing simhash_pairs / embedding_near_dups are freed on release —
+    no cached-block accumulation across bench runs or micro-batches."""
+    from firebolt_spark.functions import release
+
+    from firebolt_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    pairs = dedup.simhash_pairs(docs)
+    pairs.count()
+    handles = pairs._persisted_inputs
+    assert handles and all(h.storageLevel.useMemory for h in handles)
+    release(pairs)
+    assert all(not h.storageLevel.useMemory for h in handles)
+    assert pairs._persisted_inputs == []
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_media(docs)
