@@ -191,22 +191,23 @@ class SqlNode:
 
     Params: statement (required) — SQL text referencing ``{view}`` or
     the literal view name 'input'; view (default 'input').
-    """
 
-    _counter = 0
+    The input is registered under the user-supplied view name itself —
+    no textual rewriting of the statement (a regex rewrite corrupted
+    string literals containing the view name, VERDICT r2 #5). The only
+    substitution is the exact ``{view}`` placeholder. ``spark.sql``
+    analyzes eagerly, binding the view's plan at call time, so a later
+    node re-registering the same name cannot retroactively change this
+    node's result.
+    """
 
     def __init__(self, params: dict[str, Any]):
         self.statement = params["statement"]
         self.view = params.get("view", "input")
 
     def transform(self, df: DataFrame) -> DataFrame:
-        import re
-
-        SqlNode._counter += 1
-        name = f"_fb_sql_{SqlNode._counter}_{self.view}"
-        df.createOrReplaceTempView(name)
-        stmt = self.statement.replace("{view}", name)
-        stmt = re.sub(rf"\b{re.escape(self.view)}\b", name, stmt)
+        df.createOrReplaceTempView(self.view)
+        stmt = self.statement.replace("{view}", self.view)
         return df.sparkSession.sql(stmt)
 
 
@@ -261,7 +262,17 @@ class DocBuilderNode:
         else:
             from firebolt_spark.functions import global_row_number
 
-            df = global_row_number(df, [self.branch_col], out_col="_rn")
+            # global_row_number is deterministic only for unique order
+            # keys; branch_col alone isn't unique, so tiebreak on a
+            # digest of the full row — numbering is then stable across
+            # runs/retries up to permutations of bit-identical rows
+            # (which yield the same output set either way)
+            df = df.withColumn(
+                "_tb", F.md5(F.to_json(F.struct(*df.columns)))
+            )
+            df = global_row_number(
+                df, [self.branch_col, "_tb"], out_col="_rn"
+            ).drop("_tb")
             doc_id = F.concat(
                 F.col("_rn").cast("string"), F.lit(":"), b.cast("string")
             )

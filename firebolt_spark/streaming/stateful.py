@@ -61,6 +61,40 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT"
 
 
+def fold_session(
+    ts: list[int],
+    start: int,
+    last: int | None,
+    n: int,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """Pure session fold (unit-testable core of ``sessionize``): fold
+    sorted timestamps into the open (start, last, n) state. Returns
+    (closed_sessions, open_state).
+
+    Late-data policy: an event within ``gap_us`` of ``last`` is counted
+    into the open session WITHOUT rewinding ``last``; an event older
+    than ``last - gap_us`` is dropped (its horizon already closed).
+    """
+    closed: list[tuple[int, int, int]] = []
+    for t in ts:
+        if last is None:
+            last = t
+        elif t < last - gap_us:
+            # too late: older than the closed-gap horizon — drop
+            # instead of silently rewinding the open session
+            continue
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start, n = t, 0
+            last = t
+        else:
+            # in-gap late event: count it, never rewind session_end
+            last = max(last, t)
+        n += 1
+    return closed, (start, last, n)
+
+
 def sessionize(
     sdf: DataFrame,
     key_col: str = "key",
@@ -83,6 +117,13 @@ def sessionize(
     counters, early snapshots). State is one (start, last, n) triple
     per key in the state store — keys, not events, bound memory; the
     shuffle is the same hash-by-key as any groupBy.
+
+    Late-data policy (there is no watermark on this path): an event
+    arriving out of order but within ``gap_seconds`` of the open
+    session's end is counted into it WITHOUT rewinding ``session_end``;
+    an event older than ``session_end - gap_seconds`` is dropped — it
+    belongs to a session horizon that has already closed, and merging
+    it would silently rewind the open session.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -115,13 +156,8 @@ def sessionize(
             start, last, n = state.get
         else:
             start, last, n = ts[0], None, 0
-        out = []
-        for t in ts:
-            if last is not None and t - last > gap_us:
-                out.append(row(start, last, n, True))
-                start, n = t, 0
-            last = t
-            n += 1
+        closed, (start, last, n) = fold_session(ts, start, last, n, gap_us)
+        out = [row(s, e, c, True) for (s, e, c) in closed]
         state.update((start, last, n))
         state.setTimeoutDuration(idle_timeout_ms)
         out.append(row(start, last, n, False))

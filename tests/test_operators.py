@@ -102,6 +102,35 @@ def test_sql_node_full_relational_surface(spark):
     assert got == {("a", 3), ("b", 5)}
 
 
+def test_sql_node_view_name_in_string_literal_untouched(spark):
+    """VERDICT r2 #5: the old bare-word regex rewrite corrupted string
+    literals containing the view name. The view is now registered under
+    the user's name — literals pass through verbatim."""
+    df = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    node = SqlNode(
+        {
+            "statement": "SELECT k, 'from input table' AS src, v "
+            "FROM input WHERE k = 'a'",
+            "view": "input",
+        }
+    )
+    rows = node.transform(df).collect()
+    assert [(r["k"], r["src"], r["v"]) for r in rows] == [("a", "from input table", 1)]
+
+
+def test_sql_node_eager_binding_across_nodes(spark):
+    """Two SqlNodes sharing a view name must not cross-contaminate:
+    spark.sql analyzes eagerly, binding each node's input at call time."""
+    d1 = spark.createDataFrame([(1,)], "v INT")
+    d2 = spark.createDataFrame([(100,)], "v INT")
+    n1 = SqlNode({"statement": "SELECT sum(v) AS s FROM input"})
+    n2 = SqlNode({"statement": "SELECT sum(v) AS s FROM input"})
+    out1 = n1.transform(d1)
+    out2 = n2.transform(d2)  # re-registers 'input'
+    assert out1.first()["s"] == 1
+    assert out2.first()["s"] == 100
+
+
 LLM_PIPELINE = """
 application: corpus
 source:

@@ -489,6 +489,30 @@ def test_tracker_merge_and_cancel(spark, tmp_path):
     assert tracker.pending() == []
 
 
+def test_session_fold_late_data_policy():
+    """ADVICE r2: a cross-batch late event must never rewind the open
+    session. In-gap late events count without moving session_end;
+    events older than the closed-gap horizon are dropped."""
+    from firebolt_spark.streaming.stateful import fold_session
+
+    gap = 30_000_000  # 30 s in us
+    # open session state: start=100s, last=200s, 5 events
+    start, last, n = 100_000_000, 200_000_000, 5
+
+    # in-gap late event (185 s): counted, session_end stays 200 s
+    closed, (s2, l2, n2) = fold_session([185_000_000], start, last, n, gap)
+    assert closed == [] and (s2, l2, n2) == (start, 200_000_000, 6)
+
+    # too-late event (150 s < last - gap): dropped entirely
+    closed, (s3, l3, n3) = fold_session([150_000_000], start, last, n, gap)
+    assert closed == [] and (s3, l3, n3) == (start, last, n)
+
+    # normal gap close still works: 300 s closes, opens a new session
+    closed, (s4, l4, n4) = fold_session([300_000_000], start, last, n, gap)
+    assert closed == [(start, last, n)]
+    assert (s4, l4, n4) == (300_000_000, 300_000_000, 1)
+
+
 def test_stateful_sessionize_gap_and_cross_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: a key's events split into
     sessions at event-time gaps; state carries the open session across
