@@ -639,3 +639,80 @@ nodes:
     run_until(20)  # restart from the same checkpoint
     # f1 was NOT reprocessed; f2 arrived exactly once
     assert sorted(seen) == list(range(20))
+
+
+def test_mid_batch_crash_replays_batch_to_idempotent_sink(spark, tmp_path):
+    """VERDICT r2 #7 (no broker in this sandbox, so the kill is a sink
+    crash between writes): the sink dies MID-BATCH after a partial
+    write; a new runner restarts from the same checkpoint. The batch
+    must replay — its offsets were never committed — with the SAME
+    batch_id, and an idempotent upsert sink converges to exactly-once
+    effect: every row present once, no duplicates, no loss."""
+    import time as _time
+
+    src_dir = tmp_path / "crash_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "crash_ckpt")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "event_id BIGINT"
+    ).coalesce(1).write.parquet(str(src_dir / "f1"))
+
+    yaml_text = """
+application: midbatch-crash
+source:
+  name: file
+  params: {path: "%(path)s", format: parquet, schema: "event_id BIGINT",
+           streaming: true, options: {maxFilesPerTrigger: 1}}
+nodes:
+  - name: project
+    id: out
+    params: {exprs: ["event_id"]}
+"""
+    store: dict[int, int] = {}  # event_id -> batch_id (idempotent upsert)
+    deliveries: list[tuple[int, int]] = []  # every (batch_id, event_id) attempt
+    crashed = {"done": False}
+
+    def sink(df, batch_id):
+        rows = sorted(r["event_id"] for r in df.select("event_id").collect())
+        for i, ev in enumerate(rows):
+            if not crashed["done"] and i == len(rows) // 2:
+                crashed["done"] = True
+                raise RuntimeError("simulated mid-batch crash")
+            store[ev] = batch_id
+            deliveries.append((batch_id, ev))
+
+    def start_runner():
+        pipeline = Pipeline.from_yaml(yaml_text % {"path": f"{src_dir}/*"})
+        runner = StreamingPipelineRunner(
+            pipeline, sinks={"out": sink}, checkpoint_dir=ckpt
+        )
+        return runner.start(
+            spark, trigger={"processingTime": "1 second"}, query_name="t-crash"
+        )
+
+    # attempt 1: crashes mid-batch, offsets never committed
+    q = start_runner()
+    deadline = _time.monotonic() + 45
+    while _time.monotonic() < deadline and q.exception() is None:
+        _time.sleep(0.5)
+    assert q.exception() is not None, "sink crash must fail the query"
+    q.stop()
+    assert 0 < len(store) < 10  # the partial write really happened
+
+    # attempt 2: same checkpoint — the uncommitted batch replays
+    q = start_runner()
+    try:
+        deadline = _time.monotonic() + 45
+        while _time.monotonic() < deadline and len(store) < 10:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # exactly-once effect: all rows present, none lost, none duplicated
+    assert sorted(store) == list(range(10))
+    # the replay really was a redelivery (some rows delivered twice)...
+    redelivered = len(deliveries) - len(set(deliveries))
+    assert redelivered > 0
+    # ...and it carried the SAME batch_id, the key an idempotent
+    # overwrite-by-batch sink (e.g. partitioned parquet rewrite) needs
+    assert len({b for b, _ in deliveries}) == 1
