@@ -101,6 +101,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 30,
     idle_timeout_ms: int = 60_000,
+    emit_policy: str = "snapshot",
 ) -> DataFrame:
     """Per-key event-time sessionization with cross-batch state.
 
@@ -124,8 +125,21 @@ def sessionize(
     an event older than ``session_end - gap_seconds`` is dropped — it
     belongs to a session horizon that has already closed, and merging
     it would silently rewind the open session.
+
+    ``emit_policy`` controls early emission of OPEN sessions:
+
+    - ``"snapshot"`` (default): every batch that touches a key also
+      emits its open session as a ``closed=false`` row — update-mode
+      consumers (dashboards) always see the live session.
+    - ``"closed_only"``: only closed sessions are emitted — append-like
+      consumption with no retractions to reconcile, and the smallest
+      output volume (the 100 TB default: one row per session, ever).
     """
     gap_us = gap_seconds * 1_000_000
+    if emit_policy not in ("snapshot", "closed_only"):
+        raise ValueError(
+            f"emit_policy must be 'snapshot' or 'closed_only', got {emit_policy!r}"
+        )
 
     def update(
         key: Tuple[str],
@@ -160,8 +174,10 @@ def sessionize(
         out = [row(s, e, c, True) for (s, e, c) in closed]
         state.update((start, last, n))
         state.setTimeoutDuration(idle_timeout_ms)
-        out.append(row(start, last, n, False))
-        yield pd.DataFrame(out)
+        if emit_policy == "snapshot":
+            out.append(row(start, last, n, False))
+        if out:
+            yield pd.DataFrame(out)
 
     keyed = sdf.select(
         F.col(key_col).cast("string").alias("key"),

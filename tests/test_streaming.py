@@ -489,6 +489,57 @@ def test_tracker_merge_and_cancel(spark, tmp_path):
     assert tracker.pending() == []
 
 
+def test_sessionize_closed_only_emits_no_snapshots(spark, tmp_path):
+    """emit_policy='closed_only': open sessions are never emitted —
+    append-like consumption, one row per session ever."""
+    import time as _time
+
+    from firebolt_spark.streaming.stateful import sessionize
+
+    src_dir = tmp_path / "sess_co"
+    src_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:05:00")],
+        "k STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    sdf = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out = sessionize(
+        sdf, key_col="k", ts_col="ts", gap_seconds=30,
+        emit_policy="closed_only",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_co")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_co"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 30
+        closed = []
+        while _time.monotonic() < deadline and not closed:
+            closed = spark.sql("SELECT * FROM sess_co WHERE closed").collect()
+            _time.sleep(0.5)
+        # the 5-min gap between the two events closes session 1
+        assert len(closed) == 1 and closed[0]["n_events"] == 1
+        # and NO open-session snapshot was ever emitted
+        assert spark.sql("SELECT * FROM sess_co WHERE NOT closed").count() == 0
+    finally:
+        q.stop()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="emit_policy"):
+        sessionize(sdf, emit_policy="bogus")
+
+
 def test_session_fold_late_data_policy():
     """ADVICE r2: a cross-batch late event must never rewind the open
     session. In-gap late events count without moving session_end;
