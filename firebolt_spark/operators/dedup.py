@@ -34,6 +34,17 @@ N_MINHASH = 8          # minhash permutations
 N_BANDS = 4            # LSH bands (rows per band = N_MINHASH // N_BANDS)
 SIMHASH_BITS = 64      # simhash dimensions (packed into one BIGINT)
 
+# Universal-hash minhash family: h_j(s) = (A_j * h32(s) + B_j) mod P,
+# where h32 is the first 8 hex digits of md5(s) as an unsigned 32-bit
+# int. ONE md5 per shingle instead of k — the classic single-hash +
+# k-permutations construction. P < 2^30 keeps A_j * h32 < 2^62: no
+# int64 overflow in Spark OR DuckDB (DuckDB raises on overflow, so this
+# bound is load-bearing for oracle parity).
+MH_PRIME = 1073741789  # prime < 2^30
+MH_A = [(2654435761 * (j + 1) + 40503) % MH_PRIME for j in range(N_MINHASH)]
+MH_B = [(2246822519 * (j + 1) + 3266489917) % MH_PRIME for j in range(N_MINHASH)]
+assert all(a != 0 for a in MH_A)
+
 
 def cap_bucket_size(
     df: DataFrame, keys: list[str], max_bucket: int | None
@@ -118,15 +129,44 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
 ) -> DataFrame:
-    """Wide minhash signature per doc: h0..h{k-1} = min over shingles of
-    md5(shingle || '#' || perm). One shuffle (groupBy doc_id); signature
-    width is k * 32 bytes regardless of document size."""
-    sh = shingle_table(docs, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+    """Wide minhash signature per doc: h0..h{k-1} BIGINT.
+
+    Two deliberate scale choices (round-3 rewrite of the
+    explode+groupBy form):
+
+    - **zero shuffle**: the per-document min runs as
+      ``array_min(transform(...))`` over the row's own shingle array —
+      a pure projection inside whole-stage codegen. The old form
+      exploded every shingle and shuffled O(total shingles) rows into a
+      groupBy; at 100 TB that shuffle IS the job. Result values are
+      identical.
+    - **one md5 per shingle, not k**: shingles hash once to a 32-bit
+      int (first 8 md5 hex digits); the k signature slots are universal
+      hashes ``(A_j*h32 + B_j) mod P`` over that int (constants above,
+      mirrored verbatim in the DuckDB oracle) — arithmetic, not k
+      digests.
+
+    Documents with NULL text produce no signature row (same as the
+    explode form, which dropped them at the explode).
+    """
+    hashed = docs.select(
+        "doc_id", word_shingles(text_col).alias("_sh_arr")
+    ).where(F.col("_sh_arr").isNotNull())
+    hashed = hashed.select(
+        "doc_id",
+        F.expr(
+            "transform(_sh_arr, s -> "
+            "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("_h32"),
+    )
+    cols = [
+        F.expr(
+            f"array_min(transform(_h32, h -> "
+            f"({MH_A[j]}L * h + {MH_B[j]}L) % {MH_PRIME}L))"
+        ).alias(f"h{j}")
         for j in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
@@ -140,7 +180,8 @@ def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -
             signatures.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_hash"),
+                # '#'-separated so (1, 23) and (12, 3) can't collide
+                F.md5(F.concat_ws("#", *cols)).alias("band_hash"),
             )
         )
     return reduce(DataFrame.unionAll, parts)
@@ -519,6 +560,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     Bit 63 is packed via its two's-complement value (adding 2^63 would
     overflow a signed BIGINT; adding -2^63 yields the identical bit
     pattern in both engines).
+
+    Shape note (measured, round 3): explode+groupBy is the RIGHT form
+    here, unlike minhash_signatures. The hash aggregate does map-side
+    partial aggregation, so the shuffle carries one (doc_id, 64 ints)
+    partial row per doc per map partition — not per-token rows — and
+    the 64 conditional sums run in whole-stage-codegen. The per-row
+    ``aggregate()`` higher-order-fold alternative avoids even that
+    shuffle but evaluates interpreted per element: 2.8 s vs 2.2 s at
+    sf0.1, so codegen wins over shuffle avoidance for this op.
     """
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.col("tok")))

@@ -66,15 +66,22 @@ _SHINGLE_SQL = """
            FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))
 """
 
+# single-hash + k universal permutations, mirroring
+# dedup.minhash_signatures verbatim (same MH_A/MH_B/MH_PRIME constants;
+# ('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10) — parity tested)
+_H32_SQL = "(('0x' || substr(md5(sh), 1, 8))::BIGINT)"
 _MH_COLS = ", ".join(
-    f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_MINHASH)
+    f"min(({dedup.MH_A[j]} * {_H32_SQL} + {dedup.MH_B[j]}) % {dedup.MH_PRIME})"
+    f" AS h{j}"
+    for j in range(N_MINHASH)
 )
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
 _BANDS_SQL = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM mh".format(
         b=b,
-        cols="||".join(
-            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        cols=" || '#' || ".join(
+            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
         ),
     )
     for b in range(N_BANDS)
@@ -668,8 +675,9 @@ _NEW_DOCS_SQL = """
 _NEW_BANDS_SQL = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM nmh".format(
         b=b,
-        cols="||".join(
-            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        cols=" || '#' || ".join(
+            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
         ),
     )
     for b in range(N_BANDS)
