@@ -26,45 +26,63 @@ class ExactDedupNode:
 
 
 class MinhashDedupNode:
-    """Params: text_col, threshold (0.5), k (8), bands (4)."""
+    """Params: text_col, threshold (0.5), k (8), bands (4), max_bucket
+    (None — the degenerate-bucket cap; ALWAYS set on real corpora)."""
 
     def __init__(self, params: dict[str, Any]):
         self.text_col = params.get("text_col", "text")
         self.threshold = float(params.get("threshold", 0.5))
         self.k = int(params.get("k", dedup.N_MINHASH))
         self.bands = int(params.get("bands", dedup.N_BANDS))
+        mb = params.get("max_bucket")
+        self.max_bucket = int(mb) if mb is not None else None
 
     def transform(self, df: DataFrame) -> DataFrame:
         return dedup.minhash_candidate_pairs(
-            df, self.text_col, self.k, self.bands, self.threshold
+            df,
+            self.text_col,
+            self.k,
+            self.bands,
+            self.threshold,
+            max_bucket=self.max_bucket,
         )
 
 
 class SimhashNode:
     """Params: text_col; pairs (default False) → emit near-dup pairs
-    instead of per-doc fingerprints; max_hamming (3)."""
+    instead of per-doc fingerprints; max_hamming (3); max_bucket (None
+    — degenerate-bucket cap for the pairs join)."""
 
     def __init__(self, params: dict[str, Any]):
         self.text_col = params.get("text_col", "text")
         self.pairs = bool(params.get("pairs", False))
         self.max_hamming = int(params.get("max_hamming", 3))
+        mb = params.get("max_bucket")
+        self.max_bucket = int(mb) if mb is not None else None
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.pairs:
-            return dedup.simhash_pairs(df, self.text_col, self.max_hamming)
+            return dedup.simhash_pairs(
+                df, self.text_col, self.max_hamming, max_bucket=self.max_bucket
+            )
         return dedup.simhash(df, self.text_col)
 
 
 class NgramJaccardNode:
-    """Params: text_col, n (3), threshold (0.3)."""
+    """Params: text_col, n (3), threshold (0.3), max_df (None — the
+    hot-shingle document-frequency cap; ALWAYS set on real corpora)."""
 
     def __init__(self, params: dict[str, Any]):
         self.text_col = params.get("text_col", "text")
         self.n = int(params.get("n", 3))
         self.threshold = float(params.get("threshold", 0.3))
+        md = params.get("max_df")
+        self.max_df = float(md) if md is not None else None
 
     def transform(self, df: DataFrame) -> DataFrame:
-        return dedup.ngram_jaccard_pairs(df, self.text_col, self.n, self.threshold)
+        return dedup.ngram_jaccard_pairs(
+            df, self.text_col, self.n, self.threshold, max_df=self.max_df
+        )
 
 
 class SimilaritySearchNode:
@@ -167,19 +185,27 @@ class ShardPackNode:
 
 
 class EmbeddingNearDupNode:
-    """Params: threshold (0.9), planes (8), id_col, vec_col. Emits
-    (vec_a, vec_b, cos_sim) near-dup pairs from same-LSH-bucket
-    candidates (operators/similarity.py:embedding_near_dups)."""
+    """Params: threshold (0.9), planes (8), id_col, vec_col, max_bucket
+    (None — degenerate-bucket cap). Emits (vec_a, vec_b, cos_sim)
+    near-dup pairs from same-LSH-bucket candidates
+    (operators/similarity.py:embedding_near_dups)."""
 
     def __init__(self, params: dict[str, Any]):
         self.threshold = float(params.get("threshold", 0.9))
         self.planes = int(params.get("planes", similarity.NEAR_DUP_PLANES))
         self.id_col = params.get("id_col", "vec_id")
         self.vec_col = params.get("vec_col", "embedding")
+        mb = params.get("max_bucket")
+        self.max_bucket = int(mb) if mb is not None else None
 
     def transform(self, df: DataFrame) -> DataFrame:
         return similarity.embedding_near_dups(
-            df, self.threshold, self.planes, self.id_col, self.vec_col
+            df,
+            self.threshold,
+            self.planes,
+            self.id_col,
+            self.vec_col,
+            max_bucket=self.max_bucket,
         )
 
 

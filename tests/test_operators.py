@@ -146,6 +146,12 @@ nodes:
   - name: shard_pack
     id: shards
     params: {budget_tokens: 1000}
+  - name: dedup_minhash
+    id: near
+    params: {threshold: 0.9, max_bucket: 1000}
+  - name: ngram_jaccard
+    id: ng
+    params: {threshold: 0.9, max_df: 0.5}
 """
 
 
@@ -161,4 +167,9 @@ def test_llm_nodes_compose_from_yaml(spark, sf_dir):
     shards = res.outputs["shards"]
     assert shards.count() == n_docs
     assert set(shards.columns) == {"doc_id", "n_tokens", "shard_id"}
+    # skew-guard knobs flow through YAML params and the capped plans run
+    assert set(res.outputs["near"].columns) == {"doc_a", "doc_b", "est_jaccard"}
+    assert res.outputs["near"].count() >= 0
+    assert set(res.outputs["ng"].columns) == {"doc_a", "doc_b", "jaccard"}
+    assert res.outputs["ng"].count() >= 0
     res.unpersist()
