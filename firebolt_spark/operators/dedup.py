@@ -41,9 +41,19 @@ SIMHASH_BITS = 64      # simhash dimensions (packed into one BIGINT)
 # int64 overflow in Spark OR DuckDB (DuckDB raises on overflow, so this
 # bound is load-bearing for oracle parity).
 MH_PRIME = 1073741789  # prime < 2^30
-MH_A = [(2654435761 * (j + 1) + 40503) % MH_PRIME for j in range(N_MINHASH)]
-MH_B = [(2246822519 * (j + 1) + 3266489917) % MH_PRIME for j in range(N_MINHASH)]
-assert all(a != 0 for a in MH_A)
+
+
+def mh_constants(k: int) -> tuple[list[int], list[int]]:
+    """(A, B) multiplier/offset tables for a k-slot signature — derived
+    deterministically so any k works; the DuckDB oracle is generated
+    from the same values."""
+    a = [(2654435761 * (j + 1) + 40503) % MH_PRIME for j in range(k)]
+    b = [(2246822519 * (j + 1) + 3266489917) % MH_PRIME for j in range(k)]
+    assert all(x != 0 for x in a), "degenerate multiplier — change the seed"
+    return a, b
+
+
+MH_A, MH_B = mh_constants(N_MINHASH)
 
 
 def cap_bucket_size(
@@ -159,10 +169,11 @@ def minhash_signatures(
             "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
         ).alias("_h32"),
     )
+    mh_a, mh_b = mh_constants(k)
     cols = [
         F.expr(
             f"array_min(transform(_h32, h -> "
-            f"({MH_A[j]}L * h + {MH_B[j]}L) % {MH_PRIME}L))"
+            f"({mh_a[j]}L * h + {mh_b[j]}L) % {MH_PRIME}L))"
         ).alias(f"h{j}")
         for j in range(k)
     ]
