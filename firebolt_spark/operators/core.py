@@ -192,23 +192,42 @@ class SqlNode:
     Params: statement (required) — SQL text referencing ``{view}`` or
     the literal view name 'input'; view (default 'input').
 
-    The input is registered under the user-supplied view name itself —
-    no textual rewriting of the statement (a regex rewrite corrupted
-    string literals containing the view name, VERDICT r2 #5). The only
-    substitution is the exact ``{view}`` placeholder. ``spark.sql``
-    analyzes eagerly, binding the view's plan at call time, so a later
-    node re-registering the same name cannot retroactively change this
-    node's result.
+    No textual rewriting of the statement beyond the exact ``{view}``
+    placeholder (a bare-word regex rewrite corrupted string literals
+    containing the view name, VERDICT r2 #5):
+
+    - statements using ``{view}`` bind to a per-invocation UNIQUE temp
+      view — zero collision risk, preferred form;
+    - statements naming the view literally register the input under
+      that exact name for the duration of analysis, then drop the view
+      (``spark.sql`` analyzes eagerly, so the returned DataFrame's plan
+      is already bound) — the name is freed afterwards rather than left
+      pointing at this node's batch (a pre-existing temp view of the
+      same name is dropped, not restored). Concurrent pipelines in ONE
+      session should use the ``{view}`` form.
     """
+
+    _counter = 0
 
     def __init__(self, params: dict[str, Any]):
         self.statement = params["statement"]
         self.view = params.get("view", "input")
 
     def transform(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        if "{view}" in self.statement:
+            SqlNode._counter += 1
+            name = f"_fb_sql_{SqlNode._counter}"
+            df.createOrReplaceTempView(name)
+            try:
+                return spark.sql(self.statement.replace("{view}", name))
+            finally:
+                spark.catalog.dropTempView(name)
         df.createOrReplaceTempView(self.view)
-        stmt = self.statement.replace("{view}", self.view)
-        return df.sparkSession.sql(stmt)
+        try:
+            return spark.sql(self.statement)
+        finally:
+            spark.catalog.dropTempView(self.view)
 
 
 class JsonBuilderNode:

@@ -156,12 +156,19 @@ def minhash_signatures(
       mirrored verbatim in the DuckDB oracle) — arithmetic, not k
       digests.
 
-    Documents with NULL text produce no signature row (same as the
-    explode form, which dropped them at the explode).
+    NULL-text documents are excluded up front: Spark's split/concat_ws
+    chain would coerce NULL to the EMPTY-STRING shingle (giving every
+    NULL doc one shared signature), while SQL NULL propagation gives
+    them NULL signatures that never equi-join — dropping them makes the
+    two engines agree by construction. Empty-text docs keep the ''
+    shingle (identical to the old explode form and to the oracle's
+    string_split behavior); their shared signature is real duplicate
+    semantics, and the band-join ``max_bucket`` guard bounds the blast
+    radius of any such degenerate clone set.
     """
-    hashed = docs.select(
+    hashed = docs.where(F.col(text_col).isNotNull()).select(
         "doc_id", word_shingles(text_col).alias("_sh_arr")
-    ).where(F.col("_sh_arr").isNotNull())
+    )
     hashed = hashed.select(
         "doc_id",
         F.expr(

@@ -33,17 +33,24 @@ from pyspark.sql import functions as F
 BATCH_COL = "_batch_id"
 
 
-def delta_available() -> bool:
-    """True iff the delta-spark package is importable. The sandbox
-    container does not ship it; a real deployment that installs
-    ``delta-spark`` (and configures the Delta catalog extensions) gets
-    the transactional backend with no code change."""
+def delta_available(spark: SparkSession | None = None) -> bool:
+    """True iff the delta-spark package is importable AND (when a
+    session is given) the session was built with the Delta SQL
+    extension — a pip-installed package on a session without
+    ``spark.sql.extensions`` configured cannot execute Delta writes, so
+    auto-detection must check both or the writer would pick a backend
+    that fails at runtime instead of falling back to parquet."""
     try:
         import delta  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    if spark is None:
+        return True
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        ext = ""
+    return "DeltaSparkSessionExtension" in ext
 
 
 class IdempotentBatchWriter:
@@ -61,30 +68,52 @@ class IdempotentBatchWriter:
 
     def __init__(self, path: str, use_delta: bool | None = None):
         self.path = path
-        self.use_delta = delta_available() if use_delta is None else use_delta
+        self.use_delta = use_delta  # None → auto-detect on first write
+
+    def _backend(self, spark: SparkSession) -> bool:
+        if self.use_delta is None:
+            self.use_delta = delta_available(spark)
+        return self.use_delta
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
+        use_delta = self._backend(df.sparkSession)
         stamped = df.withColumn(BATCH_COL, F.lit(int(batch_id)))
-        if self.use_delta:
+        if use_delta:
             (
                 stamped.write.format("delta")
                 .mode("overwrite")
                 .option("replaceWhere", f"{BATCH_COL} = {int(batch_id)}")
                 .save(self.path)
             )
-        else:
-            (
-                stamped.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(BATCH_COL)
-                .parquet(self.path)
-            )
+            return
+        if df.isEmpty():
+            # dynamic partition overwrite only replaces partitions
+            # PRESENT in the incoming frame — a replayed batch that now
+            # produces zero rows must still clear its old slice or the
+            # replace contract silently degrades to keep-old
+            self._delete_partition(df.sparkSession, int(batch_id))
+            return
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL)
+            .parquet(self.path)
+        )
+
+    def _delete_partition(self, spark: SparkSession, batch_id: int) -> None:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{BATCH_COL}={batch_id}")
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        reader = spark.read.format("delta") if self.use_delta else spark.read
-        df = (
-            reader.load(self.path)
-            if self.use_delta
-            else reader.parquet(self.path)
-        )
+        """Current table contents (bookkeeping column dropped). Parquet
+        backend: reading before any non-empty batch was written raises
+        Spark's cannot-infer-schema error — there is no schema to serve
+        yet."""
+        use_delta = self._backend(spark)
+        reader = spark.read.format("delta") if use_delta else spark.read
+        df = reader.load(self.path) if use_delta else spark.read.parquet(self.path)
         return df.drop(BATCH_COL)

@@ -98,6 +98,13 @@ class StreamingPipelineRunner:
             if self.collect_metrics:
                 src.unpersist()
             result.unpersist()  # release fan-out prefix caches (r1 leak)
+            # release operator-persisted intermediates that ride on node
+            # outputs via track_persisted (minhash signatures, simhash
+            # fingerprints, signed corpora) — without this a dedup node
+            # leaks one cached table per micro-batch (ADVICE r2)
+            from firebolt_spark.functions import release
+
+            release(*result.outputs.values(), *result.errors.values())
             self.metrics.batches += 1
             self.metrics.last_batch_seconds = time.perf_counter() - t0
 

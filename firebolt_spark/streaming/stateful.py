@@ -72,16 +72,19 @@ def fold_session(
     sorted timestamps into the open (start, last, n) state. Returns
     (closed_sessions, open_state).
 
-    Late-data policy: an event within ``gap_us`` of ``last`` is counted
-    into the open session WITHOUT rewinding ``last``; an event older
-    than ``last - gap_us`` is dropped (its horizon already closed).
+    Late-data policy: an out-of-order event anywhere inside the open
+    session's reach — ``t >= start - gap_us`` — is counted into it
+    WITHOUT moving ``session_start``/``session_end``; only events
+    older than ``start - gap_us`` (a horizon no extension of the open
+    session can reach: any session containing them closed before this
+    one began) are dropped.
     """
     closed: list[tuple[int, int, int]] = []
     for t in ts:
         if last is None:
             last = t
-        elif t < last - gap_us:
-            # too late: older than the closed-gap horizon — drop
+        elif t < start - gap_us:
+            # genuinely too late: beyond the open session's reach — drop
             # instead of silently rewinding the open session
             continue
         elif t - last > gap_us:
@@ -89,7 +92,7 @@ def fold_session(
             start, n = t, 0
             last = t
         else:
-            # in-gap late event: count it, never rewind session_end
+            # in-session or in-gap late event: count, never rewind
             last = max(last, t)
         n += 1
     return closed, (start, last, n)
@@ -120,11 +123,11 @@ def sessionize(
     shuffle is the same hash-by-key as any groupBy.
 
     Late-data policy (there is no watermark on this path): an event
-    arriving out of order but within ``gap_seconds`` of the open
-    session's end is counted into it WITHOUT rewinding ``session_end``;
-    an event older than ``session_end - gap_seconds`` is dropped — it
-    belongs to a session horizon that has already closed, and merging
-    it would silently rewind the open session.
+    arriving out of order anywhere inside the open session's reach
+    (``t >= session_start - gap``) is counted into it WITHOUT moving
+    the session boundaries; an event older than that is dropped — no
+    extension of the open session can contain it, and merging it would
+    silently rewind the session.
 
     ``emit_policy`` controls early emission of OPEN sessions:
 

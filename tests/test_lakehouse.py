@@ -34,6 +34,20 @@ def test_distinct_batches_accumulate(spark, tmp_path):
     assert got == [2, 10]
 
 
+def test_empty_replay_clears_the_batch_slice(spark, tmp_path):
+    """A replayed batch that now produces ZERO rows must still clear its
+    old slice — dynamic partition overwrite alone would keep the stale
+    rows (it only replaces partitions present in the incoming frame)."""
+    path = str(tmp_path / "empty_replay")
+    writer = IdempotentBatchWriter(path)
+    writer(spark.createDataFrame([(1,)], "event_id BIGINT"), 0)
+    writer(spark.createDataFrame([(2,)], "event_id BIGINT"), 1)
+    empty = spark.createDataFrame([], "event_id BIGINT")
+    writer(empty, 0)  # corrected replay: batch 0 is now empty
+    got = sorted(r["event_id"] for r in writer.read(spark).collect())
+    assert got == [2]
+
+
 def test_partition_layout_prunes_other_batches(spark, tmp_path):
     """The batch-id partitioning is the idempotence mechanism AND keeps
     the rewrite O(batch), not O(table): each batch is its own directory."""

@@ -554,9 +554,20 @@ def test_session_fold_late_data_policy():
     closed, (s2, l2, n2) = fold_session([185_000_000], start, last, n, gap)
     assert closed == [] and (s2, l2, n2) == (start, 200_000_000, 6)
 
-    # too-late event (150 s < last - gap): dropped entirely
+    # late event INSIDE the open session's span (150 s ∈ [start, last]):
+    # counted, boundaries untouched — it belongs to this session
     closed, (s3, l3, n3) = fold_session([150_000_000], start, last, n, gap)
-    assert closed == [] and (s3, l3, n3) == (start, last, n)
+    assert closed == [] and (s3, l3, n3) == (start, last, n + 1)
+
+    # within gap of session_start (80 s >= start - gap): still counted,
+    # session_start NOT rewound
+    closed, (s5, l5, n5) = fold_session([80_000_000], start, last, n, gap)
+    assert closed == [] and (s5, l5, n5) == (start, last, n + 1)
+
+    # genuinely too late (60 s < start - gap): no extension of the open
+    # session can reach it — dropped entirely
+    closed, (s6, l6, n6) = fold_session([60_000_000], start, last, n, gap)
+    assert closed == [] and (s6, l6, n6) == (start, last, n)
 
     # normal gap close still works: 300 s closes, opens a new session
     closed, (s4, l4, n4) = fold_session([300_000_000], start, last, n, gap)
