@@ -44,13 +44,20 @@ HEADLINE = [
     "q_similarity_bruteforce",
 ]
 
-# round-2 additions (kept out of HEADLINE so the 16-query subtotal stays
-# comparable round-over-round; the reported value covers the full suite)
+# round-2/3 additions (kept out of HEADLINE so the 16-query subtotal
+# stays comparable round-over-round; the reported value covers the full
+# suite)
 EXTRA = [
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_asof_join",
     "q_corpus_curation",
+    # round 3: operators whose scale shape this round changed
+    # (q_dedup_clusters stays out: iterative CC's per-round driver
+    # actions make it a multi-second fixed cost that would drown the
+    # per-query signal in a 3x min-of-runs bench)
+    "q_dedup_incremental",
+    "q_shard_packing",
 ]
 
 

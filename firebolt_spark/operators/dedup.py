@@ -485,13 +485,11 @@ def dedup_clusters_star(
     Each round is two join+groupBy passes over a two-column edge set —
     the same per-round shuffle cost as propagation, exponentially fewer
     rounds on deep graphs.
+
+    Self-pairs (a == b) are ignored entirely — they carry no
+    connectivity and never occur in this package's pair generators
+    (which all emit ``a < b``).
     """
-    nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .unionAll(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
-        .persist()
-    )
     # canonical undirected edges as (lo, hi), no self-loops.
     # localCheckpoint (here and per round) truncates the logical plan:
     # each round references the previous edge set ~4× (symmetrize + two
@@ -508,6 +506,16 @@ def dedup_clusters_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # node set from the CHECKPOINTED edges, not from pairs — evaluating
+    # pairs twice would run the whole upstream candidate computation
+    # again (every pair row yields an edge, so the node sets are equal;
+    # self-pairs are impossible with a_col < b_col conventions)
+    nodes = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .distinct()
+        .persist()
+    )
 
     def symmetric(e: DataFrame) -> DataFrame:
         return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
@@ -519,6 +527,7 @@ def dedup_clusters_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
 
+    n_edges = edges.count()
     for _ in range(max_iter):
         sym = symmetric(edges)
         mins = closed_min(sym)
@@ -541,11 +550,14 @@ def dedup_clusters_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # convergence: equal multiset sizes + one-sided emptiness ⇒
+        # equality. The previous round's size is carried, so the check
+        # costs 2 actions per round, not 3.
+        n_ss = ss.count()
         unchanged = (
-            ss.count() == edges.count()
-            and ss.exceptAll(edges).limit(1).count() == 0
+            n_ss == n_edges and ss.exceptAll(edges).limit(1).count() == 0
         )
-        edges = ss
+        edges, n_edges = ss, n_ss
         if unchanged:
             break
     # at fixpoint every non-root node has exactly one star edge; the
