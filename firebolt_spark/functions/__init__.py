@@ -86,18 +86,27 @@ def canonical_json(*cols: Column | str) -> Column:
     return F.to_json(F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols]))
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """Data-quality profile: one row per column with row/null/distinct
     counts. A single wide aggregation job (count + count(col) +
     count(distinct col) per column) unpivoted to long form — no per-
-    column scans. Exact distincts; swap in approx_count_distinct for
-    trillion-row profiling.
+    column scans.
+
+    ``approx=True`` swaps exact distincts for HyperLogLog
+    ``approx_count_distinct`` (default rsd 5%) — the trillion-row
+    setting: exact multi-column distincts EXPAND each row per distinct
+    aggregate, while the HLL sketch keeps the aggregation single-pass
+    with constant per-column state. The oracle-checked query uses the
+    exact form.
     """
     cols = columns or df.columns
+    distinct = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(distinct(F.col(c)).alias(f"_nd_{c}"))
     wide = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', _nn_{c}, _nd_{c}" for c in cols

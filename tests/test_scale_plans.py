@@ -296,6 +296,27 @@ def test_global_cumsum_matches_single_window(spark):
     assert "SinglePartition" not in _executed_plan(got)
 
 
+def test_profile_approx_avoids_expand(spark):
+    """approx=True profiles with HLL sketches: exact multi-column
+    distinct aggregation EXPANDs each input row once per distinct
+    aggregate (n_cols× row amplification before the shuffle); the
+    sketch form keeps the plan expand-free with constant per-column
+    state — the trillion-row setting. Values stay within HLL rsd."""
+    from firebolt_spark.functions import profile
+
+    events = load_table(spark, SF_DIR, "events")
+    cols = ["user_id", "event_type"]
+    assert "Expand" in _executed_plan(profile(events, cols))
+    assert "Expand" not in _executed_plan(profile(events, cols, approx=True))
+    exact = {r["column_name"]: r["n_distinct"] for r in profile(events, cols).collect()}
+    appr = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile(events, cols, approx=True).collect()
+    }
+    for c in cols:
+        assert abs(appr[c] - exact[c]) <= max(0.15 * exact[c], 2)
+
+
 def test_two_phase_partitioning_is_pinned(spark):
     """``repartitionByRange`` samples its boundaries with a
     per-execution seed, so if the offsets/totals job and the final
