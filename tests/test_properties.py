@@ -71,6 +71,67 @@ def test_plan_assignment_invariants(committed, highs, maxlag):
         assert r.from_offset < r.to_offset
 
 
+@given(
+    st.lists(st.integers(0, 10_000), min_size=0, max_size=60),
+    st.integers(1, 50),
+)
+@settings(max_examples=300, deadline=None)
+def test_fold_session_invariants(raw_ts, gap):
+    """Session fold (streaming/stateful.fold_session) invariants over
+    arbitrary event streams:
+    - every in-horizon event is counted exactly once (conservation);
+    - closed sessions are disjoint, ordered, and internally gap-free;
+    - consecutive closed sessions are separated by more than gap;
+    - boundaries never move backwards (no rewind)."""
+    from firebolt_spark.streaming.stateful import fold_session
+
+    ts = sorted(raw_ts)
+    if not ts:
+        return
+    start0 = ts[0]
+    closed, (start, last, n) = fold_session(ts, start0, None, 0, gap)
+
+    sessions = closed + [(start, last, n)]
+    # conservation: sorted input has no out-of-horizon drops
+    assert sum(s[2] for s in sessions) == len(ts)
+    for s, e, cnt in sessions:
+        assert s <= e and cnt >= 1
+    # ordering + separation: next session starts more than gap after
+    # the previous one ended
+    for (s1, e1, _), (s2, e2, _) in zip(sessions, sessions[1:]):
+        assert s2 - e1 > gap
+    # every closed session's span contains no gap larger than `gap`
+    # (check against the raw events that fall inside it)
+    for s, e, _ in closed:
+        inside = [t for t in ts if s <= t <= e]
+        for a, b in zip(inside, inside[1:]):
+            assert b - a <= gap
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    st.lists(st.integers(0, 10_000), min_size=0, max_size=20),
+    st.integers(1, 50),
+)
+@settings(max_examples=200, deadline=None)
+def test_fold_session_late_events_never_rewind(batch1, late, gap):
+    """Feeding a second batch of arbitrary (possibly late) events never
+    rewinds the open session's boundaries, and genuinely-too-late
+    events (t < start - gap) are dropped rather than merged."""
+    from firebolt_spark.streaming.stateful import fold_session
+
+    b1 = sorted(batch1)
+    _, (start, last, n) = fold_session(b1, b1[0], None, 0, gap)
+    closed2, (s2, l2, n2) = fold_session(sorted(late), start, last, n, gap)
+    if not closed2:
+        assert s2 == start  # start never rewinds while the session is open
+        assert l2 >= last  # end never rewinds
+    counted = [t for t in late if t >= start - gap]
+    dropped = len(late) - len(counted)
+    total_after = sum(c[2] for c in closed2) + n2
+    assert total_after == n + len(late) - dropped
+
+
 def test_minhash_operational_precision_and_recall(spark, sf_dir):
     """Operational quality of minhash-LSH against exact n-gram Jaccard.
 
