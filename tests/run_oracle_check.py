@@ -42,6 +42,9 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # operator-persisted intermediates (minhash signatures etc.)
+        # would otherwise accumulate across the 81-query sweep
+        spark.catalog.clearCache()
         if name not in oracle:
             n = fn(spark, sf_dir).count()
             print(f"{name:28s} rows-only: {n}")
