@@ -16,77 +16,74 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-3 first-50 rotation (completing the plan VERDICT r2 "Next #2"
-# prescribed): after this round every one of the 81 declared queries has
-# had at least one driver row across r1+r2+r3.
-#   * slots 1-2: the two r2-ERR array queries, now stringified — prove
-#     the fix with green rows;
-#   * slots 3-9: the seven queries that have NEVER been driver-checked
-#     (budget overflow in r1/r2);
-#   * slots 10-20: queries whose implementation is touched in round 3
-#     (band-join skew caps, global_cumsum/global_row_number
-#     partition-stability fix, ann_lsh norm precompute) — re-verify the
-#     changed code under the hard gate;
-#   * slots 21-44: the 24 queries green in r1 but rotated out of r2's
-#     budget — two rounds of code evolution since their last driver row;
-#   * slots 45-50: headline backfill (r2-green TPC-H + compaction).
+# Round-4 first-50 rotation (VERDICT r3 "Next #1": least-recently-
+# driver-checked first).  CORRECTNESS_r03 covered 50 queries; the other
+# 31 — whose latest green driver row ran against r1/r2 code — lead this
+# round so the whole surface is re-verified on current code.
+#   * slots 1-31: the 31 queries absent from CORRECTNESS_r03.json
+#     (reference family q_s2..q_k1, asof/range join, tpch8/9/13/22,
+#     array/grouped_collect, q_dedup_exact, q_dedup_simhash, the text
+#     family, profile/anomaly) — in module order;
+#   * slots 32-36: queries whose implementation round 4 touches
+#     (simhash distinct-token rewrite, multimodal real codec, ann-lsh
+#     multiprobe, bruteforce recall reference);
+#   * slots 37-50: headline backfill, all green in r3 — TPC-H flagship,
+#     event-time windows, the dedup/curation suite.
 # Names absent from this list keep their module order after it.
 _PRIORITY = [
-    # r2-ERR fixes (arrays now emitted as strings)
-    "q_embedding_quantize",
-    "q_multimodal_features",
-    # never driver-checked
-    "q_window_leadlag",
-    "q_agg_grouping_sets",
-    "q_tpch10_returned_items",
-    "q_tpch15_top_supplier",
-    "q_tpch17_small_qty_revenue",
-    "q_similarity_ann_ivf",
-    "q_multimodal_frame_sample",
-    # code touched in round 3
-    "q_dedup_minhash",
+    # last driver-checked on r1/r2 code — re-green on r4 code
+    "q_s2_scan",
+    "q_s3_lag_cap",
+    "q_s4_recovery_scan",
+    "q_s5_interval_merge",
+    "q_p2_parse",
+    "q_p4_json_build",
+    "q_p5_conditional",
+    "q_f1_filter",
+    "q_e1_error_split",
+    "q_e2_error_json",
+    "q_x1_fanout",
+    "q_x2_tree_fanout",
+    "q_k1_produce_request",
+    "q_asof_join",
+    "q_range_join",
+    "q_tpch8_market_share",
+    "q_tpch9_product_profit",
+    "q_tpch13_order_distribution",
+    "q_tpch22_idle_balance",
+    "q_array_functions",
+    "q_grouped_collect",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_text_normalize",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_token_counts",
+    "q_text_fingerprint",
+    "q_text_chunks",
+    "q_profile_events",
+    "q_anomaly_scores",
+    # code touched in round 4
     "q_dedup_simhash_pairs",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_similarity_ann_lsh",
+    "q_similarity_bruteforce",
+    # headline backfill (green in r3)
+    "q_tpch1_pricing_summary",
+    "q_tpch3_shipping_priority",
+    "q_tpch5_local_supplier",
+    "q_tpch6_revenue_forecast",
+    "q_s6_compaction",
+    "q_window_tumbling",
+    "q_session_window",
+    "q_dedup_minhash",
     "q_dedup_embedding",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_incremental",
     "q_corpus_curation",
     "q_shard_packing",
-    "q_p7_docid",
-    "q_k2_index_request",
-    "q_similarity_ann_lsh",
-    # r1-green, not re-checked since (module order)
-    "q_join_left_counts",
-    "q_join_semi",
-    "q_join_anti",
-    "q_window_rank",
-    "q_window_running_total",
-    "q_topk_orders",
-    "q_setops",
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_agg_distinct",
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_subquery_above_avg",
-    "q_having",
-    "q_window_tumbling",
-    "q_session_window",
-    "q_pivot",
-    "q_regexp_functions",
-    "q_percentiles",
-    "q_tpch4_order_priority",
-    "q_tpch7_nation_volume",
-    "q_tpch14_promo_share",
-    "q_tpch18_large_orders",
-    "q_tpch19_bracket_revenue",
-    # headline backfill (green in r2)
-    "q_tpch1_pricing_summary",
-    "q_tpch3_shipping_priority",
-    "q_tpch5_local_supplier",
-    "q_tpch6_revenue_forecast",
-    "q_s6_compaction",
-    "q_similarity_bruteforce",
 ]
 
 
