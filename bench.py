@@ -66,6 +66,10 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("firebolt-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        loadavg_start = None
 
     # warm-up: JVM, codegen, parquet footers
     load_table(spark, sf_dir, "lineitem").count()
@@ -73,11 +77,12 @@ def main() -> None:
 
     queries = all_queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE + EXTRA:
         fn = queries[name]
-        best = None
+        samples: list[float] = []
         for _ in range(runs):  # min-of-N: JIT/cache noise doesn't skew rounds
             t0 = time.perf_counter()
             try:
@@ -85,8 +90,7 @@ def main() -> None:
             except Exception as exc:  # one broken query must not kill the bench
                 errors[name] = str(exc)[:200]
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             # free operator-persisted intermediates (minhash signatures,
             # simhash fingerprints, signed corpora) between runs: Spark's
             # CacheManager matches cached plan fragments, so without this
@@ -94,16 +98,27 @@ def main() -> None:
             # cached tables and min-of-N reports warm-cache times instead
             # of the query's real cost (see PERF.md round-3 note)
             spark.catalog.clearCache()
-        if best is not None:
-            timings[name] = round(best, 3)
+        if samples:
+            timings[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # shared-host attribution (VERDICT r3 "Next #7"): 1/5/15-min load
+    # averages bracketing the run make driver-vs-builder discrepancies
+    # explainable — r3's 4.08 s vs 2.67 s simhash_pairs gap was load.
+    try:
+        loadavg_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        loadavg_end = None
     payload = {
         "metric": "headline-suite wall time (noop-sink forced, min of runs)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "runs": runs,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         # same 16 queries as round 1 — the round-over-round anchor
         "subtotal_r1_suite": round(
             sum(t for n, t in timings.items() if n in HEADLINE), 3
