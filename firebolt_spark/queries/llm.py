@@ -750,31 +750,85 @@ Q_SHARD_PACKING_SQL = f"""
 """
 
 
-# ---- multimodal plumbing (rows-only: stubbed decode, no SQL oracle) -------
+# ---- multimodal: REAL dependency-free BMP codec (oracle-checked) ----------
+#
+# Round 4 (VERDICT r3 "Next #3"): the decode step is no longer a stub.
+# bmp_encode builds valid 24-bpp BMPs from the documents fixture
+# (dimensions from doc_id, pixels from repeat(md5(text))), bmp_decode
+# parses them back with built-in hex-nibble arithmetic, and the oracle
+# computes the EXPECTED stats analytically from the row — so any byte
+# offset / endianness / channel-phase bug in the codec breaks the hash
+# match. The old digest-stub path survives in extract_features
+# (decode_stub=True) for formats that genuinely need PIL/ffmpeg.
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check; the feature vector is emitted as a comma-joined
-    string because declared queries must be scalar-only (driver
-    canonicalizer crashes on list cells — the r1/r2 ERR class)."""
-    media = multimodal.attach_media(_documents(spark, sf_dir))
-    feats = multimodal.extract_features(media)
-    return feats.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        "sha",
-        "width",
-        "height",
-        "n_frames",
-        F.array_join(F.col("feature").cast("array<string>"), ",").alias(
-            "feature_csv"
-        ),
+    """Encode → decode round trip over real BMP bytes; scalar-only
+    output (driver canonicalizer crashes on list cells — r1/r2 ERR
+    class). Plan shape: scan-only, one HOF fold, no UDF/shuffle."""
+    media = multimodal.bmp_encode(_documents(spark, sf_dir))
+    return multimodal.bmp_decode(media)
+
+
+_MM_DIMS_SQL = """
+    SELECT doc_id,
+           CAST(4 * (1 + doc_id % 4) AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 * (4 * (1 + doc_id % 4)) * (1 + doc_id % 5) AS INTEGER)
+               AS npix,
+           substr(repeat(md5(coalesce(text, '')), 15), 1,
+                  2 * 3 * (4 * (1 + doc_id % 4)) * (1 + doc_id % 5))
+               AS pixhex
+    FROM documents
+"""
+
+Q_MULTIMODAL_FEATURES_SQL = f"""
+    WITH dims AS ({_MM_DIMS_SQL}),
+    b AS (
+        SELECT doc_id, width, height, npix,
+               i,
+               16 * (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                   AS byteval
+        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
     )
+    SELECT doc_id,
+           width,
+           height,
+           CAST(24 AS INTEGER) AS bpp,
+           npix AS n_pixel_bytes,
+           round(sum(CASE WHEN i % 3 = 0 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_b,
+           round(sum(CASE WHEN i % 3 = 1 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_g,
+           round(sum(CASE WHEN i % 3 = 2 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_r,
+           round(sum(byteval) / CAST(npix AS DOUBLE), 6) AS mean_all
+    FROM b
+    GROUP BY doc_id, width, height, npix
+"""
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.attach_media(_documents(spark, sf_dir), kind="video")
-    return multimodal.frame_sample(multimodal.extract_features(media))
+    """Frame sampling over DECODED fields: every 2nd pixel row of each
+    BMP is a 'frame' (fixture convention n_frames = height)."""
+    media = multimodal.bmp_encode(_documents(spark, sf_dir))
+    feats = multimodal.bmp_decode(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        F.explode(
+            F.sequence(F.lit(0), F.col("height") - 1, F.lit(2))
+        ).alias("frame_idx"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("bigint"))
+
+
+Q_MULTIMODAL_FRAMES_SQL = f"""
+    WITH dims AS ({_MM_DIMS_SQL})
+    SELECT doc_id, width, i AS frame_idx
+    FROM dims, LATERAL (SELECT unnest(range(0, height, 2)) AS i) r
+"""
 
 
 QUERIES = {
@@ -825,5 +879,7 @@ ORACLE = {
     "q_embedding_quantize": Q_EMBED_QUANT_SQL,
     "q_profile_events": Q_PROFILE_SQL,
     "q_anomaly_scores": Q_ANOMALY_SQL,
-    # q_similarity_ann_lsh, q_multimodal_*: rows-only by design
+    "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+    "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
+    # q_similarity_ann_lsh/ann_ivf: rows-only by design (ANN)
 }

@@ -224,13 +224,85 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(0.0 <= v <= 1.0 for v in row["feature"])
 
 
-def test_multimodal_real_decode_is_marked_unimplemented(spark, sf_dir):
+def test_multimodal_real_decode_rejects_non_bmp(spark, sf_dir):
+    """decode_stub=False is a REAL decoder now (round 4) — it must
+    still refuse payloads it can't actually parse (raw text bytes)."""
     import pytest
 
     docs = load_table(spark, sf_dir, "documents").limit(2)
-    media = multimodal.attach_media(docs)
-    with pytest.raises(Exception):  # NotImplementedError inside the task
+    media = multimodal.attach_media(docs)  # raw UTF-8 bytes, not BMP
+    with pytest.raises(Exception):  # ValueError inside the task
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_bmp_builtin_decode_matches_pandas_decode(spark, sf_dir):
+    """The two real decode paths — built-in hex-nibble expressions and
+    the Arrow/pandas struct.unpack path — agree field-for-field."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = multimodal.bmp_encode(docs)
+    builtin = {
+        r["doc_id"]: r for r in multimodal.bmp_decode(media).collect()
+    }
+    pandas_path = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            media, decode_stub=False
+        ).collect()
+    }
+    assert builtin.keys() == pandas_path.keys()
+    for doc_id, b in builtin.items():
+        p = pandas_path[doc_id]
+        assert (b["width"], b["height"]) == (p["width"], p["height"])
+        assert p["n_frames"] == b["height"]
+        assert p["feature"] == [
+            b["mean_b"], b["mean_g"], b["mean_r"], b["mean_all"]
+        ]
+
+
+def test_bmp_decode_known_image(spark):
+    """Hand-built 4×1 BMP with known pixel bytes — catches byte-offset,
+    endianness, and channel-phase bugs in BOTH decoders."""
+    import struct as st
+
+    pixels = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    header = (
+        b"BM"
+        + st.pack("<I", 54 + len(pixels))
+        + b"\x00\x00\x00\x00"
+        + st.pack("<I", 54)
+        + st.pack("<I", 40)
+        + st.pack("<ii", 4, 1)
+        + st.pack("<HH", 1, 24)
+        + st.pack("<I", 0)
+        + st.pack("<I", len(pixels))
+        + st.pack("<ii", 2835, 2835)
+        + st.pack("<II", 0, 0)
+    )
+    payload = header + pixels
+    expected = {
+        "width": 4,
+        "height": 1,
+        "bpp": 24,
+        "n_pixel_bytes": 12,
+        "mean_b": round((10 + 40 + 70 + 100) / 4, 6),
+        "mean_g": round((20 + 50 + 80 + 110) / 4, 6),
+        "mean_r": round((30 + 60 + 90 + 120) / 4, 6),
+        "mean_all": round(sum(pixels) / 12, 6),
+    }
+    assert multimodal._bmp_decode_py(payload) == expected
+    df = spark.createDataFrame([(1, payload)], "doc_id BIGINT, media BINARY")
+    row = multimodal.bmp_decode(df).collect()[0]
+    for k, v in expected.items():
+        assert row[k] == v, (k, row[k], v)
+
+
+def test_bmp_decode_non_bmp_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, b"definitely not a bitmap, but long enough to parse....")],
+        "doc_id BIGINT, media BINARY",
+    )
+    row = multimodal.bmp_decode(df).collect()[0]
+    assert row["width"] is None and row["mean_all"] is None
 
 
 def test_frame_sample_bounds(spark, sf_dir):

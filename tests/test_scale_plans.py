@@ -46,6 +46,17 @@ def test_topk_executes_as_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bmp_codec_query_is_scan_only(spark):
+    """The declared multimodal query (real BMP encode→decode) must stay
+    a shuffle-free, UDF-free scan: header parse + pixel stats are all
+    hex-nibble built-ins folded per row."""
+    from firebolt_spark.queries.llm import q_multimodal_features
+
+    plan = _executed_plan(q_multimodal_features(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_dedup_minhash_has_no_python_udf(spark):
     from firebolt_spark.operators.dedup import minhash_candidate_pairs
 
