@@ -61,6 +61,32 @@ EXTRA = [
 ]
 
 
+def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
+    """recall@10 of each ANN path vs exact brute-force cosine, reported
+    per bench run (VERDICT r3 "Next #4" — quality as a bench artifact,
+    not just the pytest floor)."""
+    from firebolt_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    out = {}
+    variants = {
+        "lsh@10": similarity.ann_lsh_topk(emb, qids, k=10),
+        "lsh_probes3@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=3),
+        "lsh_probes5@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=5),
+        "ivf_probe4@10": similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4),
+    }
+    for label, df in variants.items():
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        out[label] = round(len(exact & got) / len(exact), 3)
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -125,6 +151,10 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        payload["ann_recall"] = _ann_recall(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never kill the bench
+        payload["ann_recall_error"] = str(exc)[:200]
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

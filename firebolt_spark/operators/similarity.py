@@ -321,6 +321,7 @@ def ann_lsh_topk(
     planes: int = LSH_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
@@ -329,23 +330,39 @@ def ann_lsh_topk(
     baseline in tests. At 100 TB the corpus would be bucketed/bucketBy
     on sig so each query reads one bucket.
 
+    ``probes`` (round 4 — VERDICT r3 "Next #4"): number of buckets
+    each query scores. 1 = its exact signature bucket; 2..planes+1 add
+    Hamming-1 neighbor signatures (bit 0 flipped first, then bit 1, …)
+    — standard multiprobe LSH. Because a corpus vector lives in exactly
+    one bucket and the probed signatures are distinct, multiprobe adds
+    candidates without ever duplicating one, so results remain a subset
+    of the exact scoring and only recall changes. Cost scales linearly
+    with ``probes`` buckets read — at 100 TB that's ``probes``
+    bucket-file reads per query, still no corpus scan.
+
     Norms are computed ONCE per row on the signed corpus (carried as
     ``_norm``, like ``embedding_near_dups``) rather than per candidate
     pair in the post-join projection — O(dim) per row, not per pair —
     and the signed corpus is persisted because it feeds both the query
     lookup and the probe side.
     """
+    if not 1 <= probes <= planes + 1:
+        raise ValueError(f"probes must be in [1, planes+1], got {probes}")
     with_sig = (
         embeddings.withColumn("sig", lsh_signature(vec_col, planes))
         .withColumn("_norm", norm(vec_col))
         .persist()
+    )
+    probe_sigs = F.array(
+        F.col("sig"),
+        *[F.expr(f"int(sig) ^ {1 << p}") for p in range(probes - 1)],
     )
     q = (
         with_sig.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.col("sig").alias("q_sig"),
+            F.explode(probe_sigs).alias("q_sig"),
             F.col("_norm").alias("q_norm"),
         )
     )

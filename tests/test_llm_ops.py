@@ -35,6 +35,39 @@ def test_ann_results_are_subset_of_bruteforce_corpus(spark, sf_dir):
     assert ann.count() > 0
 
 
+def test_lsh_multiprobe_lifts_recall_and_stays_subset(spark, sf_dir):
+    """probes>1 must (a) never duplicate or invent a candidate — every
+    hit still carries the exact-path score — and (b) retrieve a
+    superset of the single-probe candidate pool, so recall@k can only
+    go up."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    exact_pairs = {(q, v) for q, v, _ in exact}
+
+    def recall(probes):
+        rows = similarity.ann_lsh_topk(emb, qids, k=10, probes=probes).collect()
+        # no duplicates across probed buckets
+        pairs = [(r["query_id"], r["vec_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        # scores match the exact path wherever both retrieved the pair
+        for r in rows:
+            key = (r["query_id"], r["vec_id"], r["cos_sim"])
+            if (r["query_id"], r["vec_id"]) in exact_pairs:
+                assert key in exact
+        return len(exact_pairs & set(pairs)) / len(exact_pairs)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.ann_lsh_topk(emb, qids, probes=99)
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with n_probe=4/16 must recover most of the exact top-10 —
     and every hit it returns carries the exact score."""
