@@ -18,9 +18,17 @@ elasticsearch.go:30-140, elastic_index_client.go:91-280):
   retried and is routed to the dead-letter output
   (elastic_index_client.go:211-280);
 - the HTTP client is injected (``client_factory``) — tests use a fake;
-  a real cluster would plug an elasticsearch-py client in. The periodic
-  reconnect-every-N-batches behavior (connectionfactory.go:55-69) is the
-  factory's concern.
+  a real cluster would plug an elasticsearch-py client in;
+- the client is recreated every ``reconnect_batch_count`` bulk batches
+  (round 4 — parity with connectionfactory.go:55-69, default 10000 from
+  elasticsearch.go:65): periodic reconnects spread load across client
+  nodes behind a load balancer on long-lived streams. Per partition —
+  each executor holds its own connection, as each reference goroutine
+  shares the factory's;
+- retry/reconnect/DLQ counters are Spark accumulators, so executor-side
+  activity is visible driver-side: ``sink.counters()`` after any
+  ``transform``, and the metrics exposition renders them via
+  ``prometheus_exposition(..., extra_counters=...)``.
 
 Used from streaming via ``foreachBatch`` (streaming/runner.py); in batch
 mode ``transform`` indexes the whole DataFrame partition-parallel and
@@ -138,6 +146,7 @@ class FileBackedBulkClient(BulkClient):
 class ElasticsearchSink:
     """Params: batch_size (100), bulk_index_max_retries (3),
     max_batch_retries (5), initial_backoff_s (5), max_backoff_s (180),
+    reconnect_batch_count (10000, min 1 — reference elasticsearch.go:65),
     client_factory — zero-arg callable returning a BulkClient."""
 
     BATCH_ONLY = True  # streaming attaches via foreachBatch
@@ -148,25 +157,60 @@ class ElasticsearchSink:
         self.max_batch_retries = int(params.get("max_batch_retries", 5))
         self.initial_backoff_s = float(params.get("initial_backoff_s", 5.0))
         self.max_backoff_s = float(params.get("max_backoff_s", 180.0))
+        self.reconnect_batch_count = max(
+            1, int(params.get("reconnect_batch_count", 10000))
+        )
         self.client_factory: Callable[[], BulkClient] = params.get(
             "client_factory", BulkClient
         )
+        self._accs: dict[str, Any] = {}
 
-    def _index_partition(self, rows: Iterator[Row]) -> Iterator[Row]:
+    def counters(self) -> dict[str, int]:
+        """Driver-side view of executor activity since the first
+        transform: es_reconnects_total, es_batch_retries_total,
+        es_doc_retries_total, es_docs_dead_lettered_total."""
+        return {name: acc.value for name, acc in self._accs.items()}
+
+    def _index_partition(
+        self, rows: Iterator[Row], accs: dict[str, Any] | None = None
+    ) -> Iterator[Row]:
+        accs = accs or {}
+
+        def count(name: str, n: int = 1) -> None:
+            if name in accs:
+                accs[name].add(n)
+
         client = self.client_factory()
+        batches_on_client = 0
         dead: list[Row] = []
+
+        def get_client() -> BulkClient:
+            # periodic reconnect spreads load across ES client nodes
+            # (reference connectionfactory.go:55-69): a fresh client
+            # every reconnect_batch_count bulk batches
+            nonlocal client, batches_on_client
+            batches_on_client += 1
+            # reference semantics: the Nth acquisition reconnects and
+            # uses the fresh client, counter resets
+            if batches_on_client == self.reconnect_batch_count:
+                client = self.client_factory()
+                batches_on_client = 0
+                count("es_reconnects_total")
+            return client
 
         def flush(batch: list[dict], attempts_left: dict[str, int]) -> None:
             # whole-batch retry with exponential backoff
             # (elastic_index_client.go:128-151), bounded
             backoff = self.initial_backoff_s
+            c = get_client()
             for attempt in range(self.max_batch_retries + 1):
                 try:
-                    failures = client.bulk(batch)
+                    failures = c.bulk(batch)
                     break
                 except BulkIndexError:
                     if attempt == self.max_batch_retries:
                         raise
+                    count("es_batch_retries_total")
                     time.sleep(min(backoff, self.max_backoff_s))
                     backoff *= 2
             retry: list[dict] = []
@@ -175,6 +219,7 @@ class ElasticsearchSink:
                 if f.error_type == MAPPER_PARSING_EXCEPTION:
                     # never retried — straight to DLQ
                     # (elastic_index_client.go:239-255)
+                    count("es_docs_dead_lettered_total")
                     dead.append(
                         Row(
                             index=doc["index"],
@@ -188,6 +233,7 @@ class ElasticsearchSink:
                     f.doc_id, self.doc_retries + 1
                 ) - 1
                 if attempts_left[f.doc_id] <= 0:
+                    count("es_docs_dead_lettered_total")
                     dead.append(
                         Row(
                             index=doc["index"],
@@ -197,6 +243,7 @@ class ElasticsearchSink:
                         )
                     )
                 else:
+                    count("es_doc_retries_total")
                     retry.append(doc)
             if retry:
                 flush(retry, attempts_left)
@@ -225,6 +272,18 @@ class ElasticsearchSink:
                 StructField("message", StringType()),
             ]
         )
+        sc = df.sparkSession.sparkContext
+        if not self._accs:
+            self._accs = {
+                name: sc.accumulator(0)
+                for name in (
+                    "es_reconnects_total",
+                    "es_batch_retries_total",
+                    "es_doc_retries_total",
+                    "es_docs_dead_lettered_total",
+                )
+            }
         sink = self
-        rdd = df.rdd.mapPartitions(sink._index_partition)
+        accs = self._accs
+        rdd = df.rdd.mapPartitions(lambda rows: sink._index_partition(rows, accs))
         return df.sparkSession.createDataFrame(rdd, schema=dlq_schema)

@@ -34,6 +34,10 @@ _HELP = {
     "node_filtered_events_total": "The total number of events filtered out by this node",
     "batches_processed_total": "The total number of micro-batches processed",
     "last_batch_duration_seconds": "Wall-clock duration of the most recent micro-batch",
+    "es_reconnects_total": "Periodic Elasticsearch client reconnects (every reconnect_batch_count bulk batches)",
+    "es_batch_retries_total": "Whole-bulk-batch transport retries (exponential backoff)",
+    "es_doc_retries_total": "Per-document bulk index retries",
+    "es_docs_dead_lettered_total": "Documents routed to the dead-letter output",
 }
 
 
@@ -67,11 +71,14 @@ def prometheus_exposition(
     metrics: StreamingMetrics,
     pipeline: Pipeline | None = None,
     prefix: str = "firebolt",
+    extra_counters: dict[str, int] | None = None,
 ) -> str:
     """Render the runner's counters in Prometheus text exposition format.
 
     With ``pipeline`` given, received/filtered are derived from the node
     tree; without it only the directly-tracked counters are emitted.
+    ``extra_counters`` (e.g. ``ElasticsearchSink.counters()``) are
+    appended — names must be registered in ``_HELP``.
     """
     parents, handlers = _parents(pipeline)
 
@@ -116,6 +123,8 @@ def prometheus_exposition(
             )
         emit("node_processed_events_total", nm.success, label)
         emit("node_failed_events_total", nm.error, label)
+    for name in sorted(extra_counters or {}):
+        emit(name, (extra_counters or {})[name])
     return "\n".join(lines) + "\n"
 
 

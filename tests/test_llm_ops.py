@@ -420,6 +420,62 @@ def test_es_sink_whole_batch_retry_with_backoff(spark, tmp_path):
     assert client.call_count() == 3  # 2 transport failures + 1 success
 
 
+def test_es_sink_periodic_reconnect(spark, tmp_path):
+    """reconnect_batch_count=2: the 2nd and 4th bulk batch each get a
+    fresh client (reference connectionfactory.go:55-69 cadence), counted
+    in the accumulator-backed counters."""
+    import os
+
+    spool = str(tmp_path / "spool")
+    conn_dir = tmp_path / "conns"
+    conn_dir.mkdir()
+
+    def factory(spool=spool, conn_dir=str(conn_dir)):
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(conn_dir, _uuid.uuid4().hex), "w").close()
+        return FileBackedBulkClient(spool_dir=spool)
+
+    sink = ElasticsearchSink(
+        {
+            "client_factory": factory,
+            "batch_size": 2,  # 10 docs -> 5 bulk batches
+            "reconnect_batch_count": 2,
+        }
+    )
+    dlq = sink.transform(_docs_df(spark)).collect()
+    assert dlq == []
+    # 1 initial connection + reconnects on batches 2 and 4
+    assert len(os.listdir(conn_dir)) == 3
+    assert sink.counters()["es_reconnects_total"] == 2
+
+
+def test_es_sink_counters_reach_metrics_exposition(spark, tmp_path):
+    from firebolt_spark.streaming.metrics import prometheus_exposition
+    from firebolt_spark.streaming.runner import StreamingMetrics
+
+    client = FileBackedBulkClient(
+        spool_dir=str(tmp_path), fail_ids={"d1"}, fail_type="es_rejected"
+    )
+    sink = ElasticsearchSink(
+        {
+            "client_factory": lambda: client,
+            "batch_size": 100,
+            "bulk_index_max_retries": 3,
+        }
+    )
+    sink.transform(_docs_df(spark, 4)).collect()
+    c = sink.counters()
+    assert c["es_doc_retries_total"] == 3
+    assert c["es_docs_dead_lettered_total"] == 1
+    assert c["es_reconnects_total"] == 0
+    text = prometheus_exposition(StreamingMetrics(), extra_counters=c)
+    assert "firebolt_es_docs_dead_lettered_total 1" in text
+    assert "# HELP firebolt_es_doc_retries_total" in text
+    assert "firebolt_es_doc_retries_total 3" in text
+
+
 def test_es_sink_whole_batch_retries_bounded(spark, tmp_path):
     client = FileBackedBulkClient(spool_dir=str(tmp_path), transient_failures=100)
     sink = ElasticsearchSink(
