@@ -122,8 +122,13 @@ def main() -> None:
             # CacheManager matches cached plan fragments, so without this
             # runs 2..N of the dedup queries partially reuse run 1's
             # cached tables and min-of-N reports warm-cache times instead
-            # of the query's real cost (see PERF.md round-3 note)
+            # of the query's real cost (see PERF.md round-3 note);
+            # gc.collect() lets the ContextCleaner free localCheckpoint
+            # blocks clearCache doesn't cover (ADVICE r3)
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
         if samples:
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)

@@ -223,6 +223,19 @@ class SqlNode:
                 return spark.sql(self.statement.replace("{view}", name))
             finally:
                 spark.catalog.dropTempView(name)
+        # a user's own temp view of this name is silently replaced and
+        # NOT restored — warn so the session-level side effect is
+        # visible (ADVICE r3); the {view} placeholder form never
+        # collides
+        if any(v.name == self.view for v in spark.catalog.listTables() if v.isTemporary):
+            import warnings
+
+            warnings.warn(
+                f"SqlNode replaces existing temp view '{self.view}' for "
+                "statement analysis and drops it afterwards; use the "
+                "'{view}' placeholder form to avoid the collision",
+                stacklevel=2,
+            )
         df.createOrReplaceTempView(self.view)
         try:
             return spark.sql(self.statement)

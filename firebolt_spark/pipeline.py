@@ -68,10 +68,20 @@ class PipelineResult:
     def unpersist(self) -> None:
         """Release the shared-prefix caches once the batch's actions are
         done — foreachBatch callers MUST call this or cached blocks
-        accumulate across micro-batches (round-1 judge finding)."""
+        accumulate across micro-batches (round-1 judge finding).
+
+        Also releases operator-attached ``_persisted_inputs`` handles on
+        every output/error frame (minhash signatures, simhash
+        fingerprints, signed corpora): batch callers following the
+        documented "call result.unpersist()" convention get the same
+        full release the streaming runner performs (ADVICE r3 — both
+        execution paths share this one release point)."""
         for df in self.persisted:
             df.unpersist()
         self.persisted.clear()
+        from firebolt_spark.functions import release
+
+        release(*self.outputs.values(), *self.errors.values())
 
     def counts(self, node_id: str) -> dict[str, int]:
         """success/error counts for a node (Filtered = parent success

@@ -70,9 +70,33 @@ class IdempotentBatchWriter:
         self.path = path
         self.use_delta = use_delta  # None → auto-detect on first write
 
+    def _path_exists(self, spark: SparkSession, path: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(jsc.hadoopConfiguration()).exists(p)
+
     def _backend(self, spark: SparkSession) -> bool:
+        """Auto-detection is pinned to what is ALREADY at the path: a
+        target written as Delta in one run must never be extended as
+        plain parquet by a restart whose session lacks the Delta
+        extension (and vice versa) — that would corrupt the table
+        layout (ADVICE r3). Only a genuinely fresh path consults
+        session capability."""
         if self.use_delta is None:
-            self.use_delta = delta_available(spark)
+            if self._path_exists(spark, f"{self.path}/_delta_log"):
+                if not delta_available(spark):
+                    raise RuntimeError(
+                        f"{self.path} is a Delta table but this session "
+                        "has no Delta support — refusing to write "
+                        "parquet into it; restart with the Delta "
+                        "extension configured"
+                    )
+                self.use_delta = True
+            elif self._path_exists(spark, self.path):
+                self.use_delta = False  # pre-existing parquet layout
+            else:
+                self.use_delta = delta_available(spark)
         return self.use_delta
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:

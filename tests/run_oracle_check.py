@@ -43,8 +43,14 @@ def main() -> int:
         if only and name not in only:
             continue
         # operator-persisted intermediates (minhash signatures etc.)
-        # would otherwise accumulate across the 81-query sweep
+        # would otherwise accumulate across the 81-query sweep;
+        # gc.collect() additionally lets the ContextCleaner free
+        # localCheckpoint blocks (global_row_number/global_cumsum) that
+        # clearCache does not cover (ADVICE r3)
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
         if name not in oracle:
             n = fn(spark, sf_dir).count()
             print(f"{name:28s} rows-only: {n}")

@@ -59,6 +59,31 @@ def test_partition_layout_prunes_other_batches(spark, tmp_path):
     assert dirs == ["_batch_id=0", "_batch_id=1", "_batch_id=2"]
 
 
+def test_backend_pinned_to_existing_layout_across_restarts(spark, tmp_path):
+    """A restarted writer (fresh instance, auto-detect) must follow the
+    layout already at the path, not the new session's capability —
+    mixed Delta/parquet writes would corrupt the table (ADVICE r3)."""
+    path = str(tmp_path / "pin")
+    IdempotentBatchWriter(path)(
+        spark.createDataFrame([(1,)], "event_id BIGINT"), 0
+    )
+    # simulate restart: new writer, auto-detect; path holds parquet
+    restarted = IdempotentBatchWriter(path)
+    assert restarted._backend(spark) is False
+    restarted(spark.createDataFrame([(2,)], "event_id BIGINT"), 1)
+    got = sorted(r["event_id"] for r in restarted.read(spark).collect())
+    assert got == [1, 2]
+    # a fake _delta_log at a path must hard-stop a delta-less session
+    delta_path = tmp_path / "was_delta"
+    (delta_path / "_delta_log").mkdir(parents=True)
+    w = IdempotentBatchWriter(str(delta_path))
+    if not delta_available(spark):
+        with pytest.raises(RuntimeError, match="Delta"):
+            w._backend(spark)
+    else:  # pragma: no cover - delta-present environment
+        assert w._backend(spark) is True
+
+
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
 def test_delta_backend_replace_where(spark, tmp_path):
     path = str(tmp_path / "delta_idem")
