@@ -703,6 +703,142 @@ nodes:
     assert sorted(seen) == list(range(20))
 
 
+def test_chaos_sessionize_to_idempotent_sink_survives_crash_restart(
+    spark, tmp_path
+):
+    """VERDICT r3 "Next #6" — the reference's TestRecovery shape
+    (inttest/integration_test.go:125-212) composed end-to-end: the
+    stateful sessionizer feeds an IdempotentBatchWriter; the query is
+    killed AFTER the sink wrote the batch that closes a session but
+    BEFORE its offsets commit; a new query restarts from the same
+    checkpoint. Asserted TOGETHER on the final table: exactly-once
+    effect (each closed session present once despite the redelivery)
+    AND session conservation (every source event counted exactly once
+    across closed sessions + live snapshots)."""
+    import time as _time
+
+    from firebolt_spark.sinks.lakehouse import IdempotentBatchWriter
+    from firebolt_spark.streaming.stateful import sessionize
+
+    src_dir = tmp_path / "chaos_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "chaos_ckpt")
+    out_path = str(tmp_path / "chaos_out")
+
+    schema = "k STRING, ts STRING"
+    b1 = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00"),
+            ("a", "2024-01-01 00:00:05"),
+            ("a", "2024-01-01 00:00:10"),
+            ("b", "2024-01-01 00:00:02"),
+            ("b", "2024-01-01 00:00:07"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # 100 s later — past the 30 s gap: closes a's first session
+    b2 = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:50"), ("a", "2024-01-01 00:01:55")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    total_events = 7
+
+    writer = IdempotentBatchWriter(out_path)
+    crashed = {"done": False}
+    deliveries: list[tuple[int, tuple]] = []
+
+    def chaos_sink(df, batch_id):
+        rows = df.collect()
+        deliveries.extend(
+            (batch_id, (r["key"], r["session_start"], r["closed"]))
+            for r in rows
+        )
+        writer(df, batch_id)  # the write LANDS before the crash
+        if any(r["closed"] for r in rows) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated crash after write, before commit")
+
+    def start_query():
+        sdf = (
+            spark.readStream.schema("k STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "*"))
+        )
+        out = sessionize(
+            sdf, key_col="k", ts_col="ts", gap_seconds=30,
+            idle_timeout_ms=600_000,  # no idle closes inside the test
+        )
+        return (
+            out.writeStream.foreachBatch(chaos_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    q = start_query()
+    deadline = _time.monotonic() + 45
+    try:
+        while _time.monotonic() < deadline and not deliveries:
+            _time.sleep(0.5)
+        assert deliveries, "first batch never arrived"
+        b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+        while _time.monotonic() < deadline and q.exception() is None:
+            _time.sleep(0.5)
+        assert q.exception() is not None, "chaos crash must fail the query"
+    finally:
+        q.stop()
+    assert crashed["done"]
+
+    # restart from the same checkpoint: the uncommitted batch replays
+    q = start_query()
+    try:
+        deadline = _time.monotonic() + 45
+        while _time.monotonic() < deadline:
+            closed_redelivered = [
+                d for d in deliveries if d[1][2]
+            ]
+            if len(closed_redelivered) >= 2:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # the closed session really was redelivered (same content, twice)...
+    closed_deliveries = [d for d in deliveries if d[1][2]]
+    assert len(closed_deliveries) >= 2
+    assert len({d[1] for d in closed_deliveries}) == 1
+    # ...with the SAME batch id both times (replay, not a new batch)
+    assert len({d[0] for d in closed_deliveries}) == 1
+
+    # final table: exactly-once + conservation, asserted together
+    final = spark.read.parquet(out_path).collect()
+    closed_rows = [r for r in final if r["closed"]]
+    closed_keys = [(r["key"], r["session_start"]) for r in closed_rows]
+    assert len(closed_keys) == len(set(closed_keys)), "duplicated session"
+    assert ("a", 0) not in closed_keys  # sanity: micros, not zero
+    assert len(closed_rows) == 1 and closed_rows[0]["n_events"] == 3
+
+    latest_open: dict[tuple, object] = {}
+    for r in final:
+        if not r["closed"]:
+            key = (r["key"], r["session_start"])
+            if (
+                key not in latest_open
+                or r["_batch_id"] > latest_open[key]["_batch_id"]
+            ):
+                latest_open[key] = r
+    live = [
+        r for key, r in latest_open.items() if key not in set(closed_keys)
+    ]
+    counted = sum(r["n_events"] for r in closed_rows) + sum(
+        r["n_events"] for r in live
+    )
+    assert counted == total_events, (
+        f"conservation broken: {counted} != {total_events}"
+    )
+
+
 def test_mid_batch_crash_replays_batch_to_idempotent_sink(spark, tmp_path):
     """VERDICT r2 #7 (no broker in this sandbox, so the kill is a sink
     crash between writes): the sink dies MID-BATCH after a partial
