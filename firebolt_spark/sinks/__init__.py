@@ -148,6 +148,36 @@ class FileSink:
         return df
 
 
+class LakehouseSink:
+    """Idempotent lakehouse table sink — YAML-config face of
+    ``sinks.lakehouse.IdempotentBatchWriter`` (round 4).
+
+    Batch mode writes as batch id ``batch_id`` (default 0) — re-running
+    the same pipeline REPLACES that slice instead of appending, so a
+    re-run converges instead of duplicating. Streaming composition
+    attaches the writer itself via foreachBatch (the runner passes the
+    real micro-batch id). Backend (Delta vs dynamic-partition-overwrite
+    parquet) follows what already exists at ``path``; see lakehouse.py.
+
+    Params: path (required); batch_id (default 0); use_delta (optional
+    tri-state override).
+    """
+
+    BATCH_ONLY = True
+
+    def __init__(self, params: dict[str, Any]):
+        from firebolt_spark.sinks.lakehouse import IdempotentBatchWriter
+
+        self.batch_id = int(params.get("batch_id", 0))
+        self.writer = IdempotentBatchWriter(
+            params["path"], use_delta=params.get("use_delta")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self.writer(df, self.batch_id)
+        return df
+
+
 class ConsoleSink:
     """Debug sink. Params: num_rows (default 20). BATCH_ONLY."""
 
@@ -169,6 +199,7 @@ def register_sink_node_types(registry) -> None:
         "error_kafka_producer", ErrorKafkaProducerSink, EVENT_ERROR_SCHEMA, None
     )
     registry.register_node_type("parquet_sink", ParquetSink, None, None)
+    registry.register_node_type("lakehouse_sink", LakehouseSink, None, None)
     registry.register_node_type("file_sink", FileSink, None, None)
     registry.register_node_type("console_sink", ConsoleSink, None, None)
     registry.register_node_type("elasticsearch", ElasticsearchSink, None, None)

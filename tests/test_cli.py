@@ -6,7 +6,13 @@ from firebolt_spark.__main__ import main
 
 
 def test_validate_examples():
-    for cfg in ("logging", "kafkatokafka", "corpus_dedup", "corpus_curation"):
+    for cfg in (
+        "logging",
+        "kafkatokafka",
+        "corpus_dedup",
+        "corpus_curation",
+        "sql_lakehouse",
+    ):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 
 
@@ -26,6 +32,27 @@ def test_run_batch_example(spark, capsys):
     assert main(["run", "/root/repo/examples/kafkatokafka.yaml", "--show", "2"]) == 0
     out = capsys.readouterr().out
     assert "=== out (" in out and "rows)" in out
+
+
+def test_run_sql_lakehouse_example_end_to_end(spark, capsys, tmp_path):
+    """SqlNode + error handler + idempotent lakehouse sink through the
+    CLI; run TWICE — the second run must replace, not append (the
+    idempotence contract the example demonstrates)."""
+    import shutil
+
+    cfg = open("/root/repo/examples/sql_lakehouse.yaml").read().replace(
+        "/tmp/firebolt_spark_demo/user_event_rollup", str(tmp_path / "tbl")
+    )
+    p = tmp_path / "pipeline.yaml"
+    p.write_text(cfg)
+    assert main(["run", str(p), "--show", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "=== table (" in out and "=== error_topic (" in out
+    first = spark.read.parquet(str(tmp_path / "tbl")).count()
+    assert first > 0
+    assert main(["run", str(p), "--show", "0"]) == 0
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == first
+    shutil.rmtree(tmp_path / "tbl", ignore_errors=True)
 
 
 def test_explain_example(spark, capsys):
