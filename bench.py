@@ -58,6 +58,8 @@ EXTRA = [
     # per-query signal in a 3x min-of-runs bench)
     "q_dedup_incremental",
     "q_shard_packing",
+    # round 4: benchmark decontamination (broadcast bench shingles)
+    "q_decontaminate",
 ]
 
 

@@ -109,6 +109,51 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an eval/benchmark set (the GPT-3/PaLM-style n-gram
+    overlap check every training-data pipeline runs before a model
+    sees the corpus — no reference analogue; north-star LLM-pipeline
+    operator).
+
+    Output: (doc_id, n_hits) for every training doc, n_hits = number
+    of DISTINCT benchmark shingles the doc contains (0 = clean; filter
+    ``n_hits > 0`` for the contamination report, anti-join for the
+    clean corpus).
+
+    100 TB shape: benchmark sets are small (thousands of prompts), so
+    their distinct-shingle table is **broadcast** — the corpus-side
+    shingle explosion joins with zero shuffle of corpus data, and the
+    per-doc count aggregates map-side. NULL text yields no shingles on
+    either side (filtered up front — the engines disagree on NULL
+    tokenization; see minhash_signatures).
+    """
+    corpus_sh = shingle_table(docs.filter(F.col(text_col).isNotNull()), text_col, n)
+    bench_sh = (
+        shingle_table(
+            benchmark.filter(F.col(text_col).isNotNull()), text_col, n
+        )
+        .select("sh")
+        .distinct()
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup groups: one row per distinct content digest with the
     kept (minimum) doc_id and the duplicate count. Single hash shuffle

@@ -63,7 +63,8 @@ _PRIORITY = [
     "q_text_chunks",
     "q_profile_events",
     "q_anomaly_scores",
-    # code touched in round 4
+    # code touched in round 4 (q_decontaminate is NEW this round)
+    "q_decontaminate",
     "q_dedup_simhash_pairs",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "q_dedup_clusters",
     "q_dedup_incremental",
     "q_corpus_curation",
-    "q_shard_packing",
 ]
 
 

@@ -350,6 +350,47 @@ def test_frame_sample_bounds(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_decontaminate_flags_overlap_and_only_overlap(spark):
+    """A doc quoting a benchmark passage verbatim is flagged with the
+    right distinct-shingle count; clean docs score 0; NULL text is
+    clean, not an error."""
+    from firebolt_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's "the quick brown fox jumps over" run
+            (1, "prefix words then the quick brown fox jumps over the lazy dog"),
+            (2, "entirely unrelated text about distributed query engines here"),
+            (3, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench, n=5).collect()}
+    # doc 1 shares exactly two distinct 5-grams with the benchmark:
+    # "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert out == {1: 2, 2: 0, 3: 0}
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark shingle table must broadcast — the corpus side
+    joins without shuffling its shingles (the 100 TB contract: eval
+    sets are tiny, corpora are not)."""
+    from firebolt_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1).limit(20),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_redact_pii(spark):
     from firebolt_spark.operators.text import redact
 
