@@ -63,24 +63,26 @@ _PRIORITY = [
     "q_text_chunks",
     "q_profile_events",
     "q_anomaly_scores",
-    # code touched in round 4 (q_decontaminate is NEW this round)
+    # NEW this round (never driver-checked)
     "q_decontaminate",
+    "q_tpch2_min_cost_supplier",
+    "q_tpch11_important_parts",
+    "q_tpch12_late_priority",
+    "q_tpch16_supplier_variety",
+    "q_tpch20_promo_suppliers",
+    "q_tpch21_waiting_suppliers",
+    # code touched in round 4
     "q_dedup_simhash_pairs",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_similarity_ann_lsh",
     "q_similarity_bruteforce",
-    # headline backfill (green in r3)
+    # headline backfill (green in r3; dedup family kept because round 4
+    # touched the shared persist/release path)
     "q_tpch1_pricing_summary",
     "q_tpch3_shipping_priority",
-    "q_tpch5_local_supplier",
-    "q_tpch6_revenue_forecast",
-    "q_s6_compaction",
-    "q_window_tumbling",
-    "q_session_window",
     "q_dedup_minhash",
     "q_dedup_embedding",
-    "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_incremental",
     "q_corpus_curation",

@@ -1404,13 +1404,319 @@ Q_TPCH22_SQL = """
 """
 
 
+# ---- round 4: the six remaining TPC-H shapes ------------------------------
+# The fixtures have no partsupp table and no l_shipmode/l_commitdate
+# columns, so Q2/11/16/20 substitute lineitem as the part↔supplier
+# bridge and Q12/21 define lateness as l_shipdate > o_orderdate + 60
+# days — adaptations in the same spirit as q_tpch9 (documented per
+# query). All 22 TPC-H query shapes are now covered.
+
+
+def q_tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: offer price = the supplier's minimum
+    l_extendedprice for the part, since there is no partsupp): for
+    size-25 parts, the ASIA supplier(s) achieving the part's minimum
+    offer. Correlated-min semantics via a window over the offers table
+    (the oracle states it as the classic correlated subquery); DECIMAL
+    equality, so argmin ties are exact and the full argmin set is
+    emitted deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("_offer"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("_best", F.min("_offer").over(w))
+        .filter(F.col("_offer") == F.col("_best"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("_offer").cast("double").alias("min_price"),
+        )
+    )
+
+
+Q_TPCH2_SQL = """
+    WITH offers AS (
+        SELECT p_partkey, s_suppkey, s_name, n_name,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_size = 25
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY 1, 2, 3, 4)
+    SELECT p_partkey, s_suppkey, s_name, n_name,
+           CAST(offer AS DOUBLE) AS min_price
+    FROM offers o1
+    WHERE offer = (SELECT min(offer) FROM offers o2
+                   WHERE o2.p_partkey = o1.p_partkey)
+"""
+
+
+def q_tpch11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value = lineitem revenue from
+    focus-nation suppliers, since there is no partsupp availqty/cost):
+    parts whose value exceeds 2× the average part value — the
+    HAVING-against-global-scalar shape. The threshold comparison stays
+    in exact integer/DECIMAL arithmetic (value * n_parts > 2 * total)
+    so no engine disagrees at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 5
+    )
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("_value"))
+    )
+    totals = vals.agg(
+        F.sum("_value").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        vals.crossJoin(F.broadcast(totals))
+        .filter(F.col("_value") * F.col("_n") > F.col("_total") * 2)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+Q_TPCH11_SQL = """
+    WITH vals AS (
+        SELECT l_partkey AS p_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 5
+        GROUP BY 1)
+    SELECT p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM vals
+    WHERE value * (SELECT count(*) FROM vals)
+          > (SELECT sum(value) FROM vals) * 2
+"""
+
+
+def q_tpch12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate — grouped
+    by l_returnflag, late = shipped over 60 days after the order):
+    high- vs low-priority line counts among late 1996-97 shipments."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q_TPCH12_SQL = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+"""
+
+
+def q_tpch16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: part↔supplier pairs come from
+    lineitem; the 'complaints' exclusion = suppliers whose return rate
+    exceeds 1/3, an exact integer predicate): distinct supplier count
+    per (p_brand, p_size) for non-PROMO parts, suppliers NOT IN the
+    complaint set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    )
+    complaints = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_r"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_r") * 3 > F.col("_n"))
+        .select("l_suppkey")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(complaints), "l_suppkey", "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q_TPCH16_SQL = """
+    WITH complaints AS (
+        SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+        HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 3
+               > count(*)),
+    pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (SELECT l_suppkey FROM complaints))
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs JOIN part ON l_partkey = p_partkey AND p_type <> 'PROMO'
+    GROUP BY p_brand, p_size
+"""
+
+
+def q_tpch20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: the availqty-vs-half-shipped test
+    becomes 'shipped above the per-supplier average', exact in integer
+    arithmetic): suppliers qualifying via the nested IN chain — widget
+    parts → their 1997 shipments → heavy suppliers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    totals = shipped.agg(
+        F.sum("_qty").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    heavy = (
+        shipped.crossJoin(F.broadcast(totals))
+        .filter(F.col("_qty") * F.col("_n") > F.col("_total"))
+        .select("l_suppkey")
+    )
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+Q_TPCH20_SQL = """
+    WITH shipped AS (
+        SELECT l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1997
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%widget')
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        WHERE qty * (SELECT count(*) FROM shipped)
+              > (SELECT sum(qty) FROM shipped))
+"""
+
+
+def q_tpch21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped over 60 days after
+    the order date): for finished orders with ≥2 distinct suppliers
+    where EXACTLY ONE was late, count per late supplier — the classic
+    EXISTS / NOT-EXISTS pair, rewritten as per-order distinct counts
+    (the oracle keeps the textbook EXISTS form; both are provably the
+    same set). Top 25 by (numwait DESC, s_name) — unique tiebreak, so
+    the limit is deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias(
+            "_late"
+        ),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_nl"),
+    )
+    lone_late = (
+        j.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("_ns") >= 2) & (F.col("_nl") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        lone_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+Q_TPCH21_SQL = """
+    WITH f AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F')
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM f l1
+          WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+            AND EXISTS (SELECT 1 FROM f l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM f l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > l3.o_orderdate
+                                                  + INTERVAL 60 DAY))
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+"""
+
+
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
     "q_window_leadlag": q_window_leadlag,
     "q_agg_grouping_sets": q_agg_grouping_sets,
+    "q_tpch2_min_cost_supplier": q_tpch2_min_cost_supplier,
     "q_tpch8_market_share": q_tpch8_market_share,
     "q_tpch9_product_profit": q_tpch9_product_profit,
     "q_tpch10_returned_items": q_tpch10_returned_items,
+    "q_tpch11_important_parts": q_tpch11_important_parts,
+    "q_tpch12_late_priority": q_tpch12_late_priority,
+    "q_tpch16_supplier_variety": q_tpch16_supplier_variety,
+    "q_tpch20_promo_suppliers": q_tpch20_promo_suppliers,
+    "q_tpch21_waiting_suppliers": q_tpch21_waiting_suppliers,
     "q_tpch13_order_distribution": q_tpch13_order_distribution,
     "q_tpch15_top_supplier": q_tpch15_top_supplier,
     "q_tpch17_small_qty_revenue": q_tpch17_small_qty_revenue,
@@ -1452,6 +1758,12 @@ ORACLE = {
     "q_tpch8_market_share": Q_TPCH8_SQL,
     "q_tpch9_product_profit": Q_TPCH9_SQL,
     "q_tpch10_returned_items": Q_TPCH10_SQL,
+    "q_tpch2_min_cost_supplier": Q_TPCH2_SQL,
+    "q_tpch11_important_parts": Q_TPCH11_SQL,
+    "q_tpch12_late_priority": Q_TPCH12_SQL,
+    "q_tpch16_supplier_variety": Q_TPCH16_SQL,
+    "q_tpch20_promo_suppliers": Q_TPCH20_SQL,
+    "q_tpch21_waiting_suppliers": Q_TPCH21_SQL,
     "q_tpch13_order_distribution": Q_TPCH13_SQL,
     "q_tpch15_top_supplier": Q_TPCH15_SQL,
     "q_tpch17_small_qty_revenue": Q_TPCH17_SQL,
