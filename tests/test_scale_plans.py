@@ -46,6 +46,25 @@ def test_topk_executes_as_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch2_dimensions_broadcast_and_no_cartesian(spark):
+    """Q2's four dimension joins (part/supplier/nation/region) must all
+    broadcast — lineitem is the only fact and must never shuffle for
+    them — and the correlated-min must be a window, not a self-join."""
+    plan = _executed_plan(relational.q_tpch2_min_cost_supplier(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch21_exists_rewrite_has_no_cartesian(spark):
+    """The EXISTS/NOT-EXISTS pair is rewritten as per-order distinct
+    counts — one shuffle on l_orderkey, no nested-loop/cartesian join,
+    and the final top-25 is TakeOrdered, not a global sort."""
+    plan = _executed_plan(relational.q_tpch21_waiting_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bmp_codec_query_is_scan_only(spark):
     """The declared multimodal query (real BMP encode→decode) must stay
     a shuffle-free, UDF-free scan: header parse + pixel stats are all
