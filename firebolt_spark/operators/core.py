@@ -212,6 +212,7 @@ class SqlNode:
     def __init__(self, params: dict[str, Any]):
         self.statement = params["statement"]
         self.view = params.get("view", "input")
+        self._collision_checked = False
 
     def transform(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
@@ -226,16 +227,25 @@ class SqlNode:
         # a user's own temp view of this name is silently replaced and
         # NOT restored — warn so the session-level side effect is
         # visible (ADVICE r3); the {view} placeholder form never
-        # collides
-        if any(v.name == self.view for v in spark.catalog.listTables() if v.isTemporary):
-            import warnings
+        # collides. Checked ONCE per node instance with a targeted
+        # getTable lookup — not listTables per transform, which would
+        # enumerate the full metastore every micro-batch under
+        # foreachBatch (ADVICE r4).
+        if not self._collision_checked:
+            self._collision_checked = True
+            try:
+                existing = spark.catalog.getTable(self.view)
+            except Exception:
+                existing = None
+            if existing is not None and existing.tableType == "TEMPORARY":
+                import warnings
 
-            warnings.warn(
-                f"SqlNode replaces existing temp view '{self.view}' for "
-                "statement analysis and drops it afterwards; use the "
-                "'{view}' placeholder form to avoid the collision",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"SqlNode replaces existing temp view '{self.view}' for "
+                    "statement analysis and drops it afterwards; use the "
+                    "'{view}' placeholder form to avoid the collision",
+                    stacklevel=2,
+                )
         df.createOrReplaceTempView(self.view)
         try:
             return spark.sql(self.statement)

@@ -184,7 +184,7 @@ def bmp_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     d = d.select(
         "doc_id",
         "hx",
-        F.expr(f"substr(hx, 1, 4) = '424d'").alias("is_bmp"),
+        F.expr(f"substr(hx, 1, 4) = '424d'").alias("has_magic"),
         F.expr(width).cast("int").alias("width"),
         F.expr(height).cast("int").alias("height"),
         F.expr(bpp).cast("int").alias("bpp"),
@@ -192,6 +192,15 @@ def bmp_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
         F.col("n_total"),
     ).withColumn(
         "n_pixel_bytes", F.expr("cast(n_total - data_off as int)")
+    ).withColumn(
+        # Magic alone is not enough: a truncated or header-only payload
+        # must NULL out here exactly like _bmp_decode_py rejects it,
+        # and an empty pixel array would make sequence(0, -1) descend.
+        "is_bmp",
+        F.expr(
+            "has_magic AND n_total >= 54"
+            " AND data_off BETWEEN 54 AND n_total AND n_pixel_bytes > 0"
+        ),
     )
     # one fold: struct accumulator of the three channel sums
     byte_at = _byte(hx, "(data_off + i)")
@@ -233,6 +242,10 @@ def _bmp_decode_py(payload: bytes) -> dict | None:
     data_off = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
+    # Same guard as the SQL path's is_bmp: pixel data must start after
+    # the header and be non-empty, else both decoders return NULL/None.
+    if data_off < 54 or data_off > len(payload):
+        return None
     pix = payload[data_off:]
     if not pix:
         return None

@@ -164,11 +164,25 @@ class ElasticsearchSink:
             "client_factory", BulkClient
         )
         self._accs: dict[str, Any] = {}
+        # applicationId (a plain string — this object is pickled to
+        # executors, a SparkContext reference would not be) of the
+        # context the accumulators were registered on
+        self._accs_app_id: str | None = None
 
     def counters(self) -> dict[str, int]:
         """Driver-side view of executor activity since the first
-        transform: es_reconnects_total, es_batch_retries_total,
-        es_doc_retries_total, es_docs_dead_lettered_total."""
+        transform: es_reconnects_total, es_failure_reconnects_total,
+        es_batch_retries_total, es_doc_retries_total,
+        es_docs_dead_lettered_total.
+
+        Semantics: AT-LEAST-ONCE. These are Spark accumulators updated
+        inside a transformation, so a retried or speculatively-executed
+        task adds its increments again — Spark only deduplicates
+        accumulator updates in actions. That is the right contract for
+        Prometheus-style monotonic activity counters (they measure work
+        performed, including retried work), and matches the reference's
+        metrics, which also count every physical attempt; do NOT treat
+        them as exactly-once row counts."""
         return {name: acc.value for name, acc in self._accs.items()}
 
     def _index_partition(
@@ -201,6 +215,7 @@ class ElasticsearchSink:
         def flush(batch: list[dict], attempts_left: dict[str, int]) -> None:
             # whole-batch retry with exponential backoff
             # (elastic_index_client.go:128-151), bounded
+            nonlocal client
             backoff = self.initial_backoff_s
             c = get_client()
             for attempt in range(self.max_batch_retries + 1):
@@ -211,6 +226,12 @@ class ElasticsearchSink:
                     if attempt == self.max_batch_retries:
                         raise
                     count("es_batch_retries_total")
+                    # a possibly-dead connection must not burn the whole
+                    # retry budget: replace the client before backing
+                    # off. Failure-driven — does not advance the
+                    # periodic reconnect cadence (batches_on_client).
+                    c = client = self.client_factory()
+                    count("es_failure_reconnects_total")
                     time.sleep(min(backoff, self.max_backoff_s))
                     backoff *= 2
             retry: list[dict] = []
@@ -273,16 +294,21 @@ class ElasticsearchSink:
             ]
         )
         sc = df.sparkSession.sparkContext
-        if not self._accs:
+        if not self._accs or self._accs_app_id != sc.applicationId:
+            # bind (or re-bind after a session restart — accumulators
+            # registered on a stopped SparkContext are dead) the
+            # counters to the context that will run the tasks
             self._accs = {
                 name: sc.accumulator(0)
                 for name in (
                     "es_reconnects_total",
+                    "es_failure_reconnects_total",
                     "es_batch_retries_total",
                     "es_doc_retries_total",
                     "es_docs_dead_lettered_total",
                 )
             }
+            self._accs_app_id = sc.applicationId
         sink = self
         accs = self._accs
         rdd = df.rdd.mapPartitions(lambda rows: sink._index_partition(rows, accs))

@@ -35,6 +35,7 @@ _HELP = {
     "batches_processed_total": "The total number of micro-batches processed",
     "last_batch_duration_seconds": "Wall-clock duration of the most recent micro-batch",
     "es_reconnects_total": "Periodic Elasticsearch client reconnects (every reconnect_batch_count bulk batches)",
+    "es_failure_reconnects_total": "Elasticsearch client replacements triggered by a bulk transport failure (before the backoff retry)",
     "es_batch_retries_total": "Whole-bulk-batch transport retries (exponential backoff)",
     "es_doc_retries_total": "Per-document bulk index retries",
     "es_docs_dead_lettered_total": "Documents routed to the dead-letter output",

@@ -338,6 +338,43 @@ def test_bmp_decode_non_bmp_yields_nulls(spark):
     assert row["width"] is None and row["mean_all"] is None
 
 
+def test_bmp_decode_malformed_payloads_null_in_both_decoders(spark):
+    """Magic-only / truncated / header-only / out-of-range data_off
+    payloads must be rejected IDENTICALLY by the SQL and pandas
+    decoders (ADVICE r4: 'BM' magic alone let garbage through the SQL
+    path while the Python path returned None)."""
+    import struct as st
+
+    def hdr(data_off, total_extra=0):
+        return (
+            b"BM"
+            + st.pack("<I", 54 + total_extra)
+            + b"\x00\x00\x00\x00"
+            + st.pack("<I", data_off)
+            + st.pack("<I", 40)
+            + st.pack("<ii", 1, 1)
+            + st.pack("<HH", 1, 24)
+            + st.pack("<I", 0) * 6
+        )
+
+    cases = [
+        b"BM",  # magic only
+        b"BM" + b"\x00" * 20,  # truncated header (<54 bytes)
+        hdr(54),  # header-only: data_off == n_total, no pixels
+        hdr(9999) + b"\x01\x02\x03",  # data_off beyond payload
+        hdr(10) + b"\x01\x02\x03",  # data_off inside the header
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(cases)], "doc_id BIGINT, media BINARY"
+    )
+    rows = {r["doc_id"]: r for r in multimodal.bmp_decode(df).collect()}
+    for i, payload in enumerate(cases):
+        assert multimodal._bmp_decode_py(payload) is None, i
+        r = rows[i]
+        assert r["width"] is None and r["n_pixel_bytes"] is None, (i, r)
+        assert r["mean_all"] is None, (i, r)
+
+
 def test_frame_sample_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     feats = multimodal.extract_features(
