@@ -512,6 +512,7 @@ def dedup_clusters_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -534,6 +535,12 @@ def dedup_clusters_star(
     Self-pairs (a == b) are ignored entirely — they carry no
     connectivity and never occur in this package's pair generators
     (which all emit ``a < b``).
+
+    ``telemetry`` (optional dict) is filled with ``rounds`` and
+    ``driver_actions`` — the count of blocking driver-side actions the
+    convergence loop issued (VERDICT r4 #6 contract: rounds + 2, i.e.
+    one stats aggregate per round, one initial, one exceptAll confirm
+    at the fixpoint — not 2 actions per round).
     """
     # canonical undirected edges as (lo, hi), no self-loops.
     # localCheckpoint (here and per round) truncates the logical plan:
@@ -572,8 +579,22 @@ def dedup_clusters_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
 
-    n_edges = edges.count()
+    actions = 0
+
+    def stats(e: DataFrame):
+        # one scan, no shuffle beyond the single-row final aggregate:
+        # (row count, order-independent xor checksum of the edge set)
+        nonlocal actions
+        actions += 1
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).first()
+
+    prev = stats(edges)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         sym = symmetric(edges)
         mins = closed_min(sym)
         # large-star: (v, m) for neighbors v > u; m ≤ u < v so m < v
@@ -593,18 +614,27 @@ def dedup_clusters_star(
             .unionAll(mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # convergence: equal multiset sizes + one-sided emptiness ⇒
-        # equality. The previous round's size is carried, so the check
-        # costs 2 actions per round, not 3.
-        n_ss = ss.count()
-        unchanged = (
-            n_ss == n_edges and ss.exceptAll(edges).limit(1).count() == 0
-        )
-        edges, n_edges = ss, n_ss
-        if unchanged:
+        # ONE action per round (VERDICT r4 #6; was 3): the stats
+        # aggregate both materializes the lazy checkpoint and reads
+        # (count, xor-of-hashes) of the new edge set. Sets are equal
+        # only if both match the previous round's (false-converge needs
+        # a 64-bit xor-checksum collision between consecutive rounds);
+        # a deterministic exceptAll CONFIRMS equality exactly once, at
+        # the detected fixpoint, instead of running every round.
+        cur = stats(ss)
+        maybe_unchanged = cur == prev
+        if maybe_unchanged:
+            actions += 1
+            if ss.exceptAll(edges).limit(1).count() > 0:
+                maybe_unchanged = False  # checksum collision: iterate on
+        edges, prev = ss, cur
+        if maybe_unchanged:
             break
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+        telemetry["driver_actions"] = actions
     # at fixpoint every non-root node has exactly one star edge; the
     # min() also covers a max_iter cutoff mid-convergence gracefully
     roots = edges.groupBy(F.col("hi").alias("node")).agg(

@@ -602,6 +602,37 @@ def test_star_cc_bounds_rounds_on_deep_chain(spark):
     assert prop.filter(F.col("cluster_id") != 0).count() > 0
 
 
+def test_star_cc_one_driver_action_per_round(spark):
+    """VERDICT r4 #6: convergence detection must cost ONE driver action
+    per round (the stats aggregate that also materializes the lazy
+    checkpoint), not count()+exceptAll() — plus one initial stats and
+    exactly one deterministic exceptAll confirm at the detected
+    fixpoint: driver_actions == rounds + 2 (the old loop cost
+    2*rounds + 1)."""
+    from firebolt_spark.operators import dedup
+
+    # star-shaped already: converges after round 1
+    two_edges = spark.createDataFrame(
+        [(1, 2), (10, 20)], "doc_a int, doc_b int"
+    )
+    t = {}
+    labels = dedup.dedup_clusters_star(two_edges, max_iter=12, telemetry=t)
+    got = sorted(map(tuple, labels.collect()))
+    assert got == [(1, 1), (2, 1), (10, 10), (20, 10)]
+    assert t["rounds"] == 1
+    assert t["driver_actions"] == t["rounds"] + 2, t
+
+    # deep chain: several rounds, still rounds + 2 actions total
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a int, doc_b int"
+    )
+    t = {}
+    labels = dedup.dedup_clusters_star(chain, max_iter=12, telemetry=t)
+    assert labels.filter(F.col("cluster_id") != 0).count() == 0
+    assert 1 < t["rounds"] <= 12
+    assert t["driver_actions"] == t["rounds"] + 2, t
+
+
 import pytest
 
 
