@@ -232,11 +232,18 @@ class SqlNode:
         # enumerate the full metastore every micro-batch under
         # foreachBatch (ADVICE r4).
         if not self._collision_checked:
-            self._collision_checked = True
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = spark.catalog.getTable(self.view)
-            except Exception:
+            except AnalysisException:
+                # table-not-found: a definitive "no collision" answer.
+                # Transient catalog errors (anything else) propagate and
+                # leave _collision_checked False so the check re-runs —
+                # a swallowed error must not suppress the warning for
+                # the node's lifetime (ADVICE r5).
                 existing = None
+            self._collision_checked = True
             if existing is not None and existing.tableType == "TEMPORARY":
                 import warnings
 

@@ -538,9 +538,14 @@ def dedup_clusters_star(
 
     ``telemetry`` (optional dict) is filled with ``rounds`` and
     ``driver_actions`` — the count of blocking driver-side actions the
-    convergence loop issued (VERDICT r4 #6 contract: rounds + 2, i.e.
-    one stats aggregate per round, one initial, one exceptAll confirm
-    at the fixpoint — not 2 actions per round).
+    convergence loop issued (VERDICT r4 #6 contract): **rounds + 2** on
+    normal convergence (one stats aggregate per round, one initial, one
+    exceptAll confirm at the detected fixpoint). Edge cases: a
+    ``max_iter`` cutoff skips the confirm, so **rounds + 1**; a
+    (count, checksum) collision that exceptAll then refutes adds one
+    extra confirm per collision — astronomically rare with the
+    xor-of-xxhash64 checksum, but the contract is "+1 per collision",
+    not "never".
     """
     # canonical undirected edges as (lo, hi), no self-loops.
     # localCheckpoint (here and per round) truncates the logical plan:

@@ -182,7 +182,13 @@ class ElasticsearchSink:
         Prometheus-style monotonic activity counters (they measure work
         performed, including retried work), and matches the reference's
         metrics, which also count every physical attempt; do NOT treat
-        them as exactly-once row counts."""
+        them as exactly-once row counts.
+
+        Totals also reset to zero when the SparkSession restarts (the
+        accumulators are re-bound to the new SparkContext on the next
+        ``transform``) — the same restart-reset contract as a Prometheus
+        counter; aggregate with rate()/increase()-style logic if you
+        need continuity across restarts."""
         return {name: acc.value for name, acc in self._accs.items()}
 
     def _index_partition(
@@ -198,6 +204,14 @@ class ElasticsearchSink:
         batches_on_client = 0
         dead: list[Row] = []
 
+        def dispose(c: BulkClient) -> None:
+            # real elasticsearch-py clients hold connection pools; the
+            # fakes in tests don't have close() — tolerate both
+            try:
+                getattr(c, "close", lambda: None)()
+            except Exception:
+                pass
+
         def get_client() -> BulkClient:
             # periodic reconnect spreads load across ES client nodes
             # (reference connectionfactory.go:55-69): a fresh client
@@ -207,6 +221,7 @@ class ElasticsearchSink:
             # reference semantics: the Nth acquisition reconnects and
             # uses the fresh client, counter resets
             if batches_on_client == self.reconnect_batch_count:
+                dispose(client)
                 client = self.client_factory()
                 batches_on_client = 0
                 count("es_reconnects_total")
@@ -230,6 +245,9 @@ class ElasticsearchSink:
                     # retry budget: replace the client before backing
                     # off. Failure-driven — does not advance the
                     # periodic reconnect cadence (batches_on_client).
+                    # Dispose the old one: a retry storm must not leak
+                    # one connection pool per attempt.
+                    dispose(c)
                     c = client = self.client_factory()
                     count("es_failure_reconnects_total")
                     time.sleep(min(backoff, self.max_backoff_s))
