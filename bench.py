@@ -89,6 +89,33 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _calibrate() -> dict[str, float]:
+    """Fixed-work host-speed probe, reported with every bench run.
+
+    Round 5's suite drifted +37% with zero code changes on any benched
+    plan; a controlled r6 re-run at loadavg 0.9 reproduced it, so the
+    cause is host-level (CPU frequency / neighbor / scheduler), not
+    load or code. These two fixed workloads (single-thread numpy matmul
+    and a pure-Python loop) make that attribution *measurable*: if
+    calibration moves with the suite, the drift is the host's; if the
+    suite moves and calibration doesn't, it's ours. (PERF.md round 6.)
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        a @ a
+    matmul = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(4_000_000):
+        s += i * i
+    pyloop = time.perf_counter() - t0
+    return {"matmul6x1200_s": round(matmul, 3), "pyloop4m_s": round(pyloop, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -152,6 +179,7 @@ def main() -> None:
         "runs": runs,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
+        "calibration": _calibrate(),
         # same 16 queries as round 1 — the round-over-round anchor
         "subtotal_r1_suite": round(
             sum(t for n, t in timings.items() if n in HEADLINE), 3

@@ -182,12 +182,30 @@ def ivf_assign(
     )
     for _ in range(kmeans_iters):
         assigned = _nearest(corpus, cents, id_col, vec_col)
+        # decimal-sum mean, not F.avg: double summation order follows
+        # shuffle arrival order, so avg() is run- and engine-dependent
+        # in the last ulps — enough to flip a nearest-centroid tie and
+        # break oracle parity. DECIMAL(30,15) addition is exact and
+        # associative (float→double→decimal is deterministic; members
+        # are |x|≤1 so 15 integer digits never overflow), and the final
+        # decimal→double cast + integer division are IEEE-deterministic
+        # in any engine (VERDICT r4 #3 / r5 #6).
         dims = (
             assigned.select(
                 "cluster", F.posexplode(vec_col).alias("pos", "x")
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(30,15)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
         )
         # re-pack: array_sort on (pos, m) structs orders by pos (unique
         # per cluster), then project the means out

@@ -276,19 +276,31 @@ def _duck_plane(p: int, d: int) -> str:
     )
 
 
-_DUCK_SIG = " + ".join(
-    "(CASE WHEN ("
-    + " + ".join(
-        f"CAST(embedding[{d + 1}] AS DOUBLE) * {_duck_plane(p, d)}"
-        for d in range(similarity.EMB_DIM)
+def _duck_sig(planes: int) -> str:
+    """DuckDB mirror of similarity.lsh_signature(planes): bit p =
+    sign(v · plane_p), flat left-associative per-plane sums — the same
+    evaluation order as Spark's generated expression."""
+    return " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {_duck_plane(p, d)}"
+            for d in range(similarity.EMB_DIM)
+        )
+        + f") > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
     )
-    + f") > 0 THEN {1 << p} ELSE 0 END)"
-    for p in range(similarity.NEAR_DUP_PLANES)
-)
+
+
+_DUCK_SIG = _duck_sig(similarity.NEAR_DUP_PLANES)
 # flat left-associative sums — the same evaluation order as Spark's
 # sequential aggregate() fold, so the doubles agree bit-for-bit
 _DUCK_DOT_AB = " + ".join(
     f"CAST(a.embedding[{d + 1}] AS DOUBLE) * CAST(b.embedding[{d + 1}] AS DOUBLE)"
+    for d in range(similarity.EMB_DIM)
+)
+# e-row × query-row dot (columns e.embedding / q.q_vec), same flat order
+_DUCK_DOT_EQ = " + ".join(
+    f"CAST(e.embedding[{d + 1}] AS DOUBLE) * CAST(q.q_vec[{d + 1}] AS DOUBLE)"
     for d in range(similarity.EMB_DIM)
 )
 _DUCK_NORM = "sqrt(" + " + ".join(
@@ -361,17 +373,124 @@ Q_SIMILARITY_SQL = f"""
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant — rows-only check (no oracle): approximation quality
-    is pinned against the brute-force baseline in tests instead."""
+    """LSH ANN top-k — hash-matched oracle (VERDICT r4 #2 / r5 #4): the
+    md5-derived hyperplanes make the bucket assignment engine-portable,
+    so the *approximate* semantics (candidates = the query's signature
+    bucket, probes=1) is itself exactly SQL-expressible. Approximation
+    QUALITY is still pinned against brute force in tests and reported
+    as bench ann_recall; this oracle checks the retrieval semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, _QUERY_VEC_IDS, k=10)
 
 
+# same shape as Q_SIMILARITY_SQL with one change: candidates are
+# restricted to the query's 4-plane signature bucket (probes=1 — the
+# q_similarity_ann_lsh default), mirroring ann_lsh_topk's equi-join
+Q_SIMILARITY_ANN_LSH_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST(({_duck_sig(similarity.LSH_PLANES)}) AS INTEGER) AS sig,
+               {_DUCK_NORM} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, sig AS q_sig,
+                 nrm AS q_nrm
+          FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(({_DUCK_DOT_EQ}) / (e.nrm * q.q_nrm), 4) AS cos_sim
+        FROM e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk
+    FROM (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant — rows-only; recall pinned vs brute force in
-    tests (tests/test_llm_ops.py)."""
+    """IVF ANN top-k — hash-matched oracle (VERDICT r4 #3 / r5 #6).
+    The whole pipeline is deterministic and engine-portable: seed
+    centroids are the first n_centroids vectors by id, Lloyd means use
+    exact DECIMAL sums (order-independent; see similarity.ivf_assign),
+    and every dot product is a left-associative double fold mirrored
+    term-for-term in the oracle's flat sums. The oracle unrolls the two
+    Lloyd iterations as CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(emb, _QUERY_VEC_IDS, k=10)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Flat left-associative double dot of two DuckDB list columns —
+    the same addition sequence as similarity.dot_fold's aggregate()."""
+    return " + ".join(
+        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        for d in range(similarity.EMB_DIM)
+    )
+
+
+def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB mirror of similarity.ann_ivf_topk's default call: seed →
+    (assign → decimal-mean) × 2 → final assign → probe top-n_probe
+    centroids per query → bucket-restricted exact cosine top-k."""
+    dot_ec = _duck_dot("e.embedding", "c.c_vec")
+    # one Lloyd iteration given assignment CTE name -> (means, cents)
+    def means(assign: str) -> str:
+        return f"""
+        SELECT cluster, i - 1 AS pos,
+               CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30, 15)))
+                    AS DOUBLE) / count(*) AS m
+        FROM {assign}, generate_series(1, {similarity.EMB_DIM}) g(i)
+        GROUP BY cluster, i"""
+
+    def pack(mean_cte: str) -> str:
+        return f"""
+        SELECT cluster, c_vec, sqrt({_duck_dot("c_vec", "c_vec")}) AS c_norm
+        FROM (SELECT cluster, list(m ORDER BY pos) AS c_vec
+              FROM {mean_cte} GROUP BY cluster)"""
+
+    def assign(cents: str) -> str:
+        return f"""
+        SELECT vec_id, embedding, nrm, cluster FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY (({dot_ec}) / (e.nrm * c.c_norm)) DESC,
+                                c.cluster) AS _r
+            FROM e, {cents} c) WHERE _r = 1"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, embedding AS c_vec, nrm AS c_norm
+           FROM e ORDER BY vec_id LIMIT {n_centroids}),
+    a1 AS ({assign("c0")}),
+    m1 AS ({means("a1")}),
+    c1 AS ({pack("m1")}),
+    a2 AS ({assign("c1")}),
+    m2 AS ({means("a2")}),
+    c2 AS ({pack("m2")}),
+    af AS ({assign("c2")}),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
+          FROM af WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+        SELECT query_id, q_vec, q_nrm, cluster FROM (
+            SELECT q.query_id, q.q_vec, q.q_nrm, c.cluster,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY (({_duck_dot("q.q_vec", "c.c_vec")})
+                                 / (q.q_nrm * c.c_norm)) DESC,
+                                c.cluster) AS _r
+            FROM q, c2 c) WHERE _r <= {n_probe}),
+    scored AS (
+        SELECT p.query_id, af.vec_id,
+               round(({_duck_dot("af.embedding", "p.q_vec")})
+                     / (af.nrm * p.q_nrm), 4) AS cos_sim
+        FROM af JOIN probes p
+          ON af.cluster = p.cluster AND af.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk
+    FROM (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+"""
 
 
 # ---- text analysis --------------------------------------------------------
@@ -918,5 +1037,6 @@ ORACLE = {
     "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
-    # q_similarity_ann_lsh/ann_ivf: rows-only by design (ANN)
+    "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,
+    "q_similarity_ann_ivf": _make_ivf_sql(),
 }

@@ -38,6 +38,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver JVM IS every executor; the 1g default
+        # heap cannot hold a 64MB-threshold AQE broadcast build plus 32
+        # task threads (found by the sf1 scale step: tpch3's
+        # orders⋈customer build side OOMed the broadcast). Only read at
+        # JVM launch — a no-op on getOrCreate of a live session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
