@@ -116,6 +116,67 @@ def _calibrate() -> dict[str, float]:
     return {"matmul6x1200_s": round(matmul, 3), "pyloop4m_s": round(pyloop, 3)}
 
 
+def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Skewed-join wall-clock comparison (VERDICT r4 #4 / r5 #7): one
+    hot key owns ~30% of an amplified events-derived left side; the
+    same shuffle join runs (a) naive with AQE skew handling off — the
+    100 TB footgun where one reducer owns 30% of the shuffle, (b)
+    through functions.salted_join, (c) naive with AQE skew handling on
+    (Spark's own runtime mitigation). Broadcast is disabled throughout:
+    at bench scale the dim side would broadcast and no skew would exist
+    to demonstrate. min-of-2 each, confs restored."""
+    from firebolt_spark.functions import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = max(1, 4_000_000 // max(ev.count(), 1))
+    left = (
+        ev.select(
+            F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("_rep"),
+            F.when((F.col("event_id") % 10) < 3, F.lit(0))
+            .otherwise(F.col("event_id") % 1000)
+            .alias("k"),
+            "value",
+            F.repeat(F.coalesce(F.col("props"), F.lit("x")), 20).alias("blob"),
+        )
+        .drop("_rep")
+        .persist()
+    )
+    left.count()
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.groupBy().agg(
+            F.count(F.lit(1)), F.sum("w"), F.sum(F.length("blob"))
+        ).collect()
+        return time.perf_counter() - t0
+
+    out: dict[str, float] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["naive_skew_off_s"] = round(
+            min(run(left.join(right, "k")) for _ in range(2)), 3
+        )
+        out["salted_s"] = round(
+            min(run(salted_join(left, right, "k", 16)) for _ in range(2)), 3
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["naive_aqe_skew_s"] = round(
+            min(run(left.join(right, "k")) for _ in range(2)), 3
+        )
+        out["rows"] = left.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        left.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -190,6 +251,10 @@ def main() -> None:
         payload["ann_recall"] = _ann_recall(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never kill the bench
         payload["ann_recall_error"] = str(exc)[:200]
+    try:
+        payload["skew_demo"] = _skew_demo(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never kill the bench
+        payload["skew_demo_error"] = str(exc)[:200]
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -61,9 +61,16 @@ def q_tpch1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             F.round("_sum_qty", 2).alias("sum_qty"),
-            F.col("_sum_base").cast("double").alias("sum_base_price"),
-            F.col("_sum_disc").cast("double").alias("sum_disc_price"),
-            F.col("_sum_charge").cast("double").alias("sum_charge"),
+            # reduce to scale 2 (money) BEFORE the double cast: at sf1+
+            # the scale-6 charge sum's unscaled value exceeds 2^53, and
+            # engines then disagree in the last ulp of decimal->double
+            # (DuckDB rounds the integer numerator before dividing;
+            # Spark converts the exact decimal). At scale 2 the unscaled
+            # value fits a double exactly, so every engine converts
+            # identically (found by the sf1 scale step, round 6).
+            F.col("_sum_base").cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.col("_sum_disc").cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
+            F.col("_sum_charge").cast("decimal(38,2)").cast("double").alias("sum_charge"),
             F.round(F.col("_sum_qty") / F.col("count_order"), 2).alias("avg_qty"),
             F.round(
                 F.col("_sum_base").cast("double") / F.col("count_order"), 2
@@ -77,14 +84,19 @@ def q_tpch1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TPCH1_SQL = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-               AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           -- round() THEN downscale-cast: DuckDB's decimal downscale
+           -- cast truncates where Spark's rounds half-up; round() makes
+           -- the scale-2 value explicit, the cast makes its unscaled
+           -- form fit 2^53 so the DOUBLE conversion is exact
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+               AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+               AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
-               AS sum_charge,
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
+               AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
            round(sum(l_quantity) / count(*), 2) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                / count(*), 2) AS avg_price,
@@ -1643,8 +1655,10 @@ def q_tpch21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     where EXACTLY ONE was late, count per late supplier — the classic
     EXISTS / NOT-EXISTS pair, rewritten as per-order distinct counts
     (the oracle keeps the textbook EXISTS form; both are provably the
-    same set). Top 25 by (numwait DESC, s_name) — unique tiebreak, so
-    the limit is deterministic."""
+    same set). Top 25 by (numwait DESC, s_name, s_suppkey): s_name
+    alone is NOT a unique tiebreak once fixtures carry duplicate
+    supplier names (the sf1 shard fixture does — found in round 6), so
+    the key column closes the ordering."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -1675,7 +1689,7 @@ def q_tpch21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), "s_name")
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
         .limit(25)
     )
 
@@ -1699,13 +1713,65 @@ Q_TPCH21_SQL = """
                                                   + INTERVAL 60 DAY))
     JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_suppkey, s_name
-    ORDER BY numwait DESC, s_name
+    ORDER BY numwait DESC, s_name, s_suppkey
     LIMIT 25
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join (VERDICT r4 #4 / r5 #7): ~30% of events are
+    remapped onto ONE hot user id, then joined to the customer dim
+    through ``functions.salted_join`` — the hot key is spread over 16
+    salt sub-keys so no single reducer owns 30% of the shuffle. The
+    oracle runs the UNSALTED join: what this row checks is that salting
+    is semantics-preserving (identical groups, counts, and exact
+    decimal sums). The wall-clock skew win is measured separately as
+    the bench ``skew_demo`` artifact (PERF.md round 6)."""
+    from firebolt_spark.functions import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when((F.col("user_id") % 10) < 3, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "value",
+    )
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select(F.col("c_custkey").alias("uid"), "c_mktsegment")
+    )
+    return (
+        salted_join(skewed, users, "uid", salt_buckets=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SKEW_SALTED_SQL = """
+    WITH s AS (SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid,
+                      value
+               FROM events),
+    u AS (SELECT c_custkey AS uid, c_mktsegment FROM customer
+          WHERE c_custkey < 1500)
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s JOIN u USING (uid)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
 """
 
 
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
+    "q_skew_salted_join": q_skew_salted_join,
     "q_window_leadlag": q_window_leadlag,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_tpch2_min_cost_supplier": q_tpch2_min_cost_supplier,
@@ -1798,4 +1864,5 @@ ORACLE = {
     "q_date_functions": Q_DATE_SQL,
     "q_subquery_above_avg": Q_SUBQUERY_SQL,
     "q_having": Q_HAVING_SQL,
+    "q_skew_salted_join": Q_SKEW_SALTED_SQL,
 }
