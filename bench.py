@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from firebolt_spark import get_spark  # noqa: E402
 from firebolt_spark.catalog import load_table  # noqa: E402
 from firebolt_spark.queries import all_queries  # noqa: E402
