@@ -82,6 +82,8 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
         "lsh@10": similarity.ann_lsh_topk(emb, qids, k=10),
         "lsh_probes3@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=3),
         "lsh_probes5@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=5),
+        "lsh_tables4@10": similarity.ann_lsh_topk(emb, qids, k=10, tables=4),
+        "lsh_tables8@10": similarity.ann_lsh_topk(emb, qids, k=10, tables=8),
         "ivf_probe4@10": similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4),
     }
     for label, df in variants.items():

@@ -31,6 +31,27 @@ NEAR_DUP_PLANES = 8  # near-dup buckets: fine (256 buckets — candidate
                      # dedup thresholds the sign-agreement loss is ~nil)
 
 
+def recommended_planes(n_vectors: int, target_bucket: int = 1000) -> int:
+    """Plane count that keeps expected LSH bucket size ≈ target_bucket.
+
+    This is the COST knob, not the recall knob: planes =
+    ceil(log2(n / target_bucket)) keeps the per-query scan at
+    ~target_bucket vectors as the corpus grows (1B vectors at 1000/
+    bucket → 20 planes / 1M buckets). Each added plane also roughly
+    halves the chance a moderate-cosine neighbor shares the bucket
+    (P = (1 − θ/π)^planes), so recall must be recovered on the OTHER
+    axes: ``probes`` (Hamming-1 neighbors) and ``tables`` (independent
+    plane sets, union of candidates — recall 1−(1−s)^L; measured in
+    bench ``ann_recall``). Callers must use the SAME plane count (and
+    table count) when writing and probing a bucketed index.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def dot_fold(a: str, b: str) -> Column:
     """Sequential-fold double dot product of two float-array columns.
 
@@ -91,20 +112,25 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim: int) -> str:
+def _plane_component(plane: int, dim: int, table: int = 0) -> str:
     """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
-    hexdigit(md5('plane#<p>#<d>')) - 7.5. Reproducible in any engine
-    with md5."""
-    return f"(instr('0123456789abcdef', substr(md5('plane#{plane}#{dim}'), 1 + ({dim} % 32), 1)) - 1 - 7.5)"
+    hexdigit(md5('plane#<p>#<d>')) - 7.5 (table 0; table t > 0 salts
+    the seed string so each LSH table gets an independent plane set).
+    Reproducible in any engine with md5."""
+    tag = f"plane#{plane}#{dim}" if table == 0 else f"plane#T{table}:{plane}#{dim}"
+    return f"(instr('0123456789abcdef', substr(md5('{tag}'), 1 + ({dim} % 32), 1)) - 1 - 7.5)"
 
 
-def lsh_signature(vec_col: str, planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
+def lsh_signature(
+    vec_col: str, planes: int = LSH_PLANES, dim: int = EMB_DIM, table: int = 0
+) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · plane_p) packed
-    into an int. Computed wholly with built-in expressions."""
+    into an int. Computed wholly with built-in expressions. ``table``
+    selects an independent plane set (multi-table LSH)."""
     bits = []
     for p in range(planes):
         terms = " + ".join(
-            f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_component(p, d)}"
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_component(p, d, table)}"
             for d in range(dim)
         )
         bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
@@ -340,6 +366,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
@@ -363,9 +390,28 @@ def ann_lsh_topk(
     pair in the post-join projection — O(dim) per row, not per pair —
     and the signed corpus is persisted because it feeds both the query
     lookup and the probe side.
+
+    ``tables`` (round 6): number of INDEPENDENT plane sets — classic
+    multi-table LSH. ``planes`` is the cost knob (bucket size tracks
+    2^-planes) but every added plane also cuts the chance a true
+    neighbor shares the bucket; tables recover recall on the other axis
+    (candidate recall 1 − (1−s)^L for per-table collision rate s)
+    at the price of L bucket reads and L signature columns. The
+    sf1 scale step measured recall@10 0.08 → 0.30 → 0.40 → 0.76 going
+    tables 1 → 2 → 4 → 8 at planes=4 (bench ``ann_recall``; 0.74 at
+    sf0.1 tables=8). Each candidate is scored once
+    (deduped across tables), so results stay a subset of exact scoring.
+    At 100 TB: write the corpus L times bucketed by each table's sig —
+    the standard storage/recall trade.
     """
     if not 1 <= probes <= planes + 1:
         raise ValueError(f"probes must be in [1, planes+1], got {probes}")
+    if tables < 1:
+        raise ValueError(f"tables must be >= 1, got {tables}")
+    if tables > 1:
+        return _ann_lsh_topk_multitable(
+            embeddings, query_ids, k, planes, id_col, vec_col, probes, tables
+        )
     with_sig = (
         embeddings.withColumn("sig", lsh_signature(vec_col, planes))
         .withColumn("_norm", norm(vec_col))
@@ -402,4 +448,100 @@ def ann_lsh_topk(
             F.col("rnk") <= k
         ),
         with_sig,
+    )
+
+
+def _ann_lsh_topk_multitable(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    planes: int,
+    id_col: str,
+    vec_col: str,
+    probes: int,
+    tables: int,
+) -> DataFrame:
+    """Multi-table path: the corpus is melted to one row per (vector,
+    table) with that table's signature — the DataFrame image of L
+    bucketed index copies — and candidates equi-join on (tbl, sig).
+    A vector found by several tables/probes is scored once (groupBy
+    dedup over identical cosines), so the output stays 'subset of
+    exact scoring, re-ranked' like the single-table path."""
+    signed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(vec_col).alias("_norm"),
+        *[
+            lsh_signature(vec_col, planes, table=t).alias(f"_sig{t}")
+            for t in range(tables)
+        ],
+    ).persist()
+    melted = signed.select(
+        id_col,
+        vec_col,
+        "_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_sig{t}").alias("sig")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("_ts"),
+    ).select(id_col, vec_col, "_norm", "_ts.tbl", "_ts.sig")
+    # per query, per table: the table's own bucket + Hamming-1 probes
+    probe_structs = []
+    for t in range(tables):
+        probe_structs.append(
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_sig{t}").alias("q_sig"))
+        )
+        probe_structs.extend(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(f"int(_sig{t}) ^ {1 << p}").alias("q_sig"),
+            )
+            for p in range(probes - 1)
+        )
+    q = (
+        signed.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(F.array(*probe_structs)).alias("_probe"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.col("_probe.tbl").alias("q_tbl"),
+            F.col("_probe.q_sig").alias("q_sig"),
+        )
+    )
+    cand = melted.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("q_tbl"))
+        & (F.col("sig") == F.col("q_sig"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = F.round(
+        dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
+    ).alias("cos_sim")
+    scored = (
+        cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+        .groupBy("query_id", "vec_id")  # dedup across tables/probes
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
+        scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        ),
+        signed,
     )

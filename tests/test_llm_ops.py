@@ -68,6 +68,38 @@ def test_lsh_multiprobe_lifts_recall_and_stays_subset(spark, sf_dir):
         similarity.ann_lsh_topk(emb, qids, probes=99)
 
 
+def test_lsh_multitable_lifts_recall_and_stays_subset(spark, sf_dir):
+    """tables>1 (round 6, multi-table LSH): independent plane sets
+    union their candidate buckets. Must (a) never duplicate a
+    (query, candidate) pair even when several tables find it, (b) score
+    every hit identically to the exact path, (c) retrieve a superset of
+    table 0's candidate pool — table 0's planes are the single-table
+    planes, so recall can only go up."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    exact_pairs = {(q, v) for q, v, _ in exact}
+
+    def run(tables):
+        rows = similarity.ann_lsh_topk(emb, qids, k=10, tables=tables).collect()
+        pairs = [(r["query_id"], r["vec_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # deduped across tables
+        for r in rows:
+            if (r["query_id"], r["vec_id"]) in exact_pairs:
+                assert (r["query_id"], r["vec_id"], r["cos_sim"]) in exact
+        return len(exact_pairs & set(pairs)) / len(exact_pairs)
+
+    r1, r4 = run(1), run(4)
+    assert r4 >= r1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.ann_lsh_topk(emb, qids, tables=0)
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with n_probe=4/16 must recover most of the exact top-10 —
     and every hit it returns carries the exact score."""
