@@ -158,6 +158,108 @@ nodes:
 """
 
 
+class _FileBackedKafkaBatchReader:
+    """Batch twin of _FileBackedKafkaReader (spark.read path): honors
+    startingOffsets AND endingOffsets per partition, like the bounded
+    batch read Spark's Kafka source performs for a recovery backfill.
+    Partitions absent from the startingOffsets JSON are not consumed
+    (the recovery consumer subscribes to the skipped partitions only).
+    """
+
+    def __init__(self, spark, frames_dir: str):
+        self.spark = spark
+        self.frames_dir = frames_dir
+        self.options: dict[str, str] = {}
+
+    def option(self, key, value):
+        self.options[str(key)] = value
+        return self
+
+    def load(self, path=None):
+        df = self.spark.read.schema(KAFKA_FRAME_DDL).parquet(self.frames_dir)
+        start = json.loads(self.options["startingOffsets"])[TOPIC]
+        end = json.loads(self.options.get("endingOffsets", "{}")).get(TOPIC, {})
+        cond = None
+        for p, o in start.items():
+            c = (F.col("partition") == int(p)) & (F.col("offset") >= int(o))
+            if p in end:
+                c = c & (F.col("offset") < int(end[p]))
+            cond = c if cond is None else (cond | c)
+        return df.filter(cond)
+
+
+def test_recovery_backfill_through_real_kafka_batch_source(
+    spark, tmp_path, monkeypatch
+):
+    """The reference's TestRecovery shape (integration_test.go:125-212),
+    brokerless: data exists BEFORE startup, the lag cap skips most of
+    it, the skipped range comes back as a bounded RECOVERY batch. Here
+    the planner (plan_assignment), the real KafkaSource in batch mode
+    (starting+ending offsets, recovery=True stamping), and the real
+    Pipeline.run_batch all execute; only the wire is file-backed."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from firebolt_spark.sources import KafkaSource
+    from firebolt_spark.streaming.offsets import RecoveryRange
+
+    frames_dir = str(tmp_path / "kafka-frames")
+    spark.createDataFrame(_produce_test_data(100), KAFKA_FRAME_DDL).coalesce(
+        1
+    ).write.parquet(frames_dir)
+
+    # pre-existing backlog: 25/partition, cap at 10 -> live starts at
+    # high-10, the skipped [0, 15) per partition is filed for recovery
+    high = {p: 25 for p in range(4)}
+    starting, ranges = plan_assignment({}, high, max_partition_lag=10)
+    assert starting == {p: 15 for p in range(4)}
+    assert ranges == [RecoveryRange(p, 0, 15) for p in range(4)]
+
+    real_format = DataFrameReader.format
+
+    def fake_format(self, source):
+        if source == "kafka":
+            return _FileBackedKafkaBatchReader(spark, frames_dir)
+        return real_format(self, source)
+
+    monkeypatch.setattr(DataFrameReader, "format", fake_format)
+
+    # one bounded backfill for partition 0's skipped range, through the
+    # REAL KafkaSource batch path (recoveryconsumer.go:311-315 stamps
+    # recovery=true; the bounded range is startingOffsets..endingOffsets)
+    rng = ranges[0]
+    src = KafkaSource(
+        {
+            "brokers": "localhost:9092",
+            "topic": TOPIC,
+            "batch": True,
+            "recovery": True,
+            "starting_offsets": {TOPIC: {str(rng.partition_id): rng.from_offset}},
+            "ending_offsets": {TOPIC: {str(rng.partition_id): rng.to_offset}},
+        }
+    )
+    backfill = src.load(spark)
+    assert not backfill.isStreaming
+    rows = backfill.collect()
+    assert len(rows) == 15  # exactly the skipped range, bounded
+    assert all(r["recovery"] for r in rows)  # recovery stamp rides along
+    assert {r["partition"] for r in rows} == {0}
+    assert {r["offset"] for r in rows} == set(range(15))
+
+    # and the same operator tree the live path runs processes the
+    # backfill. Partition 0 offsets 0..14 carry producer indices
+    # i = 0,4,...,56: 'error time' at i%30==0 -> {0} (1 row),
+    # 'filter me' at other i%10==0 -> {20, 40} (2 rows), 12 syslog.
+    pipeline = Pipeline.from_yaml(
+        E2E_YAML_TEMPLATE.format(
+            starting_offsets=json.dumps({TOPIC: {"0": 0}})
+        )
+    )
+    result = pipeline.run_batch(spark, source_df=backfill)
+    assert result.outputs["filternode"].count() == 13  # 15 - 2 filtered
+    assert result.outputs["errorkafkaproducer"].count() == 1  # dead-lettered
+    assert result.outputs["kafkaproducer"].count() == 12
+
+
 def test_file_backed_kafka_e2e_through_real_runner(spark, tmp_path, monkeypatch):
     frames_dir = str(tmp_path / "kafka-frames")
     spark.createDataFrame(_produce_test_data(100), KAFKA_FRAME_DDL).coalesce(
