@@ -234,20 +234,35 @@ def minhash_signatures(
 
 def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
     """Long-format LSH buckets: (doc_id, band, band_hash). Docs agreeing
-    on all rows of any band land in the same bucket."""
+    on all rows of any band land in the same bucket.
+
+    Emitted as ONE pass over the signature table — an explode of the
+    per-row array of (band, hash) structs — not a union of ``bands``
+    per-band projections (the round-6 rewrite: the union form scanned
+    the signature table once PER BAND, i.e. 32 passes / 32× the
+    scheduler tasks; at 100 TB the signature table is checkpointed and
+    those are 32 real table scans). Row set is identical, so the DuckDB
+    oracle keeps its UNION ALL mirror."""
     rows_per_band = k // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                # '#'-separated so (1, 23) and (12, 3) can't collide
-                F.md5(F.concat_ws("#", *cols)).alias("band_hash"),
-            )
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # '#'-separated so (1, 23) and (12, 3) can't collide
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
         )
-    return reduce(DataFrame.unionAll, parts)
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*structs)).alias("_b")
+    ).select("doc_id", "_b.band", "_b.band_hash")
 
 
 def minhash_candidate_pairs(
