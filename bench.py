@@ -62,6 +62,9 @@ EXTRA = [
     "q_shard_packing",
     # round 4: benchmark decontamination (broadcast bench shingles)
     "q_decontaminate",
+    # round 6: skew-resistant join (wall-clock skew story is the
+    # skew_demo artifact; this row tracks the oracle-checked query)
+    "q_skew_salted_join",
 ]
 
 
