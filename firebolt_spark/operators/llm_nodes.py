@@ -87,22 +87,47 @@ class NgramJaccardNode:
 
 class SimilaritySearchNode:
     """Params: query_ids (required list), k (10), method ('bruteforce' |
-    'lsh'), id_col, vec_col."""
+    'lsh' | 'ivf'), id_col, vec_col. LSH extras: planes (4), probes (1,
+    Hamming-1 multiprobe), tables (1, independent plane sets — the
+    recall lever at corpus scale, see similarity.recommended_planes).
+    IVF extras: n_centroids (16), n_probe (4)."""
 
     def __init__(self, params: dict[str, Any]):
         self.query_ids = list(params["query_ids"])
         self.k = int(params.get("k", 10))
         self.method = params.get("method", "bruteforce")
+        if self.method not in ("bruteforce", "lsh", "ivf"):
+            raise ValueError(f"unknown similarity method '{self.method}'")
         self.id_col = params.get("id_col", "vec_id")
         self.vec_col = params.get("vec_col", "embedding")
+        self.planes = int(params.get("planes", similarity.LSH_PLANES))
+        self.probes = int(params.get("probes", 1))
+        self.tables = int(params.get("tables", 1))
+        self.n_centroids = int(params.get("n_centroids", 16))
+        self.n_probe = int(params.get("n_probe", 4))
 
     def transform(self, df: DataFrame) -> DataFrame:
-        fn = (
-            similarity.ann_lsh_topk
-            if self.method == "lsh"
-            else similarity.cosine_topk
-        )
-        return fn(df, self.query_ids, self.k, id_col=self.id_col, vec_col=self.vec_col)
+        common = dict(id_col=self.id_col, vec_col=self.vec_col)
+        if self.method == "lsh":
+            return similarity.ann_lsh_topk(
+                df,
+                self.query_ids,
+                self.k,
+                planes=self.planes,
+                probes=self.probes,
+                tables=self.tables,
+                **common,
+            )
+        if self.method == "ivf":
+            return similarity.ann_ivf_topk(
+                df,
+                self.query_ids,
+                self.k,
+                n_centroids=self.n_centroids,
+                n_probe=self.n_probe,
+                **common,
+            )
+        return similarity.cosine_topk(df, self.query_ids, self.k, **common)
 
 
 class TextStatsNode:

@@ -12,6 +12,7 @@ def test_validate_examples():
         "corpus_dedup",
         "corpus_curation",
         "sql_lakehouse",
+        "ann_search",
     ):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 

@@ -173,3 +173,47 @@ def test_llm_nodes_compose_from_yaml(spark, sf_dir):
     assert set(res.outputs["ng"].columns) == {"doc_a", "doc_b", "jaccard"}
     assert res.outputs["ng"].count() >= 0
     res.unpersist()
+
+
+def test_similarity_search_node_all_methods(spark, sf_dir):
+    """similarity_search node (YAML surface): bruteforce / lsh (with
+    multiprobe + multi-table knobs, round 6) / ivf all run from config
+    and return the (query_id, vec_id, cos_sim, rnk) contract; lsh and
+    ivf results are subsets of exact scoring."""
+    yaml_tpl = """
+application: ann-node-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: similarity_search
+    id: topk
+    params: {query_ids: [0, 1, 2], k: 5, method: %(method)s%(extra)s}
+"""
+    path = f"{sf_dir}/embeddings.parquet"
+    outs = {}
+    for method, extra in (
+        ("bruteforce", ""),
+        ("lsh", ", probes: 3, tables: 4"),
+        ("ivf", ", n_probe: 4"),
+    ):
+        p = Pipeline.from_yaml(
+            yaml_tpl % {"path": path, "method": method, "extra": extra}
+        )
+        res = p.run_batch(spark)
+        rows = res.outputs["topk"].collect()
+        assert rows, method
+        assert set(rows[0].asDict()) == {"query_id", "vec_id", "cos_sim", "rnk"}
+        outs[method] = {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in rows}
+        res.unpersist()
+    exact = outs["bruteforce"]
+    exact_scores = {(q, v): c for q, v, c in exact}
+    for method in ("lsh", "ivf"):
+        for q, v, c in outs[method]:
+            if (q, v) in exact_scores:
+                assert c == exact_scores[(q, v)], method
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown similarity method"):
+        Pipeline.from_yaml(
+            yaml_tpl % {"path": path, "method": "hnsw", "extra": ""}
+        )
