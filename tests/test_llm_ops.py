@@ -704,3 +704,16 @@ def test_star_cc_matches_union_find_ground_truth(spark, seed, n_nodes, n_edges):
     pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
     got = sorted(map(tuple, dedup.dedup_clusters_star(pairs).collect()))
     assert got == expect
+
+
+def test_recommended_planes_tracks_corpus_size():
+    from firebolt_spark.operators.similarity import recommended_planes
+
+    assert recommended_planes(500) == 1            # under target: 1 plane
+    assert recommended_planes(2_000) == 1          # 2 buckets of ~1000
+    assert recommended_planes(1_000_000) == 10     # ~1k buckets
+    assert recommended_planes(1_000_000_000) == 20 # 1M buckets
+    # monotone non-decreasing in corpus size
+    sizes = [10**e for e in range(2, 10)]
+    planes = [recommended_planes(n) for n in sizes]
+    assert planes == sorted(planes)
