@@ -166,3 +166,43 @@ def test_minhash_operational_precision_and_recall(spark, sf_dir):
     assert near_dups, "fixture has no true near-dups to recall"
     missed = near_dups - candidates
     assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_lsh_bands_one_pass_matches_per_band_reference(spark, sf_dir):
+    """The round-6 one-pass explode emission of lsh_bands must produce
+    exactly the row set of the naive one-projection-per-band form (the
+    shape the DuckDB oracle still mirrors as UNION ALL)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sig = minhash_signatures(docs).persist()
+    one_pass = lsh_bands(sig)
+
+    rows_per_band = N_MINHASH // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("#", *cols)).alias("band_hash"),
+            )
+        )
+    reference = reduce(DataFrame.unionAll, parts)
+
+    assert one_pass.count() == reference.count()
+    assert one_pass.exceptAll(reference).count() == 0
+    assert reference.exceptAll(one_pass).count() == 0
+    sig.unpersist()
