@@ -140,6 +140,17 @@ class TextStatsNode:
         return text.text_stats(df, self.text_col)
 
 
+class RepetitionStatsNode:
+    """Gopher-style repetition gates (dup-word / top-bigram fractions).
+    Params: text_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.repetition_stats(df, self.text_col)
+
+
 class LanguageIdNode:
     """Params: text_col."""
 
@@ -251,6 +262,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("ngram_jaccard", NgramJaccardNode, None, None)
     registry.register_node_type("similarity_search", SimilaritySearchNode, None, None)
     registry.register_node_type("text_stats", TextStatsNode, None, None)
+    registry.register_node_type("repetition", RepetitionStatsNode, None, None)
     registry.register_node_type("language_id", LanguageIdNode, None, None)
     registry.register_node_type("token_count", TokenCountNode, None, None)
     registry.register_node_type("fingerprint", FingerprintNode, None, None)

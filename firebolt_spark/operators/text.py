@@ -91,6 +91,60 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 uses duplicate-line/-paragraph and top-n-gram fractions as
+    quality gates; the fixtures' documents are single-line word soup, so
+    the word-level analogues apply):
+
+    - ``dup_word_frac``  — 1 − distinct words / words: bulk repetition.
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram / total bigrams: looping/boilerplate detection.
+
+    Zero shuffle: both metrics are per-row higher-order expressions —
+    the bigram multiplicity comes from a fold over the SORTED bigram
+    array (longest run of equal adjacent elements == max multiplicity),
+    not an explode + groupBy. A 100 TB corpus pays one scan.
+    """
+    words = F.expr(f"split(trim({text_col}), ' ')")
+    d = docs.select("doc_id", words.alias("_w"))
+    n_words = F.size("_w")
+    n_distinct = F.size(F.array_distinct("_w"))
+    # adjacent-pair bigrams: zip the array against itself shifted by one
+    bigrams = (
+        "zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+        "slice(_w, 2, greatest(size(_w) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y))"
+    )
+    top_run = F.expr(
+        f"aggregate(array_sort({bigrams}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "              THEN acc.run + 1 ELSE 1 END, "
+        "  'best', greatest(acc.best, "
+        "     CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "          THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, (n_words - n_distinct).cast("double") / n_words)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                n_words >= 2, top_run.cast("double") / (n_words - F.lit(1))
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens and a BPE-ish segmentation
     proxy — alphanumeric runs plus non-space punctuation marks each

@@ -71,10 +71,12 @@ _PRIORITY = [
     "q_skew_salted_join",
     "q_dedup_embedding",
     "q_dedup_clusters",
-    # headline backfill (green in r5)
+    # NEW in round 6 (never driver-checked)
+    "q_text_repetition",
+    # headline backfill (green in r5; minhash family kept because the
+    # round-6 lsh_bands rewrite touches their band emission)
     "q_tpch1_pricing_summary",
     "q_tpch3_shipping_priority",
-    "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_incremental",
     "q_decontaminate",

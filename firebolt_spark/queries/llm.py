@@ -518,6 +518,47 @@ Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (dup-word + top-bigram fractions) —
+    zero-shuffle per-row folds in Spark; the oracle computes the same
+    multiplicities the relational way (bigram unnest → groupBy → max),
+    so the fold's longest-sorted-run == max-multiplicity equivalence is
+    itself what the hash match certifies."""
+    return text.repetition_stats(_documents(spark, sf_dir))
+
+
+Q_TEXT_REPETITION_SQL = """
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sized AS (
+        SELECT doc_id, words, len(words) AS n_words,
+               len(list_distinct(words)) AS n_distinct
+        FROM base),
+    bg AS (
+        -- scalar range() builds the index list in-row (DuckDB 1.0 has
+        -- no lateral generate_series over a column)
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                      i -> words[i] || ' ' || words[i + 1])) AS bigram
+        FROM sized
+        WHERE len(words) >= 2),
+    top AS (
+        SELECT doc_id, max(cnt) AS top_cnt
+        FROM (SELECT doc_id, bigram, count(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_words AS INTEGER) AS n_words,
+           round(CASE WHEN s.n_words > 0
+                      THEN CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words
+                      ELSE 0.0 END, 4) AS dup_word_frac,
+           round(CASE WHEN s.n_words >= 2
+                      THEN CAST(COALESCE(t.top_cnt, 0) AS DOUBLE) / (s.n_words - 1)
+                      ELSE 0.0 END, 4) AS top_bigram_frac
+    FROM sized s LEFT JOIN top t USING (doc_id)
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_documents(spark, sf_dir))
 
@@ -1001,6 +1042,7 @@ QUERIES = {
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
     "q_text_stats": q_text_stats,
+    "q_text_repetition": q_text_repetition,
     "q_text_langid": q_text_langid,
     "q_text_token_counts": q_text_token_counts,
     "q_text_fingerprint": q_text_fingerprint,
@@ -1027,6 +1069,7 @@ ORACLE = {
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
+    "q_text_repetition": Q_TEXT_REPETITION_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
     "q_text_token_counts": Q_TEXT_TOKENS_SQL,
     "q_text_fingerprint": Q_TEXT_FINGERPRINT_SQL,

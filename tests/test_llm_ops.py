@@ -717,3 +717,30 @@ def test_recommended_planes_tracks_corpus_size():
     sizes = [10**e for e in range(2, 10)]
     planes = [recommended_planes(n) for n in sizes]
     assert planes == sorted(planes)
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition fractions: the fold's
+    longest-sorted-run must equal true max bigram multiplicity."""
+    from firebolt_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),      # 6 words, 2 distinct; bigrams: a-b x3, b-a x2
+        (2, "u v w x y"),        # all unique; every bigram unique
+        (3, "z z z z"),          # one word repeated; z-z x3
+        (4, "solo"),             # 1 word: no bigrams
+        (5, ""),                 # empty text -> [''] after split
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    assert got[1]["n_words"] == 6
+    assert got[1]["dup_word_frac"] == round(4 / 6, 4)
+    assert got[1]["top_bigram_frac"] == round(3 / 5, 4)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.25  # 4 distinct bigrams of 4
+    assert got[3]["dup_word_frac"] == 0.75
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[4]["n_words"] == 1
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0
