@@ -241,6 +241,67 @@ def global_cumsum(
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic content-keyed sampling: keep a row iff
+    ``md5(key || '#' || salt)``'s first 8 hex digits, read as an int,
+    fall under ``fraction`` of the 32-bit space.
+
+    Why not ``df.sample()``/``sampleBy()``: Spark's Bernoulli sampling
+    draws from a per-partition RNG stream, so the selected ROWS change
+    with partitioning, task retries, and engine — unusable for
+    reproducible training mixes or cross-engine checks. Hashing the key
+    makes the decision a pure row property: stable under repartition,
+    retry, incremental re-runs (a doc keeps one fate across ingests),
+    and portable to any engine with md5. ``salt`` decorrelates
+    independent samples over the same corpus (held-out splits, ablation
+    mixes). One scan, no shuffle, no RNG state.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * float(1 << 32))
+    bucket = F.expr(
+        f"conv(substr(md5(concat(CAST({key_col} AS STRING), '#', '{salt}')), "
+        "1, 8), 16, 10)"
+    ).cast("bigint")
+    return df.filter(bucket < F.lit(threshold))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the ``sampleBy`` analogue a
+    training-data mix needs): each stratum keeps its own fraction of
+    rows, decided by the same content hash as ``hash_sample`` — e.g.
+    downsample boilerplate-heavy sources while keeping rare ones whole.
+    Strata absent from ``fractions`` keep ``default_fraction``. Still
+    one scan, no shuffle; the mix is reproducible row-for-row."""
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum '{s}' must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    bucket = F.expr(
+        f"conv(substr(md5(concat(CAST({key_col} AS STRING), '#', '{salt}')), "
+        "1, 8), 16, 10)"
+    ).cast("bigint")
+    threshold = F.lit(int(default_fraction * float(1 << 32)))
+    for s, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(int(frac * float(1 << 32)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

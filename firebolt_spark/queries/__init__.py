@@ -73,10 +73,10 @@ _PRIORITY = [
     "q_dedup_clusters",
     # NEW in round 6 (never driver-checked)
     "q_text_repetition",
+    "q_sample_by_source",
     # headline backfill (green in r5; minhash family kept because the
     # round-6 lsh_bands rewrite touches their band emission)
     "q_tpch1_pricing_summary",
-    "q_tpch3_shipping_priority",
     "q_dedup_minhash",
     "q_dedup_incremental",
     "q_decontaminate",

@@ -559,6 +559,51 @@ Q_TEXT_REPETITION_SQL = """
 """
 
 
+# per-source training-mix fractions for q_sample_by_source; chosen so
+# every branch of hash_sample_by executes (full keep, partial rates,
+# and the default for the 6 unlisted sources)
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix1"
+
+
+def q_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling mix (functions.hash_sample_by):
+    each source keeps its configured fraction of documents, selected by
+    a content hash of doc_id — reproducible row-for-row under any
+    partitioning, retry, or engine (unlike Bernoulli sampleBy, whose
+    RNG stream is partition-dependent). The oracle applies the same
+    md5-threshold rule, so the hash match certifies the exact sampled
+    row set, not just its size."""
+    from firebolt_spark.functions import hash_sample_by
+
+    docs = _documents(spark, sf_dir)
+    return hash_sample_by(
+        docs.select("doc_id", "source"),
+        "source",
+        _MIX_FRACTIONS,
+        key_col="doc_id",
+        salt=_MIX_SALT,
+        default_fraction=_MIX_DEFAULT,
+    ).orderBy("doc_id")
+
+
+def _mix_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(f * float(1 << 32))}"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"(CASE {cases} ELSE {int(_MIX_DEFAULT * float(1 << 32))} END)"
+
+
+Q_SAMPLE_BY_SOURCE_SQL = f"""
+    SELECT doc_id, source FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_MIX_SALT}'),
+            1, 8))::BIGINT) < {_mix_threshold_sql()}
+    ORDER BY doc_id
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_documents(spark, sf_dir))
 
@@ -1043,6 +1088,7 @@ QUERIES = {
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
     "q_text_stats": q_text_stats,
     "q_text_repetition": q_text_repetition,
+    "q_sample_by_source": q_sample_by_source,
     "q_text_langid": q_text_langid,
     "q_text_token_counts": q_text_token_counts,
     "q_text_fingerprint": q_text_fingerprint,
@@ -1070,6 +1116,7 @@ ORACLE = {
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_repetition": Q_TEXT_REPETITION_SQL,
+    "q_sample_by_source": Q_SAMPLE_BY_SOURCE_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
     "q_text_token_counts": Q_TEXT_TOKENS_SQL,
     "q_text_fingerprint": Q_TEXT_FINGERPRINT_SQL,

@@ -744,3 +744,45 @@ def test_repetition_stats_known_values(spark):
     assert got[4]["n_words"] == 1
     assert got[4]["top_bigram_frac"] == 0.0
     assert got[5]["top_bigram_frac"] == 0.0
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    """hash_sample: (a) the selected row SET is identical under any
+    partitioning (the property Bernoulli sample() lacks), (b) the kept
+    fraction concentrates near the target, (c) different salts give
+    (near-)independent samples, (d) bad fractions rejected."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import hash_sample, hash_sample_by
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 0.3, salt="s").collect()}
+    b = {
+        r["k"]
+        for r in hash_sample(df.repartition(17), "k", 0.3, salt="s").collect()
+    }
+    assert a == b  # partitioning-independent
+    assert abs(len(a) / 20_000 - 0.3) < 0.02  # calibrated
+    c = {r["k"] for r in hash_sample(df, "k", 0.3, salt="t").collect()}
+    overlap = len(a & c) / 20_000
+    assert abs(overlap - 0.09) < 0.02  # independent salts: ~0.3*0.3
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+    # stratified: each stratum honors its own rate, absent strata get
+    # the default
+    strat = df.withColumn(
+        "grp", (F.col("k") % 4).cast("string")
+    )
+    out = hash_sample_by(
+        strat, "grp", {"0": 1.0, "1": 0.5, "2": 0.0}, key_col="k",
+        default_fraction=0.25,
+    )
+    rates = {
+        r["grp"]: r["n"] / 5000
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rates["0"] == 1.0
+    assert abs(rates["1"] - 0.5) < 0.05
+    assert "2" not in rates
+    assert abs(rates["3"] - 0.25) < 0.05
