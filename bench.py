@@ -107,14 +107,27 @@ def _calibrate() -> dict[str, float]:
     calibration moves with the suite, the drift is the host's; if the
     suite moves and calibration doesn't, it's ours. (PERF.md round 6.)
     """
+    import contextlib
+
     import numpy as np
 
+    # pin BLAS to one thread when possible: a multi-threaded matmul
+    # inflates with CPU contention, which is exactly the confound the
+    # probe must separate from host-frequency drift (ADVICE r6). The
+    # pure-Python loop below is single-thread by nature either way.
+    try:
+        from threadpoolctl import threadpool_limits
+
+        limiter = threadpool_limits(limits=1)
+    except ImportError:  # pragma: no cover - threadpoolctl absent
+        limiter = contextlib.nullcontext()
     rng = np.random.default_rng(0)
     a = rng.random((1200, 1200))
-    t0 = time.perf_counter()
-    for _ in range(6):
-        a @ a
-    matmul = time.perf_counter() - t0
+    with limiter:
+        t0 = time.perf_counter()
+        for _ in range(6):
+            a @ a
+        matmul = time.perf_counter() - t0
     t0 = time.perf_counter()
     s = 0
     for i in range(4_000_000):
@@ -161,6 +174,8 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
         return time.perf_counter() - t0
 
     out: dict[str, float] = {}
+    prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
@@ -176,10 +191,9 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
         )
         out["rows"] = left.count()
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # restore the values saved above, not re-stated constants
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
         left.unpersist()
     return out
 

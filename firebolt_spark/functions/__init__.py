@@ -241,6 +241,23 @@ def global_cumsum(
     )
 
 
+def _hash_bucket(key_col: str, salt: str) -> Column:
+    """32-bit content bucket: first 8 md5 hex digits of ``key#salt`` as
+    a BIGINT. The single definition both sampling functions (and the
+    DuckDB oracle mirror) key on — and built from Column functions, not
+    an interpolated SQL string, so a salt containing quotes is data,
+    never expression text."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
@@ -264,11 +281,7 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(fraction * float(1 << 32))
-    bucket = F.expr(
-        f"conv(substr(md5(concat(CAST({key_col} AS STRING), '#', '{salt}')), "
-        "1, 8), 16, 10)"
-    ).cast("bigint")
-    return df.filter(bucket < F.lit(threshold))
+    return df.filter(_hash_bucket(key_col, salt) < F.lit(threshold))
 
 
 def hash_sample_by(
@@ -290,10 +303,7 @@ def hash_sample_by(
             raise ValueError(f"fraction for stratum '{s}' must be in [0, 1]")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
-    bucket = F.expr(
-        f"conv(substr(md5(concat(CAST({key_col} AS STRING), '#', '{salt}')), "
-        "1, 8), 16, 10)"
-    ).cast("bigint")
+    bucket = _hash_bucket(key_col, salt)
     threshold = F.lit(int(default_fraction * float(1 << 32)))
     for s, frac in sorted(fractions.items()):
         threshold = F.when(

@@ -237,13 +237,19 @@ class SqlNode:
             try:
                 existing = spark.catalog.getTable(self.view)
             except AnalysisException:
-                # table-not-found: a definitive "no collision" answer.
-                # Transient catalog errors (anything else) propagate and
-                # leave _collision_checked False so the check re-runs —
-                # a swallowed error must not suppress the warning for
-                # the node's lifetime (ADVICE r5).
+                # table-not-found: a definitive "no collision" answer
                 existing = None
-            self._collision_checked = True
+                self._collision_checked = True
+            except Exception:
+                # transient catalog error (e.g. metastore hiccup under
+                # foreachBatch): a diagnostic-only check must never fail
+                # the batch — degrade to "unknown", leave
+                # _collision_checked False so the NEXT transform retries
+                # instead of suppressing the warning for the node's
+                # lifetime (ADVICE r5 + r6)
+                existing = None
+            else:
+                self._collision_checked = True
             if existing is not None and existing.tableType == "TEMPORARY":
                 import warnings
 

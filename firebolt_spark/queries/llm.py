@@ -292,17 +292,21 @@ def _duck_sig(planes: int) -> str:
 
 
 _DUCK_SIG = _duck_sig(similarity.NEAR_DUP_PLANES)
-# flat left-associative sums — the same evaluation order as Spark's
-# sequential aggregate() fold, so the doubles agree bit-for-bit
-_DUCK_DOT_AB = " + ".join(
-    f"CAST(a.embedding[{d + 1}] AS DOUBLE) * CAST(b.embedding[{d + 1}] AS DOUBLE)"
-    for d in range(similarity.EMB_DIM)
-)
-# e-row × query-row dot (columns e.embedding / q.q_vec), same flat order
-_DUCK_DOT_EQ = " + ".join(
-    f"CAST(e.embedding[{d + 1}] AS DOUBLE) * CAST(q.q_vec[{d + 1}] AS DOUBLE)"
-    for d in range(similarity.EMB_DIM)
-)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Flat left-associative double dot of two DuckDB list columns —
+    the same addition sequence as similarity.dot_fold's aggregate()
+    fold, so the doubles agree bit-for-bit. The ONE definition every
+    embedding oracle keys on."""
+    return " + ".join(
+        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        for d in range(similarity.EMB_DIM)
+    )
+
+
+_DUCK_DOT_AB = _duck_dot("a.embedding", "b.embedding")
+_DUCK_DOT_EQ = _duck_dot("e.embedding", "q.q_vec")
 _DUCK_NORM = "sqrt(" + " + ".join(
     f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
     for d in range(similarity.EMB_DIM)
@@ -418,15 +422,6 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations as CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(emb, _QUERY_VEC_IDS, k=10)
-
-
-def _duck_dot(a: str, b: str) -> str:
-    """Flat left-associative double dot of two DuckDB list columns —
-    the same addition sequence as similarity.dot_fold's aggregate()."""
-    return " + ".join(
-        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
-        for d in range(similarity.EMB_DIM)
-    )
 
 
 def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
@@ -561,7 +556,7 @@ Q_TEXT_REPETITION_SQL = """
 
 # per-source training-mix fractions for q_sample_by_source; chosen so
 # every branch of hash_sample_by executes (full keep, partial rates,
-# and the default for the 6 unlisted sources)
+# and the default for every unlisted source)
 _MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 _MIX_DEFAULT = 0.1
 _MIX_SALT = "mix1"

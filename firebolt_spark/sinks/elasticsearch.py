@@ -289,14 +289,21 @@ class ElasticsearchSink:
 
         batch: list[dict] = []
         attempts: dict[str, int] = {}
-        for row in rows:
-            batch.append(row.asDict(recursive=True))
-            if len(batch) >= self.batch_size:
+        # finally: the LAST live client must be disposed too — periodic
+        # and failure reconnects close the client they replace, but the
+        # partition's final client otherwise leaks one pool per task
+        # (also covers the retries-exhausted raise path) (ADVICE r6)
+        try:
+            for row in rows:
+                batch.append(row.asDict(recursive=True))
+                if len(batch) >= self.batch_size:
+                    flush(batch, attempts)
+                    batch = []
+            if batch:
                 flush(batch, attempts)
-                batch = []
-        if batch:
-            flush(batch, attempts)
-        yield from dead
+            yield from dead
+        finally:
+            dispose(client)
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Bulk-index every partition in parallel; returns the DLQ rows

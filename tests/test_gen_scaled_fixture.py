@@ -57,6 +57,10 @@ def test_keys_disjoint_and_fk_integrity_holds(sf2x):
     assert set(_col(sf2x, "lineitem", "l_orderkey").to_pylist()) <= orderkeys
     suppkeys = set(_col(sf2x, "supplier", "s_suppkey").to_pylist())
     assert set(_col(sf2x, "lineitem", "l_suppkey").to_pylist()) <= suppkeys
+    # events.user_id rides the CUSTOMER key domain (user_id ⊂ c_custkey
+    # in the base fixture) — shard-r events must reference shard-r
+    # customers, not shard-0's
+    assert set(_col(sf2x, "events", "user_id").to_pylist()) <= custkeys
 
 
 def test_non_key_distributions_are_verbatim_copies(sf2x):

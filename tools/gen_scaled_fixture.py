@@ -81,7 +81,10 @@ KEY_DOMAIN = {
     "l_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
     "event_id": ("events", "event_id"),
-    "user_id": ("events", "user_id"),
+    # user_id is an FK into customer (base fixture: user_id in
+    # [0, 1500) ⊂ c_custkey in [0, 15000)); offsetting by events' own
+    # max+1 would point shard-r events at shard-(r/10)'s customers
+    "user_id": ("customer", "c_custkey"),
     "doc_id": ("documents", "doc_id"),
     "vec_id": ("embeddings", "vec_id"),
 }
