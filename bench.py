@@ -81,12 +81,20 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
         for r in similarity.cosine_topk(emb, qids, k=10).collect()
     }
     out = {}
+    # grid variants pin planes=4 so the probe/table levers stay
+    # comparable round-over-round; "lsh@10" is the true default call
+    # (round 7: auto planes via recommended_planes + tables=8)
     variants = {
         "lsh@10": similarity.ann_lsh_topk(emb, qids, k=10),
-        "lsh_probes3@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=3),
-        "lsh_probes5@10": similarity.ann_lsh_topk(emb, qids, k=10, probes=5),
-        "lsh_tables4@10": similarity.ann_lsh_topk(emb, qids, k=10, tables=4),
-        "lsh_tables8@10": similarity.ann_lsh_topk(emb, qids, k=10, tables=8),
+        "lsh_t1@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=1),
+        "lsh_probes3@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=1, probes=3
+        ),
+        "lsh_probes5@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=1, probes=5
+        ),
+        "lsh_tables4@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=4),
+        "lsh_tables8@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=8),
         "ivf_probe4@10": similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4),
     }
     for label, df in variants.items():
@@ -198,26 +206,23 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("firebolt-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    try:
-        loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # pragma: no cover - non-POSIX
-        loadavg_start = None
+# host-speed reference for the normalized suite number: the round-6
+# controlled ship-bench window (docs/bench_sf01_r06_controlled.json,
+# loadavg 0.2, matmul probe 0.142 s) — the quietest window measured on
+# this host. normalized = wall / (matmul_s / MATMUL_REF_S): "what the
+# suite would have taken in the reference window" (PERF.md round 7).
+MATMUL_REF_S = 0.142
 
-    # warm-up: JVM, codegen, parquet footers
-    load_table(spark, sf_dir, "lineitem").count()
-    load_table(spark, sf_dir, "events").count()
 
+def _run_suite(
+    spark, sf_dir: str, names: list[str], runs: int
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """min/median-of-N noop-sink timings for the named queries."""
     queries = all_queries()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE + EXTRA:
+    for name in names:
         fn = queries[name]
         samples: list[float] = []
         for _ in range(runs):  # min-of-N: JIT/cache noise doesn't skew rounds
@@ -243,6 +248,67 @@ def main() -> None:
         if samples:
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+    return timings, medians, errors
+
+
+def _sf1_section(spark, suite_names: list[str]) -> dict:
+    """The standing sf1 scale step (VERDICT r6 "Next #1"): re-run the
+    bench suite against the 10× fixture and report the wall ratio. The
+    fixture (testdata_sf1/, gitignored, ~167 MB) is regenerated on
+    demand by tools/gen_scaled_fixture.py — 10 disjoint key-shards of
+    sf0.1 with preserved per-shard distributions, so ~linear cost is
+    the null hypothesis and a sublinear ratio is meaningful. Budget:
+    runs=1 (≈1 min); the round-6 one-off used min-of-3, so compare
+    LIKE WITH LIKE via ratio_vs_sf01 (computed against this same run's
+    sf0.1 numbers) rather than across artifacts."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, "testdata_sf1")
+    )
+    if not os.path.isdir(sf1_dir):
+        import subprocess
+
+        t0 = time.perf_counter()
+        subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "gen_scaled_fixture.py")],
+            check=True,
+            capture_output=True,
+        )
+        gen_s = round(time.perf_counter() - t0, 1)
+    else:
+        gen_s = 0.0
+    runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1"))
+    load_table(spark, sf1_dir, "lineitem").count()  # warm footers
+    timings, _medians, errors = _run_suite(spark, sf1_dir, suite_names, runs)
+    out: dict = {
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": 1.0,
+        "fixture_gen_s": gen_s,
+    }
+    if errors:
+        out["errors"] = errors
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("firebolt-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        loadavg_start = None
+
+    # warm-up: JVM, codegen, parquet footers
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings, medians, errors = _run_suite(spark, sf_dir, HEADLINE + EXTRA, runs)
 
     total = round(sum(timings.values()), 3)
     # shared-host attribution (VERDICT r3 "Next #7"): 1/5/15-min load
@@ -268,6 +334,20 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # host-speed-normalized walls (VERDICT r6 "Next #4"): divide by the
+    # calibration probe's slowdown vs the reference window so
+    # round-over-round comparisons stop being hostage to host drift
+    cal = payload["calibration"]["matmul6x1200_s"]
+    if cal > 0:
+        factor = cal / MATMUL_REF_S
+        payload["normalized"] = {
+            "host_speed_factor": round(factor, 3),
+            "matmul_ref_s": MATMUL_REF_S,
+            "suite_s": round(total / factor, 3),
+            "subtotal_r1_suite_s": round(
+                payload["subtotal_r1_suite"] / factor, 3
+            ),
+        }
     try:
         payload["ann_recall"] = _ann_recall(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never kill the bench
@@ -276,6 +356,19 @@ def main() -> None:
         payload["skew_demo"] = _skew_demo(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never kill the bench
         payload["skew_demo_error"] = str(exc)[:200]
+    # the standing sf1 scale step: on by default for the driver's plain
+    # sf0.1 run; SPARK_GRAFT_SF1=0 skips (fast local iteration)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        try:
+            sf1 = _sf1_section(spark, HEADLINE + EXTRA)
+            sf1["ratio_vs_sf01"] = round(sf1["value"] / total, 2)
+            if "normalized" in payload:
+                sf1["normalized_value"] = round(
+                    sf1["value"] / payload["normalized"]["host_speed_factor"], 3
+                )
+            payload["sf1"] = sf1
+        except Exception as exc:  # pragma: no cover - never kill the bench
+            payload["sf1_error"] = str(exc)[:300]
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -247,9 +247,14 @@ def _hash_bucket(key_col: str, salt: str) -> Column:
     DuckDB oracle mirror) key on — and built from Column functions, not
     an interpolated SQL string, so a salt containing quotes is data,
     never expression text."""
+    # NULL keys hash as the sentinel string "\x00" rather than
+    # propagating NULL (md5(NULL) -> NULL would silently DROP the row
+    # from every sample, even at fraction=1.0 — ADVICE r6). A NULL key
+    # therefore gets one deterministic fate like any other value.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
     return F.conv(
         F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))),
+            F.md5(F.concat(key, F.lit("#" + salt))),
             1,
             8,
         ),
@@ -277,6 +282,11 @@ def hash_sample(
     and portable to any engine with md5. ``salt`` decorrelates
     independent samples over the same corpus (held-out splits, ablation
     mixes). One scan, no shuffle, no RNG state.
+
+    NULL keys are hashed as a sentinel (see ``_hash_bucket``), so
+    NULL-keyed rows get a deterministic sample fate like any other
+    value — in particular fraction=1.0 keeps EVERY row. (Prefer a
+    genuinely unique key column; all NULL-keyed rows share one fate.)
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")

@@ -87,9 +87,10 @@ class NgramJaccardNode:
 
 class SimilaritySearchNode:
     """Params: query_ids (required list), k (10), method ('bruteforce' |
-    'lsh' | 'ivf'), id_col, vec_col. LSH extras: planes (4), probes (1,
-    Hamming-1 multiprobe), tables (1, independent plane sets — the
-    recall lever at corpus scale, see similarity.recommended_planes).
+    'lsh' | 'ivf'), id_col, vec_col. LSH extras: planes (default: auto
+    via similarity.recommended_planes on the corpus count), probes (2,
+    Hamming-1 multiprobe), tables (8, independent plane sets — the
+    recall lever; measured grid in similarity.ann_lsh_topk).
     IVF extras: n_centroids (16), n_probe (4)."""
 
     def __init__(self, params: dict[str, Any]):
@@ -100,9 +101,10 @@ class SimilaritySearchNode:
             raise ValueError(f"unknown similarity method '{self.method}'")
         self.id_col = params.get("id_col", "vec_id")
         self.vec_col = params.get("vec_col", "embedding")
-        self.planes = int(params.get("planes", similarity.LSH_PLANES))
-        self.probes = int(params.get("probes", 1))
-        self.tables = int(params.get("tables", 1))
+        p = params.get("planes")
+        self.planes = int(p) if p is not None else None
+        self.probes = int(params.get("probes", similarity.DEFAULT_LSH_PROBES))
+        self.tables = int(params.get("tables", similarity.DEFAULT_LSH_TABLES))
         self.n_centroids = int(params.get("n_centroids", 16))
         self.n_probe = int(params.get("n_probe", 4))
 

@@ -16,71 +16,68 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-6 first-50 rotation (VERDICT r5 "Next #3": least-recently-
-# driver-checked first).  CORRECTNESS_r04 and _r05 both covered the same
-# 50-query set, so 38 queries' latest green driver row dates to round 3.
-# Those 38 lead this round (slots 1-38, in module order) so that
-# r6 ∪ r5 covers all 88 declared queries with max staleness one round.
-#   * slots 39-43: queries whose implementation or oracle round 6
-#     touches (ANN oracle promotions, skew-join demo);
-#   * slots 44-50: headline backfill from the r5-green cohort.
+# Round-7 first-50 rotation (standing VERDICT discipline: least-
+# recently-driver-checked first).  CORRECTNESS_r06 covered 50 of the 91
+# declared queries; the other 41 were last checked in round 5.  Those 41
+# lead this round (slots 1-41, in module order) so that r7 ∪ r6 covers
+# all 91 with max staleness one round.
+#   * slots 42-50: queries whose implementation or oracle round 7
+#     touches — the recall-aware ANN default change and the
+#     decimal→double >2^53 oracle audit (VERDICT r6 Next #3/#7).
 # Names absent from this list keep their module order after it.
 _PRIORITY = [
-    # last driver-checked in round 3 — re-green on r6 code
-    "q_s6_compaction",
-    "q_p7_docid",
-    "q_k2_index_request",
-    "q_window_leadlag",
-    "q_agg_grouping_sets",
+    # last driver-checked in round 5 — re-green on r7 code
+    "q_s2_scan",
+    "q_s3_lag_cap",
+    "q_s4_recovery_scan",
+    "q_s5_interval_merge",
+    "q_p2_parse",
+    "q_p4_json_build",
+    "q_p5_conditional",
+    "q_f1_filter",
+    "q_e1_error_split",
+    "q_e2_error_json",
+    "q_x1_fanout",
+    "q_x2_tree_fanout",
+    "q_k1_produce_request",
+    "q_asof_join",
+    "q_range_join",
+    "q_tpch2_min_cost_supplier",
+    "q_tpch8_market_share",
+    "q_tpch9_product_profit",
+    "q_tpch11_important_parts",
+    "q_tpch12_late_priority",
+    "q_tpch16_supplier_variety",
+    "q_tpch20_promo_suppliers",
+    "q_tpch21_waiting_suppliers",
+    "q_tpch13_order_distribution",
+    "q_tpch22_idle_balance",
+    "q_tpch3_shipping_priority",
+    "q_array_functions",
+    "q_grouped_collect",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_text_normalize",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_token_counts",
+    "q_text_fingerprint",
+    "q_text_chunks",
+    "q_profile_events",
+    "q_anomaly_scores",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    # code or oracle touched in round 7 (ANN defaults, decimal audit)
+    "q_similarity_ann_lsh",
+    "q_tpch5_local_supplier",
+    "q_tpch6_revenue_forecast",
     "q_tpch10_returned_items",
+    "q_tpch14_promo_share",
     "q_tpch15_top_supplier",
     "q_tpch17_small_qty_revenue",
-    "q_tpch5_local_supplier",
-    "q_join_left_counts",
-    "q_join_semi",
-    "q_join_anti",
-    "q_window_rank",
-    "q_window_running_total",
-    "q_topk_orders",
-    "q_setops",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_subquery_above_avg",
-    "q_having",
-    "q_window_tumbling",
-    "q_session_window",
-    "q_tpch6_revenue_forecast",
-    "q_pivot",
-    "q_regexp_functions",
-    "q_tpch4_order_priority",
-    "q_tpch7_nation_volume",
-    "q_tpch14_promo_share",
-    "q_tpch18_large_orders",
     "q_tpch19_bracket_revenue",
-    "q_agg_rollup",
-    "q_percentiles",
-    "q_dedup_ngram_jaccard",
-    "q_shard_packing",
-    "q_similarity_ann_ivf",
-    "q_embedding_quantize",
-    # code or oracle touched in round 6
-    "q_similarity_ann_lsh",
-    "q_similarity_bruteforce",
-    "q_skew_salted_join",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    # NEW in round 6 (never driver-checked)
-    "q_text_repetition",
-    "q_sample_by_source",
-    # headline backfill (green in r5; minhash family kept because the
-    # round-6 lsh_bands rewrite touches their band emission)
     "q_tpch1_pricing_summary",
-    "q_dedup_minhash",
-    "q_dedup_incremental",
-    "q_decontaminate",
-    "q_corpus_curation",
 ]
 
 

@@ -20,6 +20,10 @@ from firebolt_spark.operators import dedup, multimodal, similarity, text
 from firebolt_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS
 
 _QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+# the ONE spelling of the query-id set the embedding oracles interpolate
+# (ADVICE r6: a hardcoded "IN (0, 1, 2, 3, 4)" would silently
+# desynchronize from the Spark side if the Python list ever changed)
+_IDS_SQL = ", ".join(map(str, _QUERY_VEC_IDS))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,22 +272,24 @@ Q_DEDUP_SIMHASH_PAIRS_SQL = f"""
 # real pairs rather than matching trivially on an empty result
 _NEAR_DUP_THRESHOLD = 0.35
 
-def _duck_plane(p: int, d: int) -> str:
-    # mirrors similarity._plane_component (instr ≡ strpos, both 1-based)
+def _duck_plane(p: int, d: int, table: int = 0) -> str:
+    # mirrors similarity._plane_component (instr ≡ strpos, both 1-based;
+    # table t > 0 salts the md5 seed tag exactly as the Spark side does)
+    tag = f"plane#{p}#{d}" if table == 0 else f"plane#T{table}:{p}#{d}"
     return (
-        f"(strpos('0123456789abcdef', substr(md5('plane#{p}#{d}'), "
+        f"(strpos('0123456789abcdef', substr(md5('{tag}'), "
         f"1 + ({d} % 32), 1)) - 1 - 7.5)"
     )
 
 
-def _duck_sig(planes: int) -> str:
-    """DuckDB mirror of similarity.lsh_signature(planes): bit p =
+def _duck_sig(planes: int, table: int = 0) -> str:
+    """DuckDB mirror of similarity.lsh_signature(planes, table): bit p =
     sign(v · plane_p), flat left-associative per-plane sums — the same
     evaluation order as Spark's generated expression."""
     return " + ".join(
         "(CASE WHEN ("
         + " + ".join(
-            f"CAST(embedding[{d + 1}] AS DOUBLE) * {_duck_plane(p, d)}"
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {_duck_plane(p, d, table)}"
             for d in range(similarity.EMB_DIM)
         )
         + f") > 0 THEN {1 << p} ELSE 0 END)"
@@ -362,7 +368,7 @@ _NORM_Q = (
 
 Q_SIMILARITY_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
-               FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+               FROM embeddings WHERE vec_id IN ({_IDS_SQL})),
     scored AS (
         SELECT q.query_id, e.vec_id,
                round({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
@@ -379,31 +385,53 @@ Q_SIMILARITY_SQL = f"""
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN top-k — hash-matched oracle (VERDICT r4 #2 / r5 #4): the
     md5-derived hyperplanes make the bucket assignment engine-portable,
-    so the *approximate* semantics (candidates = the query's signature
-    bucket, probes=1) is itself exactly SQL-expressible. Approximation
-    QUALITY is still pinned against brute force in tests and reported
-    as bench ann_recall; this oracle checks the retrieval semantics."""
+    so the *approximate* semantics (candidates = union of the query's
+    own + Hamming-1-probed signature buckets across the default 8
+    independent tables) is itself exactly SQL-expressible. Round 7
+    checks the NEW recall-aware defaults (tables=8, probes=2 — VERDICT
+    r6 #3); ``planes`` is pinned so the oracle SQL stays static across
+    scale factors (the auto-planes path resolves from the corpus count
+    and is covered by the pytest recall gate instead). Approximation
+    QUALITY is pinned against brute force in tests and reported as
+    bench ann_recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _QUERY_VEC_IDS, k=10)
+    return similarity.ann_lsh_topk(
+        emb, _QUERY_VEC_IDS, k=10, planes=similarity.LSH_PLANES
+    )
 
 
 # same shape as Q_SIMILARITY_SQL with one change: candidates are
-# restricted to the query's 4-plane signature bucket (probes=1 — the
-# q_similarity_ann_lsh default), mirroring ann_lsh_topk's equi-join
+# restricted to the union, over the DEFAULT_LSH_TABLES independent
+# plane sets, of the query's own bucket plus its Hamming-1 (bit-0
+# flipped) probe bucket — mirroring _ann_lsh_topk_multitable's
+# (tbl, sig) equi-join at the probes=2 default. The OR-join yields
+# one row per candidate pair — the same set the Spark side's
+# groupBy-dedup emits, with identical fold-order cosines.
+_ANN_TABLES = similarity.DEFAULT_LSH_TABLES
+_ANN_SIG_COLS = ",\n               ".join(
+    f"CAST(({_duck_sig(similarity.LSH_PLANES, t)}) AS INTEGER) AS sig{t}"
+    for t in range(_ANN_TABLES)
+)
+_ANN_Q_SIGS = ", ".join(f"sig{t} AS q_sig{t}" for t in range(_ANN_TABLES))
+_ANN_MATCH = " OR ".join(
+    f"e.sig{t} = q.q_sig{t} OR e.sig{t} = xor(q.q_sig{t}, 1)"
+    for t in range(_ANN_TABLES)
+)
+
 Q_SIMILARITY_ANN_LSH_SQL = f"""
     WITH e AS (
         SELECT vec_id, embedding,
-               CAST(({_duck_sig(similarity.LSH_PLANES)}) AS INTEGER) AS sig,
+               {_ANN_SIG_COLS},
                {_DUCK_NORM} AS nrm
         FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS q_vec, sig AS q_sig,
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, {_ANN_Q_SIGS},
                  nrm AS q_nrm
-          FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+          FROM e WHERE vec_id IN ({_IDS_SQL})),
     scored AS (
         SELECT q.query_id, e.vec_id,
                round(({_DUCK_DOT_EQ}) / (e.nrm * q.q_nrm), 4) AS cos_sim
-        FROM e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.query_id)
+        FROM e JOIN q ON ({_ANN_MATCH}) AND e.vec_id <> q.query_id)
     SELECT query_id, vec_id, cos_sim, rnk
     FROM (SELECT *, CAST(row_number() OVER (
               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
@@ -465,7 +493,7 @@ def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
     c2 AS ({pack("m2")}),
     af AS ({assign("c2")}),
     q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
-          FROM af WHERE vec_id IN (0, 1, 2, 3, 4)),
+          FROM af WHERE vec_id IN ({_IDS_SQL})),
     probes AS (
         SELECT query_id, q_vec, q_nrm, cluster FROM (
             SELECT q.query_id, q.q_vec, q.q_nrm, c.cluster,
@@ -593,8 +621,8 @@ def _mix_threshold_sql() -> str:
 
 Q_SAMPLE_BY_SOURCE_SQL = f"""
     SELECT doc_id, source FROM documents
-    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_MIX_SALT}'),
-            1, 8))::BIGINT) < {_mix_threshold_sql()}
+    WHERE (('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))
+            || '#{_MIX_SALT}'), 1, 8))::BIGINT) < {_mix_threshold_sql()}
     ORDER BY doc_id
 """
 

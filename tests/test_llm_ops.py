@@ -49,7 +49,11 @@ def test_lsh_multiprobe_lifts_recall_and_stays_subset(spark, sf_dir):
     exact_pairs = {(q, v) for q, v, _ in exact}
 
     def recall(probes):
-        rows = similarity.ann_lsh_topk(emb, qids, k=10, probes=probes).collect()
+        # planes pinned: auto-planes resolves to 1 on the tiny fixture,
+        # which caps probes at 2 — the lever under test needs headroom
+        rows = similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, probes=probes
+        ).collect()
         # no duplicates across probed buckets
         pairs = [(r["query_id"], r["vec_id"]) for r in rows]
         assert len(pairs) == len(set(pairs))
@@ -98,6 +102,48 @@ def test_lsh_multitable_lifts_recall_and_stays_subset(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         similarity.ann_lsh_topk(emb, qids, tables=0)
+
+
+def test_ann_lsh_default_recall_gate(spark):
+    """Round-7 gate (VERDICT r6 "Next #3"): the DEFAULT tables/probes
+    knobs must keep recall@10 ≥ 0.7 vs brute force at sf0.01 on the
+    planes=4 grid point the defaults were chosen from (measured 0.94 —
+    tables=8 × probes=2; tables=1/probes=1 gave 0.08–0.16). Lowering
+    DEFAULT_LSH_TABLES / DEFAULT_LSH_PROBES or breaking multi-table or
+    multiprobe candidate generation fails this test."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    ann = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(emb, qids, k=10, planes=4).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.7, f"default-knob recall@10 regressed: {recall}"
+
+
+def test_ann_lsh_auto_planes_follows_corpus_size(spark, sf_dir):
+    """planes=None resolves via recommended_planes(corpus count): tiny
+    corpora get 1 plane (buckets ≈ corpus — exactness limit), and the
+    formula tracks log2(n/target) as n grows."""
+    assert similarity.recommended_planes(500) == 1
+    assert similarity.recommended_planes(5000) == 3
+    assert similarity.recommended_planes(1_000_000_000) == 20
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(emb, qids, k=5).collect()
+    }
+    # auto-planes on a tiny corpus degenerates to near-exact retrieval
+    assert len(exact & got) / len(exact) >= 0.8
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
@@ -786,3 +832,18 @@ def test_hash_sample_deterministic_and_calibrated(spark):
     assert abs(rates["1"] - 0.5) < 0.05
     assert "2" not in rates
     assert abs(rates["3"] - 0.25) < 0.05
+
+    # NULL keys get a deterministic fate via the sentinel hash (ADVICE
+    # r6: md5(NULL) used to silently drop them even at fraction=1.0)
+    with_null = df.withColumn(
+        "k2", F.when(F.col("k") < 5, None).otherwise(F.col("k"))
+    )
+    assert hash_sample(with_null, "k2", 1.0).count() == 20_000
+    kept = {
+        r["k"]
+        for r in hash_sample(with_null, "k2", 0.3, salt="s")
+        .filter(F.col("k2").isNull())
+        .collect()
+    }
+    # all NULL-keyed rows share one fate: all in or all out
+    assert len(kept) in (0, 5)
