@@ -81,20 +81,28 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
         for r in similarity.cosine_topk(emb, qids, k=10).collect()
     }
     out = {}
-    # grid variants pin planes=4 so the probe/table levers stay
-    # comparable round-over-round; "lsh@10" is the true default call
-    # (round 7: auto planes via recommended_planes + tables=8)
+    # grid variants pin planes=4 AND the off-axis lever (tables=1 for
+    # the probe rows, probes=1 for the table rows) so each lever's rows
+    # stay comparable with the r5/r6 artifacts; "lsh@10" is the true
+    # default call (round 7: auto planes via recommended_planes,
+    # tables=8, probes=2)
     variants = {
         "lsh@10": similarity.ann_lsh_topk(emb, qids, k=10),
-        "lsh_t1@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=1),
+        "lsh_t1@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=1, probes=1
+        ),
         "lsh_probes3@10": similarity.ann_lsh_topk(
             emb, qids, k=10, planes=4, tables=1, probes=3
         ),
         "lsh_probes5@10": similarity.ann_lsh_topk(
             emb, qids, k=10, planes=4, tables=1, probes=5
         ),
-        "lsh_tables4@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=4),
-        "lsh_tables8@10": similarity.ann_lsh_topk(emb, qids, k=10, planes=4, tables=8),
+        "lsh_tables4@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=4, probes=1
+        ),
+        "lsh_tables8@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=8, probes=1
+        ),
         "ivf_probe4@10": similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4),
     }
     for label, df in variants.items():

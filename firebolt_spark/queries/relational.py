@@ -722,11 +722,18 @@ def q_tpch14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # scale-2 reduction before the double casts (round-7 decimal audit):
+    # total_rev is a declared output and its scale-4 unscaled form is
+    # 2.2e15 at sf10 — within 4× of 2^53, over it by sf40 (the q_tpch1
+    # sf1 bug class). Reduce to cents first; the ratio then divides two
+    # exactly-representable doubles identically in both engines.
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(3,2)")))
-        .cast("double")
-        .alias("promo_rev"),
-        F.sum(rev).cast("double").alias("total_rev"),
+        .alias("_promo"),
+        F.sum(rev).alias("_tot"),
+    ).select(
+        F.col("_promo").cast("decimal(38,2)").cast("double").alias("promo_rev"),
+        F.col("_tot").cast("decimal(38,2)").cast("double").alias("total_rev"),
     )
     return agg.select(
         "promo_rev",
@@ -745,14 +752,18 @@ Q_TPCH14_SQL = """
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-07-01'
+    ),
+    s AS (
+        SELECT CAST(CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                       ELSE CAST(0 AS DECIMAL(3,2)) END), 2) AS DECIMAL(38,2))
+                   AS DOUBLE) AS promo_rev,
+               CAST(CAST(round(sum(rev), 2) AS DECIMAL(38,2)) AS DOUBLE)
+                   AS total_rev
+        FROM j
     )
-    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                         ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE) AS promo_rev,
-           CAST(sum(rev) AS DOUBLE) AS total_rev,
-           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                         ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
-               / CAST(sum(rev) AS DOUBLE), 4) AS promo_pct
-    FROM j
+    SELECT promo_rev, total_rev,
+           round(100.0 * promo_rev / total_rev, 4) AS promo_pct
+    FROM s
 """
 
 
@@ -809,16 +820,28 @@ def q_tpch19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
-    return joined.filter(bracket).agg(
-        F.sum(rev).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    # scale-2 reduction before the double cast (round-7 decimal audit):
+    # the UNFILTERED scale-4 revenue sum's unscaled value hits 3.0e16 at
+    # sf10 — past 2^53 — where DuckDB rounds the numerator before
+    # dividing by 10^4 but Spark converts the exact decimal (the q_tpch1
+    # sf1 bug class). At scale 2 the unscaled form fits a double exactly.
+    return (
+        joined.filter(bracket)
+        .agg(
+            F.sum(rev).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("_rev").cast("decimal(38,2)").cast("double").alias("revenue"),
+            "n_items",
+        )
     )
 
 
 Q_TPCH19_SQL = """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-               AS revenue,
+    SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+               AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1118,8 +1141,15 @@ def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
+            # scale-2 reduction before the double division (round-7
+            # decimal audit): the per-year scale-4 denominator's
+            # unscaled form is 4.6e15 at sf10 — a factor 2 under 2^53,
+            # over it by sf20 (the q_tpch1 sf1 bug class). Cents-exact
+            # doubles divide identically in both engines.
             F.round(
-                F.col("_nat").cast("double") / F.col("_tot").cast("double"), 6
+                F.col("_nat").cast("decimal(38,2)").cast("double")
+                / F.col("_tot").cast("decimal(38,2)").cast("double"),
+                6,
             ).alias("mkt_share"),
         )
     )
@@ -1127,12 +1157,13 @@ def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TPCH8_SQL = """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           round(CAST(sum(CASE WHEN n_s.n_name = 'NATION_5'
+           round(CAST(CAST(round(sum(CASE WHEN n_s.n_name = 'NATION_5'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                     ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DECIMAL(38,2)) AS DOUBLE)
+               / CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE),
                6) AS mkt_share
     FROM lineitem
     JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'

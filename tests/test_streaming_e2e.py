@@ -358,3 +358,124 @@ def test_file_backed_kafka_e2e_through_real_runner(spark, tmp_path, monkeypatch)
     assert m.node("asyncerrornode").error == 4
     assert m.node("errornode").error + m.node("asyncerrornode").error == 8
     assert m.node("indexrequestbuilder").success == 94
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (VERDICT r6 "Next #5"): the 100 TB ingest
+# loop in miniature — deltas stream in, each micro-batch is scored
+# against the persisted signature index and its signatures are appended,
+# with crash-restarts (new query, same checkpoint) between batches.
+# ---------------------------------------------------------------------------
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu"
+).split()
+
+
+def _doc_text(seed: int) -> str:
+    """40 words with a seed-dependent rotation+stride — distinct seeds
+    give near-disjoint shingle sets (stride over a 26-word vocab)."""
+    return " ".join(
+        _VOCAB[(seed * 7 + i * (1 + seed % 5)) % 26] for i in range(40)
+    )
+
+
+def test_streaming_incremental_dedup_with_crash_restarts(spark, tmp_path):
+    """incremental_near_dups inside the real streaming runner path:
+    ≥3 micro-batches over Structured Streaming foreachBatch, the
+    signature index appended per batch, a 'crash' (query torn down, new
+    query from the same checkpoint) between every two batches. Asserts
+    (a) no batch is reprocessed after restart — no duplicate match
+    pairs, no duplicate index signatures; (b) the index grows
+    monotonically — later batches match against EARLIER batches' docs,
+    not just the seed corpus; (c) every exact copy of an indexed doc is
+    found at est_jaccard 1.0."""
+    from firebolt_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+    )
+
+    delta_dir = tmp_path / "deltas"
+    delta_dir.mkdir()
+    index_dir = str(tmp_path / "sig-index")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt-incdedup")
+    docs_ddl = "doc_id BIGINT, text STRING"
+
+    # seed index: the historical corpus (doc_ids 0-9), computed batch-side
+    seed_docs = spark.createDataFrame(
+        [(i, _doc_text(i)) for i in range(10)], docs_ddl
+    )
+    minhash_signatures(seed_docs).write.parquet(index_dir)
+
+    def ingest(batch_df, batch_id):
+        # driver-side foreachBatch body — the same session reads the
+        # index as-of this batch; matches are written BEFORE the delta's
+        # signatures join the index (a doc never matches itself)
+        index = spark.read.parquet(index_dir)
+        matches, new_sig = incremental_near_dups(
+            batch_df, index, threshold=0.5
+        )
+        matches.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(matches_dir)
+        new_sig.write.mode("append").parquet(index_dir)
+        new_sig.unpersist()
+
+    def run_one_delta(rows):
+        """Write one delta file, then run a NEW availableNow query from
+        the shared checkpoint — the restart-after-crash path: committed
+        batches are not re-served, only the new file forms a batch."""
+        n_existing = len(list(delta_dir.glob("*.parquet")))
+        spark.createDataFrame(rows, docs_ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(delta_dir))
+        stream = spark.readStream.schema(docs_ddl).parquet(str(delta_dir))
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"inc-dedup-{n_existing}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    # batch A: two exact copies of seed docs 1 and 4 + three fresh docs
+    run_one_delta(
+        [(101, _doc_text(1)), (104, _doc_text(4)),
+         (110, _doc_text(30)), (111, _doc_text(31)), (112, _doc_text(32))]
+    )
+    # batch B ("crash" happened between A and B): copy of seed doc 2 AND
+    # copy of batch-A doc 110 — provable index monotonicity — + fresh
+    run_one_delta(
+        [(202, _doc_text(2)), (210, _doc_text(30)), (220, _doc_text(40))]
+    )
+    # batch C: copy of batch-B doc 220 + fresh
+    run_one_delta([(320, _doc_text(40)), (330, _doc_text(41))])
+
+    matches = spark.read.parquet(matches_dir).collect()
+    pairs = {(r["new_doc_id"], r["index_doc_id"]) for r in matches}
+    # (a) at-most-once per pair across the three queries: a reprocessed
+    # batch would re-emit its pairs (and re-append its signatures)
+    assert len(matches) == len(pairs)
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 10 + 5 + 3 + 2  # seed + A + B + C, no re-appends
+    assert index.select("doc_id").distinct().count() == index.count()
+    # (b)+(c) exact copies found against seed AND against earlier deltas
+    expected = {
+        (101, 1), (104, 4),      # batch A vs seed
+        (202, 2), (210, 110),    # batch B vs seed AND vs batch A
+        (320, 220),              # batch C vs batch B
+    }
+    assert expected <= pairs
+    perfect = {
+        (r["new_doc_id"], r["index_doc_id"])
+        for r in matches
+        if r["est_jaccard"] == 1.0
+    }
+    assert expected <= perfect  # exact copies estimate at exactly 1.0
+    # no spurious cross-pairs between near-disjoint docs
+    assert all(r["est_jaccard"] >= 0.5 for r in matches)
