@@ -434,6 +434,12 @@ def ann_lsh_topk(
     """
     if planes is None:
         planes = recommended_planes(embeddings.count())
+        # planes was auto-derived — the caller never saw the value, so a
+        # probes count that exceeds the Hamming-1 neighborhood (small
+        # corpora resolve to 1-2 planes) is clamped, not an error. More
+        # probes than planes+1 distinct signatures cannot add candidates
+        # anyway; clamping preserves the "defaults just work" contract.
+        probes = max(1, min(probes, planes + 1))
     if not 1 <= probes <= planes + 1:
         raise ValueError(f"probes must be in [1, planes+1], got {probes}")
     if tables < 1:

@@ -68,8 +68,14 @@ def test_lsh_multiprobe_lifts_recall_and_stays_subset(spark, sf_dir):
     assert r3 >= r1
     import pytest as _pytest
 
+    # explicit planes keeps strict validation; auto-planes (planes=None)
+    # clamps instead — a caller who never chose planes cannot be blamed
+    # for exceeding planes+1 (round-7 fix for the recall-aware defaults)
     with _pytest.raises(ValueError):
-        similarity.ann_lsh_topk(emb, qids, probes=99)
+        similarity.ann_lsh_topk(emb, qids, planes=4, probes=99)
+    assert (
+        similarity.ann_lsh_topk(emb, qids, k=3, probes=99, tables=1).count() >= 0
+    )
 
 
 def test_lsh_multitable_lifts_recall_and_stays_subset(spark, sf_dir):
