@@ -65,6 +65,13 @@ EXTRA = [
     # round 6: skew-resistant join (wall-clock skew story is the
     # skew_demo artifact; this row tracks the oracle-checked query)
     "q_skew_salted_join",
+    # round 7: span-level dedup (narrow digest shuffle + in-row text
+    # rebuild) and unigram-LM scoring (broadcast vocab join) — the two
+    # new operators with non-trivial runtime cost; temperature_mix and
+    # hash_split are filtered scans with metadata-sized aggs, nothing
+    # to track
+    "q_dedup_spans",
+    "q_lm_quality",
 ]
 
 

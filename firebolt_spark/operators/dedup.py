@@ -825,3 +825,98 @@ def simhash_pairs(
     from firebolt_spark.functions import track_persisted
 
     return track_persisted(cand, s)
+
+
+def doc_spans(
+    docs: DataFrame,
+    span_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tile each document into fixed-width word windows ("spans").
+
+    The unit of span-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": duplicated TRAINING
+    WINDOWS, not just whole documents, drive memorization — boilerplate
+    headers/footers repeat across millions of otherwise-distinct
+    pages). Non-overlapping tiles of ``span_words`` whitespace tokens;
+    the last tile keeps the remainder. Emits (id, pos, span).
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(spans).alias("pos", "span"),
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup: drop every repeated word-window across
+    the corpus (keeping its first occurrence in (id, pos) order) and
+    reassemble each document from its surviving spans.
+
+    Returns one row per input document:
+    ``(id, n_spans int, n_kept int, text_dedup string)`` — a document
+    whose every span already appeared elsewhere comes back empty, the
+    span-level analogue of dropping an exact-duplicate doc.
+
+    Scale shape (the part that matters at 100 TB): the global
+    keep-first decision runs on the NARROW projection (id, pos,
+    digest) — one shuffle of 16-byte digests, document bodies never
+    enter it. Winning positions are folded to one int-array row per
+    doc (second narrow shuffle), then joined back to the original
+    docs on ``id_col``, where the surviving text is rebuilt IN-ROW
+    from the kept positions (slice + array_join over the already-held
+    words — no exploded text is ever shuffled or regrouped). Bodies
+    therefore move through exactly one equi-join on the doc key —
+    zero with a doc-bucketed layout (``functions.write_bucketed``).
+
+    Keep-first is a total order (digest → min (id, pos)), so the
+    result is deterministic and engine-portable; the DuckDB oracle
+    replays the same rule verbatim.
+    """
+    meta = doc_spans(docs, span_words, text_col, id_col).select(
+        id_col, "pos", F.md5(F.col("span")).alias("digest")
+    )
+    win = Window.partitionBy("digest").orderBy(id_col, "pos")
+    kept = (
+        meta.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_kept_pos"))
+    )
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    rebuilt = F.array_join(
+        F.transform(
+            F.coalesce(F.col("_kept_pos"), F.array()),
+            lambda p: F.array_join(
+                F.slice(words, p * span_words + 1, span_words), " "
+            ),
+        ),
+        " ",
+    )
+    return (
+        docs.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_spans.alias("n_spans"),
+            F.size(F.coalesce(F.col("_kept_pos"), F.array())).cast("int").alias(
+                "n_kept"
+            ),
+            rebuilt.alias("text_dedup"),
+        )
+    )

@@ -12,7 +12,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from firebolt_spark.operators import dedup, multimodal, similarity, text
+from firebolt_spark.operators import dedup, mixture, multimodal, similarity, text
 
 
 class ExactDedupNode:
@@ -257,6 +257,64 @@ class MediaFeaturesNode:
         return multimodal.extract_features(df, decode_stub=self.decode_stub)
 
 
+class TemperatureMixNode:
+    """Params: strata_col (required), key_col (required), alpha (0.5),
+    salt ('')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.strata_col = params["strata_col"]
+        self.key_col = params["key_col"]
+        self.alpha = float(params.get("alpha", 0.5))
+        self.salt = str(params.get("salt", ""))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return mixture.temperature_mix(
+            df, self.strata_col, self.key_col, self.alpha, self.salt
+        )
+
+
+class HashSplitNode:
+    """Params: key_col (required), weights (dict name->weight, default
+    train/val/test 0.9/0.05/0.05), salt (''), split_col ('split')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.key_col = params["key_col"]
+        self.weights = params.get("weights")
+        self.salt = str(params.get("salt", ""))
+        self.split_col = str(params.get("split_col", "split"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return mixture.hash_split(
+            df, self.key_col, self.weights, self.salt, self.split_col
+        )
+
+
+class SpanDedupNode:
+    """Params: span_words (16), text_col ('text'), id_col ('doc_id')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.span_words = int(params.get("span_words", 16))
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.dedup_spans(
+            df, self.span_words, self.text_col, self.id_col
+        )
+
+
+class LmQualityNode:
+    """Params: text_col ('text'), id_col ('doc_id'). Self-scores
+    against the input corpus's own unigram model."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.lm_cross_entropy(df, self.text_col, self.id_col)
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -273,3 +331,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("media_features", MediaFeaturesNode, None, None)
     registry.register_node_type("shard_pack", ShardPackNode, None, None)
     registry.register_node_type("embedding_near_dup", EmbeddingNearDupNode, None, None)
+    registry.register_node_type("temperature_mix", TemperatureMixNode, None, None)
+    registry.register_node_type("hash_split", HashSplitNode, None, None)
+    registry.register_node_type("span_dedup", SpanDedupNode, None, None)
+    registry.register_node_type("lm_quality", LmQualityNode, None, None)

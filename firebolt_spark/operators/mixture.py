@@ -1,0 +1,164 @@
+"""Training-mix construction operators: temperature-weighted domain
+resampling and deterministic held-out splits.
+
+A 100 TB pretraining corpus is never trained on as-is: domains are
+re-weighted (rare-but-valuable sources up-weighted relative to bulk
+crawl — the ``p_s ∝ c_s^alpha`` temperature mix of multilingual-LM
+training) and a held-out slice is carved off for eval. Both operations
+must be DETERMINISTIC — reproducible row-for-row across reruns,
+repartitions, task retries, and engines — or the training mix itself
+becomes an unversionable artifact. Everything here therefore keys on
+the same content-hash bucket as ``functions.hash_sample`` (first 8 md5
+hex digits of ``key#salt`` as a 32-bit int) rather than any RNG.
+
+Scale shape: one count-aggregation over the strata column (tiny
+result, broadcast back) plus a single filtered scan — the corpus
+itself never shuffles. The reference has no sampling surface (it is a
+streaming ETL engine — SURVEY §2.10); these operators are part of the
+LLM-pipeline extension the north-star brief requires.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from firebolt_spark.functions import _hash_bucket
+
+_BUCKET_SPACE = float(1 << 32)
+
+
+def mix_plan(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep-fraction plan for a temperature-``alpha`` mix.
+
+    Target sampled counts follow ``n_s ∝ c_s^alpha`` (alpha=1 keeps
+    the natural mix, alpha=0 flattens to uniform), scaled as large as
+    possible without upsampling — the smallest stratum is kept whole.
+    Closed form: ``keep_fraction(s) = (c_min / c_s)^(1-alpha)``.
+
+    Returns one row per stratum: ``(stratum, n_rows, threshold)``
+    where ``threshold`` is the 32-bit hash cutoff implementing the
+    fraction. The threshold is computed with correctly-rounded IEEE
+    ops only when alpha=0.5 (``sqrt`` + ``/`` + ``*`` + ``floor`` are
+    all exactly specified by IEEE 754, so ANY engine derives the
+    identical integer cutoff from the same counts — the DuckDB oracle
+    does); other alphas go through ``pow``, which libms round
+    differently in the last ulp — fine in practice, but the declared
+    cross-engine query pins alpha=0.5.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    cmin = counts.agg(F.min("n_rows").alias("_cmin"))
+    ratio = F.col("_cmin").cast("double") / F.col("n_rows").cast("double")
+    if alpha == 0.5:
+        frac = F.sqrt(ratio)
+    elif alpha == 1.0:
+        frac = F.lit(1.0)
+    else:
+        frac = F.pow(ratio, F.lit(1.0 - alpha))
+    return (
+        counts.crossJoin(F.broadcast(cmin))
+        .withColumn(
+            "threshold",
+            F.floor(frac * F.lit(_BUCKET_SPACE)).cast("bigint"),
+        )
+        .drop("_cmin")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-``alpha`` resample of a corpus.
+
+    Keeps each stratum's ``(c_min/c_s)^(1-alpha)`` fraction (see
+    :func:`mix_plan`), selected by the content hash of ``key_col`` —
+    so the sampled ROW SET is a pure function of the data, stable
+    under repartitioning, retries, incremental reruns, and engines.
+
+    Plan shape: groupBy(strata) count (tiny), broadcast the per-
+    stratum thresholds back, filter. The corpus is scanned once and
+    never shuffled — at 100 TB this is a map-only job after one
+    metadata-sized aggregation.
+    """
+    plan = mix_plan(df, strata_col, alpha)
+    bucket = _hash_bucket(key_col, salt)
+    return (
+        df.join(
+            F.broadcast(plan),
+            df[strata_col] == plan["stratum"],
+            "left",
+        )
+        .filter(bucket < F.coalesce(F.col("threshold"), F.lit(0)))
+        .drop("stratum", "n_rows", "threshold")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    by partitioning the 32-bit content-hash space into contiguous
+    ranges proportional to ``weights``.
+
+    Content-keyed, so a document keeps ONE split assignment forever —
+    across reruns, engine changes, and incremental ingests (a doc
+    re-ingested next month cannot leak from test into train). The
+    thresholds are exact integers fixed at plan time; no floating
+    point is evaluated per row. One scan, no shuffle.
+
+    ``weights`` need not sum to 1 — they are normalized. Order of
+    ranges follows the dict's iteration order; the final split absorbs
+    the remainder of the space so every row is assigned.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    total = float(sum(weights.values()))
+    bucket = _hash_bucket(key_col, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = min(int(math.floor(cum * _BUCKET_SPACE)), 1 << 32)
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """The exact (name, upper-threshold) cutoffs ``hash_split`` uses —
+    exposed so oracle SQL (and index builders) can mirror them
+    verbatim. The last split has threshold 2^32 (absorbs remainder)."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, min(int(math.floor(cum * _BUCKET_SPACE)), 1 << 32)))
+    out.append((names[-1], 1 << 32))
+    return out

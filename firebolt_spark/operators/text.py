@@ -306,3 +306,78 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     return sh.groupBy("doc_id").agg(
         F.min(F.md5(F.col("sh"))).alias("fingerprint")
     )
+
+
+def unigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram LM: one row per whitespace token with its count,
+    plus the corpus total and vocabulary size (constant columns) — the
+    broadcastable model table ``lm_cross_entropy`` scores against with
+    Laplace smoothing. Vocabulary-sized (tiny next to the corpus),
+    built with one map-side-combined shuffle."""
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    return counts.crossJoin(F.broadcast(total))
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) — the cheap,
+    fully-distributed stand-in for perplexity-based quality filtering
+    (CCNet/KenLM-style): documents whose token distribution is far
+    from the corpus LM score HIGH and are filter candidates; dull
+    high-frequency boilerplate scores LOW.
+
+    ``model`` defaults to the corpus's own :func:`unigram_model`
+    (self-scoring); pass a model built from a held-out reference
+    corpus for true quality filtering. Probabilities are Laplace-
+    smoothed — ``p(w) = (cnt + 1) / (total + vocab)`` with cnt = 0 for
+    OOV — so an unseen token always scores strictly rarer than any
+    in-vocabulary token.
+
+    Returns ``(id, n_tokens int, bits_per_token double)`` with the
+    score rounded to 4 decimals.
+
+    Scale shape: token stream → broadcast-join the vocabulary-sized
+    model (no shuffle) → one narrow groupBy on the doc key. Document
+    bodies are scanned once and never shuffled; both aggregations are
+    map-side combined.
+    """
+    if model is None:
+        model = unigram_model(docs, text_col)
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+    )
+    # total/vsize are properties of the MODEL, not of the joined row —
+    # carried as a 1-row broadcast so OOV tokens (NULL cnt after the
+    # left join) still see the real denominator
+    consts = F.broadcast(model.select("total", "vsize").limit(1))
+    scored = (
+        tok.join(F.broadcast(model.select("token", "cnt")), "token", "left")
+        .crossJoin(consts)
+        .withColumn(
+            "_bits",
+            -F.log2(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("total") + F.col("vsize")).cast("double")
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg("_bits"), 4).alias("bits_per_token"),
+        )
+    )

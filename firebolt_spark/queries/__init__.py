@@ -68,16 +68,22 @@ _PRIORITY = [
     "q_anomaly_scores",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    # code or oracle touched in round 7 (ANN defaults, decimal audit)
+    # NEW in round 7 (never driver-checked): training-mix construction,
+    # span-level dedup, unigram-LM quality
+    "q_temperature_mix",
+    "q_hash_split",
+    "q_dedup_spans",
+    "q_lm_quality",
+    # code or oracle touched in round 7 (ANN defaults + probe clamp,
+    # decimal audit: the three oracles the audit actually changed —
+    # tpch8 sits in the stale cohort above; tpch5/6/10/15/17 were
+    # audit-green with no code change, so they wait for the r8 rotation)
     "q_similarity_ann_lsh",
-    "q_tpch5_local_supplier",
-    "q_tpch6_revenue_forecast",
-    "q_tpch10_returned_items",
     "q_tpch14_promo_share",
-    "q_tpch15_top_supplier",
-    "q_tpch17_small_qty_revenue",
     "q_tpch19_bracket_revenue",
     "q_tpch1_pricing_summary",
+    # dedup module changed this round — re-check its composition query
+    "q_corpus_curation",
 ]
 
 

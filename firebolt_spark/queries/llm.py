@@ -1094,6 +1094,165 @@ Q_MULTIMODAL_FRAMES_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round 7: training-mix construction + span-level dedup + LM quality
+
+_MIX7_SALT = "mix7"
+_SPLIT7_SALT = "split7"
+_SPLIT7_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPAN_WORDS = 3  # fixture vocabulary is ~31 words; 3-word tiles give a
+#                  ~20% duplicate-span rate, so the keep-first + rebuild
+#                  path is genuinely exercised (16-word default tiles
+#                  would almost never collide on this synthetic corpus)
+
+# the one spelling of the md5 bucket both engines key on (mirrors
+# functions._hash_bucket, including the NULL→chr(0) sentinel)
+def _bucket_sql(key: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), chr(0))"
+        f" || '#{salt}'), 1, 8))::BIGINT)"
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain resample (mixture.temperature_mix):
+    per-source keep fraction (c_min/c_s)^0.5 — smallest source kept
+    whole, bulk sources root-downsampled (the p ∝ c^alpha mix of
+    multilingual LM training), selected by content hash. alpha=0.5 is
+    pinned for the oracle because sqrt/div/mul/floor are all
+    correctly-rounded IEEE ops, so both engines derive the identical
+    integer threshold from the counts and the hash match certifies
+    the exact sampled row set."""
+    from firebolt_spark.operators import mixture
+
+    docs = _documents(spark, sf_dir)
+    # stratify on lang, not source: the fixture's sources are exactly
+    # uniform (25 docs each), which would degenerate the mix to the
+    # identity; lang is ~2.7x skewed (en-heavy), so the root-downsample
+    # genuinely fires and the oracle certifies a non-trivial row set
+    return mixture.temperature_mix(
+        docs.select("doc_id", "lang"),
+        "lang",
+        key_col="doc_id",
+        alpha=0.5,
+        salt=_MIX7_SALT,
+    ).orderBy("doc_id")
+
+
+Q_TEMPERATURE_MIX_SQL = f"""
+    WITH c AS (SELECT lang, count(*) AS cs FROM documents GROUP BY lang),
+    m AS (SELECT min(cs) AS cmin FROM c),
+    thr AS (SELECT lang,
+                   CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cs AS DOUBLE))
+                              * 4294967296.0) AS BIGINT) AS t
+            FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE {_bucket_sql('d.doc_id', _MIX7_SALT)} < t
+    ORDER BY d.doc_id
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (mixture.hash_split):
+    contiguous ranges of the 32-bit content-hash space, thresholds
+    fixed at plan time as exact integers — a document keeps one split
+    fate across reruns, engines, and incremental ingests (no
+    test→train leakage). Oracle CASE is generated from the SAME
+    split_thresholds() the operator uses."""
+    from firebolt_spark.operators import mixture
+
+    docs = _documents(spark, sf_dir)
+    return mixture.hash_split(
+        docs.select("doc_id"), "doc_id", _SPLIT7_WEIGHTS, salt=_SPLIT7_SALT
+    ).orderBy("doc_id")
+
+
+def _hash_split_sql() -> str:
+    from firebolt_spark.operators.mixture import split_thresholds
+
+    cuts = split_thresholds(_SPLIT7_WEIGHTS)
+    b = _bucket_sql("doc_id", _SPLIT7_SALT)
+    whens = " ".join(
+        f"WHEN {b} < {thr} THEN '{name}'" for name, thr in cuts[:-1]
+    )
+    return f"""
+        SELECT doc_id, CASE {whens} ELSE '{cuts[-1][0]}' END AS split
+        FROM documents ORDER BY doc_id
+    """
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (dedup.dedup_spans, Lee et al. 2022
+    ExactSubstr analogue): tile docs into _SPAN_WORDS-word windows,
+    drop every window already seen (keep-first in (doc_id, pos)
+    order), rebuild surviving text in-row. The narrow digest shuffle
+    decides; bodies move through exactly one doc-key join. The oracle
+    replays tile → md5 → row_number keep-first → ordered string_agg,
+    so the hash match certifies the rebuilt text byte-for-byte."""
+    return dedup.dedup_spans(
+        _documents(spark, sf_dir), span_words=_SPAN_WORDS
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_SPANS_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sized AS (
+        SELECT doc_id, words,
+               CAST(ceil(len(words) / {_SPAN_WORDS}.0) AS INT) AS n_spans
+        FROM base),
+    spans AS (
+        SELECT doc_id,
+               unnest(range(0, n_spans)) AS pos,
+               unnest(list_transform(range(0, n_spans),
+                      i -> array_to_string(
+                          words[i * {_SPAN_WORDS} + 1 : i * {_SPAN_WORDS} + {_SPAN_WORDS}],
+                          ' '))) AS span
+        FROM sized),
+    ranked AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY md5(span)
+                                  ORDER BY doc_id, pos) AS rk
+        FROM spans),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS text_dedup
+        FROM ranked WHERE rk = 1 GROUP BY doc_id)
+    SELECT s.doc_id, s.n_spans,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document (text.lm_cross_entropy)
+    — the distributed stand-in for perplexity quality filtering
+    (CCNet-style): token stream → broadcast vocabulary join → one
+    narrow doc-key aggregation; bodies never shuffle. Self-scored
+    against the corpus's own Laplace-smoothed unigram model, bits/token
+    rounded to 4 decimals (log2 averages agree across engines well
+    inside 1e-4)."""
+    return text.lm_cross_entropy(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_LM_QUALITY_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    t AS (SELECT count(*) AS total, count(DISTINCT token) AS vsize FROM tok)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           round(avg(-log2(CAST(cnt + 1 AS DOUBLE)
+                           / CAST(total + vsize AS DOUBLE))), 4)
+               AS bits_per_token
+    FROM tok JOIN v USING (token), t
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
@@ -1122,6 +1281,10 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_decontaminate": q_decontaminate,
+    "q_temperature_mix": q_temperature_mix,
+    "q_hash_split": q_hash_split,
+    "q_dedup_spans": q_dedup_spans,
+    "q_lm_quality": q_lm_quality,
 }
 
 ORACLE = {
@@ -1152,4 +1315,8 @@ ORACLE = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,
     "q_similarity_ann_ivf": _make_ivf_sql(),
+    "q_temperature_mix": Q_TEMPERATURE_MIX_SQL,
+    "q_hash_split": _hash_split_sql(),
+    "q_dedup_spans": Q_DEDUP_SPANS_SQL,
+    "q_lm_quality": Q_LM_QUALITY_SQL,
 }

@@ -853,3 +853,153 @@ def test_hash_sample_deterministic_and_calibrated(spark):
     }
     # all NULL-keyed rows share one fate: all in or all out
     assert len(kept) in (0, 5)
+
+
+# ---------------------------------------------------------------------------
+# round 7: training-mix construction, span dedup, LM quality
+
+
+def test_temperature_mix_endpoints_and_determinism(spark, sf_dir):
+    """alpha=1 keeps the natural mix untouched; alpha=0 flattens toward
+    uniform (every stratum within binomial noise of the smallest);
+    the sampled ROW SET is invariant under repartitioning."""
+    from firebolt_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    natural = {r["lang"]: r["n"] for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cmin = min(natural.values())
+
+    kept1 = mixture.temperature_mix(docs, "lang", "doc_id", alpha=1.0)
+    assert kept1.count() == sum(natural.values())  # identity
+
+    kept0 = mixture.temperature_mix(docs, "lang", "doc_id", alpha=0.0, salt="t0")
+    counts0 = {r["lang"]: r["n"] for r in
+               kept0.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts0.items():
+        assert n <= natural[lang]
+        # threshold targets cmin rows; allow 4-sigma binomial noise
+        sigma = (cmin * max(0.0, 1 - cmin / natural[lang])) ** 0.5
+        assert abs(n - cmin) <= 4 * sigma + 1, (lang, n, cmin)
+    # smallest stratum is kept whole at every alpha
+    smallest = min(natural, key=natural.get)
+    assert counts0[smallest] == natural[smallest]
+
+    a = sorted(r["doc_id"] for r in
+               mixture.temperature_mix(docs, "lang", "doc_id", salt="s").collect())
+    b = sorted(r["doc_id"] for r in
+               mixture.temperature_mix(docs.repartition(13), "lang", "doc_id",
+                                       salt="s").collect())
+    assert a == b
+
+
+def test_temperature_mix_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must reach the plan's single join un-shuffled:
+    thresholds come back as a broadcast, never a SortMergeJoin."""
+    from firebolt_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = mixture.temperature_mix(docs, "lang", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_partitions_disjoint_exhaustive_stable(spark, sf_dir):
+    from firebolt_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = mixture.hash_split(docs, "doc_id", salt="sp")
+    n = docs.count()
+    assert out.count() == n  # exhaustive: every row gets a split
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # rough proportions (4-sigma binomial)
+    for name, frac in (("train", 0.9), ("val", 0.05), ("test", 0.05)):
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts.get(name, 0) - frac * n) <= 4 * sigma + 1, name
+    # same doc -> same split under any partitioning
+    again = {r["doc_id"]: r["split"]
+             for r in mixture.hash_split(docs.repartition(7), "doc_id",
+                                         salt="sp").collect()}
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+    # pure map job: no Exchange anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_validates_weights(spark, sf_dir):
+    import pytest as _pytest
+
+    from firebolt_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with _pytest.raises(ValueError):
+        mixture.hash_split(docs, "doc_id", {"only": 1.0})
+    with _pytest.raises(ValueError):
+        mixture.hash_split(docs, "doc_id", {"a": -0.1, "b": 0.5})
+    with _pytest.raises(ValueError):
+        mixture.hash_split(docs, "doc_id", {"a": 0.0, "b": 0.0})
+
+
+def test_dedup_spans_known_case(spark):
+    """First occurrence survives, later repeats vanish, remainder tile
+    is kept, a fully-duplicated doc comes back empty."""
+    from firebolt_spark.operators.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # tiles: 'a b c' 'd e f' 'g'
+            (2, "a b c x y z"),            # 'a b c' dups doc1 pos0
+            (3, "a b c d e f"),            # both tiles dup'd -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs, span_words=3).collect()}
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (3, 3)
+    assert out[1]["text_dedup"] == "a b c d e f g"
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["text_dedup"] == ""
+
+
+def test_dedup_spans_conserves_distinct_spans(spark, sf_dir):
+    """sum(n_kept) == corpus-wide distinct span count, and every doc's
+    surviving text is a subsequence rebuild (n_kept <= n_spans)."""
+    from firebolt_spark.operators.dedup import dedup_spans, doc_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_spans(docs, span_words=3)
+    agg = out.agg(F.sum("n_kept").alias("k"), F.sum("n_spans").alias("s")
+                  ).collect()[0]
+    distinct_spans = doc_spans(docs, 3).select("span").distinct().count()
+    assert agg["k"] == distinct_spans
+    assert agg["k"] < agg["s"]  # the fixture really has duplicate spans
+    assert out.filter(F.col("n_kept") > F.col("n_spans")).count() == 0
+
+
+def test_lm_cross_entropy_uniform_and_oov(spark):
+    """Uniform corpus scores exactly log2(vocab) bits/token; an
+    external model scores OOV tokens with the add-one floor (highest
+    rarity), so rare-token docs rank above boilerplate."""
+    from firebolt_spark.operators import text as text_ops
+
+    uniform = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    rows = text_ops.lm_cross_entropy(uniform).collect()
+    for r in rows:
+        assert r["bits_per_token"] == 2.0  # log2(4)
+
+    model = text_ops.unigram_model(uniform)
+    scored = {r["doc_id"]: r["bits_per_token"]
+              for r in text_ops.lm_cross_entropy(
+                  spark.createDataFrame(
+                      [(10, "a a a"), (11, "zzz zzz zzz")],
+                      ["doc_id", "text"]),
+                  model=model).collect()}
+    assert scored[11] > scored[10]  # OOV floor outranks in-vocab

@@ -217,3 +217,44 @@ nodes:
         Pipeline.from_yaml(
             yaml_tpl % {"path": path, "method": "hnsw", "extra": ""}
         )
+
+
+MIX_PIPELINE = """
+application: mix-nodes-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: hash_split
+    id: split
+    params: {key_col: doc_id, salt: sp7}
+    children:
+      - name: temperature_mix
+        id: mix
+        params: {strata_col: lang, key_col: doc_id, alpha: 0.5, salt: m7}
+  - name: span_dedup
+    id: spans
+    params: {span_words: 3}
+  - name: lm_quality
+    id: lm
+    params: {}
+"""
+
+
+def test_mixture_and_span_nodes_compose_from_yaml(spark, sf_dir):
+    """Round-7 node types (temperature_mix / hash_split / span_dedup /
+    lm_quality) compose from YAML like every other LLM node."""
+    p = Pipeline.from_yaml(MIX_PIPELINE % {"path": f"{sf_dir}/documents.parquet"})
+    res = p.run_batch(spark)
+    n_docs = 500
+    split = res.outputs["split"]
+    assert split.count() == n_docs
+    assert "split" in split.columns
+    mix = res.outputs["mix"]
+    assert 0 < mix.count() < n_docs  # lang skew -> a real downsample
+    assert "split" in mix.columns    # chained below hash_split
+    spans = res.outputs["spans"]
+    assert set(spans.columns) == {"doc_id", "n_spans", "n_kept", "text_dedup"}
+    assert spans.count() == n_docs
+    lm = res.outputs["lm"]
+    assert set(lm.columns) == {"doc_id", "n_tokens", "bits_per_token"}
+    assert lm.count() == n_docs
+    res.unpersist()
