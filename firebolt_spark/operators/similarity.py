@@ -581,3 +581,38 @@ def _ann_lsh_topk_multitable(
         ),
         signed,
     )
+
+
+def topic_clusters(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Topic bucketing: assign every vector to its k-means cluster and
+    tag it with the cluster's population — the standard corpus-
+    organization step before per-topic sampling/filtering (cluster the
+    embedding space, then curate per bucket; SemDeDup-style pipelines
+    start exactly here).
+
+    Output ``(id, cluster, cluster_size)`` is all-integer, so the
+    cross-engine oracle is hash-exact with no floating-point rounding
+    caveat — determinism comes from :func:`ivf_assign`'s decimal-sum
+    Lloyd means and the (sim DESC, cluster) assignment tie-break.
+
+    Scale shape: inherits ivf_assign (per-iteration corpus scan + two
+    slim (cluster, dim) shuffles); the size tag is a broadcast join of
+    an n_centroids-row aggregate — the corpus itself never shuffles.
+    At 100 TB, write the output partitioned by ``cluster`` and each
+    downstream per-topic job prunes to its bucket's files.
+    """
+    assigned, _ = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, kmeans_iters
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        id_col, "cluster", "cluster_size"
+    )

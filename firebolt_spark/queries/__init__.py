@@ -74,6 +74,7 @@ _PRIORITY = [
     "q_hash_split",
     "q_dedup_spans",
     "q_lm_quality",
+    "q_topic_clusters",
     # code or oracle touched in round 7 (ANN defaults + probe clamp,
     # decimal audit: the three oracles the audit actually changed —
     # tpch8 sits in the stale cohort above; tpch5/6/10/15/17 were
@@ -82,8 +83,6 @@ _PRIORITY = [
     "q_tpch14_promo_share",
     "q_tpch19_bracket_revenue",
     "q_tpch1_pricing_summary",
-    # dedup module changed this round — re-check its composition query
-    "q_corpus_curation",
 ]
 
 

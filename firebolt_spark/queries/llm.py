@@ -452,10 +452,10 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, _QUERY_VEC_IDS, k=10)
 
 
-def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """DuckDB mirror of similarity.ann_ivf_topk's default call: seed →
-    (assign → decimal-mean) × 2 → final assign → probe top-n_probe
-    centroids per query → bucket-restricted exact cosine top-k."""
+def _ivf_chain_sql(n_centroids: int = 16) -> str:
+    """The shared Lloyd-refinement CTE chain (seed → (assign →
+    decimal-mean) × 2 → final assignment ``af``) — the WITH body both
+    the IVF top-k oracle and the topic-cluster oracle build on."""
     dot_ec = _duck_dot("e.embedding", "c.c_vec")
     # one Lloyd iteration given assignment CTE name -> (means, cents)
     def means(assign: str) -> str:
@@ -482,7 +482,7 @@ def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
             FROM e, {cents} c) WHERE _r = 1"""
 
     return f"""
-    WITH e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm FROM embeddings),
+    e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm FROM embeddings),
     c0 AS (SELECT vec_id AS cluster, embedding AS c_vec, nrm AS c_norm
            FROM e ORDER BY vec_id LIMIT {n_centroids}),
     a1 AS ({assign("c0")}),
@@ -491,7 +491,15 @@ def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
     a2 AS ({assign("c1")}),
     m2 AS ({means("a2")}),
     c2 AS ({pack("m2")}),
-    af AS ({assign("c2")}),
+    af AS ({assign("c2")})"""
+
+
+def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB mirror of similarity.ann_ivf_topk's default call: Lloyd
+    chain → probe top-n_probe centroids per query → bucket-restricted
+    exact cosine top-k."""
+    return f"""
+    WITH {_ivf_chain_sql(n_centroids)},
     q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
           FROM af WHERE vec_id IN ({_IDS_SQL})),
     probes AS (
@@ -513,6 +521,27 @@ def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
           FROM scored)
     WHERE rnk <= {k}
+"""
+
+
+def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic bucketing (similarity.topic_clusters): every vector's
+    k-means cluster + the cluster's population — all-integer output,
+    so the oracle (the same decimal-exact Lloyd chain as the IVF
+    oracle, unrolled as CTEs) is hash-exact with no rounding caveat.
+    Downstream per-topic curation starts from exactly this table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topic_clusters(emb, n_centroids=16).orderBy("vec_id")
+
+
+def _make_topic_clusters_sql(n_centroids: int = 16) -> str:
+    return f"""
+    WITH {_ivf_chain_sql(n_centroids)},
+    sizes AS (SELECT cluster, CAST(count(*) AS INT) AS cluster_size
+              FROM af GROUP BY cluster)
+    SELECT af.vec_id, af.cluster, sizes.cluster_size
+    FROM af JOIN sizes USING (cluster)
+    ORDER BY af.vec_id
 """
 
 
@@ -1285,6 +1314,7 @@ QUERIES = {
     "q_hash_split": q_hash_split,
     "q_dedup_spans": q_dedup_spans,
     "q_lm_quality": q_lm_quality,
+    "q_topic_clusters": q_topic_clusters,
 }
 
 ORACLE = {
@@ -1319,4 +1349,5 @@ ORACLE = {
     "q_hash_split": _hash_split_sql(),
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
+    "q_topic_clusters": _make_topic_clusters_sql(),
 }

@@ -1003,3 +1003,24 @@ def test_lm_cross_entropy_uniform_and_oov(spark):
                       ["doc_id", "text"]),
                   model=model).collect()}
     assert scored[11] > scored[10]  # OOV floor outranks in-vocab
+
+
+def test_topic_clusters_partition_properties(spark, sf_dir):
+    """Every vector lands in exactly one cluster; cluster_size is the
+    true population; the operator inherits ivf_assign's determinism
+    (two runs agree)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topic_clusters(emb, n_centroids=16)
+    n = emb.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    by_cluster: dict[int, int] = {}
+    for r in rows:
+        by_cluster[r["cluster"]] = by_cluster.get(r["cluster"], 0) + 1
+    for r in rows:
+        assert r["cluster_size"] == by_cluster[r["cluster"]]
+    assert len(by_cluster) <= 16
+    again = {(r["vec_id"], r["cluster"])
+             for r in similarity.topic_clusters(emb, n_centroids=16).collect()}
+    assert again == {(r["vec_id"], r["cluster"]) for r in rows}
