@@ -75,3 +75,61 @@ def session_agg(
     return src.groupBy(
         F.session_window(ts_col, gap).alias("w"), *group_cols
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "created",
+    right_ts: str = "created",
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match rows sharing
+    ``keys`` whose right-side event time lies in
+    ``[left_ts + lower, left_ts + upper]`` — the enrichment join a
+    streaming pipeline needs when BOTH sides are live (clicks ×
+    impressions, request × response correlation). The batch analogue
+    is operators/joins.range_join_binned; this is its streaming face.
+
+    Both sides get a watermark, and the time-range condition bounds
+    the join state Spark must buffer: each side retains only rows
+    inside ``watermark + (upper - lower)`` of the stream clock —
+    without the interval condition a stream-stream join's state grows
+    without bound, which is the scale failure mode this wrapper makes
+    unrepresentable. ``how`` may be ``inner`` or ``left_outer``
+    (outer emission waits for the watermark to close the interval).
+
+    Column naming: the right side's ``keys`` are dropped after the
+    join (equal by construction — plain ``=``, which Spark requires to
+    key the join state store; NULL keys never match, as in SQL); other
+    right columns colliding with left names get an ``_r`` suffix.
+    """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError("stream_interval_join supports inner/left_outer")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts = f"l.{left_ts}"
+    rts = f"r.{right_ts}"
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"{rts} >= {lts} + INTERVAL {lower}",
+                f"{rts} <= {lts} + INTERVAL {upper}",
+            ]
+        )
+    )
+    joined = l.join(r, cond, how)
+    out_cols = [F.col(f"l.{c}") for c in left.columns]
+    for c in right.columns:
+        if c in keys:
+            continue
+        name = c if c not in left.columns else (
+            f"{right_ts}_r" if c == right_ts else f"{c}_r"
+        )
+        out_cols.append(F.col(f"r.{c}").alias(name))
+    return joined.select(*out_cols)

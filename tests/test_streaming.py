@@ -914,3 +914,60 @@ nodes:
     # ...and it carried the SAME batch_id, the key an idempotent
     # overwrite-by-batch sink (e.g. partitioned parquet rewrite) needs
     assert len({b for b, _ in deliveries}) == 1
+
+
+def test_stream_interval_join_matches_within_window(spark, tmp_path):
+    """Watermarked stream-stream interval join (round 7): rows sharing
+    the key match iff the right event lands within [0s, 60s] after the
+    left event; out-of-interval and key-mismatched rows never emit. The
+    interval condition is what bounds the join state — asserted by the
+    query actually running in append mode (unbounded stream-stream
+    joins without it are rejected by Spark for exactly that reason)."""
+    import time
+
+    from firebolt_spark.streaming.eventtime import stream_interval_join
+
+    schema = "k BIGINT, created TIMESTAMP, v STRING"
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    t0 = "2026-01-01 00:00:"
+    spark.createDataFrame(
+        [(1, f"{t0}00", "l1"), (2, f"{t0}00", "l2"), (3, f"{t0}00", "l3")],
+        "k BIGINT, created STRING, v STRING",
+    ).selectExpr("k", "CAST(created AS TIMESTAMP) created", "v").write.parquet(
+        str(ldir)
+    )
+    spark.createDataFrame(
+        [
+            (1, f"{t0}30", "r-in"),        # inside [0, 60s]
+            (2, "2026-01-01 00:02:00", "r-late"),  # outside upper bound
+            (9, f"{t0}10", "r-nokey"),     # no matching key
+        ],
+        "k BIGINT, created STRING, v STRING",
+    ).selectExpr("k", "CAST(created AS TIMESTAMP) created", "v").write.parquet(
+        str(rdir)
+    )
+    left = spark.readStream.schema(schema).parquet(str(ldir))
+    right = spark.readStream.schema(schema).parquet(str(rdir))
+    joined = stream_interval_join(
+        left, right, keys=["k"], lower="0 seconds", upper="60 seconds",
+        watermark="5 minutes",
+    )
+    assert set(joined.columns) == {"k", "created", "v", "created_r", "v_r"}
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sij"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql("SELECT k, v, v_r FROM sij").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert [(r["k"], r["v"], r["v_r"]) for r in rows] == [(1, "l1", "r-in")]
