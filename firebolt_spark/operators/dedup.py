@@ -891,12 +891,17 @@ def dedup_spans(
     meta = doc_spans(docs, span_words, text_col, id_col).select(
         id_col, "pos", F.md5(F.col("span")).alias("digest")
     )
-    win = Window.partitionBy("digest").orderBy(id_col, "pos")
+    # keep-first == min (id, pos) per digest. An aggregation, not a
+    # row_number window: partial (map-side) aggregation collapses
+    # duplicate digests before the shuffle, so heavily-duplicated
+    # corpora (the ones worth deduping) shuffle far less than the full
+    # span list a sort-based window would move — and the winners ARE
+    # the kept coordinates, no rank-filter join needed.
     kept = (
-        meta.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") == 1)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("_kept_pos"))
+        meta.groupBy("digest")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .groupBy(F.col(f"w.{id_col}").alias(id_col))
+        .agg(F.array_sort(F.collect_list("w.pos")).alias("_kept_pos"))
     )
     words = F.split(F.trim(F.col(text_col)), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
