@@ -13,6 +13,7 @@ def test_validate_examples():
         "corpus_curation",
         "sql_lakehouse",
         "ann_search",
+        "training_mix",
     ):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 
