@@ -98,7 +98,10 @@ def temperature_mix(
     return (
         df.join(
             F.broadcast(plan),
-            df[strata_col] == plan["stratum"],
+            # null-safe: a NULL stratum is a stratum like any other and
+            # must get its planned fraction, not be silently dropped by
+            # an equality miss (the hash_sample_by NULL contract)
+            df[strata_col].eqNullSafe(plan["stratum"]),
             "left",
         )
         .filter(bucket < F.coalesce(F.col("threshold"), F.lit(0)))

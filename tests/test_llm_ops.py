@@ -1024,3 +1024,20 @@ def test_topic_clusters_partition_properties(spark, sf_dir):
     again = {(r["vec_id"], r["cluster"])
              for r in similarity.topic_clusters(emb, n_centroids=16).collect()}
     assert again == {(r["vec_id"], r["cluster"]) for r in rows}
+
+
+def test_temperature_mix_null_stratum_is_a_stratum(spark):
+    """A NULL stratum keeps its planned fraction like any other value
+    (null-safe join — an equality join would silently drop every
+    NULL-stratum row regardless of alpha)."""
+    from firebolt_spark.operators import mixture
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "a") for i in range(40)],
+        "doc_id BIGINT, src STRING",
+    )
+    kept = mixture.temperature_mix(df, "src", "doc_id", alpha=1.0)
+    assert kept.count() == 40  # alpha=1 keeps EVERYTHING, NULLs included
+    plan = {r["stratum"]: r["threshold"]
+            for r in mixture.mix_plan(df, "src", 0.5).collect()}
+    assert None in plan and plan[None] == plan["a"]  # 20/20 balanced
