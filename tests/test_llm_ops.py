@@ -1041,3 +1041,19 @@ def test_temperature_mix_null_stratum_is_a_stratum(spark):
     plan = {r["stratum"]: r["threshold"]
             for r in mixture.mix_plan(df, "src", 0.5).collect()}
     assert None in plan and plan[None] == plan["a"]  # 20/20 balanced
+
+
+def test_dedup_spans_identity_when_all_spans_unique(spark):
+    """On a corpus with no repeated window anywhere, dedup_spans is the
+    identity transform: every span kept, text rebuilt byte-for-byte."""
+    from firebolt_spark.operators.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10 + i))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = dedup_spans(docs, span_words=4).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert r["n_kept"] == r["n_spans"]
+        assert r["text_dedup"] == orig[r["doc_id"]]

@@ -206,3 +206,33 @@ def test_lsh_bands_one_pass_matches_per_band_reference(spark, sf_dir):
     assert one_pass.exceptAll(reference).count() == 0
     assert reference.exceptAll(one_pass).count() == 0
     sig.unpersist()
+
+
+weights_strategy = st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    st.integers(0, 100),
+    min_size=2,
+    max_size=6,
+).filter(lambda w: sum(w.values()) > 0)
+
+
+@given(weights_strategy)
+@settings(max_examples=200, deadline=None)
+def test_split_thresholds_partition_hash_space_proportionally(weights):
+    """hash_split's cutoffs tile the 32-bit space exactly: monotone
+    non-decreasing, final cutoff = 2^32 (every bucket is assigned), and
+    each split's range width matches its normalized weight to within
+    one unit of floor rounding."""
+    from firebolt_spark.operators.mixture import split_thresholds
+
+    cuts = split_thresholds(weights)
+    assert [n for n, _ in cuts] == list(weights)
+    assert cuts[-1][1] == 1 << 32
+    total = sum(weights.values())
+    prev = 0
+    for name, thr in cuts:
+        assert thr >= prev
+        width = thr - prev
+        if name != cuts[-1][0]:
+            assert abs(width - weights[name] / total * (1 << 32)) <= 1
+        prev = thr
