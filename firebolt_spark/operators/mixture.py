@@ -136,19 +136,15 @@ def hash_split(
         raise ValueError("need at least two splits")
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("weights must be non-negative with a positive sum")
-    total = float(sum(weights.values()))
     bucket = _hash_bucket(key_col, salt)
-    names = list(weights)
-    cum = 0.0
+    cuts = split_thresholds(weights)
     expr = None
-    for name in names[:-1]:
-        cum += weights[name] / total
-        thr = min(int(math.floor(cum * _BUCKET_SPACE)), 1 << 32)
+    for name, thr in cuts[:-1]:
         cond = bucket < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
-    expr = expr.otherwise(F.lit(names[-1]))
+    expr = expr.otherwise(F.lit(cuts[-1][0]))
     return df.withColumn(split_col, expr)
 
 

@@ -439,7 +439,9 @@ def ann_lsh_topk(
         # corpora resolve to 1-2 planes) is clamped, not an error. More
         # probes than planes+1 distinct signatures cannot add candidates
         # anyway; clamping preserves the "defaults just work" contract.
-        probes = max(1, min(probes, planes + 1))
+        # Only the UPPER bound is the auto-planes' fault: probes <= 0 is
+        # a genuinely invalid argument and still raises below.
+        probes = min(probes, planes + 1)
     if not 1 <= probes <= planes + 1:
         raise ValueError(f"probes must be in [1, planes+1], got {probes}")
     if tables < 1:
@@ -610,9 +612,18 @@ def topic_clusters(
     assigned, _ = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, kmeans_iters
     )
+    # both the size aggregate and the output branch read `assigned` —
+    # persist so the multi-iteration Lloyd chain runs once, not twice
+    # (same reason ann_ivf_topk persists its assignment)
+    assigned = assigned.persist()
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("int").alias("cluster_size")
     )
-    return assigned.join(F.broadcast(sizes), "cluster").select(
-        id_col, "cluster", "cluster_size"
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
+        assigned.join(F.broadcast(sizes), "cluster").select(
+            id_col, "cluster", "cluster_size"
+        ),
+        assigned,
     )

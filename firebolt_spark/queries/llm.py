@@ -26,6 +26,17 @@ _QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 _IDS_SQL = ", ".join(map(str, _QUERY_VEC_IDS))
 
 
+# the one spelling of the md5 bucket both engines key on (mirrors
+# functions._hash_bucket, including the NULL→chr(0) sentinel)
+def _bucket_sql(key: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), chr(0))"
+        f" || '#{salt}'), 1, 8))::BIGINT)"
+    )
+
+
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -650,8 +661,7 @@ def _mix_threshold_sql() -> str:
 
 Q_SAMPLE_BY_SOURCE_SQL = f"""
     SELECT doc_id, source FROM documents
-    WHERE (('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))
-            || '#{_MIX_SALT}'), 1, 8))::BIGINT) < {_mix_threshold_sql()}
+    WHERE {_bucket_sql('doc_id', _MIX_SALT)} < {_mix_threshold_sql()}
     ORDER BY doc_id
 """
 
@@ -1134,15 +1144,6 @@ _SPAN_WORDS = 3  # fixture vocabulary is ~31 words; 3-word tiles give a
 #                  path is genuinely exercised (16-word default tiles
 #                  would almost never collide on this synthetic corpus)
 
-# the one spelling of the md5 bucket both engines key on (mirrors
-# functions._hash_bucket, including the NULL→chr(0) sentinel)
-def _bucket_sql(key: str, salt: str) -> str:
-    return (
-        f"(('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), chr(0))"
-        f" || '#{salt}'), 1, 8))::BIGINT)"
-    )
-
-
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.5 domain resample (mixture.temperature_mix):
     per-source keep fraction (c_min/c_s)^0.5 — smallest source kept
@@ -1176,7 +1177,10 @@ Q_TEMPERATURE_MIX_SQL = f"""
                               * 4294967296.0) AS BIGINT) AS t
             FROM c, m)
     SELECT d.doc_id, d.lang
-    FROM documents d JOIN thr USING (lang)
+    -- null-safe join: the operator treats a NULL stratum as a stratum
+    -- (eqNullSafe); plain = would drop NULL-lang rows and desync the
+    -- engines on corpora with NULL strata
+    FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
     WHERE {_bucket_sql('d.doc_id', _MIX7_SALT)} < t
     ORDER BY d.doc_id
 """

@@ -128,8 +128,6 @@ def stream_interval_join(
     for c in right.columns:
         if c in keys:
             continue
-        name = c if c not in left.columns else (
-            f"{right_ts}_r" if c == right_ts else f"{c}_r"
-        )
+        name = c if c not in left.columns else f"{c}_r"
         out_cols.append(F.col(f"r.{c}").alias(name))
     return joined.select(*out_cols)

@@ -76,6 +76,9 @@ def test_lsh_multiprobe_lifts_recall_and_stays_subset(spark, sf_dir):
     assert (
         similarity.ann_lsh_topk(emb, qids, k=3, probes=99, tables=1).count() >= 0
     )
+    # ...but a genuinely invalid lower bound still raises under auto-planes
+    with _pytest.raises(ValueError):
+        similarity.ann_lsh_topk(emb, qids, probes=0)
 
 
 def test_lsh_multitable_lifts_recall_and_stays_subset(spark, sf_dir):
