@@ -124,7 +124,13 @@ def hash_split(
     across reruns, engine changes, and incremental ingests (a doc
     re-ingested next month cannot leak from test into train). The
     thresholds are exact integers fixed at plan time; no floating
-    point is evaluated per row. One scan, no shuffle.
+    point is evaluated per row. One scan, no shuffle — and because the
+    expression is a stateless projection it applies to a STREAM
+    unmodified (an incrementally-ingested corpus accretes its splits
+    consistently; pinned by ``test_hash_split_is_streaming_safe``).
+    ``temperature_mix``, by contrast, aggregates the corpus for its
+    thresholds — in streaming, freeze a ``mix_plan`` from a batch
+    snapshot and apply its thresholds inside ``foreachBatch``.
 
     ``weights`` need not sum to 1 — they are normalized. Order of
     ranges follows the dict's iteration order; the final split absorbs

@@ -455,3 +455,45 @@ def test_ivf_partitioned_layout_prunes_unprobed_clusters(spark, tmp_path):
     got = probed.select("vec_id").count()
     expect = assigned.filter(F.col("cluster").isin([0, 1])).count()
     assert got == expect and expect > 0
+
+
+def test_dedup_spans_plan_shape(spark, sf_dir):
+    """Span dedup's keep-first is an aggregation, not a sort window
+    (map-side combine collapses duplicate digests pre-shuffle), there
+    is no cartesian anywhere, and bodies cross exactly one join."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dedup_spans(docs, span_words=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange") <= 3  # digest agg, doc agg, doc join
+    # partial aggregation before the digest shuffle (the scale lever)
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_hash_split_is_streaming_safe(spark, tmp_path):
+    """hash_split is a pure stateless projection, so it applies to a
+    STREAM unmodified — the split of an incrementally-ingested corpus
+    accretes consistently (same doc -> same split, forever)."""
+    from firebolt_spark.operators import mixture
+
+    src_dir = tmp_path / "in"
+    spark.createDataFrame([(i,) for i in range(50)], "doc_id BIGINT"
+                          ).write.parquet(str(src_dir))
+    stream = spark.readStream.schema("doc_id BIGINT").parquet(str(src_dir))
+    out = mixture.hash_split(stream, "doc_id", salt="s1")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("hsplit")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["split"]
+           for r in spark.sql("SELECT * FROM hsplit").collect()}
+    batch = {r["doc_id"]: r["split"]
+             for r in mixture.hash_split(
+                 spark.read.parquet(str(src_dir)), "doc_id", salt="s1"
+             ).collect()}
+    assert got == batch  # stream and batch agree row-for-row
