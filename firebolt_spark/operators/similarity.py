@@ -627,3 +627,62 @@ def topic_clusters(
         ),
         assigned,
     )
+
+
+def semantic_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    k-means-cluster the embedding space, then score exact cosine only
+    WITHIN each cluster and keep pairs at ``cos_sim >= threshold``.
+
+    The complement of :func:`embedding_near_dups`: LSH buckets catch
+    near-IDENTICAL vectors (sign-agreement collapses fast with angle);
+    k-means clusters catch semantically-close pairs at lower cosine —
+    the "same content, different phrasing" band SemDeDup targets. Both
+    are candidate-bounded quadratic: clusters cap the pair join at
+    Σ|cluster|², never |corpus|² — the exact trade the SemDeDup paper
+    makes (their 50k clusters over LAION). ``max_cluster`` drops
+    degenerate clusters pre-join (always set it at scale); at 100 TB
+    write the assigned corpus partitioned by ``cluster`` so the
+    self-join is partition-local.
+
+    Output: (vec_a, vec_b, cluster, cos_sim rounded to 4) with
+    vec_a < vec_b, deterministic by construction (decimal-exact Lloyd
+    means + fold dot product).
+    """
+    from firebolt_spark.operators.dedup import cap_bucket_size
+
+    assigned, _ = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, kmeans_iters
+    )
+    assigned = cap_bucket_size(assigned, ["cluster"], max_cluster).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        dot_fold(f"a.{vec_col}", f"b.{vec_col}")
+        / (F.col("a._norm") * F.col("b._norm")),
+        4,
+    )
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold),
+        assigned,
+    )

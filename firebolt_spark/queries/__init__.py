@@ -75,12 +75,14 @@ _PRIORITY = [
     "q_dedup_spans",
     "q_lm_quality",
     "q_topic_clusters",
-    # code or oracle touched in round 7 (ANN defaults + probe clamp,
-    # decimal audit: the three oracles the audit actually changed —
-    # tpch8 sits in the stale cohort above; tpch5/6/10/15/17 were
-    # audit-green with no code change, so they wait for the r8 rotation)
+    # NEW in round 7 (second batch): SemDeDup semantic near-dup
+    "q_dedup_semantic",
+    # code or oracle touched in round 7 (ANN defaults + probe clamp;
+    # decimal-audit oracles — tpch8 sits in the stale cohort above,
+    # tpch14 was audit-changed but re-verified green at sf0.01 AND sf1
+    # this round, so it cedes its slot to the never-checked query;
+    # tpch5/6/10/15/17 were audit-green with no code change)
     "q_similarity_ann_lsh",
-    "q_tpch14_promo_share",
     "q_tpch19_bracket_revenue",
     "q_tpch1_pricing_summary",
 ]

@@ -535,6 +535,40 @@ def _make_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dups (similarity.semantic_near_dups):
+    exact cosine scored only within k-means clusters — the candidate-
+    bounded quadratic the SemDeDup paper trades for corpus-wide
+    scoring. Threshold matches the sibling LSH-bucket near-dup query
+    (the fixture's embeddings are near-random; 0.35 ≈ its p99 of
+    same-cluster cosine). The oracle replays the same decimal-exact
+    Lloyd chain + cluster cap + pair join, so what's certified is the
+    cluster-restricted semantics itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_near_dups(
+        emb, threshold=_NEAR_DUP_THRESHOLD, max_cluster=_MAX_BUCKET_SIG
+    ).orderBy("vec_a", "vec_b")
+
+
+def _make_semantic_sql(n_centroids: int = 16) -> str:
+    dot_ab = _duck_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH {_ivf_chain_sql(n_centroids)},
+    capped AS (
+        SELECT * FROM (SELECT af.*, count(*) OVER (PARTITION BY cluster) AS _n
+                       FROM af)
+        WHERE _n <= {_MAX_BUCKET_SIG}),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
+               round(({dot_ab}) / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM capped a JOIN capped b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cluster, cos_sim
+    FROM pairs WHERE cos_sim >= {_NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
 def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic bucketing (similarity.topic_clusters): every vector's
     k-means cluster + the cluster's population — all-integer output,
@@ -1319,6 +1353,7 @@ QUERIES = {
     "q_dedup_spans": q_dedup_spans,
     "q_lm_quality": q_lm_quality,
     "q_topic_clusters": q_topic_clusters,
+    "q_dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE = {
@@ -1354,4 +1389,5 @@ ORACLE = {
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
+    "q_dedup_semantic": _make_semantic_sql(),
 }
