@@ -257,6 +257,29 @@ class MediaFeaturesNode:
         return multimodal.extract_features(df, decode_stub=self.decode_stub)
 
 
+class SemanticNearDupNode:
+    """Params: threshold (0.9), n_centroids (16), max_cluster (None —
+    ALWAYS set on real corpora), id_col, vec_col."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.threshold = float(params.get("threshold", 0.9))
+        self.n_centroids = int(params.get("n_centroids", 16))
+        mc = params.get("max_cluster")
+        self.max_cluster = int(mc) if mc is not None else None
+        self.id_col = params.get("id_col", "vec_id")
+        self.vec_col = params.get("vec_col", "embedding")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return similarity.semantic_near_dups(
+            df,
+            self.threshold,
+            self.n_centroids,
+            self.id_col,
+            self.vec_col,
+            max_cluster=self.max_cluster,
+        )
+
+
 class TemperatureMixNode:
     """Params: strata_col (required), key_col (required), alpha (0.5),
     salt ('')."""
@@ -335,3 +358,4 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("hash_split", HashSplitNode, None, None)
     registry.register_node_type("span_dedup", SpanDedupNode, None, None)
     registry.register_node_type("lm_quality", LmQualityNode, None, None)
+    registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

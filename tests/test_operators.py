@@ -238,6 +238,15 @@ nodes:
     params: {}
 """
 
+SEMDEDUP_PIPELINE = """
+application: semdedup-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: semantic_near_dup
+    id: sem
+    params: {threshold: 0.3, n_centroids: 16, max_cluster: 1000}
+"""
+
 
 def test_mixture_and_span_nodes_compose_from_yaml(spark, sf_dir):
     """Round-7 node types (temperature_mix / hash_split / span_dedup /
@@ -258,3 +267,11 @@ def test_mixture_and_span_nodes_compose_from_yaml(spark, sf_dir):
     assert set(lm.columns) == {"doc_id", "n_tokens", "bits_per_token"}
     assert lm.count() == n_docs
     res.unpersist()
+
+    sem = Pipeline.from_yaml(
+        SEMDEDUP_PIPELINE % {"path": f"{sf_dir}/embeddings.parquet"}
+    ).run_batch(spark)
+    out = sem.outputs["sem"]
+    assert set(out.columns) == {"vec_a", "vec_b", "cluster", "cos_sim"}
+    assert out.count() > 0
+    sem.unpersist()
