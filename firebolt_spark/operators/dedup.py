@@ -844,7 +844,10 @@ def doc_spans(
     """
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
-    words = F.split(F.trim(F.col(text_col)), " ")
+    # NULL text hashes/tiles as the empty string: size(NULL) is -1 under
+    # Spark's legacy sizeOfNull and sequence(0, -2) would descend — a
+    # NULL-text doc must behave exactly like an empty one, not emit junk
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
@@ -903,7 +906,7 @@ def dedup_spans(
         .groupBy(F.col(f"w.{id_col}").alias(id_col))
         .agg(F.array_sort(F.collect_list("w.pos")).alias("_kept_pos"))
     )
-    words = F.split(F.trim(F.col(text_col)), " ")
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
     rebuilt = F.array_join(
         F.transform(

@@ -1264,7 +1264,9 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_SPANS_SQL = f"""
     WITH base AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        -- coalesce mirrors the operator: NULL text tiles as empty
+        SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
+        FROM documents),
     sized AS (
         SELECT doc_id, words,
                CAST(ceil(len(words) / {_SPAN_WORDS}.0) AS INT) AS n_spans

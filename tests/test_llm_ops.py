@@ -1085,3 +1085,22 @@ def test_semantic_near_dups_properties(spark, sf_dir):
     cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     for r in lo_rows[:10]:
         assert cl[r["vec_a"]] == cl[r["vec_b"]] == r["cluster"]
+
+
+def test_dedup_spans_null_text_behaves_as_empty(spark):
+    """NULL text tiles exactly like the empty string (one '' span that
+    participates in dedup normally) — never the size(NULL)=-1 /
+    descending-sequence junk path."""
+    from firebolt_spark.operators.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs, span_words=2).collect()}
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 (NULL) and doc 3 ('') both tile to the single '' span;
+    # keep-first gives it to doc 2, doc 3's copy is a duplicate
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (1, 1)
+    assert out[2]["text_dedup"] == ""
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["text_dedup"] == ""
