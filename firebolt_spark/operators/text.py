@@ -346,7 +346,10 @@ def lm_cross_entropy(
     in-vocabulary token.
 
     Returns ``(id, n_tokens int, bits_per_token double)`` with the
-    score rounded to 4 decimals.
+    score rounded to 4 decimals. NULL-text documents produce no token
+    rows and are OMITTED from the output (the oracle's unnest drops
+    them identically) — left-join the result back to the corpus if a
+    row per document is required.
 
     Scale shape: token stream → broadcast-join the vocabulary-sized
     model (no shuffle) → one narrow groupBy on the doc key. Document
