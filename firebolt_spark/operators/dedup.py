@@ -928,3 +928,69 @@ def dedup_spans(
             rebuilt.alias("text_dedup"),
         )
     )
+
+
+def incremental_dedup_spans(
+    new_docs: DataFrame,
+    span_index: DataFrame | None = None,
+    span_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental span-level dedup: scrub a NEW ingest batch against a
+    persisted span-digest index (the ingest-loop face of
+    :func:`dedup_spans`, exactly as :func:`incremental_near_dups` is
+    for minhash — the corpus is historical state, only the delta is
+    tiled and scored).
+
+    ``span_index`` is a single-column ``(digest)`` DataFrame of every
+    span already admitted to the corpus (``None`` = empty). A new span
+    survives iff its digest is absent from the index AND it is the
+    first occurrence within the batch (same keep-first total order as
+    ``dedup_spans``). Returns ``(deduped, new_digests)``:
+
+    - ``deduped`` — one row per new doc, the ``dedup_spans`` contract
+      ``(id, n_spans, n_kept, text_dedup)``;
+    - ``new_digests`` — the distinct digests this batch adds; append to
+      the index (at 100 TB: a table bucketed by digest so the anti-join
+      below is co-located and the append is a partitioned write).
+
+    Cost tracks the batch: the index is touched only by a narrow
+    digest anti-join; batch bodies cross one doc-key join (as in
+    dedup_spans); nothing rescans the historical corpus.
+    """
+    meta = doc_spans(new_docs, span_words, text_col, id_col).select(
+        id_col, "pos", F.md5(F.col("span")).alias("digest")
+    )
+    fresh = (
+        meta.join(span_index.select("digest"), "digest", "left_anti")
+        if span_index is not None
+        else meta
+    )
+    kept = (
+        fresh.groupBy("digest")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .groupBy(F.col(f"w.{id_col}").alias(id_col))
+        .agg(F.array_sort(F.collect_list("w.pos")).alias("_kept_pos"))
+    )
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    rebuilt = F.array_join(
+        F.transform(
+            F.coalesce(F.col("_kept_pos"), F.array()),
+            lambda p: F.array_join(
+                F.slice(words, p * span_words + 1, span_words), " "
+            ),
+        ),
+        " ",
+    )
+    deduped = new_docs.join(kept, id_col, "left").select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.size(F.coalesce(F.col("_kept_pos"), F.array())).cast("int").alias(
+            "n_kept"
+        ),
+        rebuilt.alias("text_dedup"),
+    )
+    new_digests = fresh.select("digest").distinct()
+    return deduped, new_digests

@@ -1104,3 +1104,47 @@ def test_dedup_spans_null_text_behaves_as_empty(spark):
     assert out[2]["text_dedup"] == ""
     assert (out[3]["n_spans"], out[3]["n_kept"]) == (1, 0)
     assert out[3]["text_dedup"] == ""
+
+
+def test_incremental_dedup_spans_across_batches(spark):
+    """Three ingest batches through a growing span index: a span
+    admitted in batch N never survives in batch N+k, within-batch
+    keep-first still applies, the index grows monotonically, and the
+    union of survivors equals a one-shot dedup_spans over the
+    concatenated corpus (same keep-first order by doc_id)."""
+    from firebolt_spark.operators.dedup import (
+        dedup_spans, incremental_dedup_spans,
+    )
+
+    batches = [
+        [(1, "a b c d e f"), (2, "a b c x y z")],
+        [(3, "x y z d e f"), (4, "p q r")],
+        [(5, "p q r a b c"), (6, "n o w")],
+    ]
+    index = None
+    survivors = {}
+    index_sizes = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        deduped, new_digests = incremental_dedup_spans(
+            df, index, span_words=3
+        )
+        for r in deduped.collect():
+            survivors[r["doc_id"]] = (r["n_kept"], r["text_dedup"])
+        index = (
+            new_digests if index is None
+            else index.union(new_digests).distinct()
+        ).persist()
+        index_sizes.append(index.count())
+    assert index_sizes == sorted(index_sizes)  # monotone growth
+    # equivalent one-shot run over the whole corpus
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], ["doc_id", "text"]
+    )
+    oneshot = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+               for r in dedup_spans(all_docs, span_words=3).collect()}
+    assert survivors == oneshot
+    # spot semantics: both of doc 5's tiles were admitted in earlier
+    # batches ('p q r' by doc 4, 'a b c' by doc 1) -> fully scrubbed
+    assert survivors[5] == (0, "")
+    assert survivors[6] == (1, "n o w")
