@@ -479,3 +479,78 @@ def test_streaming_incremental_dedup_with_crash_restarts(spark, tmp_path):
     assert expected <= perfect  # exact copies estimate at exactly 1.0
     # no spurious cross-pairs between near-disjoint docs
     assert all(r["est_jaccard"] >= 0.5 for r in matches)
+
+
+def test_streaming_incremental_span_dedup_with_crash_restarts(spark, tmp_path):
+    """incremental_dedup_spans inside the streaming ingest loop: three
+    availableNow queries from one checkpoint (a 'crash' between every
+    two), the span-digest index appended per batch. Asserts (a) no
+    batch replays (index digests stay distinct), (b) spans admitted by
+    EARLIER deltas scrub later ones — not just the seed corpus, and
+    (c) the surviving text across all batches equals a one-shot
+    dedup_spans over seed+deltas (keep-first by doc_id)."""
+    from firebolt_spark.operators.dedup import (
+        dedup_spans,
+        doc_spans,
+        incremental_dedup_spans,
+    )
+
+    delta_dir = tmp_path / "span-deltas"
+    delta_dir.mkdir()
+    index_dir = str(tmp_path / "span-index")
+    out_dir = str(tmp_path / "span-out")
+    ckpt = str(tmp_path / "ckpt-spandedup")
+    ddl = "doc_id BIGINT, text STRING"
+    K = 3
+
+    seed = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i")], ddl
+    )
+    doc_spans(seed, K).select(F.md5("span").alias("digest")).distinct(
+    ).write.parquet(index_dir)
+
+    def ingest(batch_df, batch_id):
+        index = spark.read.parquet(index_dir)
+        deduped, new_digests = incremental_dedup_spans(
+            batch_df, index, span_words=K
+        )
+        deduped.write.mode("append").parquet(out_dir)
+        new_digests.write.mode("append").parquet(index_dir)
+
+    def run_one_delta(rows):
+        n = len(list(delta_dir.glob("*.parquet")))
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(ddl).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"span-dedup-{n}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_one_delta([(10, "a b c p q r"), (11, "s t u")])     # 'a b c' vs seed
+    run_one_delta([(20, "p q r s t u x y z")])              # vs delta 1 only
+    run_one_delta([(30, "x y z g h i j k l")])              # vs delta 2 + seed
+
+    out = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert out[10] == (1, "p q r")          # 'a b c' admitted by seed doc 1
+    assert out[11] == (1, "s t u")
+    assert out[20] == (1, "x y z")          # both earlier-delta spans scrubbed
+    assert out[30] == (1, "j k l")          # delta-2 + seed spans scrubbed
+    # (a) no replay: index digests unique
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.distinct().count()
+    # (c) batch survivors == one-shot over the full ordered corpus
+    all_docs = seed.union(spark.createDataFrame(
+        [(10, "a b c p q r"), (11, "s t u"), (20, "p q r s t u x y z"),
+         (30, "x y z g h i j k l")], ddl))
+    oneshot = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+               for r in dedup_spans(all_docs, span_words=K).collect()
+               if r["doc_id"] >= 10}
+    assert out == oneshot
