@@ -894,18 +894,37 @@ def dedup_spans(
     meta = doc_spans(docs, span_words, text_col, id_col).select(
         id_col, "pos", F.md5(F.col("span")).alias("digest")
     )
-    # keep-first == min (id, pos) per digest. An aggregation, not a
-    # row_number window: partial (map-side) aggregation collapses
-    # duplicate digests before the shuffle, so heavily-duplicated
-    # corpora (the ones worth deduping) shuffle far less than the full
-    # span list a sort-based window would move — and the winners ARE
-    # the kept coordinates, no rank-filter join needed.
-    kept = (
+    return _rebuild_from_kept(
+        docs, _keep_first_positions(meta, id_col), span_words, text_col, id_col
+    )
+
+
+def _keep_first_positions(meta: DataFrame, id_col: str) -> DataFrame:
+    """keep-first == min (id, pos) per digest — an aggregation, not a
+    row_number window: partial (map-side) aggregation collapses
+    duplicate digests before the shuffle, so heavily-duplicated corpora
+    (the ones worth deduping) shuffle far less than the full span list a
+    sort-based window would move — and the winners ARE the kept
+    coordinates, no rank-filter join needed. Returns one row per doc:
+    (id, _kept_pos sorted int array)."""
+    return (
         meta.groupBy("digest")
         .agg(F.min(F.struct(id_col, "pos")).alias("w"))
         .groupBy(F.col(f"w.{id_col}").alias(id_col))
         .agg(F.array_sort(F.collect_list("w.pos")).alias("_kept_pos"))
     )
+
+
+def _rebuild_from_kept(
+    docs: DataFrame,
+    kept: DataFrame,
+    span_words: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join the kept span positions back to the docs and rebuild the
+    surviving text in-row (the single place the tile/rebuild expression
+    lives — batch and incremental span dedup both call it)."""
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
     rebuilt = F.array_join(
@@ -962,35 +981,21 @@ def incremental_dedup_spans(
     meta = doc_spans(new_docs, span_words, text_col, id_col).select(
         id_col, "pos", F.md5(F.col("span")).alias("digest")
     )
+    # persist: BOTH outputs derive from the anti-joined span set — the
+    # ingest loop materializes deduped AND new_digests, and without the
+    # persist each write re-tiles the batch and re-scans the historical
+    # digest index (the incremental_near_dups precedent). Release via
+    # functions.release(deduped) after materializing both outputs.
     fresh = (
         meta.join(span_index.select("digest"), "digest", "left_anti")
         if span_index is not None
         else meta
-    )
-    kept = (
-        fresh.groupBy("digest")
-        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
-        .groupBy(F.col(f"w.{id_col}").alias(id_col))
-        .agg(F.array_sort(F.collect_list("w.pos")).alias("_kept_pos"))
-    )
-    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
-    rebuilt = F.array_join(
-        F.transform(
-            F.coalesce(F.col("_kept_pos"), F.array()),
-            lambda p: F.array_join(
-                F.slice(words, p * span_words + 1, span_words), " "
-            ),
-        ),
-        " ",
-    )
-    deduped = new_docs.join(kept, id_col, "left").select(
-        F.col(id_col),
-        n_spans.alias("n_spans"),
-        F.size(F.coalesce(F.col("_kept_pos"), F.array())).cast("int").alias(
-            "n_kept"
-        ),
-        rebuilt.alias("text_dedup"),
+    ).persist()
+    deduped = _rebuild_from_kept(
+        new_docs, _keep_first_positions(fresh, id_col), span_words,
+        text_col, id_col,
     )
     new_digests = fresh.select("digest").distinct()
-    return deduped, new_digests
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(deduped, fresh), new_digests

@@ -545,9 +545,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd chain + cluster cap + pair join, so what's certified is the
     cluster-restricted semantics itself."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # no orderBy: the driver compare is order-insensitive, and deriving
+    # from the operator result would strip its release handle (the
+    # persisted cluster assignment — track_persisted docstring)
     return similarity.semantic_near_dups(
         emb, threshold=_NEAR_DUP_THRESHOLD, max_cluster=_MAX_BUCKET_SIG
-    ).orderBy("vec_a", "vec_b")
+    )
 
 
 def _make_semantic_sql(n_centroids: int = 16) -> str:
@@ -576,7 +579,8 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, unrolled as CTEs) is hash-exact with no rounding caveat.
     Downstream per-topic curation starts from exactly this table."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.topic_clusters(emb, n_centroids=16).orderBy("vec_id")
+    # no orderBy — see q_dedup_semantic (handle preservation)
+    return similarity.topic_clusters(emb, n_centroids=16)
 
 
 def _make_topic_clusters_sql(n_centroids: int = 16) -> str:

@@ -1080,11 +1080,31 @@ def test_semantic_near_dups_properties(spark, sf_dir):
     assert all(a < b for a, b in keys)
     hi_keys = {(r["vec_a"], r["vec_b"]) for r in hi.collect()}
     assert hi_keys <= set(keys)
-    # cluster co-membership + exact score spot check via direct compute
+    # cluster co-membership + exact score check: recompute the cosine
+    # in plain Python with the fold's left-to-right summation order
     assigned, _ = ivf_assign(emb, 16)
     cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    need = {v for r in lo_rows[:10] for v in (r["vec_a"], r["vec_b"])}
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in emb.filter(emb.vec_id.isin(list(need))).collect()}
+
+    def fold_cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = nb = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return round(dot / (na ** 0.5 * nb ** 0.5), 4)
+
     for r in lo_rows[:10]:
         assert cl[r["vec_a"]] == cl[r["vec_b"]] == r["cluster"]
+        assert r["cos_sim"] == fold_cos(vecs[r["vec_a"]], vecs[r["vec_b"]])
+    from firebolt_spark.functions import release
+
+    release(lo, hi)
 
 
 def test_dedup_spans_null_text_behaves_as_empty(spark):

@@ -516,6 +516,9 @@ def test_streaming_incremental_span_dedup_with_crash_restarts(spark, tmp_path):
         )
         deduped.write.mode("append").parquet(out_dir)
         new_digests.write.mode("append").parquet(index_dir)
+        from firebolt_spark.functions import release
+
+        release(deduped)
 
     def run_one_delta(rows):
         n = len(list(delta_dir.glob("*.parquet")))
