@@ -544,7 +544,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-cluster cosine). The oracle replays the same decimal-exact
     Lloyd chain + cluster cap + pair join, so what's certified is the
     cluster-restricted semantics itself."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # no orderBy: the driver compare is order-insensitive, and deriving
     # from the operator result would strip its release handle (the
     # persisted cluster assignment — track_persisted docstring)
@@ -578,7 +578,7 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle (the same decimal-exact Lloyd chain as the IVF
     oracle, unrolled as CTEs) is hash-exact with no rounding caveat.
     Downstream per-topic curation starts from exactly this table."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # no orderBy — see q_dedup_semantic (handle preservation)
     return similarity.topic_clusters(emb, n_centroids=16)
 

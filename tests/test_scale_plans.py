@@ -497,3 +497,33 @@ def test_hash_split_is_streaming_safe(spark, tmp_path):
                  spark.read.parquet(str(src_dir)), "doc_id", salt="s1"
              ).collect()}
     assert got == batch  # stream and batch agree row-for-row
+
+
+def test_round7_queries_prune_scan_columns(spark, sf_dir):
+    """Every round-7 query's parquet scans read ONLY the columns the
+    query needs (a scan reading all columns for a 2-column projection
+    is wrong at 100 TB). ReadSchema is asserted per query."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    allowed = {
+        "q_temperature_mix": {"doc_id", "lang"},
+        "q_hash_split": {"doc_id"},
+        "q_dedup_spans": {"doc_id", "text"},
+        "q_lm_quality": {"doc_id", "text"},
+        "q_topic_clusters": {"vec_id", "embedding"},
+        "q_dedup_semantic": {"vec_id", "embedding"},
+    }
+    qs = entry_mod.queries()
+    for name, cols in allowed.items():
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # capture to end-of-line: nested types (array<float>) contain
+        # '>' and a lazy [^>]* match would truncate the field list,
+        # silently hiding trailing columns from the assertion
+        schemas = re.findall(r"ReadSchema: struct<(.*)", plan)
+        assert schemas, name
+        for schema in schemas:
+            read = set(re.findall(r"(\w+):", schema))
+            assert read <= cols, (name, read)
