@@ -527,3 +527,19 @@ def test_round7_queries_prune_scan_columns(spark, sf_dir):
         for schema in schemas:
             read = set(re.findall(r"(\w+):", schema))
             assert read <= cols, (name, read)
+
+
+def test_round7_queries_have_no_python_udf(spark, sf_dir):
+    """Every round-7 operator stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython anywhere in any of the six queries' plans."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in (
+        "q_temperature_mix", "q_hash_split", "q_dedup_spans",
+        "q_lm_quality", "q_topic_clusters", "q_dedup_semantic",
+    ):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
