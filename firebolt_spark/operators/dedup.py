@@ -927,14 +927,15 @@ def _rebuild_from_kept(
     lives — batch and incremental span dedup both call it)."""
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
-    rebuilt = F.array_join(
-        F.transform(
-            F.coalesce(F.col("_kept_pos"), F.array()),
-            lambda p: F.array_join(
-                F.slice(words, p * span_words + 1, span_words), " "
-            ),
-        ),
-        " ",
+    # bind the tokenization ONCE via the outer single-element transform
+    # (the word_shingles lesson): referencing the words expression from
+    # inside the per-position lambda would re-split the text for every
+    # kept span — O(tokens × spans) per row instead of O(tokens)
+    rebuilt = F.expr(
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"array_join(transform(coalesce(_kept_pos, array()), "
+        f"p -> array_join(slice(t, p * {span_words} + 1, {span_words}), ' ')), "
+        f"' '))[0]"
     )
     return (
         docs.join(kept, id_col, "left")
