@@ -846,14 +846,15 @@ def doc_spans(
         raise ValueError(f"span_words must be >= 1, got {span_words}")
     # NULL text hashes/tiles as the empty string: size(NULL) is -1 under
     # Spark's legacy sizeOfNull and sequence(0, -2) would descend — a
-    # NULL-text doc must behave exactly like an empty one, not emit junk
-    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "
-        ),
+    # NULL-text doc must behave exactly like an empty one, not emit junk.
+    # The tokenization is bound ONCE via the outer single-element
+    # transform (word_shingles lesson): a lambda referencing the split
+    # expression directly would re-split the text per tile.
+    k = span_words
+    spans = F.expr(
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"transform(sequence(0, int(ceil(size(t) / {k}.0)) - 1), "
+        f"i -> array_join(slice(t, i * {k} + 1, {k}), ' ')))[0]"
     )
     return docs.select(
         F.col(id_col),
