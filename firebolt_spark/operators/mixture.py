@@ -93,19 +93,50 @@ def temperature_mix(
     never shuffled — at 100 TB this is a map-only job after one
     metadata-sized aggregation.
     """
-    plan = mix_plan(df, strata_col, alpha)
+    return apply_mix_plan(df, mix_plan(df, strata_col, alpha),
+                          strata_col, key_col, salt)
+
+
+def apply_mix_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Filter ``df`` by a :func:`mix_plan` threshold table — the apply
+    half of :func:`temperature_mix`, exposed separately so a STREAM can
+    reuse a FROZEN plan: ``mix_plan`` aggregates its input (illegal
+    mid-stream), so streaming ingest snapshots a plan from a batch view
+    of the corpus once, then applies it to every micro-batch (inside
+    ``foreachBatch`` or directly on the stream — this is a stateless
+    broadcast-join + filter, streaming-safe as-is).
+
+    Same determinism contract as ``temperature_mix``: the admitted row
+    set is a pure function of (row content, plan, salt).
+
+    The plan's columns are re-aliased to ``_mix_*`` internal names
+    before the join, so an input that itself carries ``stratum`` /
+    ``n_rows`` / ``threshold`` columns neither collides (ambiguous-
+    column AnalysisException) nor gets silently dropped (ADVICE r7);
+    the input schema passes through unchanged.
+    """
+    internal = plan.select(
+        F.col("stratum").alias("_mix_stratum"),
+        F.col("threshold").alias("_mix_threshold"),
+    )
     bucket = _hash_bucket(key_col, salt)
     return (
         df.join(
-            F.broadcast(plan),
+            F.broadcast(internal),
             # null-safe: a NULL stratum is a stratum like any other and
             # must get its planned fraction, not be silently dropped by
             # an equality miss (the hash_sample_by NULL contract)
-            df[strata_col].eqNullSafe(plan["stratum"]),
+            df[strata_col].eqNullSafe(internal["_mix_stratum"]),
             "left",
         )
-        .filter(bucket < F.coalesce(F.col("threshold"), F.lit(0)))
-        .drop("stratum", "n_rows", "threshold")
+        .filter(bucket < F.coalesce(F.col("_mix_threshold"), F.lit(0)))
+        .drop("_mix_stratum", "_mix_threshold")
     )
 
 

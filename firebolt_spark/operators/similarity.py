@@ -656,13 +656,24 @@ def semantic_near_dups(
     Output: (vec_a, vec_b, cluster, cos_sim rounded to 4) with
     vec_a < vec_b, deterministic by construction (decimal-exact Lloyd
     means + fold dot product).
+
+    Zero-norm embeddings (a real encoder-pipeline failure mode) are
+    dropped BEFORE the pair join: dividing by ``_norm = 0`` yields
+    cos_sim = NaN, and both Spark and DuckDB order NaN above every
+    double — so NaN would PASS the ``>= threshold`` filter and emit
+    spurious "near-duplicate" pairs that the oracle (agreeing on NaN
+    semantics) could never catch (ADVICE r7). The filter runs before
+    ``cap_bucket_size`` so cluster populations count scorable vectors
+    only; the oracle replays the same order.
     """
     from firebolt_spark.operators.dedup import cap_bucket_size
 
     assigned, _ = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, kmeans_iters
     )
-    assigned = cap_bucket_size(assigned, ["cluster"], max_cluster).persist()
+    assigned = cap_bucket_size(
+        assigned.filter(F.col("_norm") > 0), ["cluster"], max_cluster
+    ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
         dot_fold(f"a.{vec_col}", f"b.{vec_col}")

@@ -309,17 +309,31 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def unigram_model(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
     """Corpus unigram LM: one row per whitespace token with its count,
     plus the corpus total and vocabulary size (constant columns) — the
-    broadcastable model table ``lm_cross_entropy`` scores against with
-    Laplace smoothing. Vocabulary-sized (tiny next to the corpus),
-    built with one map-side-combined shuffle."""
+    model table ``lm_cross_entropy`` scores against with Laplace
+    smoothing. Built with one map-side-combined shuffle.
+
+    ``min_count`` prunes the vocabulary's heavy tail BEFORE the
+    total/vsize constants are computed, so a pruned model is a
+    self-consistent smaller LM (tokens dropped here score as OOV).
+    Whitespace vocabularies of dirty web corpora are heavy-tailed
+    (URLs, hashes, typos each appear once) and can reach billions of
+    entries — far past what any single executor should hold; with
+    ``min_count >= 2`` the vocabulary collapses to roughly the token
+    types that actually repeat, which is what makes the model table
+    broadcastable at 100 TB (see ``lm_cross_entropy.broadcast_model``).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     tok = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
     total = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
     )
@@ -331,6 +345,7 @@ def lm_cross_entropy(
     text_col: str = "text",
     id_col: str = "doc_id",
     model: DataFrame | None = None,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Per-document unigram cross-entropy (bits/token) — the cheap,
     fully-distributed stand-in for perplexity-based quality filtering
@@ -351,13 +366,33 @@ def lm_cross_entropy(
     them identically) — left-join the result back to the corpus if a
     row per document is required.
 
-    Scale shape: token stream → broadcast-join the vocabulary-sized
-    model (no shuffle) → one narrow groupBy on the doc key. Document
-    bodies are scanned once and never shuffled; both aggregations are
-    map-side combined.
+    Scale shape: token stream → model join → one narrow groupBy on
+    the doc key. Document bodies are scanned once and never shuffled;
+    both aggregations are map-side combined.
+
+    ``broadcast_model`` controls the vocabulary join strategy:
+
+    - ``None`` (default) — broadcast-hint only the model the function
+      built ITSELF (the self-scoring path, whose vocabulary is the
+      corpus's own — caller opted into a corpus-sized model table and
+      at 100 TB must pair it with ``unigram_model(min_count=...)``
+      pruning); a caller-supplied ``model`` gets NO hint, so Catalyst
+      broadcasts only if its size estimate clears
+      ``autoBroadcastJoinThreshold`` and otherwise plans a shuffled
+      hash join. Web-scale whitespace vocabularies are heavy-tailed
+      (every URL/hash/typo is a type) and can exceed the 8 GB
+      broadcast hard limit — forcing the hint there fails the job
+      outright.
+    - ``True`` — always hint (the vocabulary is known-small).
+    - ``False`` — never hint: the token stream shuffles on ``token``
+      against the model; correct at any vocabulary size.
+
+    The 1-row total/vsize constants are always broadcast.
     """
     if model is None:
         model = unigram_model(docs, text_col)
+        if broadcast_model is None:
+            broadcast_model = True
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
@@ -366,8 +401,11 @@ def lm_cross_entropy(
     # carried as a 1-row broadcast so OOV tokens (NULL cnt after the
     # left join) still see the real denominator
     consts = F.broadcast(model.select("total", "vsize").limit(1))
+    vocab = model.select("token", "cnt")
+    if broadcast_model:
+        vocab = F.broadcast(vocab)
     scored = (
-        tok.join(F.broadcast(model.select("token", "cnt")), "token", "left")
+        tok.join(vocab, "token", "left")
         .crossJoin(consts)
         .withColumn(
             "_bits",
@@ -377,10 +415,21 @@ def lm_cross_entropy(
             ),
         )
     )
+    # decimal-sum mean, not F.avg: double summation order follows
+    # shuffle arrival, so avg() drifts in the last ulps across runs and
+    # engines — the exact non-determinism ivf_assign's decimal comment
+    # documents. DECIMAL(30,15) addition is exact and associative
+    # (|_bits| < 64 for any real vocabulary, so 15 integer digits never
+    # overflow), making bits_per_token bit-identical everywhere
+    # (ADVICE r7).
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.round(F.avg("_bits"), 4).alias("bits_per_token"),
+            F.round(
+                F.sum(F.col("_bits").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bits_per_token"),
         )
     )

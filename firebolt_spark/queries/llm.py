@@ -558,8 +558,11 @@ def _make_semantic_sql(n_centroids: int = 16) -> str:
     return f"""
     WITH {_ivf_chain_sql(n_centroids)},
     capped AS (
+        -- nrm > 0 BEFORE the cap count, mirroring the operator's
+        -- zero-norm guard (NaN cos_sim would pass >= threshold in
+        -- both engines — ADVICE r7)
         SELECT * FROM (SELECT af.*, count(*) OVER (PARTITION BY cluster) AS _n
-                       FROM af)
+                       FROM af WHERE nrm > 0)
         WHERE _n <= {_MAX_BUCKET_SIG}),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
@@ -1305,9 +1308,9 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the distributed stand-in for perplexity quality filtering
     (CCNet-style): token stream → broadcast vocabulary join → one
     narrow doc-key aggregation; bodies never shuffle. Self-scored
-    against the corpus's own Laplace-smoothed unigram model, bits/token
-    rounded to 4 decimals (log2 averages agree across engines well
-    inside 1e-4)."""
+    against the corpus's own Laplace-smoothed unigram model; bits/token
+    is a DECIMAL(30,15)-sum mean (order-independent, so both engines
+    derive the bit-identical double before the round — ADVICE r7)."""
     return text.lm_cross_entropy(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -1318,9 +1321,10 @@ Q_LM_QUALITY_SQL = """
     v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
     t AS (SELECT count(*) AS total, count(DISTINCT token) AS vsize FROM tok)
     SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-           round(avg(-log2(CAST(cnt + 1 AS DOUBLE)
-                           / CAST(total + vsize AS DOUBLE))), 4)
-               AS bits_per_token
+           round(CAST(sum(CAST(-log2(CAST(cnt + 1 AS DOUBLE)
+                                     / CAST(total + vsize AS DOUBLE))
+                               AS DECIMAL(30, 15))) AS DOUBLE)
+                 / count(*), 4) AS bits_per_token
     FROM tok JOIN v USING (token), t
     GROUP BY doc_id ORDER BY doc_id
 """

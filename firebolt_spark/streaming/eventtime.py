@@ -21,8 +21,18 @@ buckets for monitoring aggregations) is the operator author's lever.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# the only interval shape stream_interval_join interpolates into SQL:
+# a signed integer + time unit (Spark accepts more, but free-text into
+# the parser is exactly what the validation exists to prevent)
+_INTERVAL_RE = re.compile(
+    r"-?\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?",
+    re.IGNORECASE,
+)
 
 
 def with_watermark(sdf: DataFrame, ts_col: str = "created", delay: str = "10 seconds") -> DataFrame:
@@ -110,13 +120,24 @@ def stream_interval_join(
     """
     if how not in ("inner", "left_outer", "leftOuter"):
         raise ValueError("stream_interval_join supports inner/left_outer")
+    # identifiers are backtick-quoted and intervals validated before
+    # interpolation into F.expr: a key named with a space/hyphen/
+    # reserved word (legal everywhere else in this API) must not parse
+    # as something else, and an interval string is the only other
+    # free-text reaching the parser (ADVICE r7)
+    for iv in (lower, upper):
+        if not _INTERVAL_RE.fullmatch(iv.strip()):
+            raise ValueError(
+                f"interval must look like '<signed int> <unit>[s]' "
+                f"(e.g. '-30 seconds', '5 minutes'), got {iv!r}"
+            )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
-    lts = f"l.{left_ts}"
-    rts = f"r.{right_ts}"
+    lts = f"l.`{left_ts}`"
+    rts = f"r.`{right_ts}`"
     cond = F.expr(
         " AND ".join(
-            [f"l.{k} = r.{k}" for k in keys]
+            [f"l.`{k}` = r.`{k}`" for k in keys]
             + [
                 f"{rts} >= {lts} + INTERVAL {lower}",
                 f"{rts} <= {lts} + INTERVAL {upper}",
@@ -124,10 +145,10 @@ def stream_interval_join(
         )
     )
     joined = l.join(r, cond, how)
-    out_cols = [F.col(f"l.{c}") for c in left.columns]
+    out_cols = [F.col(f"l.`{c}`") for c in left.columns]
     for c in right.columns:
         if c in keys:
             continue
         name = c if c not in left.columns else f"{c}_r"
-        out_cols.append(F.col(f"r.{c}").alias(name))
+        out_cols.append(F.col(f"r.`{c}`").alias(name))
     return joined.select(*out_cols)

@@ -1168,3 +1168,85 @@ def test_incremental_dedup_spans_across_batches(spark):
     # batches ('p q r' by doc 4, 'a b c' by doc 1) -> fully scrubbed
     assert survivors[5] == (0, "")
     assert survivors[6] == (1, "n o w")
+
+
+def test_lm_cross_entropy_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_model=False (the billion-type dirty-web vocabulary
+    path — past the 8 GB broadcast limit) plans a shuffled vocab join
+    yet scores bit-identically to the broadcast path; min_count pruning
+    shrinks the model self-consistently (pruned tokens become OOV
+    against the SMALLER totals). ADVICE r7."""
+    from firebolt_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"common common rare{i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    model = text_ops.unigram_model(docs)
+    bc = {r["doc_id"]: r["bits_per_token"]
+          for r in text_ops.lm_cross_entropy(
+              docs, model=model, broadcast_model=True).collect()}
+    sh_df = text_ops.lm_cross_entropy(docs, model=model,
+                                      broadcast_model=False)
+    plan = sh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan.split("LocalTableScan")[0] or \
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert bc == {r["doc_id"]: r["bits_per_token"] for r in sh_df.collect()}
+    # default with a CALLER-supplied model: no forced hint (Catalyst
+    # decides) — must still be correct
+    auto = {r["doc_id"]: r["bits_per_token"]
+            for r in text_ops.lm_cross_entropy(docs, model=model).collect()}
+    assert auto == bc
+    # min_count=2 drops every rare{i} from the vocabulary: totals
+    # shrink to the 60 'common' tokens + vsize 1, and rare tokens score
+    # as OOV against those totals
+    pruned = text_ops.unigram_model(docs, min_count=2)
+    prow = pruned.collect()
+    assert len(prow) == 1 and prow[0]["token"] == "common"
+    assert prow[0]["total"] == 60 and prow[0]["vsize"] == 1
+    import math
+    scored = {r["doc_id"]: r["bits_per_token"]
+              for r in text_ops.lm_cross_entropy(
+                  docs, model=pruned, broadcast_model=True).collect()}
+    expect = round((2 * -math.log2(61 / 61) + -math.log2(1 / 61)) / 3, 4)
+    assert scored[0] == expect
+
+
+def test_semantic_near_dups_zero_norm_guard(spark):
+    """An all-zero embedding (encoder failure mode) must emit NO pairs:
+    cos_sim would be NaN, and NaN orders above every double in both
+    Spark and DuckDB, so it would otherwise PASS >= threshold and fake
+    a near-dup (ADVICE r7)."""
+    from firebolt_spark.operators.similarity import semantic_near_dups
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]),
+         (1, [0.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0]),
+         (3, [1.0, 0.001, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    pairs = semantic_near_dups(emb, threshold=0.9, n_centroids=2,
+                               kmeans_iters=1).collect()
+    ids = {v for r in pairs for v in (r["vec_a"], r["vec_b"])}
+    assert 0 not in ids and 1 not in ids
+    for r in pairs:
+        assert r["cos_sim"] == r["cos_sim"]  # no NaN survives
+
+
+def test_temperature_mix_survives_colliding_column_names(spark):
+    """An input that itself has threshold/n_rows/stratum columns joins
+    cleanly (internal _mix_* aliases) and passes through unchanged
+    (ADVICE r7)."""
+    from firebolt_spark.operators import mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", i * 10, 7, "keepme")
+         for i in range(30)],
+        "doc_id BIGINT, src STRING, threshold BIGINT, n_rows BIGINT, "
+        "stratum STRING",
+    )
+    kept = mixture.temperature_mix(df, "src", "doc_id", alpha=1.0)
+    assert kept.columns == df.columns  # user columns intact
+    assert kept.count() == 30  # alpha=1 keeps everything
+    assert kept.filter(F.col("stratum") == "keepme").count() == 30

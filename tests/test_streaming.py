@@ -971,3 +971,55 @@ def test_stream_interval_join_matches_within_window(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["k"], r["v"], r["v_r"]) for r in rows] == [(1, "l1", "r-in")]
+
+
+def test_stream_interval_join_quotes_identifiers_and_validates_intervals(
+    spark, tmp_path
+):
+    """A key named with a space (legal via backticks everywhere else in
+    the API) must survive the F.expr interpolation, and a free-text
+    interval that is not '<int> <unit>' is rejected before it reaches
+    the SQL parser (ADVICE r7)."""
+    import time
+
+    import pytest
+
+    from firebolt_spark.streaming.eventtime import stream_interval_join
+
+    schema = "`event key` BIGINT, created TIMESTAMP, v STRING"
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    mk = lambda rows: spark.createDataFrame(
+        rows, "`event key` BIGINT, created STRING, v STRING"
+    ).selectExpr("`event key`", "CAST(created AS TIMESTAMP) created", "v")
+    mk([(1, "2026-01-01 00:00:00", "l1")]).write.parquet(str(ldir))
+    mk([(1, "2026-01-01 00:00:30", "r1")]).write.parquet(str(rdir))
+    left = spark.readStream.schema(schema).parquet(str(ldir))
+    right = spark.readStream.schema(schema).parquet(str(rdir))
+
+    with pytest.raises(ValueError, match="interval"):
+        stream_interval_join(left, right, keys=["event key"],
+                             lower="0 seconds OR 1=1", upper="60 seconds")
+    with pytest.raises(ValueError, match="interval"):
+        stream_interval_join(left, right, keys=["event key"],
+                             lower="0 seconds", upper="drop table x")
+
+    joined = stream_interval_join(
+        left, right, keys=["event key"], lower="0 seconds",
+        upper="60 seconds", watermark="5 minutes",
+    )
+    q = (joined.writeStream.format("memory").queryName("sij_quoted")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+         .start())
+    try:
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql(
+                "SELECT `event key` AS k, v, v_r FROM sij_quoted").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert [(r["k"], r["v"], r["v_r"]) for r in rows] == [(1, "l1", "r1")]
