@@ -1001,3 +1001,177 @@ def incremental_dedup_spans(
     from firebolt_spark.functions import track_persisted
 
     return track_persisted(deduped, fresh), new_digests
+
+
+def doc_windows(
+    docs: DataFrame,
+    span_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every OVERLAPPING ``span_words``-word window of each document —
+    the offset-invariant counterpart of :func:`doc_spans`' fixed tiles.
+
+    Window start positions are every word index ``0 .. n - span_words``
+    (a document shorter than ``span_words`` emits its whole text as one
+    window), so a passage duplicated at ANY word offset in two
+    documents produces identical windows in both — the property fixed
+    tiling lacks (a +1-word shift re-tiles everything; VERDICT r7
+    "Next #1"). Emits (id, pos, span): ~1 window per word, i.e.
+    ``span_words``× the digest volume of tiling — pay it when offset
+    robustness matters, or winnow the index (:func:`winnow_fingerprints`)
+    when only candidate DETECTION must be offset-robust.
+
+    NULL text windows as the empty string (the :func:`doc_spans`
+    convention). Tokenization is bound once via the outer
+    single-element transform (the word_shingles lesson).
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    k = span_words
+    spans = F.expr(
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"p -> array_join(slice(t, p + 1, {k}), ' ')))[0]"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(spans).alias("pos", "span"),
+    )
+
+
+def dedup_spans_overlap(
+    docs: DataFrame,
+    span_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-robust span-level dedup (the ExactSubstr semantics of Lee
+    et al. 2022 at window granularity): a word is REMOVED iff it is
+    covered by some ``span_words``-word window whose content appeared
+    earlier in the corpus' (id, pos) total order. Because every
+    overlapping window is hashed (:func:`doc_windows`), a duplicated
+    passage of >= ``span_words`` words is caught at ANY word offset —
+    the exact gap of :func:`dedup_spans`' fixed tiles, which only match
+    tile-aligned duplicates (VERDICT r7 "Next #1").
+
+    Returns one row per document:
+    ``(id, n_words int, n_kept int, text_dedup string)`` — word counts,
+    not window counts: the removal unit here is the covered WORD, and
+    surviving words keep their original relative order.
+
+    Keep-first detail: the winning (first) occurrence of each window
+    keeps its words; every LATER occurrence's window footprint
+    ``[pos, pos + span_words)`` is removed from its document. Within
+    one document a self-repeated phrase therefore keeps only its first
+    copy, as across documents.
+
+    Scale shape: identical topology to :func:`dedup_spans` — the
+    keep-first decision runs on the narrow (id, pos, digest) stream
+    (min-struct aggregation, map-side combined), losing windows come
+    back as one sorted int-array row per doc (second narrow shuffle),
+    and bodies cross exactly one doc-key equi-join where the surviving
+    text is rebuilt IN-ROW (coverage flags + array_except over word
+    indices — O(words + removed) per row). The cost difference is
+    volume, not topology: ~``span_words``× more digests shuffle than
+    tiling. At 100 TB, run the winnowed fingerprint index first to
+    restrict this pass to documents with candidate overlaps.
+
+    Deterministic total order (digest → min (id, pos)); the DuckDB
+    oracle replays the identical rule.
+    """
+    k = span_words
+    meta = doc_windows(docs, k, text_col, id_col).select(
+        id_col, "pos", F.md5(F.col("span")).alias("digest")
+    )
+    winners = meta.groupBy("digest").agg(
+        F.min(F.struct(id_col, "pos")).alias("w")
+    )
+    # losing occurrences: same digest, not the winning (id, pos)
+    dup_pos = (
+        meta.join(winners, "digest")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"w.{id_col}"))
+                & (F.col("pos") == F.col("w.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_dup_pos"))
+    )
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n_words = F.size(words)
+    # in-row rebuild: expand each losing window to its covered word
+    # indices, subtract from the full index range, project the words.
+    # array_except is hash-set based: O(words + removed), not O(w x d).
+    rebuilt = F.expr(
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"array_join(transform("
+        f"  array_except("
+        f"    sequence(0, size(t) - 1),"
+        f"    array_distinct(flatten(transform(coalesce(_dup_pos, array()), "
+        f"      p -> sequence(p, least(p + {k} - 1, size(t) - 1)))))),"
+        f"  i -> element_at(t, i + 1)), ' '))[0]"
+    )
+    kept_n = F.expr(
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"size(array_except("
+        f"  sequence(0, size(t) - 1),"
+        f"  array_distinct(flatten(transform(coalesce(_dup_pos, array()), "
+        f"    p -> sequence(p, least(p + {k} - 1, size(t) - 1))))))))[0]"
+    )
+    return docs.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        kept_n.cast("int").alias("n_kept"),
+        rebuilt.alias("text_dedup"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    span_words: int = 16,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash every overlapping ``span_words``-
+    word gram, then keep only the MINIMUM hash of each ``window``
+    consecutive grams. Guarantee: two documents sharing a passage of at
+    least ``window + span_words - 1`` words share >= 1 fingerprint,
+    at ANY word offset — while the index stays ~``2/(window+1)`` of
+    the full overlapping-gram volume, i.e. near tile-sized for
+    ``window ~ span_words``.
+
+    This is the 100 TB companion to :func:`dedup_spans_overlap`: join
+    fingerprint tables to find candidate document pairs (offset-robust
+    by the guarantee above), then run the exact overlapping-window pass
+    only over the candidates. Emits distinct ``(id, fingerprint)``
+    rows; the whole gram-hash/min-select runs IN-ROW (no gram ever
+    leaves its document's row), so the only shuffle is the final
+    distinct on the already-winnowed set.
+
+    md5 hex strings compare lexicographically identically in any
+    engine, so the selected minima — and hence the fingerprint set —
+    are engine-portable (DuckDB oracle replays them verbatim).
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    k, w = span_words, window
+    # grams g = md5 of each overlapping k-gram (|g| = max(n-k,0)+1);
+    # fingerprints = array_min over each w-slice of g. Both lambdas
+    # bind their input once (outer single-element transform).
+    fps = F.expr(
+        f"transform(array(transform("
+        f"  array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"  transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"    p -> md5(array_join(slice(t, p + 1, {k}), ' '))))[0]), g -> "
+        f"array_distinct(transform(sequence(0, greatest(size(g) - {w}, 0)), "
+        f"  j -> array_min(slice(g, j + 1, {w})))))[0]"
+    )
+    return docs.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    ).distinct()

@@ -1303,6 +1303,94 @@ Q_DEDUP_SPANS_SQL = f"""
 """
 
 
+_WINNOW_W = 4  # winnowing window (grams per min-selection)
+
+
+def q_dedup_spans_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-robust span dedup (dedup.dedup_spans_overlap — the Lee
+    et al. 2022 ExactSubstr semantics at window granularity, VERDICT
+    r7 "Next #1"): every OVERLAPPING _SPAN_WORDS-word window is hashed,
+    so a duplicated passage is caught at any word offset — the gap of
+    q_dedup_spans' fixed tiles. A word is removed iff covered by a
+    window whose content appeared earlier in (doc_id, pos) order. The
+    oracle replays window → md5 → row_number keep-first → coverage
+    filter → rebuild, certifying the surviving text byte-for-byte."""
+    return dedup.dedup_spans_overlap(
+        _documents(spark, sf_dir), span_words=_SPAN_WORDS
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_SPANS_OVERLAP_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
+        FROM documents),
+    sized AS (SELECT doc_id, words, len(words) AS n FROM base),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(n - {_SPAN_WORDS}, 0) + 1)) AS pos,
+               unnest(list_transform(range(0, greatest(n - {_SPAN_WORDS}, 0) + 1),
+                      p -> md5(array_to_string(
+                          words[p + 1 : p + {_SPAN_WORDS}], ' ')))) AS digest
+        FROM sized),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, pos) AS rk
+        FROM wins),
+    dups AS (SELECT doc_id, list(pos ORDER BY pos) AS dup_pos
+             FROM ranked WHERE rk > 1 GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n AS INT) AS n_words,
+           CAST(len(list_filter(s.words, (w, i) ->
+                len(list_filter(coalesce(d.dup_pos, []), p ->
+                    p <= i - 1 AND i - 1 < p + {_SPAN_WORDS})) = 0))
+               AS INT) AS n_kept,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join(array()) is '' — a fully-scrubbed doc must
+           -- come back empty in both engines
+           coalesce(array_to_string(list_filter(s.words, (w, i) ->
+                len(list_filter(coalesce(d.dup_pos, []), p ->
+                    p <= i - 1 AND i - 1 < p + {_SPAN_WORDS})) = 0), ' '), '')
+               AS text_dedup
+    FROM sized s LEFT JOIN dups d USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprints (dedup.winnow_fingerprints — Schleimer et
+    al. 2003/MOSS): min-hash of each _WINNOW_W consecutive overlapping
+    _SPAN_WORDS-grams. The offset-robust candidate index that keeps
+    the exact overlapping pass (q_dedup_spans_overlap) affordable at
+    100 TB: any shared passage >= _WINNOW_W + _SPAN_WORDS - 1 words
+    guarantees a shared fingerprint while the index stays
+    ~2/(_WINNOW_W+1) of the gram volume. md5 hex minima compare
+    identically in both engines, so the fingerprint SET is hash-exact."""
+    return dedup.winnow_fingerprints(
+        _documents(spark, sf_dir), span_words=_SPAN_WORDS, window=_WINNOW_W
+    ).orderBy("doc_id", "fingerprint")
+
+
+Q_WINNOW_FINGERPRINTS_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(words) - {_SPAN_WORDS}, 0) + 1),
+                   p -> md5(array_to_string(
+                       words[p + 1 : p + {_SPAN_WORDS}], ' '))) AS g
+        FROM base),
+    fps AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(g) - {_WINNOW_W}, 0) + 1),
+                      j -> list_min(g[j + 1 : j + {_WINNOW_W}]))) AS fingerprint
+        FROM grams)
+    SELECT DISTINCT doc_id, fingerprint FROM fps
+    ORDER BY doc_id, fingerprint
+"""
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per document (text.lm_cross_entropy)
     — the distributed stand-in for perplexity quality filtering
@@ -1361,6 +1449,8 @@ QUERIES = {
     "q_temperature_mix": q_temperature_mix,
     "q_hash_split": q_hash_split,
     "q_dedup_spans": q_dedup_spans,
+    "q_dedup_spans_overlap": q_dedup_spans_overlap,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_lm_quality": q_lm_quality,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1397,6 +1487,8 @@ ORACLE = {
     "q_temperature_mix": Q_TEMPERATURE_MIX_SQL,
     "q_hash_split": _hash_split_sql(),
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
+    "q_dedup_spans_overlap": Q_DEDUP_SPANS_OVERLAP_SQL,
+    "q_winnow_fingerprints": Q_WINNOW_FINGERPRINTS_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

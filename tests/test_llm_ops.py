@@ -1250,3 +1250,73 @@ def test_temperature_mix_survives_colliding_column_names(spark):
     assert kept.columns == df.columns  # user columns intact
     assert kept.count() == 30  # alpha=1 keeps everything
     assert kept.filter(F.col("stratum") == "keepme").count() == 30
+
+
+def test_dedup_spans_overlap_catches_offset_shifted_passage(spark):
+    """The VERDICT r7 'Next #1' property: a passage duplicated at a
+    +1-word offset re-tiles under fixed windows (dedup_spans misses it)
+    but produces identical OVERLAPPING windows, so dedup_spans_overlap
+    removes it from the later document — and only it."""
+    from firebolt_spark.operators.dedup import dedup_spans, dedup_spans_overlap
+
+    P = "P1 P2 P3 P4 P5"
+    docs = spark.createDataFrame(
+        [(0, f"x1 x2 {P} y1"),
+         (1, f"z1 z2 z3 {P} w1"),  # same passage, +1 word offset
+         (2, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    tiled = {r["doc_id"]: r["text_dedup"]
+             for r in dedup_spans(docs, span_words=3).collect()}
+    assert tiled[1] == f"z1 z2 z3 {P} w1"  # fixed tiles MISS the shift
+    out = {r["doc_id"]: (r["n_words"], r["n_kept"], r["text_dedup"])
+           for r in dedup_spans_overlap(docs, span_words=3).collect()}
+    assert out[0] == (8, 8, f"x1 x2 {P} y1")   # first occurrence intact
+    assert out[1] == (9, 4, "z1 z2 z3 w1")     # passage scrubbed, rest kept
+    assert out[2] == (4, 4, "totally unrelated words here")
+
+
+def test_dedup_spans_overlap_keep_first_within_doc_and_short_docs(spark):
+    """A self-repeated phrase keeps only its first copy; documents
+    shorter than span_words dedup as whole-text windows; NULL text
+    behaves like empty text."""
+    from firebolt_spark.operators.dedup import dedup_spans_overlap
+
+    docs = spark.createDataFrame(
+        [(0, "a b c x y a b c"),   # self-repeat at +5 offset
+         (1, "tiny"),              # shorter than k
+         (2, "tiny"),              # exact dup of a short doc
+         (3, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+           for r in dedup_spans_overlap(docs, span_words=3).collect()}
+    assert out[0] == (5, "a b c x y")          # second 'a b c' removed
+    assert out[1] == (1, "tiny")               # first occurrence kept
+    assert out[2] == (0, "")                   # later short dup scrubbed
+    assert out[3][1] == ""                     # NULL == empty
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): documents sharing a
+    passage of >= window + span_words - 1 words share at least one
+    fingerprint at ANY offset; and the winnowed index is materially
+    smaller than the full overlapping-gram set."""
+    from firebolt_spark.operators.dedup import doc_windows, winnow_fingerprints
+
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # exactly the bound
+    docs = spark.createDataFrame(
+        [(0, f"a1 a2 a3 {shared} a4"),
+         (1, f"b1 {shared} b2 b3 b4 b5"),  # different offset
+         (2, " ".join(f"u{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, span_words=k, window=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1], "offset-shifted shared passage must collide"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+    n_grams = doc_windows(docs, k).count()
+    assert fps.count() < n_grams  # the index-compression point

@@ -543,3 +543,54 @@ def test_round7_queries_have_no_python_udf(spark, sf_dir):
         ).executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round8_span_overlap_plan_shape(spark, sf_dir):
+    """dedup_spans_overlap keeps dedup_spans' topology: keep-first is a
+    min-struct aggregation (no sort Window), no cartesian, bodies cross
+    exactly one doc-key join — the added cost is digest VOLUME (~k x),
+    never topology. winnow_fingerprints' gram/min-select runs in-row:
+    its only exchange is the final distinct."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import (
+        dedup_spans_overlap, winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dedup_spans_overlap(docs, span_words=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    # digest agg, winners join, doc agg, doc join
+    assert plan.count("Exchange") <= 5
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+    wplan = winnow_fingerprints(docs, span_words=3, window=4
+                                )._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in wplan and "Cartesian" not in wplan
+    assert wplan.count("Exchange") <= 1  # only the distinct
+
+
+def test_round8_queries_stay_jvm_side_and_prune(spark, sf_dir):
+    """Round-8 queries: no Python UDF in any plan; scans read only the
+    columns the query needs."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    allowed = {
+        "q_dedup_spans_overlap": {"doc_id", "text"},
+        "q_winnow_fingerprints": {"doc_id", "text"},
+    }
+    qs = entry_mod.queries()
+    for name, cols in allowed.items():
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        schemas = re.findall(r"ReadSchema: struct<(.*)", plan)
+        assert schemas, name
+        for schema in schemas:
+            read = set(re.findall(r"(\w+):", schema))
+            assert read <= cols, (name, read)
