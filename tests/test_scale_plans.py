@@ -594,3 +594,37 @@ def test_round8_queries_stay_jvm_side_and_prune(spark, sf_dir):
         for schema in schemas:
             read = set(re.findall(r"(\w+):", schema))
             assert read <= cols, (name, read)
+
+
+def test_lsh_index_on_disk_prunes_unprobed_buckets(spark, tmp_path):
+    """The multi-table LSH scale path end-to-end (VERDICT r7 'Next
+    #4'): build_lsh_index writes the corpus once per table partitioned
+    by (tbl, sig); probing reads ONLY the probed (table, bucket)
+    directories — literal predicates land in PartitionFilters — and
+    returns bit-identical results to the in-memory multi-table path at
+    equal planes/tables/probes."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_lsh_topk, ann_lsh_topk_from_index, build_lsh_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, planes=3, tables=2)
+
+    out = ann_lsh_topk_from_index(
+        spark, path, [0, 1, 2, 3, 4], k=10, planes=3, probes=2
+    )
+    plan = _executed_plan(out)
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:250]
+    assert "tbl" in tail and "sig" in tail
+
+    mem = ann_lsh_topk(
+        emb, [0, 1, 2, 3, 4], k=10, planes=3, probes=2, tables=2
+    )
+    got = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+           for r in out.collect()}
+    expect = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+              for r in mem.collect()}
+    assert got == expect and got
