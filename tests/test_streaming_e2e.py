@@ -557,3 +557,75 @@ def test_streaming_incremental_span_dedup_with_crash_restarts(spark, tmp_path):
                for r in dedup_spans(all_docs, span_words=K).collect()
                if r["doc_id"] >= 10}
     assert out == oneshot
+
+
+def test_streaming_temperature_mix_frozen_plan(spark, tmp_path):
+    """The streaming temperature-mix contract (VERDICT r7 'Next #5',
+    mixture.py): mix_plan aggregates its input, so a STREAM freezes a
+    plan snapshot once and applies its thresholds per micro-batch via
+    apply_mix_plan inside foreachBatch. Three availableNow runs from one
+    checkpoint (crash between each); asserts the admitted row set
+    equals the BATCH apply_mix_plan over the union of all deltas with
+    the same frozen plan — i.e. the streaming path admits exactly the
+    rows the batch operator would, row-for-row, across restarts."""
+    from firebolt_spark.operators import mixture
+
+    ddl = "doc_id BIGINT, lang STRING"
+    salt = "smix"
+    # snapshot corpus the plan is frozen from: en-heavy so the
+    # root-downsample genuinely fires (en threshold < full space)
+    snapshot = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de") for i in range(400)], ddl
+    )
+    plan = mixture.mix_plan(snapshot, "lang", alpha=0.5)
+    plan_path = str(tmp_path / "mix-plan")
+    plan.write.parquet(plan_path)  # the frozen artifact
+
+    delta_dir = tmp_path / "mix-deltas"
+    delta_dir.mkdir()
+    out_dir = str(tmp_path / "mix-out")
+    ckpt = str(tmp_path / "ckpt-mix")
+
+    def ingest(batch_df, batch_id):
+        frozen = spark.read.parquet(plan_path)
+        mixture.apply_mix_plan(
+            batch_df, frozen, "lang", "doc_id", salt
+        ).write.mode("append").parquet(out_dir)
+
+    def run_one_delta(rows):
+        n = len(list(delta_dir.glob("*.parquet")))
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(ddl).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"mix-{n}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    deltas = [
+        [(1000 + i, "en" if i % 3 else "de") for i in range(60)],
+        [(2000 + i, "en") for i in range(60)],
+        [(3000 + i, "de" if i % 2 else "en") for i in range(60)],
+    ]
+    for d in deltas:
+        run_one_delta(d)
+
+    streamed = {(r["doc_id"], r["lang"])
+                for r in spark.read.parquet(out_dir).collect()}
+    union = spark.createDataFrame(
+        [r for d in deltas for r in d], ddl
+    )
+    batch = {(r["doc_id"], r["lang"])
+             for r in mixture.apply_mix_plan(
+                 union, spark.read.parquet(plan_path), "lang", "doc_id", salt
+             ).collect()}
+    assert streamed == batch
+    # the mix genuinely fired: some en rows dropped, and no batch
+    # replayed (admitted ids are unique because doc_ids are)
+    assert len(streamed) < 180
+    assert any(lang == "en" for _, lang in streamed)
