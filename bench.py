@@ -72,6 +72,12 @@ EXTRA = [
     # to track
     "q_dedup_spans",
     "q_lm_quality",
+    # round 8: offset-robust span dedup (~span_words x the digest
+    # volume of tiling — the cost of offset invariance, worth tracking)
+    # and the winnowed fingerprint index (in-row min-select, one
+    # distinct shuffle)
+    "q_dedup_spans_overlap",
+    "q_winnow_fingerprints",
 ]
 
 

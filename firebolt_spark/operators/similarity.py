@@ -637,6 +637,7 @@ def semantic_near_dups(
     vec_col: str = "embedding",
     max_cluster: int | None = None,
     kmeans_iters: int = 2,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means-cluster the embedding space, then score exact cosine only
@@ -665,12 +666,40 @@ def semantic_near_dups(
     semantics) could never catch (ADVICE r7). The filter runs before
     ``cap_bucket_size`` so cluster populations count scorable vectors
     only; the oracle replays the same order.
+
+    ``n_assign`` (round 8): candidate-generation multi-assignment —
+    each vector joins its top-``n_assign`` clusters by centroid cosine
+    (rank ties broken on cluster id), the IVF-multiprobe idea applied
+    to SemDeDup's candidate side. Pairs straddling one cluster
+    boundary are recovered at ``n_assign``× candidate volume
+    (Σ|cluster|² grows ~n_assign², still never |corpus|²); duplicate
+    discoveries collapse to one row keyed (vec_a, vec_b) with the
+    smallest discovering cluster. The measured recall-vs-cost grid is
+    in PERF.md (round 8); the declared oracle query pins
+    ``n_assign=1`` (single-assignment is the paper's semantics and
+    keeps the oracle's window-rank replay exact).
     """
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
     from firebolt_spark.operators.dedup import cap_bucket_size
 
-    assigned, _ = ivf_assign(
+    assigned, cents = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, kmeans_iters
     )
+    if n_assign > 1:
+        corpus = embeddings.withColumn("_norm", norm(vec_col))
+        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim",
+            dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm")),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("cluster")
+        )
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_assign)
+            .drop("_r", "c_vec", "c_norm", "_sim")
+        )
     assigned = cap_bucket_size(
         assigned.filter(F.col("_norm") > 0), ["cluster"], max_cluster
     ).persist()
@@ -680,9 +709,7 @@ def semantic_near_dups(
         / (F.col("a._norm") * F.col("b._norm")),
         4,
     )
-    from firebolt_spark.functions import track_persisted
-
-    return track_persisted(
+    pairs = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -694,9 +721,19 @@ def semantic_near_dups(
             F.col("a.cluster").alias("cluster"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold),
-        assigned,
+        .filter(F.col("cos_sim") >= threshold)
     )
+    if n_assign > 1:
+        # a pair straddling shared clusters is discovered once per
+        # shared cluster — collapse to one row, smallest cluster tag
+        # (cos_sim is identical across discoveries: same vectors)
+        pairs = pairs.groupBy("vec_a", "vec_b").agg(
+            F.min("cluster").alias("cluster"),
+            F.max("cos_sim").alias("cos_sim"),
+        ).select("vec_a", "vec_b", "cluster", "cos_sim")
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(pairs, assigned)
 
 
 def build_lsh_index(
