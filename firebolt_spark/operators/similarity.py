@@ -162,17 +162,54 @@ def quantize_int8(
     )
 
 
-def _nearest(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Assign every corpus vector to its nearest centroid by cosine
-    (broadcast centroids — the quantizer table is tiny by construction)."""
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm"))
+def _cents_array(cents: DataFrame) -> DataFrame:
+    """Collapse the (tiny, n_centroids-row) centroid table to ONE row
+    holding ``array<struct<cluster, c_vec, c_norm>>`` — the broadcast
+    image the in-row assignment consumes. The only shuffle is the
+    single-partition collect over n_centroids rows (bytes, not the
+    corpus)."""
+    return cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cluster', cluster, 'c_vec', c_vec, 'c_norm', c_norm)))"
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
+
+
+def _sim_structs(vec_col: str) -> str:
+    """SQL fragment: map the broadcast ``_cents`` array to
+    ``struct<s: cosine, nc: -cluster>`` per centroid, computed wholly
+    in-row. Struct ordering then gives exactly the old window order
+    (sim DESC with NaN first — Spark orders NaN above every double —
+    then cluster ASC via the negated id)."""
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "c_vec", "c_norm", "_sim")
+        f"transform(_cents, c -> named_struct("
+        f"'s', aggregate(zip_with({vec_col}, c.c_vec, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (_norm * c.c_norm), "
+        f"'nc', -c.cluster))"
+    )
+
+
+def _nearest(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine,
+    computed IN-ROW: the centroids are broadcast as one
+    array-of-structs column and the argmax is ``array_max`` over
+    per-centroid ``struct(sim, -cluster)`` — no explode, no window,
+    ZERO Exchange on the corpus for the assignment (VERDICT r8 Next
+    #4; the old shape shuffled corpus×k full rows through a
+    ``Window.partitionBy(id)`` every Lloyd iteration).
+
+    Tie-break is bit-identical to the old window ``(sim DESC, cluster
+    ASC)``: struct comparison takes the largest sim first (NaN ordered
+    above every double, as the window's DESC did), then the largest
+    ``-cluster`` = smallest cluster id."""
+    scored = corpus.crossJoin(F.broadcast(_cents_array(cents))).withColumn(
+        "_best", F.expr(f"array_max({_sim_structs(vec_col)})")
+    )
+    return (
+        scored.withColumn("cluster", -F.col("_best.nc"))
+        .drop("_best", "_cents")
     )
 
 
@@ -687,18 +724,20 @@ def semantic_near_dups(
         embeddings, n_centroids, id_col, vec_col, kmeans_iters
     )
     if n_assign > 1:
+        # top-m clusters per vector, in-row like _nearest (no corpus
+        # Window): ascending struct sort on (s, -cluster) reversed =
+        # (sim DESC with NaN first, cluster ASC) — the old window
+        # order — then take the first n_assign and explode.
         corpus = embeddings.withColumn("_norm", norm(vec_col))
-        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-            "_sim",
-            dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm")),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_sim").desc(), F.col("cluster")
+        topm = F.expr(
+            f"slice(reverse(array_sort({_sim_structs(vec_col)})), "
+            f"1, {int(n_assign)})"
         )
         assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n_assign)
-            .drop("_r", "c_vec", "c_norm", "_sim")
+            corpus.crossJoin(F.broadcast(_cents_array(cents)))
+            .withColumn("_a", F.explode(topm))
+            .withColumn("cluster", -F.col("_a.nc"))
+            .drop("_a", "_cents")
         )
     assigned = cap_bucket_size(
         assigned.filter(F.col("_norm") > 0), ["cluster"], max_cluster

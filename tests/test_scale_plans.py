@@ -435,6 +435,24 @@ def test_pack_shards_budget_property(spark):
         prev_max = rows[-1]["doc_id"]
 
 
+def test_ivf_assignment_is_in_row_no_corpus_shuffle(spark):
+    """Lloyd assignment is an in-row argmax over a broadcast centroid
+    array (VERDICT r8 'Next #4'): no Window, no Sort over the corpus,
+    and no id-keyed corpus repartition — the old shape shuffled
+    corpus×k FULL rows (embedding + centroid vectors) through
+    Window.partitionBy(id) on every iteration. The only Exchange left
+    is the n_centroids-row centroid aggregate."""
+    from firebolt_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    assigned, _cents = ivf_assign(emb, n_centroids=4, kmeans_iters=1)
+    plan = _executed_plan(assigned)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid array
+
+
 def test_ivf_partitioned_layout_prunes_unprobed_clusters(spark, tmp_path):
     """The IVF scale path end-to-end: assign → write partitioned by
     cluster → a probe-restricted read prunes to PartitionFilters, so a
