@@ -103,6 +103,7 @@ def apply_mix_plan(
     strata_col: str,
     key_col: str,
     salt: str = "",
+    unseen_fraction: float = 0.0,
 ) -> DataFrame:
     """Filter ``df`` by a :func:`mix_plan` threshold table — the apply
     half of :func:`temperature_mix`, exposed separately so a STREAM can
@@ -120,12 +121,29 @@ def apply_mix_plan(
     ``n_rows`` / ``threshold`` columns neither collides (ambiguous-
     column AnalysisException) nor gets silently dropped (ADVICE r7);
     the input schema passes through unchanged.
+
+    **Strata ABSENT from the plan are dropped by default** — a frozen
+    plan knows no threshold for them, and the safe default for a
+    training mix is to admit nothing unplanned. In streaming this
+    means a new language/domain appearing mid-stream contributes zero
+    rows until the plan is refreshed (snapshot a new ``mix_plan`` and
+    restart the sink, or monitor stratum counts per micro-batch).
+    ``unseen_fraction`` overrides the default: unplanned strata are
+    admitted at that fraction (same content-hash cutoff, so the
+    admitted subset stays deterministic and becomes a superset/subset
+    of the eventual refreshed plan's) — set e.g. 1.0 to pass unseen
+    strata through whole (ADVICE r8).
     """
+    if not 0.0 <= unseen_fraction <= 1.0:
+        raise ValueError(
+            f"unseen_fraction must be in [0, 1], got {unseen_fraction}"
+        )
     internal = plan.select(
         F.col("stratum").alias("_mix_stratum"),
         F.col("threshold").alias("_mix_threshold"),
     )
     bucket = _hash_bucket(key_col, salt)
+    unseen_thr = min(int(math.floor(unseen_fraction * _BUCKET_SPACE)), 1 << 32)
     return (
         df.join(
             F.broadcast(internal),
@@ -135,7 +153,9 @@ def apply_mix_plan(
             df[strata_col].eqNullSafe(internal["_mix_stratum"]),
             "left",
         )
-        .filter(bucket < F.coalesce(F.col("_mix_threshold"), F.lit(0)))
+        .filter(
+            bucket < F.coalesce(F.col("_mix_threshold"), F.lit(unseen_thr))
+        )
         .drop("_mix_stratum", "_mix_threshold")
     )
 

@@ -802,6 +802,12 @@ def build_lsh_index(
     multi-table recall/storage trade, paid at build time; the write
     itself is one scan + one partitioned shuffle-free write (signatures
     are per-row projections).
+
+    Build parameters (planes, tables, id/vec column names) are
+    persisted as a one-row JSON under ``<path>/_meta`` (the leading
+    underscore hides it from the parquet reader) and validated at
+    probe time — a build/probe planes mismatch used to silently
+    return wrong or near-empty top-k (ADVICE r8).
     """
     from firebolt_spark.functions import write_partitioned
 
@@ -822,17 +828,33 @@ def build_lsh_index(
         ).alias("_ts"),
     ).select(id_col, vec_col, "_norm", "_ts.tbl", "_ts.sig")
     write_partitioned(melted, path, ["tbl", "sig"])
+    meta = embeddings.sparkSession.createDataFrame(
+        [(int(planes), int(tables), id_col, vec_col)],
+        "planes int, tables int, id_col string, vec_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def _read_index_meta(spark, path: str) -> dict | None:
+    """Best-effort read of the ``_meta`` sidecar (absent on indexes
+    built before round 9)."""
+    try:
+        rows = spark.read.json(path + "/_meta").collect()
+    except Exception:  # noqa: BLE001 — missing dir is AnalysisException
+        return None
+    return rows[0].asDict() if rows else None
 
 
 def ann_lsh_topk_from_index(
     spark,
     path: str,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 10,
-    planes: int = LSH_PLANES,
+    planes: int | None = None,
     probes: int = DEFAULT_LSH_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vectors: list[tuple] | None = None,
 ) -> DataFrame:
     """Probe a :func:`build_lsh_index` artifact: top-k per query read
     from ``tables x probes`` partition directories — no corpus scan.
@@ -848,22 +870,89 @@ def ann_lsh_topk_from_index(
     dedup-across-tables groupBy, same (cos_sim desc, id) ranking), so
     results are identical to :func:`ann_lsh_topk` at equal
     planes/tables/probes.
+
+    ``planes`` defaults to the value recorded in the index's ``_meta``
+    sidecar at build time; passing it explicitly is validated against
+    the sidecar and a mismatch raises (a silent mismatch returned
+    wrong or near-empty results — ADVICE r8). ``probes`` beyond the
+    Hamming-1 neighborhood raises for an explicitly-passed ``planes``
+    (mirroring :func:`ann_lsh_topk`) and clamps when planes came from
+    the sidecar, since the caller never saw the value.
+
+    ``query_vectors`` (VERDICT r8 Next #7) serves the common ANN case
+    of queries NOT in the index: ``[(id, [floats...]), ...]`` literals
+    are cast to the index's exact vector type (so signatures match
+    build-time bit-for-bit) and probed alongside any in-index
+    ``query_ids``. An empty resolved probe set raises rather than
+    filtering on a null predicate.
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    index = spark.read.parquet(path)
-    tables = [r["tbl"] for r in index.select("tbl").distinct().collect()]
-    if probes > planes + 1:
-        probes = planes + 1
-    # few-row driver lookup: the query vectors themselves
-    q_rows = (
-        index.filter(
-            (F.col("tbl") == tables[0]) & F.col(id_col).isin(list(query_ids))
+    meta = _read_index_meta(spark, path)
+    explicit_planes = planes is not None
+    if meta is not None:
+        if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+            raise ValueError(
+                f"index at {path} was built with columns "
+                f"({meta['id_col']}, {meta['vec_col']}), "
+                f"got ({id_col}, {vec_col})"
+            )
+        if planes is None:
+            planes = int(meta["planes"])
+        elif planes != int(meta["planes"]):
+            raise ValueError(
+                f"index at {path} was built with planes={meta['planes']}, "
+                f"got planes={planes} — probing with a different plane set "
+                f"returns wrong results"
+            )
+    elif planes is None:
+        raise ValueError(
+            f"index at {path} has no _meta sidecar; pass the build-time "
+            f"planes explicitly"
         )
-        .select(id_col, vec_col, "_norm")
-        .collect()
-    )
-    q_df = spark.createDataFrame(q_rows, index.select(id_col, vec_col, "_norm").schema)
+    if probes > planes + 1:
+        if explicit_planes:
+            raise ValueError(
+                f"probes must be in [1, planes+1], got {probes}"
+            )
+        probes = planes + 1
+    index = spark.read.parquet(path)
+    if meta is not None:
+        tables = list(range(int(meta["tables"])))
+    else:
+        tables = [r["tbl"] for r in index.select("tbl").distinct().collect()]
+    if not tables:
+        raise ValueError(f"LSH index at {path} is empty")
+    q_schema = index.select(id_col, vec_col, "_norm").schema
+    q_rows = []
+    if query_ids:
+        # few-row driver lookup: the query vectors themselves
+        q_rows = (
+            index.filter(
+                (F.col("tbl") == tables[0])
+                & F.col(id_col).isin(list(query_ids))
+            )
+            .select(id_col, vec_col, "_norm")
+            .collect()
+        )
+    if query_vectors:
+        # cast literals to the index's exact types BEFORE computing the
+        # norm/signature, so float storage rounding matches build time
+        ext = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in query_vectors],
+            f"{id_col} long, {vec_col} array<double>",
+        ).select(
+            F.col(id_col).cast(q_schema[id_col].dataType),
+            F.col(vec_col).cast(q_schema[vec_col].dataType),
+        )
+        q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    if not q_rows:
+        ids = sorted(query_ids or [])
+        raise ValueError(
+            f"no probe vectors resolved: query_ids {ids} not present in "
+            f"the index at {path} and no query_vectors given"
+        )
+    q_df = spark.createDataFrame(q_rows, q_schema)
     probe_rows = (
         q_df.select(
             F.col(id_col).alias("query_id"),

@@ -120,7 +120,9 @@ def stream_interval_join(
     """
     if how not in ("inner", "left_outer", "leftOuter"):
         raise ValueError("stream_interval_join supports inner/left_outer")
-    # identifiers are backtick-quoted and intervals validated before
+    # identifiers are backtick-quoted (embedded backticks doubled — the
+    # Spark escape; an unescaped one would terminate the quote and
+    # inject into the parse, ADVICE r8) and intervals validated before
     # interpolation into F.expr: a key named with a space/hyphen/
     # reserved word (legal everywhere else in this API) must not parse
     # as something else, and an interval string is the only other
@@ -131,13 +133,17 @@ def stream_interval_join(
                 f"interval must look like '<signed int> <unit>[s]' "
                 f"(e.g. '-30 seconds', '5 minutes'), got {iv!r}"
             )
+
+    def q(side: str, name: str) -> str:
+        return f"{side}.`{name.replace('`', '``')}`"
+
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
-    lts = f"l.`{left_ts}`"
-    rts = f"r.`{right_ts}`"
+    lts = q("l", left_ts)
+    rts = q("r", right_ts)
     cond = F.expr(
         " AND ".join(
-            [f"l.`{k}` = r.`{k}`" for k in keys]
+            [f"{q('l', k)} = {q('r', k)}" for k in keys]
             + [
                 f"{rts} >= {lts} + INTERVAL {lower}",
                 f"{rts} <= {lts} + INTERVAL {upper}",
@@ -145,10 +151,10 @@ def stream_interval_join(
         )
     )
     joined = l.join(r, cond, how)
-    out_cols = [F.col(f"l.`{c}`") for c in left.columns]
+    out_cols = [F.col(q("l", c)) for c in left.columns]
     for c in right.columns:
         if c in keys:
             continue
         name = c if c not in left.columns else f"{c}_r"
-        out_cols.append(F.col(f"r.`{c}`").alias(name))
+        out_cols.append(F.col(q("r", c)).alias(name))
     return joined.select(*out_cols)

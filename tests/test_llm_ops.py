@@ -1046,6 +1046,40 @@ def test_temperature_mix_null_stratum_is_a_stratum(spark):
     assert None in plan and plan[None] == plan["a"]  # 20/20 balanced
 
 
+def test_apply_mix_plan_unseen_fraction(spark):
+    """Strata absent from a frozen plan drop by default (documented —
+    a new domain appearing mid-stream contributes nothing until the
+    plan refreshes); unseen_fraction admits them at a deterministic
+    hash fraction instead (ADVICE r8)."""
+    from firebolt_spark.operators import mixture
+
+    seen = spark.createDataFrame(
+        [(i, "a") for i in range(40)], "doc_id BIGINT, src STRING"
+    )
+    plan = mixture.mix_plan(seen, "src", alpha=1.0)
+    mixed = spark.createDataFrame(
+        [(i, "a" if i < 40 else "new") for i in range(80)],
+        "doc_id BIGINT, src STRING",
+    )
+    dropped = mixture.apply_mix_plan(mixed, plan, "src", "doc_id")
+    assert {r["src"] for r in dropped.collect()} == {"a"}  # default: drop
+    whole = mixture.apply_mix_plan(
+        mixed, plan, "src", "doc_id", unseen_fraction=1.0
+    )
+    assert whole.count() == 80  # pass unseen strata through whole
+    partial = mixture.apply_mix_plan(
+        mixed, plan, "src", "doc_id", unseen_fraction=0.5
+    )
+    n_new = partial.filter("src = 'new'").count()
+    assert 0 < n_new < 40  # deterministic hash subset, not all-or-none
+    assert partial.filter("src = 'a'").count() == 40  # planned untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="unseen_fraction"):
+        mixture.apply_mix_plan(mixed, plan, "src", "doc_id",
+                               unseen_fraction=1.5)
+
+
 def test_dedup_spans_identity_when_all_spans_unique(spark):
     """On a corpus with no repeated window anywhere, dedup_spans is the
     identity transform: every span kept, text rebuilt byte-for-byte."""

@@ -646,3 +646,69 @@ def test_lsh_index_on_disk_prunes_unprobed_buckets(spark, tmp_path):
     expect = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
               for r in mem.collect()}
     assert got == expect and got
+
+
+def test_lsh_index_external_query_vectors_prune_and_match(spark, tmp_path):
+    """An external (id, vector) literal — the common ANN serving case,
+    VERDICT r8 'Next #7' — probes the on-disk index with the SAME
+    partition pruning, and a literal equal to an indexed vector
+    returns that vector's exact in-index top-k (minus the self-hit
+    exclusion, which keys on the query id)."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_lsh_topk_from_index, build_lsh_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, planes=3, tables=2)
+
+    vec0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    # k=11: the literal's id -1 doesn't exclude vec 0 itself, so the
+    # self-hit (cos 1.0) occupies rank 1 and the in-index query's
+    # top-10 is exactly the external top-11 minus vec 0
+    out = ann_lsh_topk_from_index(
+        spark, path, query_vectors=[(-1, [float(x) for x in vec0])],
+        k=11, probes=2,  # planes from the _meta sidecar
+    )
+    plan = _executed_plan(out)
+    assert "PartitionFilters" in plan
+    assert "sig" in plan.split("PartitionFilters", 1)[1][:250]
+
+    ref = ann_lsh_topk_from_index(spark, path, [0], k=10, probes=2)
+    got = {(r["vec_id"], r["cos_sim"]) for r in out.collect()
+           if r["vec_id"] != 0}
+    expect = {(r["vec_id"], r["cos_sim"]) for r in ref.collect()}
+    assert got == expect and got
+
+
+def test_lsh_index_meta_contract(spark, tmp_path):
+    """The _meta sidecar (ADVICE r8): build/probe planes mismatch and
+    column-name mismatch raise instead of silently returning wrong
+    top-k; an explicit probes beyond planes+1 raises (mirroring
+    ann_lsh_topk); an empty resolved probe set raises instead of
+    filtering on None."""
+    import pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_lsh_topk_from_index, build_lsh_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, planes=3, tables=2)
+
+    with pytest.raises(ValueError, match="planes=3"):
+        ann_lsh_topk_from_index(spark, path, [0], planes=4)
+    with pytest.raises(ValueError, match="columns"):
+        ann_lsh_topk_from_index(spark, path, [0], id_col="doc_id")
+    with pytest.raises(ValueError, match=r"probes must be in"):
+        ann_lsh_topk_from_index(spark, path, [0], planes=3, probes=9)
+    with pytest.raises(ValueError, match="no probe vectors"):
+        ann_lsh_topk_from_index(spark, path, [99999999])
+    # sidecar-derived planes: oversized probes clamps (caller never saw
+    # the plane count), identical to the auto-planes path in-memory
+    assert ann_lsh_topk_from_index(
+        spark, path, [0], probes=9, k=3
+    ).count() > 0

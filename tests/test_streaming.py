@@ -973,6 +973,30 @@ def test_stream_interval_join_matches_within_window(spark, tmp_path):
     assert [(r["k"], r["v"], r["v_r"]) for r in rows] == [(1, "l1", "r-in")]
 
 
+def test_stream_interval_join_escapes_embedded_backticks(spark):
+    """A column name CONTAINING a backtick (ADVICE r8's residual case)
+    is quoted with the doubled-backtick escape instead of terminating
+    the quote and injecting into the F.expr parse. Batch frames: the
+    watermark is a no-op and the same join plan executes eagerly."""
+    from firebolt_spark.streaming.eventtime import stream_interval_join
+
+    def mk(v):
+        return spark.createDataFrame(
+            [(1, "2026-01-01 00:00:00", v)], ["k", "created_s", "v"]
+        ).selectExpr(
+            "k AS `weird``key`", "CAST(created_s AS TIMESTAMP) created", "v"
+        )
+
+    joined = stream_interval_join(
+        mk("l1"), mk("r1"), keys=["weird`key"],
+        lower="0 seconds", upper="60 seconds",
+    )
+    assert [f.name for f in joined.schema.fields] == [
+        "weird`key", "created", "v", "created_r", "v_r"]
+    rows = joined.collect()
+    assert rows and rows[0]["v_r"] == "r1"
+
+
 def test_stream_interval_join_quotes_identifiers_and_validates_intervals(
     spark, tmp_path
 ):
