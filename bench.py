@@ -78,6 +78,9 @@ EXTRA = [
     # distinct shuffle)
     "q_dedup_spans_overlap",
     "q_winnow_fingerprints",
+    # round 9: the winnow->exact composition — the production-shaped
+    # offset-robust pass (exact digests only for candidate docs)
+    "q_dedup_spans_candidates",
 ]
 
 
@@ -122,6 +125,47 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
         got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
         out[label] = round(len(exact & got) / len(exact), 3)
         spark.catalog.clearCache()
+    return out
+
+
+def _winnow_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Winnow→exact vs unrestricted offset-robust dedup on a
+    SPARSE-duplicate corpus (VERDICT r8 "Next #3"): every word salted
+    with its (doc_id, position), so no passage repeats anywhere — the
+    ideal shape of a 100 TB corpus AFTER upstream exact dedup. The
+    unrestricted pass still shuffles EVERY doc's full digest stream
+    through the keep-first aggregate; the composition pays the in-row
+    winnow (~2/(window+1) of the digest volume shuffled) and its exact
+    pass runs over zero candidates. min-of-2 each, noop sink."""
+    from firebolt_spark.operators.dedup import (
+        dedup_spans_candidates, dedup_spans_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(split(coalesce(text, ''), ' '), "
+            "(w, i) -> concat(w, '_', doc_id, '_', i)), ' ')"
+        ).alias("text"),
+    ).persist()
+    n_docs = docs.count()
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return time.perf_counter() - t0
+
+    out = {
+        "overlap_s": round(
+            min(run(dedup_spans_overlap(docs, span_words=3))
+                for _ in range(2)), 3),
+        "candidates_s": round(
+            min(run(dedup_spans_candidates(docs, span_words=3, window=4))
+                for _ in range(2)), 3),
+        "n_docs": n_docs,
+    }
+    docs.unpersist()
     return out
 
 
@@ -377,6 +421,10 @@ def main() -> None:
         payload["skew_demo"] = _skew_demo(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never kill the bench
         payload["skew_demo_error"] = str(exc)[:200]
+    try:
+        payload["winnow_demo"] = _winnow_demo(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never kill the bench
+        payload["winnow_demo_error"] = str(exc)[:200]
     # the standing sf1 scale step: on by default for the driver's plain
     # sf0.1 run; SPARK_GRAFT_SF1=0 skips (fast local iteration)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":

@@ -856,9 +856,18 @@ def doc_spans(
         f"transform(sequence(0, int(ceil(size(t) / {k}.0)) - 1), "
         f"i -> array_join(slice(t, i * {k} + 1, {k}), ' ')))[0]"
     )
-    return docs.select(
-        F.col(id_col),
-        F.posexplode(spans).alias("pos", "span"),
+    # posexplode_outer, NOT posexplode: InferFiltersFromGenerate would
+    # add a size(spans) > 0 pre-filter whose pushdown inlines the whole
+    # tiling expression a second time per row — and the array is never
+    # empty anyway (a NULL/empty text tiles as one '' span). The
+    # isNotNull guard keeps semantics identical on the impossible
+    # empty case and cannot be pushed below the Generate.
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode_outer(spans).alias("pos", "span"),
+        )
+        .filter(F.col("pos").isNotNull())
     )
 
 
@@ -1034,9 +1043,16 @@ def doc_windows(
         f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
         f"p -> array_join(slice(t, p + 1, {k}), ' ')))[0]"
     )
-    return docs.select(
-        F.col(id_col),
-        F.posexplode(spans).alias("pos", "span"),
+    # posexplode_outer + isNotNull: avoids the inferred size(...) > 0
+    # pre-filter whose pushdown re-inlines the window expression (see
+    # doc_spans); the array always has >= 1 element, so semantics are
+    # identical.
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode_outer(spans).alias("pos", "span"),
+        )
+        .filter(F.col("pos").isNotNull())
     )
 
 
@@ -1080,15 +1096,30 @@ def dedup_spans_overlap(
     Deterministic total order (digest → min (id, pos)); the DuckDB
     oracle replays the identical rule.
     """
-    k = span_words
-    meta = doc_windows(docs, k, text_col, id_col).select(
+    return _rebuild_overlap(
+        docs,
+        _overlap_dup_pos(docs, span_words, text_col, id_col),
+        span_words,
+        text_col,
+        id_col,
+    )
+
+
+def _overlap_dup_pos(
+    scope: DataFrame, span_words: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The keep-first decision of :func:`dedup_spans_overlap` over the
+    given document scope: one (id, _dup_pos sorted int array) row per
+    doc that LOSES at least one overlapping window. Narrow (id, pos,
+    digest) streams only."""
+    meta = doc_windows(scope, span_words, text_col, id_col).select(
         id_col, "pos", F.md5(F.col("span")).alias("digest")
     )
     winners = meta.groupBy("digest").agg(
         F.min(F.struct(id_col, "pos")).alias("w")
     )
     # losing occurrences: same digest, not the winning (id, pos)
-    dup_pos = (
+    return (
         meta.join(winners, "digest")
         .filter(
             ~(
@@ -1099,6 +1130,20 @@ def dedup_spans_overlap(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_dup_pos"))
     )
+
+
+def _rebuild_overlap(
+    docs: DataFrame,
+    dup_pos: DataFrame,
+    span_words: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Left-join the losing-window positions back to the docs and
+    rebuild surviving text in-row — docs with no ``_dup_pos`` row pass
+    through verbatim (the single rebuild used by both the unrestricted
+    and the candidate-restricted overlap dedup)."""
+    k = span_words
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n_words = F.size(words)
     # in-row rebuild: expand each losing window to its covered word
@@ -1160,18 +1205,149 @@ def winnow_fingerprints(
         raise ValueError(f"span_words must be >= 1, got {span_words}")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    k, w = span_words, window
-    # grams g = md5 of each overlapping k-gram (|g| = max(n-k,0)+1);
-    # fingerprints = array_min over each w-slice of g. Both lambdas
-    # bind their input once (outer single-element transform).
     fps = F.expr(
-        f"transform(array(transform("
-        f"  array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
-        f"  transform(sequence(0, greatest(size(t) - {k}, 0)), "
-        f"    p -> md5(array_join(slice(t, p + 1, {k}), ' '))))[0]), g -> "
-        f"array_distinct(transform(sequence(0, greatest(size(g) - {w}, 0)), "
-        f"  j -> array_min(slice(g, j + 1, {w})))))[0]"
+        f"transform(array({_gram_list(text_col, span_words)}), g -> "
+        f"{_winnow_of('g', window)})[0]"
     )
-    return docs.select(
-        F.col(id_col), F.explode(fps).alias("fingerprint")
-    ).distinct()
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size(fps) > 0 pre-filter whose pushdown INLINES the whole
+    # gram+winnow expression a second time per row (and a text column
+    # has >= 1 fingerprint anyway — the filter can never drop a row).
+    # The isNotNull guard keeps semantics identical on the impossible
+    # empty-array case and stays ABOVE the Generate (the generated
+    # attribute cannot be pushed into the scan).
+    return (
+        docs.select(F.col(id_col), F.explode_outer(fps).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
+        .distinct()
+    )
+
+
+def _gram_list(text_col: str, k: int) -> str:
+    """SQL fragment: md5 of each overlapping k-word gram of
+    ``text_col`` (|g| = max(n-k,0)+1). The lambda binds the split
+    once (the word_shingles lesson: an inner reference would re-split
+    per element)."""
+    return (
+        f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"  p -> md5(array_join(slice(t, p + 1, {k}), ' '))))[0]"
+    )
+
+
+def _winnow_of(grams_ref: str, w: int) -> str:
+    """SQL fragment: distinct winnowed fingerprints (array_min of each
+    w-slice) of an already-computed gram array ``grams_ref``."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({grams_ref}) - {w}, 0)), "
+        f"j -> array_min(slice({grams_ref}, j + 1, {w}))))"
+    )
+
+
+def dedup_spans_candidates(
+    docs: DataFrame,
+    span_words: int = 16,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The winnow→exact composition :func:`winnow_fingerprints`'
+    docstring promises for 100 TB (VERDICT r8 "Next #3"): the exact
+    offset-robust pass of :func:`dedup_spans_overlap`, restricted to
+    CANDIDATE documents discovered by the winnowed fingerprint index.
+
+    A document is a candidate iff (a) it shares a winnowed fingerprint
+    with another document, or (b) it repeats a GRAM internally — the
+    in-row self-duplication check runs on the pre-winnow gram array,
+    so within-doc repeats are detected at full ``span_words``
+    granularity (checking the winnowed minima instead would flag
+    nearly every document: consecutive windows sharing their minimum
+    is winnowing's normal compression, not duplication). By the
+    winnowing guarantee, any CROSS-doc duplicated passage of at least
+    ``window + span_words - 1`` words makes both documents candidates,
+    so such duplicates are removed EXACTLY as the unrestricted pass
+    would; shorter cross-doc duplicates (``span_words`` .. ``window +
+    span_words - 2`` words) may be missed — that is the documented
+    detection granularity bought for the cost reduction.
+    Non-candidate documents pass through verbatim (``n_kept =
+    n_words``), via the same left join + null ``_dup_pos`` rebuild.
+
+    Output contract is :func:`dedup_spans_overlap`'s:
+    ``(id, n_words int, n_kept int, text_dedup string)``.
+
+    Scale shape — the point of the composition: the full corpus pays
+    only the IN-ROW winnow (~``2/(window+1)`` of the overlapping-gram
+    volume, one fingerprint shuffle + one candidate-id distinct —
+    narrow strings/ids, never bodies); the ~``span_words``× digest
+    volume of the exact pass is paid ONLY by candidate documents. On a
+    corpus where duplication is sparse (the common 100 TB case after
+    upstream exact dedup) the exact pass touches a small fraction of
+    documents, and the final body join is against a dup_pos table
+    sized by actual duplication.
+    """
+    # ONE expression computes grams → (winnowed fps, self-dup flag):
+    # the gram array binds to the lambda var g, so however often the
+    # optimizer inlines the expression (e.g. an inferred pre-Generate
+    # filter), grams are computed at most once per inlining — a COLUMN
+    # reference to the gram array would instead be substituted into
+    # the per-window slice lambda and recompute the grams per window
+    # (measured O(words²): 17 s vs 1 s at sf0.1).
+    marked = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array({_gram_list(text_col, span_words)}), "
+            f"g -> struct({_winnow_of('g', window)} AS fps, "
+            f"size(g) != size(array_distinct(g)) AS self_dup))[0]"
+        ).alias("_m"),
+    ).select(
+        F.col(id_col),
+        F.col("_m.fps").alias("_fps"),
+        F.col("_m.self_dup").alias("_self_dup"),
+    )
+    # persist: the md5-gram winnow is the expensive per-row work and
+    # fp_rows feeds THREE consumers (the shared-fingerprint aggregate,
+    # the shared-fingerprint join probe, and the self-dup id branch) —
+    # uncached, Catalyst re-runs the gram scan for each. The cached
+    # rows are narrow (id, bool, fingerprint) at ~2/(window+1) of the
+    # gram volume — exactly the winnowed index a 100 TB run would
+    # materialize on disk. explode_outer + isNotNull: see
+    # winnow_fingerprints (avoids the inferred-filter inlining).
+    fp_rows = (
+        marked.select(
+            id_col, "_self_dup", F.explode_outer("_fps").alias("fingerprint")
+        )
+        .filter(F.col("fingerprint").isNotNull())
+        .persist()
+    )
+    shared = (
+        fp_rows.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("fingerprint")
+    )
+    # persist: the candidate-id set (narrow — ids only) feeds both the
+    # winners side and the losers side of the exact pass's meta
+    # self-join; without it the whole winnow subtree (fingerprint
+    # shuffle + union + distinct) executes twice
+    cand_ids = (
+        fp_rows.join(shared, "fingerprint")
+        .select(id_col)
+        .union(fp_rows.filter(F.col("_self_dup")).select(id_col))
+        .distinct()
+        .persist()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
+        _rebuild_overlap(
+            docs,
+            _overlap_dup_pos(cand_docs, span_words, text_col, id_col),
+            span_words,
+            text_col,
+            id_col,
+        ),
+        fp_rows,
+        cand_ids,
+    )

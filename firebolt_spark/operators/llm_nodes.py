@@ -259,7 +259,9 @@ class MediaFeaturesNode:
 
 class SemanticNearDupNode:
     """Params: threshold (0.9), n_centroids (16), max_cluster (None —
-    ALWAYS set on real corpora), id_col, vec_col."""
+    ALWAYS set on real corpora), id_col, vec_col, n_assign (1 — top-m
+    cluster multi-assignment; m>1 recovers boundary pairs at ~m²
+    candidate volume, measured grid in PERF.md round 8)."""
 
     def __init__(self, params: dict[str, Any]):
         self.threshold = float(params.get("threshold", 0.9))
@@ -268,6 +270,7 @@ class SemanticNearDupNode:
         self.max_cluster = int(mc) if mc is not None else None
         self.id_col = params.get("id_col", "vec_id")
         self.vec_col = params.get("vec_col", "embedding")
+        self.n_assign = int(params.get("n_assign", 1))
 
     def transform(self, df: DataFrame) -> DataFrame:
         return similarity.semantic_near_dups(
@@ -277,20 +280,40 @@ class SemanticNearDupNode:
             self.id_col,
             self.vec_col,
             max_cluster=self.max_cluster,
+            n_assign=self.n_assign,
         )
 
 
 class TemperatureMixNode:
     """Params: strata_col (required), key_col (required), alpha (0.5),
-    salt ('')."""
+    salt (''), plan_path (None — path to a FROZEN mix_plan written as
+    parquet; when set the node applies that plan via apply_mix_plan
+    instead of aggregating its input, which is what a STREAM must do:
+    mix_plan aggregates, illegal mid-stream), unseen_fraction (0.0 —
+    admit strata absent from the frozen plan at this hash fraction;
+    only meaningful with plan_path)."""
 
     def __init__(self, params: dict[str, Any]):
         self.strata_col = params["strata_col"]
         self.key_col = params["key_col"]
         self.alpha = float(params.get("alpha", 0.5))
         self.salt = str(params.get("salt", ""))
+        pp = params.get("plan_path")
+        self.plan_path = str(pp) if pp is not None else None
+        self.unseen_fraction = float(params.get("unseen_fraction", 0.0))
+        if self.plan_path is None and self.unseen_fraction:
+            raise ValueError(
+                "unseen_fraction requires plan_path: a plan aggregated "
+                "from the input itself has no unseen strata"
+            )
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.plan_path is not None:
+            plan = df.sparkSession.read.parquet(self.plan_path)
+            return mixture.apply_mix_plan(
+                df, plan, self.strata_col, self.key_col, self.salt,
+                unseen_fraction=self.unseen_fraction,
+            )
         return mixture.temperature_mix(
             df, self.strata_col, self.key_col, self.alpha, self.salt
         )
@@ -326,6 +349,60 @@ class SpanDedupNode:
         )
 
 
+class SpanDedupOverlapNode:
+    """Offset-robust span dedup (dedup.dedup_spans_overlap): every
+    overlapping window hashed — duplicates caught at any word offset,
+    ~span_words× the digest volume of span_dedup's tiles. Params:
+    span_words (16), text_col ('text'), id_col ('doc_id')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.span_words = int(params.get("span_words", 16))
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.dedup_spans_overlap(
+            df, self.span_words, self.text_col, self.id_col
+        )
+
+
+class SpanDedupCandidatesNode:
+    """The winnow→exact composition (dedup.dedup_spans_candidates):
+    the exact overlapping pass restricted to winnow-flagged candidate
+    docs — the production shape at 100 TB; duplicates shorter than
+    window + span_words - 1 words may survive. Params: span_words
+    (16), window (8), text_col ('text'), id_col ('doc_id')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.span_words = int(params.get("span_words", 16))
+        self.window = int(params.get("window", 8))
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.dedup_spans_candidates(
+            df, self.span_words, self.window, self.text_col, self.id_col
+        )
+
+
+class WinnowFingerprintNode:
+    """Winnowed fingerprints (dedup.winnow_fingerprints, Schleimer et
+    al. 2003): distinct (id, fingerprint) rows — the offset-robust
+    candidate index. Params: span_words (16), window (8), text_col
+    ('text'), id_col ('doc_id')."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.span_words = int(params.get("span_words", 16))
+        self.window = int(params.get("window", 8))
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.winnow_fingerprints(
+            df, self.span_words, self.window, self.text_col, self.id_col
+        )
+
+
 class LmQualityNode:
     """Params: text_col ('text'), id_col ('doc_id'). Self-scores
     against the input corpus's own unigram model."""
@@ -357,5 +434,8 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("temperature_mix", TemperatureMixNode, None, None)
     registry.register_node_type("hash_split", HashSplitNode, None, None)
     registry.register_node_type("span_dedup", SpanDedupNode, None, None)
+    registry.register_node_type("span_dedup_overlap", SpanDedupOverlapNode, None, None)
+    registry.register_node_type("span_dedup_candidates", SpanDedupCandidatesNode, None, None)
+    registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)
     registry.register_node_type("lm_quality", LmQualityNode, None, None)
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

@@ -397,6 +397,16 @@ def lm_cross_entropy(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
     )
+    # aggregate token OCCURRENCES per (doc, type) before the model
+    # join: every downstream per-row cost — the vocab join probe and
+    # especially the decimal arithmetic below — then scales with
+    # distinct types per doc, not raw token count (round 9: the
+    # decimal-sum aggregation was the measured 1.9× q_lm_quality
+    # regression; grouping cut sf1 3.0 s → 1.8 s with bit-identical
+    # output). The (id, token) pre-aggregation is map-side combined.
+    per_type = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
     # total/vsize are properties of the MODEL, not of the joined row —
     # carried as a 1-row broadcast so OOV tokens (NULL cnt after the
     # left join) still see the real denominator
@@ -405,7 +415,7 @@ def lm_cross_entropy(
     if broadcast_model:
         vocab = F.broadcast(vocab)
     scored = (
-        tok.join(vocab, "token", "left")
+        per_type.join(vocab, "token", "left")
         .crossJoin(consts)
         .withColumn(
             "_bits",
@@ -418,17 +428,24 @@ def lm_cross_entropy(
     # decimal-sum mean, not F.avg: double summation order follows
     # shuffle arrival, so avg() drifts in the last ulps across runs and
     # engines — the exact non-determinism ivf_assign's decimal comment
-    # documents. DECIMAL(30,15) addition is exact and associative
-    # (|_bits| < 64 for any real vocabulary, so 15 integer digits never
-    # overflow), making bits_per_token bit-identical everywhere
-    # (ADVICE r7).
+    # documents. Decimal addition AND the decimal(20,15) × occurrence
+    # product are exact ((20,15)·(10,0) → (31,15), summed at (38,15) —
+    # no precision cap is ever hit for |_bits| < 64 and corpora under
+    # 10²³ summed bits), and the scale-15 quantization of _bits is the
+    # SAME as the previous per-instance decimal(30,15) cast, so
+    # bits_per_token is bit-identical to both the r8 implementation
+    # and the oracle's per-token-row DECIMAL(30,15) sum (ADVICE r7):
+    # grouping identical terms cannot change an exact associative sum.
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("occ").cast("int").alias("n_tokens"),
             F.round(
-                F.sum(F.col("_bits").cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.col("_bits").cast("decimal(20,15)")
+                    * F.col("occ").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("occ"),
                 4,
             ).alias("bits_per_token"),
         )

@@ -1391,6 +1391,78 @@ Q_WINNOW_FINGERPRINTS_SQL = f"""
 """
 
 
+def q_dedup_spans_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow→exact composition (dedup.dedup_spans_candidates —
+    VERDICT r8 "Next #3"): winnowed fingerprints select candidate
+    documents (shared fingerprint across docs, or an internal repeat),
+    and the exact offset-robust overlapping-window pass runs ONLY over
+    the candidates; non-candidates pass through verbatim. Duplicated
+    passages >= _WINNOW_W + _SPAN_WORDS - 1 words are removed exactly
+    as q_dedup_spans_overlap would; within-doc repeats are caught at
+    full span granularity via the pre-winnow gram check. The oracle
+    replays winnow →
+    candidate selection → restricted keep-first → rebuild, certifying
+    the surviving text byte-for-byte."""
+    return dedup.dedup_spans_candidates(
+        _documents(spark, sf_dir), span_words=_SPAN_WORDS, window=_WINNOW_W
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_SPANS_CANDIDATES_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
+        FROM documents),
+    grams AS (
+        SELECT doc_id, words,
+               list_transform(range(0, greatest(len(words) - {_SPAN_WORDS}, 0) + 1),
+                   p -> md5(array_to_string(
+                       words[p + 1 : p + {_SPAN_WORDS}], ' '))) AS g
+        FROM base),
+    fp_all AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(g) - {_WINNOW_W}, 0) + 1),
+                      j -> list_min(g[j + 1 : j + {_WINNOW_W}])) AS fl
+        FROM grams),
+    fp AS (SELECT DISTINCT doc_id, unnest(fl) AS fingerprint FROM fp_all),
+    shared AS (SELECT fingerprint FROM fp
+               GROUP BY fingerprint HAVING count(*) >= 2),
+    cand AS (
+        SELECT DISTINCT doc_id FROM fp JOIN shared USING (fingerprint)
+        UNION
+        -- within-doc repeats detected on the PRE-winnow gram array
+        -- (full span granularity; the winnowed minima repeat in
+        -- consecutive windows by construction)
+        SELECT doc_id FROM grams WHERE len(g) != len(list_distinct(g))),
+    sized AS (SELECT doc_id, words, len(words) AS n FROM base),
+    wins AS (
+        SELECT s.doc_id,
+               unnest(range(0, greatest(n - {_SPAN_WORDS}, 0) + 1)) AS pos,
+               unnest(list_transform(range(0, greatest(n - {_SPAN_WORDS}, 0) + 1),
+                      p -> md5(array_to_string(
+                          words[p + 1 : p + {_SPAN_WORDS}], ' ')))) AS digest
+        FROM sized s JOIN cand USING (doc_id)),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, pos) AS rk
+        FROM wins),
+    dups AS (SELECT doc_id, list(pos ORDER BY pos) AS dup_pos
+             FROM ranked WHERE rk > 1 GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n AS INT) AS n_words,
+           CAST(len(list_filter(s.words, (w, i) ->
+                len(list_filter(coalesce(d.dup_pos, []), p ->
+                    p <= i - 1 AND i - 1 < p + {_SPAN_WORDS})) = 0))
+               AS INT) AS n_kept,
+           coalesce(array_to_string(list_filter(s.words, (w, i) ->
+                len(list_filter(coalesce(d.dup_pos, []), p ->
+                    p <= i - 1 AND i - 1 < p + {_SPAN_WORDS})) = 0), ' '), '')
+               AS text_dedup
+    FROM sized s LEFT JOIN dups d USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per document (text.lm_cross_entropy)
     — the distributed stand-in for perplexity quality filtering
@@ -1451,6 +1523,7 @@ QUERIES = {
     "q_dedup_spans": q_dedup_spans,
     "q_dedup_spans_overlap": q_dedup_spans_overlap,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_dedup_spans_candidates": q_dedup_spans_candidates,
     "q_lm_quality": q_lm_quality,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1489,6 +1562,7 @@ ORACLE = {
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
     "q_dedup_spans_overlap": Q_DEDUP_SPANS_OVERLAP_SQL,
     "q_winnow_fingerprints": Q_WINNOW_FINGERPRINTS_SQL,
+    "q_dedup_spans_candidates": Q_DEDUP_SPANS_CANDIDATES_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

@@ -275,3 +275,83 @@ def test_mixture_and_span_nodes_compose_from_yaml(spark, sf_dir):
     assert set(out.columns) == {"vec_a", "vec_b", "cluster", "cos_sim"}
     assert out.count() > 0
     sem.unpersist()
+
+
+R9_PIPELINE = """
+application: r9-nodes-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: span_dedup_overlap
+    id: overlap
+    params: {span_words: 3}
+  - name: span_dedup_candidates
+    id: cands
+    params: {span_words: 3, window: 4}
+  - name: winnow_fingerprint
+    id: winnow
+    params: {span_words: 3, window: 4}
+"""
+
+R9_SEM_PIPELINE = """
+application: r9-sem-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: semantic_near_dup
+    id: sem2
+    params: {threshold: 0.3, n_centroids: 16, max_cluster: 1000, n_assign: 2}
+"""
+
+FROZEN_MIX_PIPELINE = """
+application: frozen-mix-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: temperature_mix
+    id: frozen
+    params: {strata_col: lang, key_col: doc_id, salt: m7,
+             plan_path: "%(plan)s", unseen_fraction: 1.0}
+"""
+
+
+def test_round9_nodes_compose_from_yaml(spark, sf_dir, tmp_path):
+    """Round-9 surface registered as node types (VERDICT r8 'Next #6'):
+    span_dedup_overlap / span_dedup_candidates / winnow_fingerprint,
+    n_assign on semantic_near_dup, and a FROZEN plan_path on
+    temperature_mix — applied from disk, it admits the same rows the
+    aggregate path picks for the plan's strata."""
+    from firebolt_spark.operators import mixture
+
+    p = Pipeline.from_yaml(R9_PIPELINE % {"path": f"{sf_dir}/documents.parquet"})
+    res = p.run_batch(spark)
+    n_docs = 500
+    for node in ("overlap", "cands"):
+        out = res.outputs[node]
+        assert set(out.columns) == {"doc_id", "n_words", "n_kept", "text_dedup"}
+        assert out.count() == n_docs
+    assert set(res.outputs["winnow"].columns) == {"doc_id", "fingerprint"}
+    assert res.outputs["winnow"].count() > n_docs
+    res.unpersist()
+
+    sem = Pipeline.from_yaml(
+        R9_SEM_PIPELINE % {"path": f"{sf_dir}/embeddings.parquet"}
+    ).run_batch(spark)
+    assert sem.outputs["sem2"].count() > 0
+    sem.unpersist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan_path = str(tmp_path / "mix_plan")
+    mixture.mix_plan(docs, "lang", 0.5).write.parquet(plan_path)
+    frozen = Pipeline.from_yaml(FROZEN_MIX_PIPELINE % {
+        "path": f"{sf_dir}/documents.parquet", "plan": plan_path,
+    }).run_batch(spark)
+    got = {r["doc_id"] for r in frozen.outputs["frozen"].collect()}
+    expect = {r["doc_id"] for r in mixture.temperature_mix(
+        docs, "lang", "doc_id", 0.5, "m7").collect()}
+    assert got == expect and got
+    frozen.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plan_path"):
+        Pipeline.from_yaml(FROZEN_MIX_PIPELINE.replace(
+            'plan_path: "%(plan)s", ', "") % {
+            "path": f"{sf_dir}/documents.parquet"})

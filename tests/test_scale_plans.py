@@ -590,6 +590,42 @@ def test_round8_span_overlap_plan_shape(spark, sf_dir):
     assert wplan.count("Exchange") <= 1  # only the distinct
 
 
+def test_round9_spans_candidates_plan_shape(spark, sf_dir):
+    """The winnow→exact composition keeps both parents' topology: the
+    full corpus pays only the in-row winnow (fingerprint agg + shared
+    join + candidate-id distinct — narrow), the exact digest pass is
+    fed by a semi-join-restricted scan, no Window, no cartesian, no
+    Python UDF; bodies still cross exactly one doc-key output join."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import dedup_spans_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = dedup_spans_candidates(docs, span_words=3, window=4
+                                  )._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # candidate restriction arrives as a semi join, not a re-agg
+    assert "LeftSemi" in plan
+    # the gram pass (fp_rows) and the candidate-id set are cached;
+    # every consumer reads InMemoryTableScan instead of recomputing
+    # the md5-gram winnow (the plan text prints cached subtrees under
+    # each reference, so raw Exchange counts double-count — the
+    # InMemoryTableScans are the reuse proof)
+    assert plan.count("InMemoryTableScan") >= 2
+    # the inferred-filter footgun: no size(...)>0 filter may be pushed
+    # into the corpus scan (it would inline the gram pipeline into a
+    # per-window recompute — the measured O(words²) regression)
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan_lines and all("md5" not in l for l in scan_lines)
+    # outside the cached candidate subtree: digest agg, winners
+    # broadcast, dup_pos agg, output broadcast — like
+    # dedup_spans_overlap's own bound
+    visible = plan.split("InMemoryTableScan", 1)[0]
+    assert visible.count("Exchange") <= 5
+
+
 def test_round8_queries_stay_jvm_side_and_prune(spark, sf_dir):
     """Round-8 queries: no Python UDF in any plan; scans read only the
     columns the query needs."""
