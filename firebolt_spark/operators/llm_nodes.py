@@ -8,11 +8,29 @@ scale notes.
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 from pyspark.sql import DataFrame
 
 from firebolt_spark.operators import dedup, mixture, multimodal, similarity, text
+
+_log = logging.getLogger("firebolt_spark.llm_nodes")
+
+
+def _warn_unset_cap(node: str, param: str) -> None:
+    """The degenerate-bucket caps (max_bucket / max_cluster / max_df)
+    default to None so the ORACLE path stays exact, but an uncapped
+    candidate join on a real corpus is the one-hot-bucket quadratic
+    footgun every docstring warns about. A YAML author gets one
+    logged warning per node instance instead of silently inheriting
+    the exact-but-unbounded behavior (VERDICT r8 residual nit)."""
+    _log.warning(
+        "%s: %s is unset — candidate joins are UNBOUNDED per bucket. "
+        "Always set it on real corpora (see the operator docstring).",
+        node,
+        param,
+    )
 
 
 class ExactDedupNode:
@@ -36,6 +54,8 @@ class MinhashDedupNode:
         self.bands = int(params.get("bands", dedup.N_BANDS))
         mb = params.get("max_bucket")
         self.max_bucket = int(mb) if mb is not None else None
+        if self.max_bucket is None:
+            _warn_unset_cap("dedup_minhash", "max_bucket")
 
     def transform(self, df: DataFrame) -> DataFrame:
         return dedup.minhash_candidate_pairs(
@@ -59,6 +79,8 @@ class SimhashNode:
         self.max_hamming = int(params.get("max_hamming", 3))
         mb = params.get("max_bucket")
         self.max_bucket = int(mb) if mb is not None else None
+        if self.pairs and self.max_bucket is None:
+            _warn_unset_cap("simhash(pairs)", "max_bucket")
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.pairs:
@@ -78,6 +100,8 @@ class NgramJaccardNode:
         self.threshold = float(params.get("threshold", 0.3))
         md = params.get("max_df")
         self.max_df = float(md) if md is not None else None
+        if self.max_df is None:
+            _warn_unset_cap("ngram_jaccard", "max_df")
 
     def transform(self, df: DataFrame) -> DataFrame:
         return dedup.ngram_jaccard_pairs(
@@ -235,6 +259,8 @@ class EmbeddingNearDupNode:
         self.vec_col = params.get("vec_col", "embedding")
         mb = params.get("max_bucket")
         self.max_bucket = int(mb) if mb is not None else None
+        if self.max_bucket is None:
+            _warn_unset_cap("embedding_near_dup", "max_bucket")
 
     def transform(self, df: DataFrame) -> DataFrame:
         return similarity.embedding_near_dups(
@@ -268,6 +294,8 @@ class SemanticNearDupNode:
         self.n_centroids = int(params.get("n_centroids", 16))
         mc = params.get("max_cluster")
         self.max_cluster = int(mc) if mc is not None else None
+        if self.max_cluster is None:
+            _warn_unset_cap("semantic_near_dup", "max_cluster")
         self.id_col = params.get("id_col", "vec_id")
         self.vec_col = params.get("vec_col", "embedding")
         self.n_assign = int(params.get("n_assign", 1))
