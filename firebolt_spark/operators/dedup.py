@@ -348,7 +348,13 @@ def ngram_jaccard_pairs(
     per-doc sizes still do), so pass None when exactness matters and the
     corpus is known clean; at 100 TB always set it.
     """
-    sh = shingle_table(docs, text_col, n)
+    # persist: the shingle table feeds FOUR consumers (per-doc sizes,
+    # the hot-shingle document-frequency aggregate, and BOTH sides of
+    # the inverted-index self-join) — uncached, the O(tokens)-per-row
+    # shingle expression re-runs for each. The cached rows are the
+    # narrow (doc_id, sh) inverted index itself — exactly what a
+    # 100 TB run would materialize (bucketed by sh) before the join.
+    sh = shingle_table(docs, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         # corpus size as an in-plan scalar (1-row aggregate broadcast
@@ -384,7 +390,9 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -395,7 +403,8 @@ def ngram_jaccard_pairs(
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        sh,
     )
 
 
