@@ -1105,30 +1105,34 @@ def dedup_spans_overlap(
     Deterministic total order (digest → min (id, pos)); the DuckDB
     oracle replays the identical rule.
     """
-    return _rebuild_overlap(
-        docs,
-        _overlap_dup_pos(docs, span_words, text_col, id_col),
-        span_words,
-        text_col,
-        id_col,
+    from firebolt_spark.functions import track_persisted
+
+    dup_pos, meta = _overlap_dup_pos(docs, span_words, text_col, id_col)
+    return track_persisted(
+        _rebuild_overlap(docs, dup_pos, span_words, text_col, id_col),
+        meta,
     )
 
 
 def _overlap_dup_pos(
     scope: DataFrame, span_words: int, text_col: str, id_col: str
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """The keep-first decision of :func:`dedup_spans_overlap` over the
     given document scope: one (id, _dup_pos sorted int array) row per
     doc that LOSES at least one overlapping window. Narrow (id, pos,
-    digest) streams only."""
+    digest) streams only. Returns ``(dup_pos, meta)`` — meta is the
+    PERSISTED window-digest stream (it feeds both the winners
+    aggregate and the losing-occurrence join; uncached, the window
+    tiling and md5 pass run twice — sf1: 13→10.7 s); callers attach it
+    via ``track_persisted`` for release after materialization."""
     meta = doc_windows(scope, span_words, text_col, id_col).select(
         id_col, "pos", F.md5(F.col("span")).alias("digest")
-    )
+    ).persist()
     winners = meta.groupBy("digest").agg(
         F.min(F.struct(id_col, "pos")).alias("w")
     )
     # losing occurrences: same digest, not the winning (id, pos)
-    return (
+    dup_pos = (
         meta.join(winners, "digest")
         .filter(
             ~(
@@ -1139,6 +1143,7 @@ def _overlap_dup_pos(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_dup_pos"))
     )
+    return dup_pos, meta
 
 
 def _rebuild_overlap(
@@ -1349,14 +1354,10 @@ def dedup_spans_candidates(
     cand_docs = docs.join(cand_ids, id_col, "left_semi")
     from firebolt_spark.functions import track_persisted
 
+    dup_pos, meta = _overlap_dup_pos(cand_docs, span_words, text_col, id_col)
     return track_persisted(
-        _rebuild_overlap(
-            docs,
-            _overlap_dup_pos(cand_docs, span_words, text_col, id_col),
-            span_words,
-            text_col,
-            id_col,
-        ),
+        _rebuild_overlap(docs, dup_pos, span_words, text_col, id_col),
         fp_rows,
         cand_ids,
+        meta,
     )
