@@ -330,6 +330,195 @@ def ann_ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+) -> None:
+    """Materialize the IVF layout ON DISK: the assigned corpus written
+    hive-partitioned by ``cluster`` plus the refined centroids and a
+    metadata sidecar — the inverted-file artifact
+    :func:`ann_ivf_topk`'s docstring promises (round 9: the IVF
+    analogue of :func:`build_lsh_index`).
+
+    Layout under ``path``: the corpus rows ``(id, vec, _norm)``
+    partitioned by ``cluster``; ``_centroids/`` (parquet —
+    underscore-hidden from the main read) holding ``(cluster, c_vec,
+    c_norm)``; ``_meta/`` (JSON) recording ``n_centroids`` and the
+    column names, validated at probe time like the LSH sidecar. A
+    probe reads ``n_probe / n_centroids`` of the corpus FILES
+    (``PartitionFilters`` pruning, pinned by tests) — no corpus scan,
+    no assignment recompute.
+    """
+    from firebolt_spark.functions import write_partitioned
+
+    assigned, cents = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, kmeans_iters
+    )
+    write_partitioned(
+        assigned.select(id_col, vec_col, "_norm", "cluster"), path, ["cluster"]
+    )
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+    meta = embeddings.sparkSession.createDataFrame(
+        [(int(n_centroids), id_col, vec_col)],
+        "n_centroids int, id_col string, vec_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def append_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW ingest batch to a :func:`build_ivf_index` artifact
+    — the ingest-loop face of the on-disk IVF layout (the
+    ``incremental_near_dups`` idea applied to ANN serving).
+
+    The batch is assigned to the EXISTING stored centroids (in-row
+    argmax, no Lloyd rerun — the index's partition function is frozen
+    at build time, which is what keeps previously-written rows valid)
+    and appended under the matching ``cluster=`` directories. Cost
+    tracks the batch: one batch scan + a partitioned append; the
+    historical corpus is never read. Rebuild the index when drift
+    makes the frozen centroids a poor quantizer (the standard
+    IVF reindex trade).
+    """
+    from firebolt_spark.functions import write_partitioned
+
+    spark = new_embeddings.sparkSession
+    meta = _read_index_meta(spark, path)
+    if meta is not None and (
+        meta["id_col"] != id_col or meta["vec_col"] != vec_col
+    ):
+        raise ValueError(
+            f"index at {path} was built with columns "
+            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
+        )
+    cents = spark.read.parquet(path + "/_centroids")
+    corpus = new_embeddings.withColumn("_norm", norm(vec_col))
+    assigned = _nearest(corpus, cents, id_col, vec_col)
+    write_partitioned(
+        assigned.select(id_col, vec_col, "_norm", "cluster"),
+        path,
+        ["cluster"],
+        mode="append",
+    )
+
+
+def ann_ivf_topk_from_index(
+    spark,
+    path: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vectors: list[tuple] | None = None,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` artifact: top-k per query read
+    from the query's ``n_probe`` nearest clusters' partition
+    directories only.
+
+    The probe clusters are selected with the SAME expressions as
+    :func:`ann_ivf_topk` (fold cosine against the stored centroids,
+    (sim DESC, cluster) tie-break) on a centroids×queries-sized job,
+    then interpolated as LITERAL ``cluster`` predicates so Spark
+    prunes at planning time — unprobed cluster directories are never
+    opened. Because :func:`ivf_assign` is deterministic (decimal-exact
+    Lloyd means), probing the index at equal parameters returns
+    exactly :func:`ann_ivf_topk`'s results.
+
+    ``query_vectors`` serves external queries not present in the
+    index: ``[(id, [floats...]), ...]`` literals cast to the index's
+    exact vector type. Column names are validated against the
+    ``_meta`` sidecar; an empty resolved probe set raises.
+    """
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    meta = _read_index_meta(spark, path)
+    if meta is not None and (
+        meta["id_col"] != id_col or meta["vec_col"] != vec_col
+    ):
+        raise ValueError(
+            f"index at {path} was built with columns "
+            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
+        )
+    index = spark.read.parquet(path)
+    cents = spark.read.parquet(path + "/_centroids")
+    q_schema = index.select(id_col, vec_col, "_norm").schema
+    q_rows = []
+    if query_ids:
+        q_rows = (
+            index.filter(F.col(id_col).isin(list(query_ids)))
+            .select(id_col, vec_col, "_norm")
+            .collect()
+        )
+    if query_vectors:
+        ext = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in query_vectors],
+            f"{id_col} long, {vec_col} array<double>",
+        ).select(
+            F.col(id_col).cast(q_schema[id_col].dataType),
+            F.col(vec_col).cast(q_schema[vec_col].dataType),
+        )
+        q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    if not q_rows:
+        ids = sorted(query_ids or [])
+        raise ValueError(
+            f"no probe vectors resolved: query_ids {ids} not present in "
+            f"the index at {path} and no query_vectors given"
+        )
+    q_df = spark.createDataFrame(q_rows, q_schema).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    # probe selection: same expressions/tie-break as ann_ivf_topk, on a
+    # centroids×queries-sized job whose result is collected into
+    # LITERAL partition predicates
+    probes = q_df.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", dot_fold("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cluster")
+    )
+    probe_rows = (
+        probes.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cluster")
+        .collect()
+    )
+    probe_clusters = sorted({r["cluster"] for r in probe_rows})
+    pruned = index.filter(F.col("cluster").isin(probe_clusters))
+    probe_schema = (
+        f"query_id {q_schema[id_col].dataType.simpleString()}, "
+        f"q_vec {q_schema[vec_col].dataType.simpleString()}, "
+        "q_norm double, "
+        f"cluster {cents.schema['cluster'].dataType.simpleString()}"
+    )
+    probe_df = spark.createDataFrame(probe_rows, probe_schema)
+    cand = pruned.join(
+        F.broadcast(probe_df),
+        (pruned.cluster == probe_df.cluster)
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = F.round(
+        dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
+    ).alias("cos_sim")
+    scored = cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -811,7 +1000,24 @@ def build_lsh_index(
     """
     from firebolt_spark.functions import write_partitioned
 
-    melted = embeddings.select(
+    write_partitioned(
+        _melt_lsh(embeddings, planes, tables, id_col, vec_col),
+        path,
+        ["tbl", "sig"],
+    )
+    meta = embeddings.sparkSession.createDataFrame(
+        [(int(planes), int(tables), id_col, vec_col)],
+        "planes int, tables int, id_col string, vec_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def _melt_lsh(
+    embeddings: DataFrame, planes: int, tables: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """One row per (vector, table) with that table's signature — the
+    write-side projection shared by build and append."""
+    return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         norm(vec_col).alias("_norm"),
@@ -827,12 +1033,44 @@ def build_lsh_index(
             )
         ).alias("_ts"),
     ).select(id_col, vec_col, "_norm", "_ts.tbl", "_ts.sig")
-    write_partitioned(melted, path, ["tbl", "sig"])
-    meta = embeddings.sparkSession.createDataFrame(
-        [(int(planes), int(tables), id_col, vec_col)],
-        "planes int, tables int, id_col string, vec_col string",
+
+
+def append_lsh_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW ingest batch to a :func:`build_lsh_index` artifact
+    — signatures computed with the SAME planes/tables recorded in the
+    index's ``_meta`` sidecar (which is what makes the append safe: a
+    different plane set would scatter the batch into foreign buckets),
+    written under the matching ``(tbl, sig)`` directories. Cost tracks
+    the batch; the historical corpus is never read.
+    """
+    from firebolt_spark.functions import write_partitioned
+
+    spark = new_embeddings.sparkSession
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"index at {path} has no _meta sidecar; cannot append without "
+            f"the build-time planes/tables"
+        )
+    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+        raise ValueError(
+            f"index at {path} was built with columns "
+            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
+        )
+    write_partitioned(
+        _melt_lsh(
+            new_embeddings, int(meta["planes"]), int(meta["tables"]),
+            id_col, vec_col,
+        ),
+        path,
+        ["tbl", "sig"],
+        mode="append",
     )
-    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
 
 
 def _read_index_meta(spark, path: str) -> dict | None:

@@ -718,6 +718,122 @@ def test_lsh_index_external_query_vectors_prune_and_match(spark, tmp_path):
     assert got == expect and got
 
 
+def test_ivf_index_on_disk_prunes_unprobed_clusters(spark, tmp_path):
+    """The on-disk IVF artifact (round 9 — the IVF analogue of the r8
+    LSH index): build_ivf_index writes the assigned corpus partitioned
+    by cluster + centroids + _meta; probing reads ONLY the probed
+    cluster directories (literal predicates → PartitionFilters) and —
+    because ivf_assign is deterministic — returns exactly the
+    in-memory ann_ivf_topk results at equal parameters. External
+    (id, vector) literals probe with the same pruning; a column-name
+    mismatch against _meta raises; an empty probe set raises."""
+    import pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_ivf_topk, ann_ivf_topk_from_index, build_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_centroids=4)
+
+    out = ann_ivf_topk_from_index(spark, path, [0, 1, 2], k=10, n_probe=2)
+    plan = _executed_plan(out)
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:250]
+
+    mem = ann_ivf_topk(emb, [0, 1, 2], k=10, n_centroids=4, n_probe=2)
+    got = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+           for r in out.collect()}
+    expect = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+              for r in mem.collect()}
+    assert got == expect and got
+
+    # external literal equal to an indexed vector: same top-k minus the
+    # self-hit exclusion (k+1 retrieves the self at rank 1)
+    vec0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ext = ann_ivf_topk_from_index(
+        spark, path, query_vectors=[(-1, [float(x) for x in vec0])],
+        k=11, n_probe=2,
+    )
+    got_ext = {(r["vec_id"], r["cos_sim"]) for r in ext.collect()
+               if r["vec_id"] != 0}
+    expect_ext = {(r["vec_id"], r["cos_sim"]) for r in out.collect()
+                  if r["query_id"] == 0}
+    assert got_ext == expect_ext and got_ext
+
+    with pytest.raises(ValueError, match="columns"):
+        ann_ivf_topk_from_index(spark, path, [0], id_col="doc_id")
+    with pytest.raises(ValueError, match="no probe vectors"):
+        ann_ivf_topk_from_index(spark, path, [99999999])
+
+
+def test_ivf_index_append_matches_full_rebuild_scoring(spark, tmp_path):
+    """append_ivf_index assigns a delta batch to the FROZEN stored
+    centroids and appends under the matching cluster directories — no
+    Lloyd rerun, no historical read. A probe over the appended index
+    sees the new vectors, and their cluster assignment equals what
+    _nearest computes against the stored centroids."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_ivf_topk_from_index, append_ivf_index, build_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(base, path, n_centroids=4)
+    n_base = spark.read.parquet(path).count()
+    append_ivf_index(delta, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == n_base + delta.count()
+    # probing with a base query can now retrieve appended vectors
+    out = ann_ivf_topk_from_index(spark, path, [0], k=10, n_probe=4)
+    assert out.count() == 10
+    # the frozen centroids: appended rows' clusters all come from the
+    # stored centroid set
+    stored = {r["cluster"]
+              for r in spark.read.parquet(path + "/_centroids").collect()}
+    appended = {r["cluster"] for r in
+                idx.filter(F.col("vec_id") >= 400).collect()}
+    assert appended <= stored
+
+
+def test_lsh_index_append_is_probe_equivalent_to_rebuild(spark, tmp_path):
+    """append_lsh_index signs a delta with the sidecar's planes/tables
+    and appends under the matching (tbl, sig) directories: probing the
+    appended index returns exactly what probing a from-scratch build
+    over the full corpus returns (signatures are per-row projections —
+    append == rebuild by construction). Appending without a sidecar
+    raises."""
+    import pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        ann_lsh_topk_from_index, append_lsh_index, build_lsh_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    p_inc = str(tmp_path / "lsh_inc")
+    p_full = str(tmp_path / "lsh_full")
+    build_lsh_index(base, p_inc, planes=3, tables=2)
+    append_lsh_index(delta, p_inc)
+    build_lsh_index(emb, p_full, planes=3, tables=2)
+
+    a = ann_lsh_topk_from_index(spark, p_inc, [0, 1, 2], k=10, probes=2)
+    b = ann_lsh_topk_from_index(spark, p_full, [0, 1, 2], k=10, probes=2)
+    rows = lambda df: {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+                       for r in df.collect()}
+    assert rows(a) == rows(b) and rows(a)
+
+    with pytest.raises(ValueError, match="_meta"):
+        append_lsh_index(delta, str(tmp_path / "nonexistent"))
+
+
 def test_lsh_index_meta_contract(spark, tmp_path):
     """The _meta sidecar (ADVICE r8): build/probe planes mismatch and
     column-name mismatch raise instead of silently returning wrong
