@@ -1387,6 +1387,35 @@ def test_dedup_spans_candidates_matches_unrestricted_on_long_dups(spark):
     assert got[3][1] < got[3][0]   # self-repeat caught via pre-distinct
 
 
+def test_dedup_spans_candidates_guarantee_at_every_offset(spark):
+    """The winnowing guarantee as a sweep: a passage of exactly
+    window + span_words - 1 words (the bound) duplicated at EVERY word
+    offset 0..6 of an otherwise-unique document is flagged and removed
+    — the composed pass equals the unrestricted pass for every shift,
+    so offset robustness survives the candidate restriction."""
+    from firebolt_spark.operators.dedup import (
+        dedup_spans_candidates, dedup_spans_overlap,
+    )
+
+    k, w = 3, 2
+    passage = " ".join(f"p{i}" for i in range(w + k - 1))  # 4 words
+    rows = [(0, f"base0 base1 {passage} base2")]
+    for off in range(7):
+        prefix = " ".join(f"u{off}_{j}" for j in range(off))
+        body = f"{prefix} {passage}".strip() + f" t{off}_a t{off}_b"
+        rows.append((off + 1, body))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+           for r in dedup_spans_candidates(docs, span_words=k, window=w)
+           .collect()}
+    ref = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+           for r in dedup_spans_overlap(docs, span_words=k).collect()}
+    assert got == ref
+    for off in range(7):
+        n_kept, text = got[off + 1]
+        assert passage not in text, f"offset {off} survived"
+
+
 def test_dedup_spans_candidates_containment_on_fixture(spark, sf_dir):
     """On the real fixture the restriction may MISS duplicates shorter
     than window + span_words - 1 words but can never remove more than
