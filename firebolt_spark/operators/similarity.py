@@ -361,6 +361,7 @@ def build_ivf_index(
     write_partitioned(
         assigned.select(id_col, vec_col, "_norm", "cluster"), path, ["cluster"]
     )
+    _write_ids_sidecar(embeddings, path, id_col, vec_col)
     cents.write.mode("overwrite").parquet(path + "/_centroids")
     meta = embeddings.sparkSession.createDataFrame(
         [(int(n_centroids), id_col, vec_col)],
@@ -408,6 +409,7 @@ def append_ivf_index(
         ["cluster"],
         mode="append",
     )
+    _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
 
 
 def ann_ivf_topk_from_index(
@@ -453,10 +455,8 @@ def ann_ivf_topk_from_index(
     q_schema = index.select(id_col, vec_col, "_norm").schema
     q_rows = []
     if query_ids:
-        q_rows = (
-            index.filter(F.col(id_col).isin(list(query_ids)))
-            .select(id_col, vec_col, "_norm")
-            .collect()
+        q_rows = _lookup_query_rows(
+            spark, path, index, query_ids, id_col, vec_col
         )
     if query_vectors:
         ext = spark.createDataFrame(
@@ -1005,6 +1005,7 @@ def build_lsh_index(
         path,
         ["tbl", "sig"],
     )
+    _write_ids_sidecar(embeddings, path, id_col, vec_col)
     meta = embeddings.sparkSession.createDataFrame(
         [(int(planes), int(tables), id_col, vec_col)],
         "planes int, tables int, id_col string, vec_col string",
@@ -1071,6 +1072,7 @@ def append_lsh_index(
         ["tbl", "sig"],
         mode="append",
     )
+    _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
 
 
 def _read_index_meta(spark, path: str) -> dict | None:
@@ -1081,6 +1083,44 @@ def _read_index_meta(spark, path: str) -> dict | None:
     except Exception:  # noqa: BLE001 — missing dir is AnalysisException
         return None
     return rows[0].asDict() if rows else None
+
+
+def _write_ids_sidecar(
+    embeddings: DataFrame, path: str, id_col: str, vec_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """``_ids``: one corpus copy range-partitioned AND sorted by id —
+    the query-vector LOOKUP artifact. The main index is partitioned by
+    bucket/cluster, so an id lookup there scans every partition; here
+    the id predicate prunes parquet row groups via min/max stats, so
+    fetching a handful of query vectors reads a handful of row groups,
+    not a corpus slice. One extra corpus copy — marginal next to the
+    L table copies the LSH index already pays."""
+    (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), norm(vec_col).alias("_norm")
+        )
+        .repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode(mode)
+        .parquet(path + "/_ids")
+    )
+
+
+def _lookup_query_rows(spark, path: str, index, query_ids, id_col, vec_col):
+    """Fetch query vectors by id: prefer the ``_ids`` sidecar (row-group
+    pruned point lookup); fall back to scanning the index's first
+    slice for pre-sidecar artifacts."""
+    try:
+        ids_tbl = spark.read.parquet(path + "/_ids")
+    except Exception:  # noqa: BLE001 — sidecar absent on old indexes
+        ids_tbl = None
+    src = ids_tbl if ids_tbl is not None else index
+    return (
+        src.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col, "_norm")
+        .collect()
+    )
 
 
 def ann_lsh_topk_from_index(
@@ -1164,14 +1204,11 @@ def ann_lsh_topk_from_index(
     q_schema = index.select(id_col, vec_col, "_norm").schema
     q_rows = []
     if query_ids:
-        # few-row driver lookup: the query vectors themselves
-        q_rows = (
-            index.filter(
-                (F.col("tbl") == tables[0])
-                & F.col(id_col).isin(list(query_ids))
-            )
-            .select(id_col, vec_col, "_norm")
-            .collect()
+        # few-row driver lookup via the _ids sidecar (row-group-pruned
+        # point read; pre-sidecar indexes fall back to the tbl-0 slice)
+        q_rows = _lookup_query_rows(
+            spark, path, index.filter(F.col("tbl") == tables[0]),
+            query_ids, id_col, vec_col,
         )
     if query_vectors:
         # cast literals to the index's exact types BEFORE computing the

@@ -769,6 +769,28 @@ def test_ivf_index_on_disk_prunes_unprobed_clusters(spark, tmp_path):
         ann_ivf_topk_from_index(spark, path, [99999999])
 
 
+def test_index_id_lookup_uses_sorted_sidecar(spark, tmp_path):
+    """The _ids sidecar (round 9): the query-vector lookup reads a
+    range-partitioned, id-sorted corpus copy with the id predicate
+    PUSHED to the parquet scan (row-group min/max pruning) — instead
+    of scanning a full bucket-partitioned slice of the index, which
+    has no useful id locality."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import build_lsh_index
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, planes=3, tables=2)
+
+    ids_tbl = spark.read.parquet(path + "/_ids")
+    assert ids_tbl.count() == emb.count()
+    lookup = ids_tbl.filter(F.col("vec_id").isin([0, 1, 2]))
+    plan = _executed_plan(lookup)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "vec_id" in pushed and "In(" in pushed
+
+
 def test_ivf_index_append_matches_full_rebuild_scoring(spark, tmp_path):
     """append_ivf_index assigns a delta batch to the FROZEN stored
     centroids and appends under the matching cluster directories — no
