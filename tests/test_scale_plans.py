@@ -636,6 +636,7 @@ def test_round8_queries_stay_jvm_side_and_prune(spark, sf_dir):
     allowed = {
         "q_dedup_spans_overlap": {"doc_id", "text"},
         "q_winnow_fingerprints": {"doc_id", "text"},
+        "q_dedup_spans_candidates": {"doc_id", "text"},  # round 9
     }
     qs = entry_mod.queries()
     for name, cols in allowed.items():
