@@ -467,6 +467,7 @@ def ann_ivf_topk_from_index(
             F.col(vec_col).cast(q_schema[vec_col].dataType),
         )
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    q_rows = _dedup_query_rows(q_rows, id_col)
     if not q_rows:
         ids = sorted(query_ids or [])
         raise ValueError(
@@ -1123,6 +1124,20 @@ def _lookup_query_rows(spark, path: str, index, query_ids, id_col, vec_col):
     )
 
 
+def _dedup_query_rows(q_rows, id_col):
+    """One probe row per query id (first occurrence wins). Duplicates
+    arise from a re-appended id in the ``_ids`` sidecar or a repeated
+    entry in query_ids/query_vectors; left in, they would duplicate
+    candidate rows, and the IVF top-k window (no groupBy dedup like
+    the LSH path's) would rank identical rows into the result."""
+    seen, out = set(), []
+    for r in q_rows:
+        if r[id_col] not in seen:
+            seen.add(r[id_col])
+            out.append(r)
+    return out
+
+
 def ann_lsh_topk_from_index(
     spark,
     path: str,
@@ -1221,6 +1236,7 @@ def ann_lsh_topk_from_index(
             F.col(vec_col).cast(q_schema[vec_col].dataType),
         )
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    q_rows = _dedup_query_rows(q_rows, id_col)
     if not q_rows:
         ids = sorted(query_ids or [])
         raise ValueError(

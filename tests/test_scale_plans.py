@@ -822,6 +822,16 @@ def test_ivf_index_append_matches_full_rebuild_scoring(spark, tmp_path):
     appended = {r["cluster"] for r in
                 idx.filter(F.col("vec_id") >= 400).collect()}
     assert appended <= stored
+    # a RE-appended id duplicates index rows; the probe dedups its
+    # query rows, so a duplicated QUERY id still yields k distinct
+    # ranked neighbors (round-9 review: the IVF top-k window has no
+    # groupBy dedup, so duplicate probe rows would rank twice)
+    append_ivf_index(delta.limit(5), path)
+    dup_q = [r["vec_id"] for r in delta.limit(1).collect()]
+    got = [r["vec_id"] for r in
+           ann_ivf_topk_from_index(spark, path, dup_q, k=10, n_probe=4)
+           .collect()]
+    assert len(got) == len(set(got)) == 10
 
 
 def test_lsh_index_append_is_probe_equivalent_to_rebuild(spark, tmp_path):
