@@ -60,6 +60,9 @@ _DOCS_WITH_DUPS_SQL = """
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (dedup.exact_duplicates): one row per content
+    digest with the kept (min) doc_id and duplicate count — a single
+    16-byte-digest shuffle, bodies never move."""
     return dedup.exact_duplicates(_documents_with_dups(spark, sf_dir))
 
 
@@ -124,6 +127,9 @@ _BANDSC_SQL = (
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (dedup.minhash_candidate_pairs):
+    zero-shuffle in-row signatures, one-pass band emission, bucketed
+    candidate join with est_jaccard scoring."""
     return dedup.minhash_candidate_pairs(
         _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_BANDS
     )
@@ -231,6 +237,8 @@ _SIMHASH_CTE = f"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprints (dedup.simhash) — weighted
+    sign-sum over shingle hashes, computed wholly in-row."""
     return dedup.simhash(_documents(spark, sf_dir))
 
 
@@ -241,6 +249,9 @@ Q_DEDUP_SIMHASH_SQL = f"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius
+    (dedup.simhash_pairs): pigeonhole block equi-join — never
+    all-pairs."""
     return dedup.simhash_pairs(
         _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_SIMHASH
     )
@@ -360,6 +371,9 @@ Q_DEDUP_EMBEDDING_SQL = f"""
 # ---- similarity search ----------------------------------------------------
 
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query id (similarity.cosine_topk):
+    broadcast queries, sequential-fold dot product, deterministic
+    (score desc, id) ranking — the ANN recall baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _QUERY_VEC_IDS, k=10)
 
@@ -600,6 +614,8 @@ def _make_topic_clusters_sql(n_centroids: int = 16) -> str:
 # ---- text analysis --------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats (text.text_stats): token/char counts,
+    punct/stopword/upper ratios — one scan, column expressions only."""
     return text.text_stats(_documents(spark, sf_dir))
 
 
@@ -708,6 +724,8 @@ Q_SAMPLE_BY_SOURCE_SQL = f"""
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (text.language_id): stopword-list hit
+    ratios per language, argmax in-row — single scan."""
     return text.language_id(_documents(spark, sf_dir))
 
 
@@ -737,6 +755,8 @@ Q_TEXT_LANGID_SQL = f"""
 
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (text.token_counts) —
+    pure column expressions, one scan."""
     return text.token_counts(_documents(spark, sf_dir))
 
 
@@ -753,6 +773,8 @@ Q_TEXT_TOKENS_SQL = """
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (text.fingerprints): min md5
+    over word shingles — a 1-permutation minhash signature per doc."""
     return text.fingerprints(_documents(spark, sf_dir))
 
 
