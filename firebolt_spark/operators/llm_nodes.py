@@ -110,15 +110,24 @@ class NgramJaccardNode:
 
 
 class SimilaritySearchNode:
-    """Params: query_ids (required list), k (10), method ('bruteforce' |
-    'lsh' | 'ivf'), id_col, vec_col. LSH extras: planes (default: auto
-    via similarity.recommended_planes on the corpus count), probes (2,
+    """Params: query_ids (list of in-corpus ids) and/or query_vectors
+    (list of [id, [floats...]] external queries — use ids not in the
+    corpus, e.g. negative; at least one of the two is required), k
+    (10), method ('bruteforce' | 'lsh' | 'ivf'), id_col, vec_col.
+    LSH extras: planes (default: auto via
+    similarity.recommended_planes on the corpus count), probes (2,
     Hamming-1 multiprobe), tables (8, independent plane sets — the
     recall lever; measured grid in similarity.ann_lsh_topk).
     IVF extras: n_centroids (16), n_probe (4)."""
 
     def __init__(self, params: dict[str, Any]):
-        self.query_ids = list(params["query_ids"])
+        self.query_ids = list(params.get("query_ids") or [])
+        qv = params.get("query_vectors") or []
+        self.query_vectors = [(int(i), list(v)) for i, v in qv]
+        if not self.query_ids and not self.query_vectors:
+            raise ValueError(
+                "similarity_search needs query_ids and/or query_vectors"
+            )
         self.k = int(params.get("k", 10))
         self.method = params.get("method", "bruteforce")
         if self.method not in ("bruteforce", "lsh", "ivf"):
@@ -133,7 +142,11 @@ class SimilaritySearchNode:
         self.n_probe = int(params.get("n_probe", 4))
 
     def transform(self, df: DataFrame) -> DataFrame:
-        common = dict(id_col=self.id_col, vec_col=self.vec_col)
+        common = dict(
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            query_vectors=self.query_vectors or None,
+        )
         if self.method == "lsh":
             return similarity.ann_lsh_topk(
                 df,

@@ -1356,6 +1356,39 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     assert fps.count() < n_grams  # the index-compression point
 
 
+def test_external_query_vectors_match_in_corpus_queries(spark, sf_dir):
+    """query_vectors on the in-memory ANN paths (round 9 — the serving
+    symmetry of the index probes' VERDICT r8 #7): an external literal
+    equal to an indexed vector retrieves that vector's exact top-k on
+    every path (bruteforce / LSH single-table / LSH multi-table / IVF)
+    — minus the self-hit, which keys on the query id."""
+    from firebolt_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec0 = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    paths = {
+        "bruteforce": lambda ids, qv, k: S.cosine_topk(
+            emb, ids, k=k, query_vectors=qv),
+        "lsh1": lambda ids, qv, k: S.ann_lsh_topk(
+            emb, ids, k=k, planes=3, tables=1, probes=2, query_vectors=qv),
+        "lshN": lambda ids, qv, k: S.ann_lsh_topk(
+            emb, ids, k=k, planes=3, tables=2, probes=2, query_vectors=qv),
+        "ivf": lambda ids, qv, k: S.ann_ivf_topk(
+            emb, ids, k=k, n_centroids=4, n_probe=2, query_vectors=qv),
+    }
+    for name, fn in paths.items():
+        ref = {(r["vec_id"], r["cos_sim"])
+               for r in fn([0], None, 10).collect()}
+        ext = {(r["vec_id"], r["cos_sim"])
+               for r in fn(None, [(-1, vec0)], 11).collect()
+               if r["vec_id"] != 0}
+        assert ext == ref and ref, name
+        # mixing in-corpus ids and external literals in one call
+        both = fn([5], [(-1, vec0)], 3).collect()
+        assert {r["query_id"] for r in both} == {5, -1}, name
+
+
 def test_dedup_spans_candidates_matches_unrestricted_on_long_dups(spark):
     """The winnow→exact composition (VERDICT r8 'Next #3'): when every
     cross-doc duplication is >= window + span_words - 1 words, the
