@@ -74,6 +74,22 @@ def norm(a: str) -> Column:
     )
 
 
+def _query_sources(query_ids, query_vectors):
+    """Resolve the two query sources into (ids, vectors) with ONE row
+    per query id: within ``query_vectors`` first occurrence wins, and
+    an id present in BOTH sources resolves to the explicit vector
+    (the in-corpus entry is dropped) — otherwise the ranking window
+    would see two query rows for one id and emit mixed/duplicate
+    results (round-9 review)."""
+    seen, vectors = set(), []
+    for i, v in query_vectors or []:
+        if i not in seen:
+            seen.add(i)
+            vectors.append((i, v))
+    ids = [i for i in (query_ids or []) if i not in seen]
+    return ids, vectors
+
+
 def _external_queries(
     corpus: DataFrame, query_vectors, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -81,10 +97,10 @@ def _external_queries(
     id/vector types (so norms/signatures computed on them are
     bit-identical to corpus-side expressions) — the external-query
     serving case for the in-memory ANN paths (round 9; the index
-    probes gained this in VERDICT r8 Next #7). First occurrence wins
-    for a repeated id; use ids not present in the corpus (e.g.
-    negative) — an external query does not self-exclude a corpus row
-    sharing its id."""
+    probes gained this in VERDICT r8 Next #7). Use ids NOT present in
+    the corpus (e.g. negative): the self-hit exclusion keys on ids, so
+    an external query whose id collides with a corpus row EXCLUDES
+    that row from its own candidates."""
     spark = corpus.sparkSession
     seen, rows = set(), []
     for i, v in query_vectors:
@@ -116,9 +132,10 @@ def cosine_topk(
     ``query_vectors``: external ``[(id, [floats...]), ...]`` queries
     not present in the corpus (see :func:`_external_queries`).
     """
+    query_ids, query_vectors = _query_sources(query_ids, query_vectors)
     corpus = embeddings.withColumn("_norm", norm(vec_col))
     q = (
-        corpus.filter(F.col(id_col).isin(list(query_ids or [])))
+        corpus.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -229,6 +246,16 @@ def _sim_structs(vec_col: str) -> str:
     )
 
 
+def _cluster_is_numeric(cents: DataFrame) -> bool:
+    """The in-row argmax encodes the ASC tie-break as ``-cluster``
+    inside a struct max — valid only for numeric cluster ids (unary
+    minus on a string casts to double and yields NULL, collapsing
+    every assignment into one NULL cluster)."""
+    from pyspark.sql.types import NumericType
+
+    return isinstance(cents.schema["cluster"].dataType, NumericType)
+
+
 def _nearest(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Assign every corpus vector to its nearest centroid by cosine,
     computed IN-ROW: the centroids are broadcast as one
@@ -241,7 +268,22 @@ def _nearest(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> 
     Tie-break is bit-identical to the old window ``(sim DESC, cluster
     ASC)``: struct comparison takes the largest sim first (NaN ordered
     above every double, as the window's DESC did), then the largest
-    ``-cluster`` = smallest cluster id."""
+    ``-cluster`` = smallest cluster id. Non-numeric cluster ids (the
+    operators accept any id_col, and cluster ids are seeded from it)
+    cannot ride the negation trick and take the legacy window path —
+    same results, corpus-wide shuffle cost (round-9 review)."""
+    if not _cluster_is_numeric(cents):
+        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim", dot_fold(vec_col, "c_vec") / (F.col("_norm") * F.col("c_norm"))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("cluster")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r", "c_vec", "c_norm", "_sim")
+        )
     scored = corpus.crossJoin(F.broadcast(_cents_array(cents))).withColumn(
         "_best", F.expr(f"array_max({_sim_structs(vec_col)})")
     )
@@ -338,10 +380,11 @@ def ann_ivf_topk(
     layout (scan cost ≈ n_probe/n_centroids of brute force).
     ``query_vectors``: external queries (see :func:`_external_queries`).
     """
+    query_ids, query_vectors = _query_sources(query_ids, query_vectors)
     assigned, cents = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     assigned = assigned.persist()
     q = (
-        assigned.filter(F.col(id_col).isin(list(query_ids or [])))
+        assigned.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -408,11 +451,18 @@ def build_ivf_index(
     assigned, cents = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, kmeans_iters
     )
+    # persist the (tiny) centroid table: its LINEAGE is the whole
+    # multi-scan Lloyd refinement, and both the assigned-corpus write
+    # (which references cents through _nearest) and the _centroids
+    # write would otherwise re-execute it from scratch (round-9
+    # review: the build ran the refinement twice)
+    cents = cents.persist()
     write_partitioned(
         assigned.select(id_col, vec_col, "_norm", "cluster"), path, ["cluster"]
     )
     _write_ids_sidecar(embeddings, path, id_col, vec_col)
     cents.write.mode("overwrite").parquet(path + "/_centroids")
+    cents.unpersist()
     meta = embeddings.sparkSession.createDataFrame(
         [(int(n_centroids), id_col, vec_col)],
         "n_centroids int, id_col string, vec_col string",
@@ -443,13 +493,13 @@ def append_ivf_index(
 
     spark = new_embeddings.sparkSession
     meta = _read_index_meta(spark, path)
-    if meta is not None and (
-        meta["id_col"] != id_col or meta["vec_col"] != vec_col
-    ):
+    if meta is None:
         raise ValueError(
-            f"index at {path} was built with columns "
-            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
+            f"index at {path} has no _meta sidecar (written LAST at "
+            f"build time, so its absence means a broken or partial "
+            f"index); refusing to append"
         )
+    _validate_index_meta(meta, path, id_col, vec_col)
     cents = spark.read.parquet(path + "/_centroids")
     corpus = new_embeddings.withColumn("_norm", norm(vec_col))
     assigned = _nearest(corpus, cents, id_col, vec_col)
@@ -493,21 +543,14 @@ def ann_ivf_topk_from_index(
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     meta = _read_index_meta(spark, path)
-    if meta is not None and (
-        meta["id_col"] != id_col or meta["vec_col"] != vec_col
-    ):
-        raise ValueError(
-            f"index at {path} was built with columns "
-            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
-        )
+    _validate_index_meta(meta, path, id_col, vec_col)
     index = spark.read.parquet(path)
     cents = spark.read.parquet(path + "/_centroids")
     q_schema = index.select(id_col, vec_col, "_norm").schema
+    # external literals FIRST: _dedup_query_rows keeps the first row
+    # per id, so an id present in both sources resolves to the
+    # explicit vector
     q_rows = []
-    if query_ids:
-        q_rows = _lookup_query_rows(
-            spark, path, index, query_ids, id_col, vec_col
-        )
     if query_vectors:
         ext = spark.createDataFrame(
             [(i, list(map(float, v))) for i, v in query_vectors],
@@ -517,6 +560,10 @@ def ann_ivf_topk_from_index(
             F.col(vec_col).cast(q_schema[vec_col].dataType),
         )
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    if query_ids:
+        q_rows.extend(_lookup_query_rows(
+            spark, path, index, query_ids, id_col, vec_col
+        ))
     q_rows = _dedup_query_rows(q_rows, id_col)
     if not q_rows:
         ids = sorted(query_ids or [])
@@ -561,7 +608,16 @@ def ann_ivf_topk_from_index(
     cos = F.round(
         dot_fold(vec_col, "q_vec") / (F.col("_norm") * F.col("q_norm")), 4
     ).alias("cos_sim")
-    scored = cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+    # dedup BEFORE ranking: an at-least-once append (foreachBatch
+    # replay, or a re-appended delta) can leave a vector's row twice
+    # under its cluster directory — without this groupBy the window
+    # would rank the identical row at two consecutive ranks and return
+    # k-1 distinct neighbors (round-9 review)
+    scored = (
+        cand.select("query_id", F.col(id_col).alias("vec_id"), cos)
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
@@ -743,7 +799,8 @@ def ann_lsh_topk(
         F.col("sig"),
         *[F.expr(f"int(sig) ^ {1 << p}") for p in range(probes - 1)],
     )
-    q_src = with_sig.filter(F.col(id_col).isin(list(query_ids or []))).select(
+    query_ids, query_vectors = _query_sources(query_ids, query_vectors)
+    q_src = with_sig.filter(F.col(id_col).isin(list(query_ids))).select(
         id_col, vec_col, "sig", "_norm"
     )
     if query_vectors:
@@ -839,7 +896,8 @@ def _ann_lsh_topk_multitable(
             )
             for p in range(probes - 1)
         )
-    q_src = signed.filter(F.col(id_col).isin(list(query_ids or [])))
+    query_ids, query_vectors = _query_sources(query_ids, query_vectors)
+    q_src = signed.filter(F.col(id_col).isin(list(query_ids)))
     if query_vectors:
         ext = _external_queries(embeddings, query_vectors, id_col, vec_col)
         q_src = q_src.unionByName(
@@ -1001,18 +1059,34 @@ def semantic_near_dups(
         # top-m clusters per vector, in-row like _nearest (no corpus
         # Window): ascending struct sort on (s, -cluster) reversed =
         # (sim DESC with NaN first, cluster ASC) — the old window
-        # order — then take the first n_assign and explode.
+        # order — then take the first n_assign and explode. Non-numeric
+        # cluster ids take the window path (see _nearest).
         corpus = embeddings.withColumn("_norm", norm(vec_col))
-        topm = F.expr(
-            f"slice(reverse(array_sort({_sim_structs(vec_col)})), "
-            f"1, {int(n_assign)})"
-        )
-        assigned = (
-            corpus.crossJoin(F.broadcast(_cents_array(cents)))
-            .withColumn("_a", F.explode(topm))
-            .withColumn("cluster", -F.col("_a.nc"))
-            .drop("_a", "_cents")
-        )
+        if _cluster_is_numeric(cents):
+            topm = F.expr(
+                f"slice(reverse(array_sort({_sim_structs(vec_col)})), "
+                f"1, {int(n_assign)})"
+            )
+            assigned = (
+                corpus.crossJoin(F.broadcast(_cents_array(cents)))
+                .withColumn("_a", F.explode(topm))
+                .withColumn("cluster", -F.col("_a.nc"))
+                .drop("_a", "_cents")
+            )
+        else:
+            scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+                "_sim",
+                dot_fold(vec_col, "c_vec")
+                / (F.col("_norm") * F.col("c_norm")),
+            )
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_sim").desc(), F.col("cluster")
+            )
+            assigned = (
+                scored.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= n_assign)
+                .drop("_r", "c_vec", "c_norm", "_sim")
+            )
     assigned = cap_bucket_size(
         assigned.filter(F.col("_norm") > 0), ["cluster"], max_cluster
     ).persist()
@@ -1143,11 +1217,7 @@ def append_lsh_index(
             f"index at {path} has no _meta sidecar; cannot append without "
             f"the build-time planes/tables"
         )
-    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
-        raise ValueError(
-            f"index at {path} was built with columns "
-            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
-        )
+    _validate_index_meta(meta, path, id_col, vec_col)
     write_partitioned(
         _melt_lsh(
             new_embeddings, int(meta["planes"]), int(meta["tables"]),
@@ -1161,13 +1231,31 @@ def append_lsh_index(
 
 
 def _read_index_meta(spark, path: str) -> dict | None:
-    """Best-effort read of the ``_meta`` sidecar (absent on indexes
-    built before round 9)."""
+    """Read the ``_meta`` sidecar; None only when the sidecar does not
+    exist (pre-round-9 index). Any OTHER read failure — a corrupt or
+    partially-written _meta — propagates: silently degrading to
+    "no sidecar" would skip the planes/column validation and
+    reintroduce the silent wrong-top-k footgun the sidecar prevents
+    (round-9 review)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.json(path + "/_meta").collect()
-    except Exception:  # noqa: BLE001 — missing dir is AnalysisException
+    except AnalysisException:  # missing path only
         return None
     return rows[0].asDict() if rows else None
+
+
+def _validate_index_meta(meta, path: str, id_col: str, vec_col: str) -> None:
+    """Shared build/probe/append column-name validation against the
+    ``_meta`` sidecar (no-op when the sidecar is absent)."""
+    if meta is not None and (
+        meta["id_col"] != id_col or meta["vec_col"] != vec_col
+    ):
+        raise ValueError(
+            f"index at {path} was built with columns "
+            f"({meta['id_col']}, {meta['vec_col']}), got ({id_col}, {vec_col})"
+        )
 
 
 def _write_ids_sidecar(
@@ -1266,14 +1354,9 @@ def ann_lsh_topk_from_index(
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
     meta = _read_index_meta(spark, path)
+    _validate_index_meta(meta, path, id_col, vec_col)
     explicit_planes = planes is not None
     if meta is not None:
-        if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
-            raise ValueError(
-                f"index at {path} was built with columns "
-                f"({meta['id_col']}, {meta['vec_col']}), "
-                f"got ({id_col}, {vec_col})"
-            )
         if planes is None:
             planes = int(meta["planes"])
         elif planes != int(meta["planes"]):
@@ -1301,17 +1384,12 @@ def ann_lsh_topk_from_index(
     if not tables:
         raise ValueError(f"LSH index at {path} is empty")
     q_schema = index.select(id_col, vec_col, "_norm").schema
+    # external literals FIRST (explicit vector wins a both-sources id —
+    # _dedup_query_rows keeps the first row per id), cast to the
+    # index's exact types BEFORE the norm/signature so float storage
+    # rounding matches build time
     q_rows = []
-    if query_ids:
-        # few-row driver lookup via the _ids sidecar (row-group-pruned
-        # point read; pre-sidecar indexes fall back to the tbl-0 slice)
-        q_rows = _lookup_query_rows(
-            spark, path, index.filter(F.col("tbl") == tables[0]),
-            query_ids, id_col, vec_col,
-        )
     if query_vectors:
-        # cast literals to the index's exact types BEFORE computing the
-        # norm/signature, so float storage rounding matches build time
         ext = spark.createDataFrame(
             [(i, list(map(float, v))) for i, v in query_vectors],
             f"{id_col} long, {vec_col} array<double>",
@@ -1320,6 +1398,13 @@ def ann_lsh_topk_from_index(
             F.col(vec_col).cast(q_schema[vec_col].dataType),
         )
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
+    if query_ids:
+        # few-row driver lookup via the _ids sidecar (row-group-pruned
+        # point read; pre-sidecar indexes fall back to the tbl-0 slice)
+        q_rows.extend(_lookup_query_rows(
+            spark, path, index.filter(F.col("tbl") == tables[0]),
+            query_ids, id_col, vec_col,
+        ))
     q_rows = _dedup_query_rows(q_rows, id_col)
     if not q_rows:
         ids = sorted(query_ids or [])

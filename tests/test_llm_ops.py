@@ -1389,6 +1389,50 @@ def test_external_query_vectors_match_in_corpus_queries(spark, sf_dir):
         assert {r["query_id"] for r in both} == {5, -1}, name
 
 
+def test_ivf_assignment_string_ids_take_window_path(spark, sf_dir):
+    """A STRING id_col (the operators accept any id column, and cluster
+    ids are seeded from it) cannot ride the in-row -cluster negation —
+    unary minus on a string yields NULL and would collapse every
+    assignment into one NULL cluster. The numeric-check fallback keeps
+    the legacy window path: assignments are non-null and identical to
+    the numeric-id run on the same vectors (round-9 review)."""
+    from firebolt_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_str = emb.select(
+        F.format_string("id%05d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    got_s, _ = ivf_assign(as_str, n_centroids=4, kmeans_iters=1)
+    rows = got_s.select("vec_id", "cluster").collect()
+    assert all(r["cluster"] is not None for r in rows)
+    got_n, _ = ivf_assign(emb, n_centroids=4, kmeans_iters=1)
+    num = {r["vec_id"]: r["cluster"] for r in
+           got_n.select("vec_id", "cluster").collect()}
+    # same vectors, same seeding order (string sort 'id00000'.. matches
+    # numeric order by construction) -> identical partition
+    by_str = {int(r["vec_id"][2:]): int(r["cluster"][2:]) for r in rows}
+    assert by_str == num
+
+
+def test_query_sources_explicit_vector_wins(spark, sf_dir):
+    """An id passed in BOTH query_ids and query_vectors resolves to the
+    explicit vector — one query row, not two mixed window partitions
+    (round-9 review)."""
+    from firebolt_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec5 = [float(x) for x in
+            emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]]
+    both = cosine_topk(emb, query_ids=[0], k=5,
+                       query_vectors=[(0, vec5)]).collect()
+    only_ext = cosine_topk(emb, k=5, query_vectors=[(0, vec5)]).collect()
+    key = lambda rows: {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+                        for r in rows}
+    assert key(both) == key(only_ext)
+    assert len(both) == 5  # exactly one window partition for id 0
+
+
 def test_dedup_spans_candidates_matches_unrestricted_on_long_dups(spark):
     """The winnow→exact composition (VERDICT r8 'Next #3'): when every
     cross-doc duplication is >= window + span_words - 1 words, the
