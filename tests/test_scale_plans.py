@@ -832,6 +832,12 @@ def test_ivf_index_append_matches_full_rebuild_scoring(spark, tmp_path):
            ann_ivf_topk_from_index(spark, path, dup_q, k=10, n_probe=4)
            .collect()]
     assert len(got) == len(set(got)) == 10
+    # a missing _meta (written LAST at build time) means a broken or
+    # partial index — appending refuses, like the LSH twin
+    import pytest
+
+    with pytest.raises(ValueError, match="_meta"):
+        append_ivf_index(delta, str(tmp_path / "nonexistent"))
 
 
 def test_lsh_index_append_is_probe_equivalent_to_rebuild(spark, tmp_path):
