@@ -1230,6 +1230,28 @@ def append_lsh_index(
     _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
 
 
+def index_stats(spark, path: str) -> DataFrame:
+    """Bucket/cluster population profile of an on-disk ANN index — the
+    reindex-decision input :mod:`docs/ann_index` describes: one row per
+    partition value with its member count, descending. For an LSH
+    index the key is ``(tbl, sig)``; for IVF it is ``cluster``. A few
+    dominant partitions mean probe cost concentrates there — raise
+    ``planes`` / rebuild with more centroids. The scan reads only
+    partition columns + counts (column-pruned; no vectors move)."""
+    index = spark.read.parquet(path)
+    keys = [c for c in ("tbl", "sig", "cluster") if c in index.columns]
+    if not keys:
+        raise ValueError(
+            f"{path} is not a build_lsh_index/build_ivf_index artifact "
+            f"(no tbl/sig/cluster partition columns)"
+        )
+    return (
+        index.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy(F.col("n_vectors").desc(), *keys)
+    )
+
+
 def _read_index_meta(spark, path: str) -> dict | None:
     """Read the ``_meta`` sidecar; None only when the sidecar does not
     exist (pre-round-9 index). Any OTHER read failure — a corrupt or

@@ -840,6 +840,38 @@ def test_ivf_index_append_matches_full_rebuild_scoring(spark, tmp_path):
         append_ivf_index(delta, str(tmp_path / "nonexistent"))
 
 
+def test_index_stats_profiles_partitions_column_pruned(spark, tmp_path):
+    """index_stats returns the per-bucket/cluster population profile
+    (the reindex-decision input) from a partition-column-only scan —
+    vectors never move."""
+    import pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.similarity import (
+        build_ivf_index, build_lsh_index, index_stats,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    lsh_p = str(tmp_path / "lsh")
+    ivf_p = str(tmp_path / "ivf")
+    build_lsh_index(emb, lsh_p, planes=3, tables=2)
+    build_ivf_index(emb, ivf_p, n_centroids=4)
+
+    lsh = index_stats(spark, lsh_p)
+    assert lsh.columns == ["tbl", "sig", "n_vectors"]
+    assert sum(r["n_vectors"] for r in lsh.collect()) == 2 * emb.count()
+    ivf = index_stats(spark, ivf_p)
+    assert ivf.columns == ["cluster", "n_vectors"]
+    assert sum(r["n_vectors"] for r in ivf.collect()) == emb.count()
+    plan = _executed_plan(ivf)
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "embedding" not in scan  # vectors pruned from the scan
+
+    emb.write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="artifact"):
+        index_stats(spark, str(tmp_path / "plain"))
+
+
 def test_lsh_index_append_is_probe_equivalent_to_rebuild(spark, tmp_path):
     """append_lsh_index signs a delta with the sidecar's planes/tables
     and appends under the matching (tbl, sig) directories: probing the
