@@ -80,13 +80,22 @@ def _query_sources(query_ids, query_vectors):
     an id present in BOTH sources resolves to the explicit vector
     (the in-corpus entry is dropped) — otherwise the ranking window
     would see two query rows for one id and emit mixed/duplicate
-    results (round-9 review)."""
+    results (round-9 review).
+
+    Raises ``ValueError`` when BOTH sources are empty — mirroring the
+    ``*_from_index`` "no probe vectors resolved" contract, so a caller
+    bug cannot silently produce an empty result (r9 ADVICE)."""
     seen, vectors = set(), []
     for i, v in query_vectors or []:
         if i not in seen:
             seen.add(i)
             vectors.append((i, v))
     ids = [i for i in (query_ids or []) if i not in seen]
+    if not ids and not vectors:
+        raise ValueError(
+            "no probe vectors resolved: query_ids and query_vectors "
+            "are both empty"
+        )
     return ids, vectors
 
 
@@ -101,17 +110,35 @@ def _external_queries(
     the corpus (e.g. negative): the self-hit exclusion keys on ids, so
     an external query whose id collides with a corpus row EXCLUDES
     that row from its own candidates."""
-    spark = corpus.sparkSession
     seen, rows = set(), []
     for i, v in query_vectors:
         if i not in seen:
             seen.add(i)
-            rows.append((i, list(map(float, v))))
-    return spark.createDataFrame(
-        rows, f"{id_col} long, {vec_col} array<double>"
-    ).select(
-        F.col(id_col).cast(corpus.schema[id_col].dataType),
-        F.col(vec_col).cast(corpus.schema[vec_col].dataType),
+            rows.append((i, v))
+    return _literal_queries(
+        corpus.sparkSession, rows, id_col, vec_col, corpus.schema
+    )
+
+
+def _literal_queries(
+    spark, query_vectors, id_col: str, vec_col: str, target_schema
+) -> DataFrame:
+    """``(id, [floats...])`` literals as a DataFrame whose id column is
+    created DIRECTLY at the target schema's id type — int AND string
+    corpus keys both take the native Python value (r9 ADVICE: the old
+    hardcoded ``long`` literal schema made createDataFrame reject
+    string ids). The vector is built as ``array<double>`` then cast to
+    the stored vector type BEFORE any norm/signature, so float storage
+    rounding matches the corpus-side expressions bit-for-bit."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField(id_col, target_schema[id_col].dataType),
+        StructField(vec_col, ArrayType(DoubleType())),
+    ])
+    rows = [(i, list(map(float, v))) for i, v in query_vectors]
+    return spark.createDataFrame(rows, schema).select(
+        F.col(id_col), F.col(vec_col).cast(target_schema[vec_col].dataType)
     )
 
 
@@ -470,11 +497,38 @@ def build_ivf_index(
     meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
 
 
+def _applied_batches(spark, path: str) -> set[int]:
+    """Batch ids already applied to an index (the ``_batches`` sidecar;
+    empty set when the sidecar does not exist yet). Explicit schema, so
+    an empty directory reads as zero rows rather than an inference
+    error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.schema("batch_id long")
+            .json(path + "/_batches")
+            .collect()
+        )
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") == "PATH_NOT_FOUND":
+            return set()
+        raise
+    return {r["batch_id"] for r in rows}
+
+
+def _record_batch(spark, path: str, batch_id: int) -> None:
+    spark.createDataFrame(
+        [(int(batch_id),)], "batch_id long"
+    ).coalesce(1).write.mode("append").json(path + "/_batches")
+
+
 def append_ivf_index(
     new_embeddings: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Append a NEW ingest batch to a :func:`build_ivf_index` artifact
     — the ingest-loop face of the on-disk IVF layout (the
@@ -488,10 +542,19 @@ def append_ivf_index(
     historical corpus is never read. Rebuild the index when drift
     makes the frozen centroids a poor quantizer (the standard
     IVF reindex trade).
+
+    ``batch_id`` (e.g. foreachBatch's epoch id) makes replays
+    idempotent: applied ids are recorded in the ``_batches`` sidecar
+    AFTER the data append, and a batch whose id is already recorded is
+    skipped — an at-least-once stream restart re-appends only if the
+    crash landed in the narrow data-append→record window (r9 ADVICE;
+    probe-time dedup still guards result correctness either way).
     """
     from firebolt_spark.functions import write_partitioned
 
     spark = new_embeddings.sparkSession
+    if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        return
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -510,6 +573,8 @@ def append_ivf_index(
         mode="append",
     )
     _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
+    if batch_id is not None:
+        _record_batch(spark, path, batch_id)
 
 
 def ann_ivf_topk_from_index(
@@ -552,13 +617,7 @@ def ann_ivf_topk_from_index(
     # explicit vector
     q_rows = []
     if query_vectors:
-        ext = spark.createDataFrame(
-            [(i, list(map(float, v))) for i, v in query_vectors],
-            f"{id_col} long, {vec_col} array<double>",
-        ).select(
-            F.col(id_col).cast(q_schema[id_col].dataType),
-            F.col(vec_col).cast(q_schema[vec_col].dataType),
-        )
+        ext = _literal_queries(spark, query_vectors, id_col, vec_col, q_schema)
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
     if query_ids:
         q_rows.extend(_lookup_query_rows(
@@ -1200,6 +1259,7 @@ def append_lsh_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Append a NEW ingest batch to a :func:`build_lsh_index` artifact
     — signatures computed with the SAME planes/tables recorded in the
@@ -1207,10 +1267,15 @@ def append_lsh_index(
     different plane set would scatter the batch into foreign buckets),
     written under the matching ``(tbl, sig)`` directories. Cost tracks
     the batch; the historical corpus is never read.
+
+    ``batch_id`` enables idempotent replay via the ``_batches``
+    sidecar — see :func:`append_ivf_index`.
     """
     from firebolt_spark.functions import write_partitioned
 
     spark = new_embeddings.sparkSession
+    if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        return
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -1228,6 +1293,8 @@ def append_lsh_index(
         mode="append",
     )
     _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
+    if batch_id is not None:
+        _record_batch(spark, path, batch_id)
 
 
 def index_stats(spark, path: str) -> DataFrame:
@@ -1255,16 +1322,20 @@ def index_stats(spark, path: str) -> DataFrame:
 def _read_index_meta(spark, path: str) -> dict | None:
     """Read the ``_meta`` sidecar; None only when the sidecar does not
     exist (pre-round-9 index). Any OTHER read failure — a corrupt or
-    partially-written _meta — propagates: silently degrading to
-    "no sidecar" would skip the planes/column validation and
-    reintroduce the silent wrong-top-k footgun the sidecar prevents
-    (round-9 review)."""
+    partially-written _meta (e.g. an empty directory, which raises
+    ``UNABLE_TO_INFER_SCHEMA``, not ``PATH_NOT_FOUND``) — propagates:
+    silently degrading to "no sidecar" would skip the planes/column
+    validation and reintroduce the silent wrong-top-k footgun the
+    sidecar prevents (round-9 review; r9 ADVICE narrowed the catch to
+    the PATH_NOT_FOUND condition only)."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.json(path + "/_meta").collect()
-    except AnalysisException:  # missing path only
-        return None
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") == "PATH_NOT_FOUND":
+            return None
+        raise
     return rows[0].asDict() if rows else None
 
 
@@ -1412,13 +1483,7 @@ def ann_lsh_topk_from_index(
     # rounding matches build time
     q_rows = []
     if query_vectors:
-        ext = spark.createDataFrame(
-            [(i, list(map(float, v))) for i, v in query_vectors],
-            f"{id_col} long, {vec_col} array<double>",
-        ).select(
-            F.col(id_col).cast(q_schema[id_col].dataType),
-            F.col(vec_col).cast(q_schema[vec_col].dataType),
-        )
+        ext = _literal_queries(spark, query_vectors, id_col, vec_col, q_schema)
         q_rows.extend(ext.withColumn("_norm", norm(vec_col)).collect())
     if query_ids:
         # few-row driver lookup via the _ids sidecar (row-group-pruned

@@ -935,3 +935,96 @@ def test_lsh_index_meta_contract(spark, tmp_path):
     assert ann_lsh_topk_from_index(
         spark, path, [0], probes=9, k=3
     ).count() > 0
+
+
+def test_index_append_batch_id_makes_replay_idempotent(spark, tmp_path):
+    """r9 ADVICE: foreachBatch is at-least-once, so append_*_index
+    records applied batch ids in the ``_batches`` sidecar and skips a
+    replayed batch — index row counts (and hence index_stats/storage)
+    do not inflate on replay, while a NEW batch id still applies."""
+    from firebolt_spark.operators.similarity import (
+        append_ivf_index, append_lsh_index, build_ivf_index,
+        build_lsh_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    d1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    d2 = emb.filter(F.col("vec_id") >= 450)
+
+    lsh_p, ivf_p = str(tmp_path / "lsh"), str(tmp_path / "ivf")
+    build_lsh_index(base, lsh_p, planes=3, tables=2)
+    build_ivf_index(base, ivf_p, n_centroids=4)
+    for append, p in [(append_lsh_index, lsh_p), (append_ivf_index, ivf_p)]:
+        append(d1, p, batch_id=0)
+        n1 = spark.read.parquet(p).count()
+        append(d1, p, batch_id=0)  # replayed batch: no-op
+        assert spark.read.parquet(p).count() == n1
+        append(d2, p, batch_id=1)  # a new batch still applies
+        assert spark.read.parquet(p).count() > n1
+
+
+def test_index_meta_partial_sidecar_propagates(spark, tmp_path):
+    """r9 ADVICE: _read_index_meta treats ONLY PATH_NOT_FOUND as 'no
+    sidecar'; a partially-written/empty _meta directory raises
+    (UNABLE_TO_INFER_SCHEMA) instead of silently skipping the
+    planes/column validation the sidecar exists for."""
+    import os
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from firebolt_spark.operators.similarity import _read_index_meta
+
+    p = str(tmp_path / "idx")
+    os.makedirs(p + "/_meta")
+    with pytest.raises(AnalysisException):
+        _read_index_meta(spark, p)
+    assert _read_index_meta(spark, str(tmp_path / "missing")) is None
+
+
+def test_inmemory_topk_empty_query_sources_raise(spark):
+    """r9 ADVICE: the in-memory ANN paths mirror the *_from_index
+    'no probe vectors resolved' contract instead of silently returning
+    an empty DataFrame when both query sources are empty."""
+    import pytest
+
+    from firebolt_spark.operators.similarity import (
+        ann_ivf_topk, ann_lsh_topk, cosine_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for fn in (cosine_topk, ann_lsh_topk, ann_ivf_topk):
+        with pytest.raises(ValueError, match="no probe vectors"):
+            fn(emb)
+
+
+def test_external_query_literals_follow_corpus_id_type(spark, tmp_path):
+    """r9 ADVICE: external query-vector literals are created at the
+    corpus/index id type — a string-keyed corpus accepts native string
+    query ids on both the in-memory and from-index paths (the old
+    hardcoded ``long`` literal schema rejected them)."""
+    from firebolt_spark.operators.similarity import (
+        ann_lsh_topk_from_index, build_lsh_index, cosine_topk,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    dim = len(emb.first()["embedding"])
+    q = [("external-q", [0.1] * dim)]
+
+    rows = cosine_topk(emb, query_vectors=q, k=5).collect()
+    assert len(rows) == 5 and all(r["query_id"] == "external-q" for r in rows)
+
+    path = str(tmp_path / "lsh_str")
+    build_lsh_index(emb, path, planes=3, tables=2)
+    rows = ann_lsh_topk_from_index(
+        spark, path, query_vectors=q, k=5, probes=2
+    ).collect()
+    assert rows and all(r["query_id"] == "external-q" for r in rows)

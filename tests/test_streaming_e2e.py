@@ -565,8 +565,10 @@ def test_streaming_lsh_index_maintenance_with_crash_restarts(spark, tmp_path):
     across three availableNow runs from one checkpoint (a 'crash'
     between every two). After the runs, probing the accreted index is
     row-identical to probing a from-scratch build over seed+deltas —
-    the ingest loop never re-reads the historical corpus, and the
-    checkpoint guarantees each delta is appended exactly once."""
+    the ingest loop never re-reads the historical corpus. foreachBatch
+    is AT-least-once; passing its epoch id as batch_id makes replayed
+    batches no-ops via the _batches sidecar, so each delta lands in the
+    index once (r9 ADVICE)."""
     from firebolt_spark.catalog import load_table
     from firebolt_spark.operators.similarity import (
         ann_lsh_topk_from_index, append_lsh_index, build_lsh_index,
@@ -588,7 +590,7 @@ def test_streaming_lsh_index_maintenance_with_crash_restarts(spark, tmp_path):
     build_lsh_index(seed, idx_inc, planes=3, tables=2)
 
     def ingest(batch_df, batch_id):
-        append_lsh_index(batch_df, idx_inc)
+        append_lsh_index(batch_df, idx_inc, batch_id=batch_id)
 
     for i, d in enumerate(deltas):
         d.coalesce(1).write.mode("append").parquet(str(delta_dir))
