@@ -388,13 +388,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes is PER-DOCUMENT (one row per corpus doc): never force-
+    # broadcast a corpus-cardinality table — at ~10⁹ docs that is a
+    # driver/executor OOM. AQE picks a broadcast join on its own when
+    # the table is actually small; the inter side is pair-cardinality,
+    # so the fallback shuffle join is narrow (r9 VERDICT Next #2).
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     from firebolt_spark.functions import track_persisted
 
     return track_persisted(
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -846,18 +846,23 @@ def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/MAD computed per user, joined back (two aggregations, no
     window-percentile dependence so both engines agree exactly)."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # med/mad are PER-USER tables — corpus-linear cardinality on a real
+    # events stream, so no forced broadcast (a hint here is a driver
+    # OOM at 100 TB). Both joins share the user_id shuffle key with the
+    # aggregations that produce them, and AQE still picks a broadcast
+    # when the user set is actually small (r9 VERDICT Next #2).
     med = e.groupBy("user_id").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
     dev = (
-        e.join(F.broadcast(med), "user_id")
+        e.join(med, "user_id")
         .withColumn("_adev", F.abs(F.col("value") - F.col("med")))
     )
     mad = dev.groupBy("user_id").agg(
         F.expr("percentile(_adev, 0.5)").alias("mad")
     )
     return (
-        dev.join(F.broadcast(mad), "user_id")
+        dev.join(mad, "user_id")
         .select(
             "event_id",
             "user_id",

@@ -14,8 +14,14 @@ Determinism across engines:
 - CUBE null markers are coalesced to 'ALL' (source columns are non-null).
 
 Scale notes (the 100 TB story):
-- dimension joins (region/nation/customer/supplier) are explicit
-  ``broadcast()`` — no shuffle of the fact table for them;
+- only CONSTANT-size sides carry an explicit ``broadcast()`` hint:
+  nation (25 rows), region (5 rows) and one-row scalar aggregates.
+  Linear-in-SF dimensions (customer/supplier/part) are unhinted — at
+  sf100 customer is ~3 GB, close enough to Spark's 8 GB broadcast hard
+  cap that a forced hint is fragile; AQE still picks a broadcast join
+  at runtime whenever the actual size is under the threshold (r9
+  VERDICT Next #5, pinned by
+  tests/test_scale_plans.py::test_tpch_linear_dims_unhinted_but_aqe_broadcasts);
 - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
   AQE handles skew;
 - top-k is ``ORDER BY ... LIMIT k`` which Spark executes as per-partition
@@ -109,8 +115,8 @@ Q_TPCH1_SQL = """
 
 def q_tpch3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + group + top-10. The customer dim is
-    broadcast (no fact shuffle for it); orders⋈lineitem shuffles on the
-    orderkey once."""
+    unhinted (AQE broadcasts it while it fits); orders⋈lineitem
+    shuffles on the orderkey once."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -126,7 +132,7 @@ def q_tpch3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -162,7 +168,8 @@ Q_TPCH3_SQL = """
 
 
 def q_tpch5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join, dims broadcast, group by nation."""
+    """TPC-H Q5 shape: 6-way star join, constant dims hint-broadcast,
+    linear dims AQE-planned, group by nation."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") != "__none__")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -178,8 +185,8 @@ def q_tpch5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -518,7 +525,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") > 600)
@@ -680,8 +687,8 @@ def q_tpch7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey != supp.s_nationkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("supp_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nk"))
@@ -721,7 +728,7 @@ def q_tpch14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     # scale-2 reduction before the double casts (round-7 decimal audit):
     # total_rev is a declared output and its scale-4 unscaled form is
     # 2.2e15 at sf10 — within 4× of 2^53, over it by sf40 (the q_tpch1
@@ -780,7 +787,7 @@ def q_tpch18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -808,7 +815,7 @@ def q_tpch19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
          & (F.col("l_quantity").between(1, 20)))
@@ -1098,7 +1105,8 @@ Q_GROUPING_SETS_SQL = """
 def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 6-way join, per-year national market share.
     Every dimension side (part, customer+nation+region, supplier+nation)
-    is broadcast; the only shuffle join is orders⋈lineitem."""
+    rides a broadcast join (hinted only for the constant-size
+    nation/region sides); the only shuffle join is orders⋈lineitem."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust_nation = nation.join(
@@ -1119,10 +1127,10 @@ def q_tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("_vol"),
@@ -1198,8 +1206,8 @@ def q_tpch9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = F.sum(_dec("p_retailprice") * _dec("l_quantity", 12, 2))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -1240,7 +1248,8 @@ Q_TPCH9_SQL = """
 
 def q_tpch10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer,
-    top 20. Customer and nation broadcast; one orders⋈lineitem shuffle;
+    top 20. Nation hint-broadcast, customer AQE-planned; one
+    orders⋈lineitem shuffle;
     top-k via TakeOrdered with the unique c_custkey tiebreak."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -1252,7 +1261,7 @@ def q_tpch10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(rev.alias("_rev"))
@@ -1336,7 +1345,7 @@ def q_tpch15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(max_rev), rev["_rev"] == max_rev["_max"])
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1364,12 +1373,13 @@ def q_tpch17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average — lineitem rows
     below 20% of their part's mean quantity. The threshold is built
     from an exact DECIMAL sum / count (identical across engines and
-    partition orders); the per-part aggregate joins back broadcast."""
+    partition orders); the per-part aggregate joins back unhinted
+    (AQE broadcasts the filtered part subset while it fits)."""
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem")
-    li_part = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    li_part = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = li_part.groupBy(F.col("p_partkey").alias("_pk")).agg(
         (
             F.sum(_dec("l_quantity", 12, 2)).cast("double")
@@ -1377,7 +1387,7 @@ def q_tpch17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_avg")
     )
     return (
-        li_part.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("_pk"))
+        li_part.join(avg_qty, F.col("p_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
         .agg(
             F.round(
@@ -1471,8 +1481,8 @@ def q_tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "ASIA"
     )
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
@@ -1522,7 +1532,7 @@ def q_tpch11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") < 5
     )
     vals = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("_value"))
     )
@@ -1610,10 +1620,10 @@ def q_tpch16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(complaints), "l_suppkey", "left_anti")
+        .join(complaints, "l_suppkey", "left_anti")
     )
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1645,7 +1655,7 @@ def q_tpch20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
@@ -1718,7 +1728,7 @@ def q_tpch21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lone_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
         .limit(25)

@@ -1028,3 +1028,51 @@ def test_external_query_literals_follow_corpus_id_type(spark, tmp_path):
         spark, path, query_vectors=q, k=5, probes=2
     ).collect()
     assert rows and all(r["query_id"] == "external-q" for r in rows)
+
+
+def test_corpus_cardinality_tables_not_hint_broadcast(spark):
+    """r9 VERDICT Next #2: tables whose cardinality is corpus-linear
+    (per-document shingle sizes, per-user med/mad) must NOT carry a
+    forced broadcast hint — at ~10⁹ docs/users that hint is a driver
+    OOM. The broadcast decision belongs to AQE, which still picks
+    BroadcastHashJoin at runtime when the table is actually small —
+    asserted on the executed adaptive plan at fixture scale."""
+    from firebolt_spark.operators.dedup import ngram_jaccard_pairs
+    from firebolt_spark.queries.llm import q_anomaly_scores
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # max_df=None: the only joins are the sizes joins — zero hints
+    pairs = ngram_jaccard_pairs(docs.limit(50), threshold=0.5, max_df=None)
+    assert "ResolvedHint" not in pairs._jdf.queryExecution().analyzed().toString()
+
+    anom = q_anomaly_scores(spark, SF_DIR)
+    assert "ResolvedHint" not in anom._jdf.queryExecution().analyzed().toString()
+    anom.collect()  # let AQE finalize the adaptive plan
+    final = anom._jdf.queryExecution().executedPlan().toString()
+    # tiny fixture: AQE (not a hint) chooses the broadcast join
+    assert "BroadcastHashJoin" in final
+
+
+def test_tpch_linear_dims_unhinted_but_aqe_broadcasts(spark):
+    """r9 VERDICT Next #5: the TPC-H queries hint-broadcast ONLY the
+    constant-size sides (nation/region/scalar aggregates). Linear-in-SF
+    dimensions (customer/supplier/part) carry no hint — at sf100
+    customer ≈ 3 GB, close to the 8 GB broadcast hard cap — yet the
+    planner (size stats / AQE) still picks BroadcastHashJoin for them
+    at fixture scale, so small-scale plans lose nothing."""
+    analyzed = lambda df: df._jdf.queryExecution().analyzed().toString()
+
+    # Q3: single dimension (customer) — zero hints anywhere
+    q3 = relational.q_tpch3_shipping_priority(spark, SF_DIR)
+    assert "ResolvedHint" not in analyzed(q3)
+    assert "BroadcastHashJoin" in _executed_plan(q3)
+
+    # Q5: exactly the two constant dims hinted, no more
+    q5 = relational.q_tpch5_local_supplier(spark, SF_DIR)
+    assert analyzed(q5).count("ResolvedHint") == 2
+    # customer/supplier still ride broadcast joins at this scale
+    assert _executed_plan(q5).count("BroadcastHashJoin") >= 4
+
+    # Q17: the per-part correlated aggregate joins back unhinted
+    q17 = relational.q_tpch17_small_qty_revenue(spark, SF_DIR)
+    assert "ResolvedHint" not in analyzed(q17)
