@@ -331,6 +331,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_df: float | None = None,
+    broadcast_hot: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -347,6 +348,21 @@ def ngram_jaccard_pairs(
     affected pairs (intersections no longer count capped shingles, while
     per-doc sizes still do), so pass None when exactness matters and the
     corpus is known clean; at 100 TB always set it.
+
+    ``broadcast_hot`` tri-states the hot-shingle exclusion list's join
+    strategy (the ``unigram_lm_quality`` ``broadcast_model`` pattern —
+    r10 VERDICT residual): the list's cardinality is the number of
+    distinct boilerplate shingles, plausibly small but not provably
+    constant.
+
+    - ``None`` (default) — hint the broadcast: under a sensible
+      ``max_df`` the list is tiny, and a pathological corpus surfaces
+      as a broadcast-size error, never silent wrongness (it is an
+      anti-join exclusion list).
+    - ``True`` — always hint.
+    - ``False`` — never hint: the anti-join shuffles on ``sh`` (or AQE
+      broadcasts on its own measured size); correct at any list size —
+      the boilerplate-heavy 100 TB escape hatch.
     """
     # persist: the shingle table feeds FOUR consumers (per-doc sizes,
     # the hot-shingle document-frequency aggregate, and BOTH sides of
@@ -374,8 +390,11 @@ def ngram_jaccard_pairs(
             )
             .select("sh")
         )
-        # broadcast anti-join: the hot-shingle list is tiny by definition
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # broadcast anti-join by default: see the broadcast_hot
+        # tri-state contract in the docstring
+        if broadcast_hot or broadcast_hot is None:
+            hot = F.broadcast(hot)
+        sh = sh.join(hot, "sh", "left_anti")
     inter = (
         sh.alias("a")
         .join(

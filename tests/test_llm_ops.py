@@ -240,6 +240,33 @@ def test_ngram_jaccard_max_df_collapses_hot_shingle_pairs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped_rows} == {(100, 101)}
 
 
+def test_ngram_hot_broadcast_tristate_forced_off(spark):
+    """r10 VERDICT residual: the hot-shingle exclusion list's broadcast
+    is tri-stated like unigram_lm_quality's broadcast_model. Forced off,
+    the anti-join carries NO hint (AQE/size-stats decide — the
+    boilerplate-pathological-corpus escape hatch) and the pair set is
+    unchanged; the default still hints (the list is max_df-bounded)."""
+    from firebolt_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the"
+    rows = [(i, f"{boiler} unique{i} body{i} tail{i}") for i in range(40)]
+    rows += [(100, f"{boiler} same same same"), (101, f"{boiler} same same same")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    analyzed = lambda df: df._jdf.queryExecution().analyzed().toString()
+    hinted = ngram_jaccard_pairs(docs, threshold=0.01, max_df=0.5)
+    unhinted = ngram_jaccard_pairs(
+        docs, threshold=0.01, max_df=0.5, broadcast_hot=False
+    )
+    # default: the 1-row n_docs scalar AND the hot list are hinted;
+    # forced off: only the scalar remains (counts are doubled because
+    # the inverted-index self-join repeats the anti-join subtree on
+    # both sides)
+    assert analyzed(hinted).count("ResolvedHint") == 4
+    assert analyzed(unhinted).count("ResolvedHint") == 2
+    assert {(r["doc_a"], r["doc_b"]) for r in unhinted.collect()} == {(100, 101)}
+
+
 def test_ngram_max_df_cap_resolves_in_plan_not_driver(spark):
     """VERDICT r2 #6: the max_df cap used to run a separate
     docs.count() DRIVER action at plan-construction time — one extra
