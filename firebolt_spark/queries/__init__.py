@@ -16,69 +16,75 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-10 first-50 rotation (standing VERDICT discipline: least-
+# Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-8: the eight queries whose OPERATOR CODE changed in round 9
-# but whose latest driver check (r8) ran against the pre-change code
-# (VERDICT r9 coverage-section caveat / Next #1) — builder sf1 sweep and
-# the judge's own sf0.01 re-run are green, but the driver row must be
-# refreshed.  Slots 9-50: the remaining 42 queries last checked in r8,
-# in their r8 check order, so r10 ∪ r9 again covers the whole registry
-# with max staleness one round.  Names absent from this list keep their
-# module order after it.
+# Slots 1-2: the two queries whose OPERATOR CODE changes in round 11
+# (ngram_jaccard_pairs gained the broadcast_hot tri-state;
+# dedup_spans_candidates gained the on-disk winnow index path).
+# Slots 3-12: the ten queries the r10 broadcast-hint sweep touched,
+# whose latest driver row (r9) predates that change (r10 VERDICT
+# coverage-section caveat / Next #2).  Slots 13-50: the remaining
+# r9-checked queries in their r9 check order — ALL but one:
+# q_tpch1_pricing_summary is the single documented spill (51 candidates
+# into a 50-slot budget); its code is unchanged since round 2 and it
+# was re-verified against DuckDB at sf0.01 this round via
+# tests/run_oracle_check.py, so it is the lowest-risk row to go two
+# rounds stale.  It must LEAD the r12 rotation.  Names absent from this
+# list keep their module order after it.
 _PRIORITY = [
-    # operator code changed in round 9; last driver check predates it
-    "q_winnow_fingerprints",
-    "q_dedup_spans_overlap",
+    # operator code changed in round 11; driver row must be refreshed
     "q_dedup_ngram_jaccard",
-    "q_lm_quality",
-    "q_similarity_ann_ivf",
-    "q_similarity_bruteforce",
-    "q_embedding_quantize",
-    "q_dedup_incremental",
-    # last driver-checked in round 8 — re-green on current code
-    "q_s6_compaction",
-    "q_p7_docid",
-    "q_k2_index_request",
-    "q_skew_salted_join",
-    "q_window_leadlag",
-    "q_agg_grouping_sets",
-    "q_tpch10_returned_items",
-    "q_tpch15_top_supplier",
-    "q_tpch17_small_qty_revenue",
-    "q_tpch5_local_supplier",
-    "q_join_left_counts",
-    "q_join_semi",
-    "q_join_anti",
-    "q_window_rank",
-    "q_window_running_total",
-    "q_topk_orders",
-    "q_setops",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_subquery_above_avg",
-    "q_having",
-    "q_window_tumbling",
-    "q_session_window",
-    "q_tpch6_revenue_forecast",
-    "q_pivot",
-    "q_regexp_functions",
-    "q_tpch4_order_priority",
-    "q_tpch7_nation_volume",
-    "q_tpch14_promo_share",
-    "q_tpch18_large_orders",
-    "q_agg_rollup",
-    "q_percentiles",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_corpus_curation",
-    "q_shard_packing",
-    "q_text_repetition",
-    "q_sample_by_source",
-    "q_decontaminate",
+    "q_dedup_spans_candidates",
+    # r10 broadcast-hint sweep; last driver check (r9) pre-change
+    "q_tpch3_shipping_priority",
+    "q_tpch19_bracket_revenue",
+    "q_tpch8_market_share",
+    "q_tpch9_product_profit",
+    "q_tpch2_min_cost_supplier",
+    "q_tpch11_important_parts",
+    "q_tpch16_supplier_variety",
+    "q_tpch20_promo_suppliers",
+    "q_tpch21_waiting_suppliers",
+    "q_anomaly_scores",
+    # last driver-checked in round 9 — re-green on current code
+    "q_dedup_semantic",
+    "q_s2_scan",
+    "q_s3_lag_cap",
+    "q_s4_recovery_scan",
+    "q_s5_interval_merge",
+    "q_p2_parse",
+    "q_p4_json_build",
+    "q_p5_conditional",
+    "q_f1_filter",
+    "q_e1_error_split",
+    "q_e2_error_json",
+    "q_x1_fanout",
+    "q_x2_tree_fanout",
+    "q_k1_produce_request",
+    "q_asof_join",
+    "q_range_join",
+    "q_tpch12_late_priority",
+    "q_tpch13_order_distribution",
+    "q_tpch22_idle_balance",
+    "q_array_functions",
+    "q_grouped_collect",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_text_normalize",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_token_counts",
+    "q_text_fingerprint",
+    "q_text_chunks",
+    "q_profile_events",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_temperature_mix",
+    "q_hash_split",
+    "q_dedup_spans",
+    "q_topic_clusters",
+    "q_similarity_ann_lsh",
 ]
 
 
