@@ -170,6 +170,23 @@ def _winnow_demo(spark, sf_dir: str) -> dict[str, float]:
                 for _ in range(2)), 3),
         "n_docs": n_docs,
     }
+    # round 11: the on-disk winnow index (VERDICT r10 Next #1) — build
+    # once (the one-time corpus winnow, billed to index_build_s), then
+    # every later run probes the artifact: candidates_indexed_s is the
+    # repeated-job / batch-N cost, which EXCLUDES the corpus winnow.
+    import tempfile
+
+    from firebolt_spark.operators.dedup import build_winnow_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = tmp + "/winnow_idx"
+        t0 = time.perf_counter()
+        build_winnow_index(docs, idx, span_words=3, window=4)
+        out["index_build_s"] = round(time.perf_counter() - t0, 3)
+        out["candidates_indexed_s"] = round(
+            min(run(dedup_spans_candidates(
+                    docs, span_words=3, window=4, index_path=idx))
+                for _ in range(2)), 3)
     docs.unpersist()
     return out
 

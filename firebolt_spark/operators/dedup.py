@@ -1283,12 +1283,150 @@ def _winnow_of(grams_ref: str, w: int) -> str:
     )
 
 
+def _winnow_fp_rows(
+    docs: DataFrame,
+    span_words: int,
+    window: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The exploded winnowed-fingerprint rows ``(id, _self_dup,
+    fingerprint)`` of :func:`dedup_spans_candidates`' candidate
+    discovery — shared by the in-op path and the on-disk index
+    build/append.
+
+    ONE expression computes grams → (winnowed fps, self-dup flag): the
+    gram array binds to the lambda var g, so however often the
+    optimizer inlines the expression (e.g. an inferred pre-Generate
+    filter), grams are computed at most once per inlining — a COLUMN
+    reference to the gram array would instead be substituted into the
+    per-window slice lambda and recompute the grams per window
+    (measured O(words²): 17 s vs 1 s at sf0.1). explode_outer +
+    isNotNull: see :func:`winnow_fingerprints` (avoids the
+    inferred-filter inlining)."""
+    marked = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array({_gram_list(text_col, span_words)}), "
+            f"g -> struct({_winnow_of('g', window)} AS fps, "
+            f"size(g) != size(array_distinct(g)) AS self_dup))[0]"
+        ).alias("_m"),
+    ).select(
+        F.col(id_col),
+        F.col("_m.fps").alias("_fps"),
+        F.col("_m.self_dup").alias("_self_dup"),
+    )
+    return (
+        marked.select(
+            id_col, "_self_dup", F.explode_outer("_fps").alias("fingerprint")
+        )
+        .filter(F.col("fingerprint").isNotNull())
+    )
+
+
+def build_winnow_index(
+    docs: DataFrame,
+    path: str,
+    span_words: int = 16,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the winnowed fingerprint index ON DISK — the durable
+    text-dedup candidate artifact :func:`dedup_spans_candidates`'
+    docstring promises for 100 TB (VERDICT r10 "Next #1"; carried from
+    r9 #3), the text analogue of :func:`similarity.build_ivf_index`'s
+    serving layout and of the reference's recovery tracker
+    (/root/reference/tracker/recoverytracker.go semantics: durable
+    state so a re-run pays only the delta).
+
+    Layout under ``path``: the ``(id, _self_dup, fingerprint)`` rows of
+    :func:`_winnow_fp_rows` as plain parquet (narrow strings/ids —
+    ~``2/(window+1)`` of the corpus' overlapping-gram volume), plus a
+    ``_meta`` JSON sidecar recording ``(span_words, window, id_col)``,
+    written LAST so its absence marks a broken or partial build
+    (:func:`append_winnow_index` and the probe both refuse without
+    it). A later :func:`dedup_spans_candidates` call with
+    ``index_path=`` reads these rows instead of re-running the
+    md5-gram winnow over the whole corpus — the expensive per-row work
+    a repeated 100 TB dedup job would otherwise pay on every run.
+    """
+    fp = _winnow_fp_rows(docs, span_words, window, text_col, id_col)
+    fp.write.mode("overwrite").parquet(path)
+    meta = docs.sparkSession.createDataFrame(
+        [(int(span_words), int(window), id_col)],
+        "span_words int, window int, id_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def append_winnow_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> None:
+    """Append a NEW ingest batch's winnowed fingerprints to a
+    :func:`build_winnow_index` artifact — fingerprints computed with
+    the SAME ``(span_words, window)`` recorded in the index's ``_meta``
+    sidecar (a different gram/window size would make the stored minima
+    incomparable). Cost tracks the batch; the historical corpus is
+    never re-winnowed.
+
+    ``batch_id`` (e.g. foreachBatch's epoch id) makes replays
+    idempotent via the ``_batches`` sidecar — see
+    :func:`similarity.append_ivf_index`, whose contract this reuses.
+    Even a replayed duplicate batch cannot corrupt results: duplicate
+    ``(id, fingerprint)`` rows only widen the candidate superset the
+    exact pass then filters exactly.
+    """
+    from firebolt_spark.operators.similarity import (
+        _applied_batches, _record_batch,
+    )
+
+    spark = new_docs.sparkSession
+    if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        return
+    meta = _read_winnow_meta(spark, path, id_col)
+    fp = _winnow_fp_rows(
+        new_docs, int(meta["span_words"]), int(meta["window"]),
+        text_col, id_col,
+    )
+    fp.write.mode("append").parquet(path)
+    if batch_id is not None:
+        _record_batch(spark, path, batch_id)
+
+
+def _read_winnow_meta(spark, path: str, id_col: str) -> dict:
+    """Read and validate a winnow index's ``_meta`` sidecar. Refuses a
+    missing sidecar (written LAST at build time, so absence means a
+    broken or partial index) and an id-column mismatch; the caller
+    checks span/window compatibility where it matters (probe)."""
+    from firebolt_spark.operators.similarity import _read_index_meta
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"winnow index at {path} has no _meta sidecar (written LAST "
+            f"at build time, so its absence means a broken or partial "
+            f"index); refusing to use it"
+        )
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"winnow index at {path} was built with id_col="
+            f"{meta['id_col']!r}, got {id_col!r}"
+        )
+    return meta
+
+
 def dedup_spans_candidates(
     docs: DataFrame,
     span_words: int = 16,
     window: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_path: str | None = None,
 ) -> DataFrame:
     """The winnow→exact composition :func:`winnow_fingerprints`'
     docstring promises for 100 TB (VERDICT r8 "Next #3"): the exact
@@ -1323,41 +1461,45 @@ def dedup_spans_candidates(
     upstream exact dedup) the exact pass touches a small fraction of
     documents, and the final body join is against a dup_pos table
     sized by actual duplication.
+
+    ``index_path`` points candidate discovery at a
+    :func:`build_winnow_index` artifact instead of re-winnowing the
+    corpus in-session — the repeated-run / ingest-loop shape (build
+    once, :func:`append_winnow_index` per batch, dedup pays only the
+    index SCAN). The index's ``(span_words, window, id_col)`` must
+    match the call's (validated against the ``_meta`` sidecar), and the
+    index must COVER ``docs``: a doc absent from the index can never
+    become a candidate, so its duplicates would be missed. Extra index
+    docs beyond ``docs`` are safe — they can only widen the candidate
+    superset, and the exact pass (scoped to ``docs``) returns the
+    identical result either way.
     """
-    # ONE expression computes grams → (winnowed fps, self-dup flag):
-    # the gram array binds to the lambda var g, so however often the
-    # optimizer inlines the expression (e.g. an inferred pre-Generate
-    # filter), grams are computed at most once per inlining — a COLUMN
-    # reference to the gram array would instead be substituted into
-    # the per-window slice lambda and recompute the grams per window
-    # (measured O(words²): 17 s vs 1 s at sf0.1).
-    marked = docs.select(
-        F.col(id_col),
-        F.expr(
-            f"transform(array({_gram_list(text_col, span_words)}), "
-            f"g -> struct({_winnow_of('g', window)} AS fps, "
-            f"size(g) != size(array_distinct(g)) AS self_dup))[0]"
-        ).alias("_m"),
-    ).select(
-        F.col(id_col),
-        F.col("_m.fps").alias("_fps"),
-        F.col("_m.self_dup").alias("_self_dup"),
-    )
-    # persist: the md5-gram winnow is the expensive per-row work and
-    # fp_rows feeds THREE consumers (the shared-fingerprint aggregate,
-    # the shared-fingerprint join probe, and the self-dup id branch) —
-    # uncached, Catalyst re-runs the gram scan for each. The cached
-    # rows are narrow (id, bool, fingerprint) at ~2/(window+1) of the
-    # gram volume — exactly the winnowed index a 100 TB run would
-    # materialize on disk. explode_outer + isNotNull: see
-    # winnow_fingerprints (avoids the inferred-filter inlining).
-    fp_rows = (
-        marked.select(
-            id_col, "_self_dup", F.explode_outer("_fps").alias("fingerprint")
+    if index_path is not None:
+        _read_winnow_meta_probe(
+            docs.sparkSession, index_path, span_words, window, id_col
         )
-        .filter(F.col("fingerprint").isNotNull())
-        .persist()
-    )
+        # NOT persisted, unlike the in-op branch: these rows come off a
+        # columnar parquet scan (the cheap path — avoiding the winnow
+        # recompute is the whole point of the artifact), and at 100 TB
+        # pinning the full index in executor memory is exactly what a
+        # serving layout must not require. Three consumers → three
+        # column-pruned scans.
+        fp_rows = docs.sparkSession.read.parquet(index_path).select(
+            id_col, "_self_dup", "fingerprint"
+        )
+        handles = []
+    else:
+        # persist: the md5-gram winnow is the expensive per-row work and
+        # fp_rows feeds THREE consumers (the shared-fingerprint
+        # aggregate, the shared-fingerprint join probe, and the self-dup
+        # id branch) — uncached, Catalyst re-runs the gram scan for
+        # each. The cached rows are narrow (id, bool, fingerprint) at
+        # ~2/(window+1) of the gram volume — exactly what
+        # build_winnow_index materializes on disk.
+        fp_rows = _winnow_fp_rows(
+            docs, span_words, window, text_col, id_col
+        ).persist()
+        handles = [fp_rows]
     shared = (
         fp_rows.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1381,7 +1523,25 @@ def dedup_spans_candidates(
     dup_pos, meta = _overlap_dup_pos(cand_docs, span_words, text_col, id_col)
     return track_persisted(
         _rebuild_overlap(docs, dup_pos, span_words, text_col, id_col),
-        fp_rows,
+        *handles,
         cand_ids,
         meta,
     )
+
+
+def _read_winnow_meta_probe(
+    spark, path: str, span_words: int, window: int, id_col: str
+) -> None:
+    """Probe-side sidecar validation: a span/window mismatch between
+    build and probe would silently change detection granularity (the
+    stored minima were selected under different parameters), so it
+    refuses — the winnow analogue of the LSH planes-mismatch guard
+    (ADVICE r8)."""
+    meta = _read_winnow_meta(spark, path, id_col)
+    if int(meta["span_words"]) != span_words or int(meta["window"]) != window:
+        raise ValueError(
+            f"winnow index at {path} was built with span_words="
+            f"{meta['span_words']}, window={meta['window']}; the probe "
+            f"asked for span_words={span_words}, window={window} — "
+            f"rebuild the index or match the build parameters"
+        )
