@@ -191,6 +191,44 @@ def _winnow_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _ngram_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Pre-bucketed shingle artifact vs in-session persist for
+    ngram_jaccard_pairs (VERDICT r10 'Next #3'): build_shingle_index
+    pays the shingling + one bucket shuffle ONCE (index_build_s); every
+    later dedup run reads the bucketed table and self-joins
+    exchange-free on sh (indexed_s) instead of re-shingling and
+    persisting in-session (in_session_s). min-of-2 each, noop sink."""
+    from firebolt_spark.functions import release
+    from firebolt_spark.operators.dedup import (
+        build_shingle_index, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        release(df)
+        return time.perf_counter() - t0
+
+    out: dict[str, float] = {
+        "in_session_s": round(
+            min(run(ngram_jaccard_pairs(docs, max_df=0.5))
+                for _ in range(2)), 3),
+    }
+    try:
+        t0 = time.perf_counter()
+        build_shingle_index(docs, "bench_shingle_idx")
+        out["index_build_s"] = round(time.perf_counter() - t0, 3)
+        out["indexed_s"] = round(
+            min(run(ngram_jaccard_pairs(
+                    docs, max_df=0.5, shingle_index="bench_shingle_idx"))
+                for _ in range(2)), 3)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_shingle_idx")
+    return out
+
+
 def _calibrate() -> dict[str, float]:
     """Fixed-work host-speed probe, reported with every bench run.
 
@@ -453,6 +491,16 @@ def main() -> None:
         try:
             sf1 = _sf1_section(spark, HEADLINE + EXTRA)
             sf1["ratio_vs_sf01"] = round(sf1["value"] / total, 2)
+            try:
+                # round 11: the shingle-artifact claim is an sf1 claim
+                # (at sf0.1 the index read's fixed cost hides the win)
+                here = os.path.dirname(os.path.abspath(__file__))
+                sf1_dir = os.environ.get(
+                    "SPARK_GRAFT_SF1_DIR", os.path.join(here, "testdata_sf1")
+                )
+                sf1["ngram_index_demo"] = _ngram_demo(spark, sf1_dir)
+            except Exception as exc:  # pragma: no cover
+                sf1["ngram_index_demo_error"] = str(exc)[:200]
             if "normalized" in payload:
                 sf1["normalized_value"] = round(
                     sf1["value"] / payload["normalized"]["host_speed_factor"], 3

@@ -222,6 +222,37 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_shingle_index_self_join_without_sh_exchange(spark):
+    """The pre-bucketed shingle artifact (VERDICT r10 'Next #3'): with
+    broadcasts disabled, consuming build_shingle_index's table keeps
+    the inverted-index SELF-join AND the defensive (doc_id, sh) dedup
+    free of any Exchange on sh — the bucket layout carries the
+    clustering — while the in-session path must shuffle on sh. The
+    remaining exchanges (per-doc sizes, the pair aggregate) are
+    doc-keyed and narrow."""
+    from firebolt_spark.operators.dedup import (
+        build_shingle_index, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    try:
+        build_shingle_index(docs, "b_shingles_plan", num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            indexed = ngram_jaccard_pairs(
+                docs, threshold=0.5, shingle_index="b_shingles_plan"
+            )
+            inop = ngram_jaccard_pairs(docs, threshold=0.5)
+            assert "hashpartitioning(sh" not in _executed_plan(indexed)
+            assert "hashpartitioning(sh" in _executed_plan(inop)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_shingles_plan")
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = load_table(spark, SF_DIR, "orders").select(
         F.col("o_custkey").alias("k"), "o_orderkey"
