@@ -158,6 +158,10 @@ def cosine_topk(
 
     ``query_vectors``: external ``[(id, [floats...]), ...]`` queries
     not present in the corpus (see :func:`_external_queries`).
+
+    Raises ``ValueError`` when ``query_ids`` and ``query_vectors`` are
+    BOTH empty (since round 10; previously returned an empty
+    DataFrame) — a caller bug cannot silently produce zero results.
     """
     query_ids, query_vectors = _query_sources(query_ids, query_vectors)
     corpus = embeddings.withColumn("_norm", norm(vec_col))
@@ -406,6 +410,10 @@ def ann_ivf_topk(
     its ``n_probe`` nearest clusters — the classic inverted-file ANN
     layout (scan cost ≈ n_probe/n_centroids of brute force).
     ``query_vectors``: external queries (see :func:`_external_queries`).
+
+    Raises ``ValueError`` when ``query_ids`` and ``query_vectors`` are
+    BOTH empty (since round 10; previously returned an empty
+    DataFrame).
     """
     query_ids, query_vectors = _query_sources(query_ids, query_vectors)
     assigned, cents = ivf_assign(embeddings, n_centroids, id_col, vec_col)
@@ -501,7 +509,8 @@ def _applied_batches(spark, path: str) -> set[int]:
     """Batch ids already applied to an index (the ``_batches`` sidecar;
     empty set when the sidecar does not exist yet). Explicit schema, so
     an empty directory reads as zero rows rather than an inference
-    error."""
+    error. Duplicate ids (a compaction interrupted between its combined
+    write and the old-file delete) collapse into the set."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -517,10 +526,131 @@ def _applied_batches(spark, path: str) -> set[int]:
     return {r["batch_id"] for r in rows}
 
 
+# one JSON file lands per _record_batch call; past this many, the next
+# record compacts them into a single combined file so the sidecar's
+# listing/read cost stays O(1) over a long-lived stream (r10 ADVICE:
+# the uncompacted sidecar was O(n) files → O(n²) cumulative reads)
+_BATCHES_COMPACT_THRESHOLD = 32
+
+
 def _record_batch(spark, path: str, batch_id: int) -> None:
+    """Record ``batch_id`` as applied — the COMMIT POINT of a staged
+    append (:func:`_commit_staged`). Compacts the sidecar when its file
+    count passes :data:`_BATCHES_COMPACT_THRESHOLD`."""
     spark.createDataFrame(
         [(int(batch_id),)], "batch_id long"
     ).coalesce(1).write.mode("append").json(path + "/_batches")
+    _maybe_compact_batches(spark, path)
+
+
+def _maybe_compact_batches(spark, path: str) -> None:
+    """Rewrite the ``_batches`` sidecar as one combined file when it has
+    accumulated too many per-batch files. Crash-safe in both halves: the
+    combined file is APPENDED before the old files are deleted, so an
+    interruption leaves duplicate ids (harmless — :func:`_applied_batches`
+    reads a set) or a subset of old files plus the combined file, never
+    a lost id."""
+    fs, p, jvm = _hadoop_fs(spark, path + "/_batches")
+    if not fs.exists(p):
+        return
+    old = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.isFile()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if len(old) <= _BATCHES_COMPACT_THRESHOLD:
+        return
+    ids = sorted(_applied_batches(spark, path))
+    spark.createDataFrame(
+        [(i,) for i in ids], "batch_id long"
+    ).coalesce(1).write.mode("append").json(path + "/_batches")
+    for f in old:  # the combined file is not in `old` (listed before)
+        fs.delete(f, False)
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` — the Hadoop FS API, so the
+    staged-append file moves work on any scheme a cluster would use
+    (HDFS/local rename is a metadata op; object stores pay a copy, the
+    same trade every Spark output committer makes)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p, jvm
+
+
+def _delete_dir(spark, path: str) -> None:
+    fs, p, _ = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _walk_data_files(fs, root):
+    """Leaf data files under ``root`` as ``(Path, relative_dir)`` pairs,
+    skipping ``_``/``.``-prefixed names (``_SUCCESS``, hidden sidecars)
+    at every level; ``relative_dir`` preserves the hive partition
+    subtree (``cluster=3/`` / ``tbl=0/sig=5/``) so a move can mirror
+    it."""
+    out, stack = [], [(root, "")]
+    while stack:
+        d, rel = stack.pop()
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                stack.append((st.getPath(), f"{rel}{name}/"))
+            else:
+                out.append((st.getPath(), rel))
+    return out
+
+
+def _move_tree(spark, src_root: str, dst_root: str, batch_id: int) -> None:
+    """Move every staged data file under ``src_root`` into the mirrored
+    partition directory under ``dst_root``, renamed to
+    ``b{batch_id}-<original>`` — the batch-tagged name is what lets
+    :func:`_purge_batch_files` remove a half-moved attempt on replay."""
+    fs, src, jvm = _hadoop_fs(spark, src_root)
+    if not fs.exists(src):
+        return
+    for f, rel in _walk_data_files(fs, src):
+        name = f.getName()
+        dst_dir = jvm.org.apache.hadoop.fs.Path(f"{dst_root}/{rel}".rstrip("/"))
+        fs.mkdirs(dst_dir)
+        fs.rename(f, jvm.org.apache.hadoop.fs.Path(
+            f"{dst_root}/{rel}b{batch_id}-{name}"
+        ))
+
+
+def _purge_batch_files(spark, path: str, batch_id: int) -> None:
+    """Delete any main-layout file a PRIOR crashed attempt of this batch
+    already moved in (files named ``b{batch_id}-*`` in the partition
+    tree and the ``_ids`` sidecar) — called before re-applying, so the
+    re-apply starts from a state with zero rows of this batch."""
+    prefix = f"b{int(batch_id)}-"
+    fs, root, _ = _hadoop_fs(spark, path)
+    roots = [root]
+    ids_fs, ids_p, _ = _hadoop_fs(spark, path + "/_ids")
+    if ids_fs.exists(ids_p):
+        roots.append(ids_p)
+    for r in roots:
+        for f, _rel in _walk_data_files(fs, r):
+            if f.getName().startswith(prefix):
+                fs.delete(f, False)
+
+
+def _commit_staged(spark, staging: str, path: str, batch_id: int) -> None:
+    """Publish a staged batch: move its data + ``_ids`` files into the
+    index, then write the ``_batches`` record (the commit point), then
+    drop the staging dir. A crash anywhere before the record leaves an
+    uncommitted batch whose replay first purges the half-moved files —
+    no duplicate index rows on at-least-once replay (closes the r10
+    verdict's append→record window)."""
+    _move_tree(spark, staging + "/data", path, batch_id)
+    _move_tree(spark, staging + "/_ids", path + "/_ids", batch_id)
+    _record_batch(spark, path, batch_id)
+    _delete_dir(spark, staging)
 
 
 def append_ivf_index(
@@ -544,16 +674,21 @@ def append_ivf_index(
     IVF reindex trade).
 
     ``batch_id`` (e.g. foreachBatch's epoch id) makes replays
-    idempotent: applied ids are recorded in the ``_batches`` sidecar
-    AFTER the data append, and a batch whose id is already recorded is
-    skipped — an at-least-once stream restart re-appends only if the
-    crash landed in the narrow data-append→record window (r9 ADVICE;
-    probe-time dedup still guards result correctness either way).
+    idempotent AND crash-atomic: the batch is written to an
+    underscore-hidden ``_staging/b{id}`` dir (invisible to index
+    reads), its files are MOVED into the layout under batch-tagged
+    names, and only then is the id recorded in the ``_batches``
+    sidecar — the commit point. A replay of a recorded batch is a
+    no-op; a replay of a batch that crashed mid-move/pre-record first
+    purges that batch's tagged files, so no crash point duplicates
+    index rows (r10 verdict: the old append-then-record window).
+    Without ``batch_id`` the append is direct and non-idempotent.
     """
     from firebolt_spark.functions import write_partitioned
 
     spark = new_embeddings.sparkSession
     if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        _delete_dir(spark, f"{path}/_staging/b{int(batch_id)}")
         return
     meta = _read_index_meta(spark, path)
     if meta is None:
@@ -566,15 +701,17 @@ def append_ivf_index(
     cents = spark.read.parquet(path + "/_centroids")
     corpus = new_embeddings.withColumn("_norm", norm(vec_col))
     assigned = _nearest(corpus, cents, id_col, vec_col)
-    write_partitioned(
-        assigned.select(id_col, vec_col, "_norm", "cluster"),
-        path,
-        ["cluster"],
-        mode="append",
-    )
-    _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
-    if batch_id is not None:
-        _record_batch(spark, path, batch_id)
+    rows = assigned.select(id_col, vec_col, "_norm", "cluster")
+    if batch_id is None:
+        write_partitioned(rows, path, ["cluster"], mode="append")
+        _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
+        return
+    bid = int(batch_id)
+    staging = f"{path}/_staging/b{bid}"
+    _purge_batch_files(spark, path, bid)
+    write_partitioned(rows, staging + "/data", ["cluster"], mode="overwrite")
+    _write_ids_sidecar(new_embeddings, staging, id_col, vec_col)
+    _commit_staged(spark, staging, path, bid)
 
 
 def ann_ivf_topk_from_index(
@@ -771,6 +908,10 @@ def ann_lsh_topk(
     Recall depends on planes/probes; tested against the brute-force
     baseline in tests. At 100 TB the corpus would be bucketed/bucketBy
     on sig so each query reads one bucket.
+
+    Raises ``ValueError`` when ``query_ids`` and ``query_vectors`` are
+    BOTH empty (since round 10; previously returned an empty
+    DataFrame).
 
     **Defaults are recall-aware** (round 7 — VERDICT r6 "Next #3"):
     ``planes=None`` resolves to ``recommended_planes(corpus count)``
@@ -1268,13 +1409,14 @@ def append_lsh_index(
     written under the matching ``(tbl, sig)`` directories. Cost tracks
     the batch; the historical corpus is never read.
 
-    ``batch_id`` enables idempotent replay via the ``_batches``
-    sidecar — see :func:`append_ivf_index`.
+    ``batch_id`` enables idempotent, crash-atomic replay via the
+    staged commit protocol — see :func:`append_ivf_index`.
     """
     from firebolt_spark.functions import write_partitioned
 
     spark = new_embeddings.sparkSession
     if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        _delete_dir(spark, f"{path}/_staging/b{int(batch_id)}")
         return
     meta = _read_index_meta(spark, path)
     if meta is None:
@@ -1283,18 +1425,20 @@ def append_lsh_index(
             f"the build-time planes/tables"
         )
     _validate_index_meta(meta, path, id_col, vec_col)
-    write_partitioned(
-        _melt_lsh(
-            new_embeddings, int(meta["planes"]), int(meta["tables"]),
-            id_col, vec_col,
-        ),
-        path,
-        ["tbl", "sig"],
-        mode="append",
+    melted = _melt_lsh(
+        new_embeddings, int(meta["planes"]), int(meta["tables"]),
+        id_col, vec_col,
     )
-    _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
-    if batch_id is not None:
-        _record_batch(spark, path, batch_id)
+    if batch_id is None:
+        write_partitioned(melted, path, ["tbl", "sig"], mode="append")
+        _write_ids_sidecar(new_embeddings, path, id_col, vec_col, mode="append")
+        return
+    bid = int(batch_id)
+    staging = f"{path}/_staging/b{bid}"
+    _purge_batch_files(spark, path, bid)
+    write_partitioned(melted, staging + "/data", ["tbl", "sig"], mode="overwrite")
+    _write_ids_sidecar(new_embeddings, staging, id_col, vec_col)
+    _commit_staged(spark, staging, path, bid)
 
 
 def index_stats(spark, path: str) -> DataFrame:

@@ -995,6 +995,75 @@ def test_index_append_batch_id_makes_replay_idempotent(spark, tmp_path):
         assert spark.read.parquet(p).count() > n1
 
 
+def test_index_append_crash_window_no_duplicates(spark, tmp_path, monkeypatch):
+    """r10 verdict nit: the old append-then-record sequence had a window
+    (data landed, _batches record not yet written) where an
+    at-least-once replay duplicated index rows. The staged commit
+    protocol closes it: a replay of an UNRECORDED batch purges that
+    batch's tagged files before re-applying, so every crash point —
+    including right before the record — replays to exactly-once rows
+    in both the index and the _ids sidecar."""
+    import pytest
+
+    from firebolt_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    n_base, n_delta = base.count(), delta.count()
+
+    lsh_p, ivf_p = str(tmp_path / "lsh"), str(tmp_path / "ivf")
+    sim.build_lsh_index(base, lsh_p, planes=3, tables=2)
+    sim.build_ivf_index(base, ivf_p, n_centroids=4)
+
+    real_record = sim._record_batch
+
+    def crash(spark_, path_, bid_):
+        raise RuntimeError("injected crash before the _batches record")
+
+    for append, p, per_row in [
+        (sim.append_lsh_index, lsh_p, 2),  # tables=2 → 2 index rows/vec
+        (sim.append_ivf_index, ivf_p, 1),
+    ]:
+        # attempt 1 crashes AFTER the data move, BEFORE the record —
+        # the exact window the r10 verdict flagged
+        monkeypatch.setattr(sim, "_record_batch", crash)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            append(delta, p, batch_id=7)
+        # the batch is NOT recorded, so the replay re-applies it —
+        # purging the crashed attempt's files first
+        monkeypatch.setattr(sim, "_record_batch", real_record)
+        append(delta, p, batch_id=7)
+        assert spark.read.parquet(p).count() == (n_base + n_delta) * per_row
+        assert spark.read.parquet(p + "/_ids").count() == n_base + n_delta
+        # now recorded: a further replay is a no-op and drops any
+        # leftover staging dir
+        append(delta, p, batch_id=7)
+        assert spark.read.parquet(p).count() == (n_base + n_delta) * per_row
+        assert spark.read.parquet(p + "/_ids").count() == n_base + n_delta
+
+
+def test_batches_sidecar_self_compacts(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: _record_batch appended one JSON file per micro-batch
+    forever (O(n) files → O(n²) cumulative sidecar reads over a
+    long-lived stream). Past the threshold the sidecar compacts into a
+    single combined file; no applied id is ever lost."""
+    from firebolt_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_BATCHES_COMPACT_THRESHOLD", 4)
+    p = str(tmp_path / "idx")
+    for bid in range(10):
+        sim._record_batch(spark, p, bid)
+    assert sim._applied_batches(spark, p) == set(range(10))
+    fs, bp, _ = sim._hadoop_fs(spark, p + "/_batches")
+    files = [
+        st
+        for st in fs.listStatus(bp)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    assert len(files) <= 4 + 1  # bounded by threshold, not by batch count
+
+
 def test_index_meta_partial_sidecar_propagates(spark, tmp_path):
     """r9 ADVICE: _read_index_meta treats ONLY PATH_NOT_FOUND as 'no
     sidecar'; a partially-written/empty _meta directory raises
