@@ -1,0 +1,86 @@
+"""Index lifecycle e2e — the reindex loop ``docs/ann_index.md``
+describes: stream skewed ingest batches into an on-disk IVF index until
+one cluster dominates, read ``index_stats`` (the reindex-decision
+input), rebuild with more centroids, and measure the probe-cost
+re-balance. Carried from VERDICT r9 Next #7 / r10 Next #4.
+
+The skew model: each appended batch is drawn from the hot cluster's
+rows, re-keyed and given a deterministic per-element jitter — a hot
+REGION rather than a point mass, which is what real ingest drift looks
+like (new documents concentrated around a trending topic). The frozen
+build-time centroids assign the whole region to the one hot cluster;
+only a rebuild can re-partition it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebolt_spark.catalog import load_table
+from firebolt_spark.operators import similarity as sim
+from tests.conftest import SF_DIR
+
+
+def _profile(spark, path: str) -> dict[int, int]:
+    return {
+        int(r["cluster"]): int(r["n_vectors"])
+        for r in sim.index_stats(spark, path).collect()
+    }
+
+
+def test_append_skew_stats_rebuild_rebalances_probe_cost(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    p = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, p, n_centroids=4)
+
+    prof0 = _profile(spark, p)
+    hot = max(prof0, key=prof0.get)
+
+    # --- skewed ingest: 3 batches drawn from the hot cluster's rows,
+    # re-keyed, jittered around their original directions ---
+    idx = spark.read.parquet(p)
+    vec_t = idx.schema["embedding"].dataType
+    hot_rows = idx.filter(F.col("cluster") == hot).select("vec_id", "embedding")
+    for k in range(1, 4):
+        batch = hot_rows.select(
+            (F.col("vec_id") + F.lit(100000 * k)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (F.lit(1.0) + F.lit(0.05 * k) * F.sin(i.cast("double"))),
+            ).cast(vec_t).alias("embedding"),
+        )
+        sim.append_ivf_index(batch, p, batch_id=k)
+
+    # --- index_stats flags the drift: the hot cluster absorbed the
+    # skew (frozen centroids can't re-partition it) and now dominates
+    # every other cluster's probe cost ---
+    prof1 = _profile(spark, p)
+    assert prof1[hot] >= prof0[hot] * 3  # ~all 3 batches landed there
+    others = [n for c, n in prof1.items() if c != hot]
+    assert prof1[hot] > 2 * max(others)  # the doc's rebuild trigger
+
+    # --- rebuild with more centroids (the corpus grew ~2x; the doc's
+    # standard reindex response) from the drifted corpus itself ---
+    full = spark.read.parquet(p).select("vec_id", "embedding")
+    p2 = str(tmp_path / "ivf8")
+    sim.build_ivf_index(full, p2, n_centroids=8)
+    prof2 = _profile(spark, p2)
+
+    # probe cost for a query is the population of its probed clusters;
+    # the worst case is bounded by the biggest cluster, which the
+    # rebuild at least halves (measured: 332 -> 127 on this fixture)
+    assert max(prof2.values()) * 2 < max(prof1.values())
+
+    # --- result quality survives the rebuild: an exhaustive probe
+    # (n_probe = n_centroids) of the new index reproduces brute-force
+    # cosine top-k over the drifted corpus exactly ---
+    qids = [10, 20, 30]
+    from_index = sim.ann_ivf_topk_from_index(
+        spark, p2, query_ids=qids, k=5, n_probe=8
+    )
+    brute = sim.cosine_topk(full, query_ids=qids, k=5)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, brute.collect())
+    ), "exhaustive probe of the rebuilt index must equal brute force"
