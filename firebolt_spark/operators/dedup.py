@@ -1500,27 +1500,34 @@ def append_winnow_index(
     never re-winnowed.
 
     ``batch_id`` (e.g. foreachBatch's epoch id) makes replays
-    idempotent via the ``_batches`` sidecar — see
+    idempotent AND crash-atomic via the staged commit protocol — see
     :func:`similarity.append_ivf_index`, whose contract this reuses.
-    Even a replayed duplicate batch cannot corrupt results: duplicate
-    ``(id, fingerprint)`` rows only widen the candidate superset the
-    exact pass then filters exactly.
+    Even without it a replayed duplicate batch cannot corrupt results:
+    duplicate ``(id, fingerprint)`` rows only widen the candidate
+    superset the exact pass then filters exactly — only storage and
+    probe fan-out inflate.
     """
     from firebolt_spark.operators.similarity import (
-        _applied_batches, _record_batch,
+        _applied_batches, _commit_staged, _delete_dir, _purge_batch_files,
     )
 
     spark = new_docs.sparkSession
     if batch_id is not None and int(batch_id) in _applied_batches(spark, path):
+        _delete_dir(spark, f"{path}/_staging/b{int(batch_id)}")
         return
     meta = _read_winnow_meta(spark, path, id_col)
     fp = _winnow_fp_rows(
         new_docs, int(meta["span_words"]), int(meta["window"]),
         text_col, id_col,
     )
-    fp.write.mode("append").parquet(path)
-    if batch_id is not None:
-        _record_batch(spark, path, batch_id)
+    if batch_id is None:
+        fp.write.mode("append").parquet(path)
+        return
+    bid = int(batch_id)
+    staging = f"{path}/_staging/b{bid}"
+    _purge_batch_files(spark, path, bid)
+    fp.write.mode("overwrite").parquet(staging + "/data")
+    _commit_staged(spark, staging, path, bid)
 
 
 def _read_winnow_meta(spark, path: str, id_col: str) -> dict:

@@ -1672,6 +1672,45 @@ def test_winnow_index_append_equals_rebuild_and_replay_idempotent(
     assert spark.read.parquet(inc).count() == n_before
 
 
+def test_winnow_index_append_crash_window_no_duplicates(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The winnow append inherits the staged commit protocol: a crash
+    after the fingerprint files land but before the _batches record is
+    written replays to exactly-once rows (the replay purges the crashed
+    attempt's batch-tagged files first)."""
+    import pytest
+
+    from firebolt_spark.operators import similarity as sim
+    from firebolt_spark.operators.dedup import (
+        append_winnow_index, build_winnow_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p = str(tmp_path / "winnow")
+    build_winnow_index(base, p, span_words=3, window=4)
+    full_ref = str(tmp_path / "winnow_ref")
+    build_winnow_index(docs, full_ref, span_words=3, window=4)
+    expected = spark.read.parquet(full_ref).count()
+
+    real_record = sim._record_batch
+    monkeypatch.setattr(sim, "_record_batch", lambda *a: (_ for _ in ()).throw(
+        RuntimeError("injected crash before the _batches record")
+    ))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_winnow_index(delta, p, batch_id=3)
+    monkeypatch.setattr(sim, "_record_batch", real_record)
+    append_winnow_index(delta, p, batch_id=3)
+    # exactly-once: base + delta == one build over the union, despite
+    # the crashed first attempt having already moved its files in
+    assert spark.read.parquet(p).count() == expected
+    append_winnow_index(delta, p, batch_id=3)  # recorded: no-op
+    assert spark.read.parquet(p).count() == expected
+
+
 def test_winnow_index_meta_guards(spark, sf_dir, tmp_path):
     """The sidecar guard rail set: probe with mismatched build
     parameters refuses (granularity would silently change — the LSH
