@@ -1508,7 +1508,8 @@ def append_winnow_index(
     probe fan-out inflate.
     """
     from firebolt_spark.operators.similarity import (
-        _applied_batches, _commit_staged, _delete_dir, _purge_batch_files,
+        _applied_batches, _commit_staged, _delete_dir,
+        _recover_crashed_attempt,
     )
 
     spark = new_docs.sparkSession
@@ -1525,7 +1526,7 @@ def append_winnow_index(
         return
     bid = int(batch_id)
     staging = f"{path}/_staging/b{bid}"
-    _purge_batch_files(spark, path, bid)
+    _recover_crashed_attempt(spark, path, bid)
     fp.write.mode("overwrite").parquet(staging + "/data")
     _commit_staged(spark, staging, path, bid)
 

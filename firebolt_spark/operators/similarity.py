@@ -623,11 +623,26 @@ def _move_tree(spark, src_root: str, dst_root: str, batch_id: int) -> None:
         ))
 
 
+def _recover_crashed_attempt(spark, path: str, batch_id: int) -> None:
+    """If a PRIOR attempt of this batch crashed before its commit,
+    remove what it left behind so the re-apply starts from zero rows of
+    this batch. The staging dir is the crash marker: it is created
+    before any file reaches the main layout and deleted only after the
+    commit record, so its absence proves no purge is needed — the happy
+    path pays one ``exists()`` instead of an O(partition-dirs) tree
+    walk per batch."""
+    fs, p, _ = _hadoop_fs(spark, f"{path}/_staging/b{int(batch_id)}")
+    if fs.exists(p):
+        _purge_batch_files(spark, path, batch_id)
+
+
 def _purge_batch_files(spark, path: str, batch_id: int) -> None:
     """Delete any main-layout file a PRIOR crashed attempt of this batch
     already moved in (files named ``b{batch_id}-*`` in the partition
-    tree and the ``_ids`` sidecar) — called before re-applying, so the
-    re-apply starts from a state with zero rows of this batch."""
+    tree and the ``_ids`` sidecar) — called (via
+    :func:`_recover_crashed_attempt`, crashed-replay only) before
+    re-applying, so the re-apply starts from a state with zero rows of
+    this batch."""
     prefix = f"b{int(batch_id)}-"
     fs, root, _ = _hadoop_fs(spark, path)
     roots = [root]
@@ -708,7 +723,7 @@ def append_ivf_index(
         return
     bid = int(batch_id)
     staging = f"{path}/_staging/b{bid}"
-    _purge_batch_files(spark, path, bid)
+    _recover_crashed_attempt(spark, path, bid)
     write_partitioned(rows, staging + "/data", ["cluster"], mode="overwrite")
     _write_ids_sidecar(new_embeddings, staging, id_col, vec_col)
     _commit_staged(spark, staging, path, bid)
@@ -1435,7 +1450,7 @@ def append_lsh_index(
         return
     bid = int(batch_id)
     staging = f"{path}/_staging/b{bid}"
-    _purge_batch_files(spark, path, bid)
+    _recover_crashed_attempt(spark, path, bid)
     write_partitioned(melted, staging + "/data", ["tbl", "sig"], mode="overwrite")
     _write_ids_sidecar(new_embeddings, staging, id_col, vec_col)
     _commit_staged(spark, staging, path, bid)
