@@ -618,9 +618,14 @@ def _move_tree(spark, src_root: str, dst_root: str, batch_id: int) -> None:
         name = f.getName()
         dst_dir = jvm.org.apache.hadoop.fs.Path(f"{dst_root}/{rel}".rstrip("/"))
         fs.mkdirs(dst_dir)
-        fs.rename(f, jvm.org.apache.hadoop.fs.Path(
+        dst = jvm.org.apache.hadoop.fs.Path(
             f"{dst_root}/{rel}b{batch_id}-{name}"
-        ))
+        )
+        # Hadoop rename reports failure as False, not an exception —
+        # committing a half-moved batch would lose its unmoved rows,
+        # so a failed move must abort BEFORE the _batches record
+        if not fs.rename(f, dst):
+            raise IOError(f"failed to move staged file {f} to {dst}")
 
 
 def _recover_crashed_attempt(spark, path: str, batch_id: int) -> None:
@@ -652,7 +657,10 @@ def _purge_batch_files(spark, path: str, batch_id: int) -> None:
     for r in roots:
         for f, _rel in _walk_data_files(fs, r):
             if f.getName().startswith(prefix):
-                fs.delete(f, False)
+                # a silently-failed delete would leave the crashed
+                # attempt's rows to duplicate the re-apply — abort
+                if not fs.delete(f, False):
+                    raise IOError(f"failed to purge crashed-batch file {f}")
 
 
 def _commit_staged(spark, staging: str, path: str, batch_id: int) -> None:
