@@ -18,20 +18,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-2: the two queries whose OPERATOR CODE changes in round 11
+# Slots 1-2: the two round-11 NEW queries (the on-disk winnow index
+# and pre-bucketed shingle-index paths) — zero driver rows yet.
+# Slots 3-4: the two queries whose OPERATOR CODE changes in round 11
 # (ngram_jaccard_pairs gained the broadcast_hot tri-state;
 # dedup_spans_candidates gained the on-disk winnow index path).
-# Slots 3-12: the ten queries the r10 broadcast-hint sweep touched,
+# Slots 5-14: the ten queries the r10 broadcast-hint sweep touched,
 # whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 13-50: the remaining
-# r9-checked queries in their r9 check order — ALL but one:
-# q_tpch1_pricing_summary is the single documented spill (51 candidates
-# into a 50-slot budget); its code is unchanged since round 2 and it
-# was re-verified against DuckDB at sf0.01 this round via
-# tests/run_oracle_check.py, so it is the lowest-risk row to go two
-# rounds stale.  It must LEAD the r12 rotation.  Names absent from this
-# list keep their module order after it.
+# coverage-section caveat / Next #2).  Slots 15-50: the remaining
+# r9-checked queries in their r9 check order — ALL but three:
+# q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters
+# and q_similarity_ann_lsh (unchanged since r9) spill a 53-candidate
+# field into the 50-slot budget; all three were re-verified against
+# DuckDB at sf0.01 this round via tests/run_oracle_check.py, so they
+# are the lowest-risk rows to go two rounds stale.  They must LEAD the
+# r12 rotation.  Names absent from this list keep their module order
+# after it.
 _PRIORITY = [
+    # NEW in round 11 — never driver-checked
+    "q_dedup_spans_candidates_indexed",
+    "q_dedup_ngram_jaccard_indexed",
     # operator code changed in round 11; driver row must be refreshed
     "q_dedup_ngram_jaccard",
     "q_dedup_spans_candidates",
@@ -83,8 +89,6 @@ _PRIORITY = [
     "q_temperature_mix",
     "q_hash_split",
     "q_dedup_spans",
-    "q_topic_clusters",
-    "q_similarity_ann_lsh",
 ]
 
 
