@@ -398,12 +398,20 @@ def append_shingle_index(
         num_buckets=int(info["Num Buckets"]), sort_cols=["sh"],
         mode="append",
     )
+    # mark the table as possibly-duplicated: any append may be an
+    # at-least-once replay, and the flag is what tells consumers to pay
+    # the defensive dedup — a build-only table is duplicate-free by
+    # construction and skips it
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('firebolt.appended' = '1')"
+    )
 
 
-def _shingle_index_n(spark, table_name: str) -> int:
-    """The shingle width a :func:`build_shingle_index` table was built
-    with. Refuses a table without the property — consuming a foreign
-    or hand-written table would skip the width validation and silently
+def _shingle_index_props(spark, table_name: str) -> dict:
+    """Table properties of a :func:`build_shingle_index` table. Refuses
+    a table without ``firebolt.ngram_n`` — consuming a foreign or
+    hand-written table would skip the width validation and silently
     change the metric (the `_meta`-absent contract of the ANN
     indexes)."""
     props = {
@@ -415,7 +423,11 @@ def _shingle_index_n(spark, table_name: str) -> int:
             f"table {table_name} has no firebolt.ngram_n property — not "
             f"a build_shingle_index artifact; refusing to use it"
         )
-    return int(props["firebolt.ngram_n"])
+    return props
+
+
+def _shingle_index_n(spark, table_name: str) -> int:
+    return int(_shingle_index_props(spark, table_name)["firebolt.ngram_n"])
 
 
 def ngram_jaccard_pairs(
@@ -470,21 +482,28 @@ def ngram_jaccard_pairs(
     """
     if shingle_index is not None:
         spark = docs.sparkSession
-        stored_n = _shingle_index_n(spark, shingle_index)
+        props = _shingle_index_props(spark, shingle_index)
+        stored_n = int(props["firebolt.ngram_n"])
         if stored_n != n:
             raise ValueError(
                 f"shingle index {shingle_index} was built with "
                 f"n={stored_n}, got n={n} — rebuild or match the build "
                 f"width"
             )
-        # defensive exact-once read: a replayed append leaves duplicate
-        # (doc_id, sh) rows which would corrupt intersection/size
-        # COUNTS. The table is clustered on sh, so this dropDuplicates
-        # is a partial aggregate with ZERO Exchange (pinned) — and NOT
-        # persisted: reading the bucketed parquet is the cheap path,
-        # and pinning a corpus-sized index in memory is what the
-        # artifact exists to avoid.
-        sh = spark.table(shingle_index).dropDuplicates(["doc_id", "sh"])
+        sh = spark.table(shingle_index)
+        if props.get("firebolt.appended") == "1":
+            # defensive exact-once read, paid ONLY once the table has
+            # been appended to: an at-least-once replayed append leaves
+            # duplicate (doc_id, sh) rows which would corrupt
+            # intersection/size COUNTS. The table is clustered on sh,
+            # so this dropDuplicates is a partial aggregate with ZERO
+            # Exchange (pinned) — and NOT persisted: reading the
+            # bucketed parquet is the cheap path, and pinning a
+            # corpus-sized index in memory is what the artifact exists
+            # to avoid. A build-only table is duplicate-free by
+            # construction (shingle_table distincts per doc) and skips
+            # the dedup's per-consumer aggregate entirely.
+            sh = sh.dropDuplicates(["doc_id", "sh"])
         handles = []
     else:
         # persist: the shingle table feeds FOUR consumers (per-doc

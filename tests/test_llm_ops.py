@@ -1577,6 +1577,43 @@ def test_shingle_index_matches_in_session_and_survives_replay(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_sh_idx")
 
 
+def test_shingle_index_dedup_only_after_append(spark, sf_dir):
+    """Round-11 sf10 finding: the defensive (doc_id, sh) dedup ran on
+    EVERY consumer of the index — four full-table aggregates per pairs
+    job — even for build-only tables, which are duplicate-free by
+    construction (shingle_table's per-row array_distinct). The
+    firebolt.appended property now gates it: set by the first append
+    (which may be an at-least-once replay), absent on a fresh build."""
+    from firebolt_spark.operators.dedup import (
+        _shingle_index_props, append_shingle_index, build_shingle_index,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        build_shingle_index(base, "t_sh_flag", num_buckets=8)
+        assert "firebolt.appended" not in _shingle_index_props(spark, "t_sh_flag")
+        clean = plan(ngram_jaccard_pairs(
+            base, max_df=0.5, shingle_index="t_sh_flag"
+        ))
+        append_shingle_index(delta, "t_sh_flag")
+        assert _shingle_index_props(spark, "t_sh_flag")["firebolt.appended"] == "1"
+        deduped = plan(ngram_jaccard_pairs(
+            docs, max_df=0.5, shingle_index="t_sh_flag"
+        ))
+        # the appended table's plan carries the per-consumer dedup
+        # aggregates the build-only plan skips
+        assert deduped.count("Aggregate") > clean.count("Aggregate")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sh_flag")
+
+
 def test_shingle_index_width_guard(spark, sf_dir):
     """A mismatched-n index or a foreign table without the width
     property silently changes the metric — both refuse."""
