@@ -113,10 +113,28 @@ def _offset_keys(table: pa.Table, name: str, r: int, units: dict[str, int]) -> p
     return table
 
 
-def _mutate_documents(table: pa.Table, r: int) -> pa.Table:
+def _shard_suffix(r: int, shards: int) -> str:
+    """Per-shard token suffix. <= 26 shards keeps the original single
+    letters (shard 1 -> 'b' ... — byte-identical output for the
+    standing sf1 generation); beyond that, UNIFORM two-letter codes for
+    every r > 0, so no suffix can be a proper extension of another and
+    token spaces stay pairwise disjoint at any shard count. Prefer
+    generating sfN DIRECTLY from the base fixture (one level): nesting
+    (sf0.1 -> sf1 -> sf10) composes the suffix maps, and
+    suffix-then-verbatim collides with verbatim-then-suffix — at the
+    nested sf10 every shingle appears in exactly TWO shards (df 25 ->
+    50, measured round 11), inflating candidate-pair volume ~4x beyond
+    linear. That inflation is a generator artifact, not engine
+    superlinearity (see docs/sf10_index_probe_r11.json)."""
+    if shards <= 26:
+        return chr(ord("a") + r)
+    return chr(ord("a") + r // 26) + chr(ord("a") + r % 26)
+
+
+def _mutate_documents(table: pa.Table, r: int, shards: int) -> pa.Table:
     if r == 0:
         return table
-    suffix = chr(ord("a") + r)  # shard 1 -> 'b', ... shard 9 -> 'j'
+    suffix = _shard_suffix(r, shards)
     texts = table["text"].to_pylist()
     new_texts = [" ".join(tok + suffix for tok in t.split()) for t in texts]
     i_text = table.schema.get_field_index("text")
@@ -158,7 +176,7 @@ def generate(base: str, out: str, shards: int) -> None:
             for r in range(shards):
                 shard = _offset_keys(src, name, r, units)
                 if name == "documents":
-                    shard = _mutate_documents(shard, r)
+                    shard = _mutate_documents(shard, r, shards)
                 elif name == "embeddings":
                     shard = _mutate_embeddings(shard, r)
                 writer.write_table(shard)
