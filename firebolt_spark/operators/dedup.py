@@ -438,6 +438,7 @@ def ngram_jaccard_pairs(
     max_df: float | None = None,
     broadcast_hot: bool | None = None,
     shingle_index: str | None = None,
+    max_df_count: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -454,6 +455,17 @@ def ngram_jaccard_pairs(
     affected pairs (intersections no longer count capped shingles, while
     per-doc sizes still do), so pass None when exactness matters and the
     corpus is known clean; at 100 TB always set it.
+
+    ``max_df_count`` is the ABSOLUTE form of the same cap (round 11 —
+    the text analogue of :func:`cap_bucket_size`'s role on the LSH
+    joins): shingles in more than this many documents are dropped
+    regardless of corpus size. The fractional cap stops firing as the
+    corpus grows — at 10⁹ docs, ``max_df=0.5`` needs a shingle in half
+    a billion documents, while boilerplate with df=10⁷ (0.1% of the
+    corpus, very real) still contributes 10¹⁴ rows to ONE join key.
+    An absolute count bounds the worst-case join-key group
+    unconditionally; set both and a shingle is dropped when it exceeds
+    EITHER. Same metric caveat as ``max_df`` for the affected pairs.
 
     ``broadcast_hot`` tri-states the hot-shingle exclusion list's join
     strategy (the ``unigram_lm_quality`` ``broadcast_model`` pattern —
@@ -516,24 +528,32 @@ def ngram_jaccard_pairs(
         sh = shingle_table(docs, text_col, n).persist()
         handles = [sh]
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is not None:
-        # corpus size as an in-plan scalar (1-row aggregate broadcast
-        # into the document-frequency filter) — no separate driver-side
-        # count() job per invocation, the cap resolves inside the same
-        # execution (mirrors the oracle's scalar subquery)
-        n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(
-                F.col("df")
-                > F.greatest(
-                    F.floor(F.lit(float(max_df)) * F.col("_n_docs")), F.lit(1)
-                )
+    if max_df is not None or max_df_count is not None:
+        df_agg = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            # corpus size as an in-plan scalar (1-row aggregate
+            # broadcast into the document-frequency filter) — no
+            # separate driver-side count() job per invocation, the cap
+            # resolves inside the same execution (mirrors the oracle's
+            # scalar subquery)
+            n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
+            thr = F.greatest(
+                F.floor(F.lit(float(max_df)) * F.col("_n_docs")), F.lit(1)
             )
-            .select("sh")
-        )
+            if max_df_count is not None:
+                # hot if EITHER cap is exceeded = one compare against
+                # the lower threshold
+                thr = F.least(thr, F.lit(int(max_df_count)))
+            hot = (
+                df_agg.crossJoin(F.broadcast(n_docs))
+                .filter(F.col("df") > thr)
+                .select("sh")
+            )
+        else:
+            # absolute cap alone needs no corpus-size scalar at all
+            hot = df_agg.filter(
+                F.col("df") > F.lit(int(max_df_count))
+            ).select("sh")
         # broadcast anti-join by default: see the broadcast_hot
         # tri-state contract in the docstring
         if broadcast_hot or broadcast_hot is None:

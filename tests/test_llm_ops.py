@@ -240,6 +240,44 @@ def test_ngram_jaccard_max_df_collapses_hot_shingle_pairs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped_rows} == {(100, 101)}
 
 
+def test_ngram_max_df_count_absolute_cap(spark):
+    """Round 11: the ABSOLUTE hot-shingle cap. The fractional max_df
+    stops firing as the corpus grows (threshold = fraction x corpus),
+    so boilerplate with a fixed document count eventually slips through
+    and makes one join key quadratic; max_df_count bounds the group
+    unconditionally. At a matched threshold the two caps are
+    row-identical, and setting BOTH drops a shingle when it exceeds
+    either (one compare against the lower threshold)."""
+    from firebolt_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the"
+    rows = [(i, f"{boiler} unique{i} body{i} tail{i}") for i in range(40)]
+    rows += [(100, f"{boiler} same same same"), (101, f"{boiler} same same same")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    n_docs = 42
+
+    key = lambda df: {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                      for r in df.collect()}
+    frac = key(ngram_jaccard_pairs(docs, threshold=0.01, max_df=0.5))
+    # matched threshold: floor(0.5 * 42) = 21 — identical result rows
+    absolute = key(ngram_jaccard_pairs(docs, threshold=0.01, max_df_count=21))
+    assert absolute == frac
+    assert {(a, b) for a, b, _ in absolute} == {(100, 101)}
+    # the 100 TB scenario the fractional cap misses: boilerplate in a
+    # MINORITY of a large corpus (here 42 of 142 docs) sails under
+    # max_df=0.5 (threshold 71), still making its join key quadratic;
+    # the absolute count collapses it regardless of corpus size
+    rows2 = rows + [(200 + i, f"clean{i} text{i} nothing{i} shared{i} here{i}")
+                    for i in range(100)]
+    big = spark.createDataFrame(rows2, "doc_id BIGINT, text STRING")
+    loose = ngram_jaccard_pairs(big, threshold=0.01, max_df=0.5).count()
+    tight = key(ngram_jaccard_pairs(
+        big, threshold=0.01, max_df=0.5, max_df_count=21
+    ))
+    assert loose > 600  # fractional cap alone: boilerplate all-pairs
+    assert {(a, b) for a, b, _ in tight} == {(100, 101)}
+
+
 def test_ngram_hot_broadcast_tristate_forced_off(spark):
     """r10 VERDICT residual: the hot-shingle exclusion list's broadcast
     is tri-stated like unigram_lm_quality's broadcast_model. Forced off,
