@@ -22,3 +22,25 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture
+def wh_table(spark):
+    """Mint warehouse table names unique to this process so concurrent
+    pytest invocations (sharded CI, a foreground repro racing a
+    background full run) never collide over the shared
+    ``spark-warehouse/`` directory; drops everything minted on
+    teardown."""
+    import os
+    import uuid
+
+    minted: list[str] = []
+
+    def mint(prefix: str) -> str:
+        name = f"{prefix}_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+        minted.append(name)
+        return name
+
+    yield mint
+    for name in minted:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1583,7 +1583,7 @@ def test_dedup_spans_candidates_containment_on_fixture(spark, sf_dir):
     assert removed_got <= len(got) * 0.05
 
 
-def test_shingle_index_matches_in_session_and_survives_replay(spark, sf_dir):
+def test_shingle_index_matches_in_session_and_survives_replay(spark, sf_dir, wh_table):
     """VERDICT r10 'Next #3': ngram_jaccard_pairs(shingle_index=) must
     return the identical pair set (the artifact is the same inverted
     index, bucketed), build+append must equal one full build, and a
@@ -1598,24 +1598,22 @@ def test_shingle_index_matches_in_session_and_survives_replay(spark, sf_dir):
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     key = lambda df: {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
                       for r in df.collect()}
-    try:
-        build_shingle_index(base, "t_sh_idx", num_buckets=8)
-        append_shingle_index(delta, "t_sh_idx")
-        ref = key(ngram_jaccard_pairs(docs, max_df=0.5))
-        assert key(ngram_jaccard_pairs(
-            docs, max_df=0.5, shingle_index="t_sh_idx"
-        )) == ref
-        # replayed append: duplicate (doc_id, sh) rows land in storage,
-        # results must stay exact
-        append_shingle_index(delta, "t_sh_idx")
-        assert key(ngram_jaccard_pairs(
-            docs, max_df=0.5, shingle_index="t_sh_idx"
-        )) == ref
-    finally:
-        spark.sql("DROP TABLE IF EXISTS t_sh_idx")
+    tbl = wh_table("t_sh_idx")
+    build_shingle_index(base, tbl, num_buckets=8)
+    append_shingle_index(delta, tbl)
+    ref = key(ngram_jaccard_pairs(docs, max_df=0.5))
+    assert key(ngram_jaccard_pairs(
+        docs, max_df=0.5, shingle_index=tbl
+    )) == ref
+    # replayed append: duplicate (doc_id, sh) rows land in storage,
+    # results must stay exact
+    append_shingle_index(delta, tbl)
+    assert key(ngram_jaccard_pairs(
+        docs, max_df=0.5, shingle_index=tbl
+    )) == ref
 
 
-def test_shingle_index_dedup_only_after_append(spark, sf_dir):
+def test_shingle_index_dedup_only_after_append(spark, sf_dir, wh_table):
     """Round-11 sf10 finding: the defensive (doc_id, sh) dedup ran on
     EVERY consumer of the index — four full-table aggregates per pairs
     job — even for build-only tables, which are duplicate-free by
@@ -1634,25 +1632,23 @@ def test_shingle_index_dedup_only_after_append(spark, sf_dir):
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
-    try:
-        build_shingle_index(base, "t_sh_flag", num_buckets=8)
-        assert "firebolt.appended" not in _shingle_index_props(spark, "t_sh_flag")
-        clean = plan(ngram_jaccard_pairs(
-            base, max_df=0.5, shingle_index="t_sh_flag"
-        ))
-        append_shingle_index(delta, "t_sh_flag")
-        assert _shingle_index_props(spark, "t_sh_flag")["firebolt.appended"] == "1"
-        deduped = plan(ngram_jaccard_pairs(
-            docs, max_df=0.5, shingle_index="t_sh_flag"
-        ))
-        # the appended table's plan carries the per-consumer dedup
-        # aggregates the build-only plan skips
-        assert deduped.count("Aggregate") > clean.count("Aggregate")
-    finally:
-        spark.sql("DROP TABLE IF EXISTS t_sh_flag")
+    tbl = wh_table("t_sh_flag")
+    build_shingle_index(base, tbl, num_buckets=8)
+    assert "firebolt.appended" not in _shingle_index_props(spark, tbl)
+    clean = plan(ngram_jaccard_pairs(
+        base, max_df=0.5, shingle_index=tbl
+    ))
+    append_shingle_index(delta, tbl)
+    assert _shingle_index_props(spark, tbl)["firebolt.appended"] == "1"
+    deduped = plan(ngram_jaccard_pairs(
+        docs, max_df=0.5, shingle_index=tbl
+    ))
+    # the appended table's plan carries the per-consumer dedup
+    # aggregates the build-only plan skips
+    assert deduped.count("Aggregate") > clean.count("Aggregate")
 
 
-def test_shingle_index_width_guard(spark, sf_dir):
+def test_shingle_index_width_guard(spark, sf_dir, wh_table):
     """A mismatched-n index or a foreign table without the width
     property silently changes the metric — both refuse."""
     import pytest
@@ -1662,18 +1658,15 @@ def test_shingle_index_width_guard(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    try:
-        build_shingle_index(docs.limit(20), "t_sh_guard", n=2, num_buckets=4)
-        with pytest.raises(ValueError, match="n=2"):
-            ngram_jaccard_pairs(docs, n=3, shingle_index="t_sh_guard")
-        docs.limit(5).select(
-            "doc_id", F.col("text").alias("sh")
-        ).write.saveAsTable("t_sh_foreign")
-        with pytest.raises(ValueError, match="ngram_n"):
-            ngram_jaccard_pairs(docs, shingle_index="t_sh_foreign")
-    finally:
-        spark.sql("DROP TABLE IF EXISTS t_sh_guard")
-        spark.sql("DROP TABLE IF EXISTS t_sh_foreign")
+    guard, foreign = wh_table("t_sh_guard"), wh_table("t_sh_foreign")
+    build_shingle_index(docs.limit(20), guard, n=2, num_buckets=4)
+    with pytest.raises(ValueError, match="n=2"):
+        ngram_jaccard_pairs(docs, n=3, shingle_index=guard)
+    docs.limit(5).select(
+        "doc_id", F.col("text").alias("sh")
+    ).write.saveAsTable(foreign)
+    with pytest.raises(ValueError, match="ngram_n"):
+        ngram_jaccard_pairs(docs, shingle_index=foreign)
 
 
 def test_winnow_index_probe_bit_identical_and_skips_recompute(spark, sf_dir, tmp_path):

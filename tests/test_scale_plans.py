@@ -186,7 +186,7 @@ def test_event_scan_filter_pushdown_on_long_column(spark):
     assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]" in plan
 
 
-def test_bucketed_tables_join_without_shuffle(spark):
+def test_bucketed_tables_join_without_shuffle(spark, wh_table):
     """Co-location: two tables bucketed on the join key with the same
     bucket count must sort-merge join with ZERO Exchange — the write
     paid the shuffle once; every later join is free (the 100 TB lever)."""
@@ -198,31 +198,28 @@ def test_bucketed_tables_join_without_shuffle(spark):
     lineitem = load_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_quantity"
     ).withColumnRenamed("l_orderkey", "o_orderkey")
+    t_orders, t_lineitem = wh_table("b_orders"), wh_table("b_lineitem")
+    write_bucketed(orders, t_orders, ["o_orderkey"], num_buckets=8)
+    write_bucketed(lineitem, t_lineitem, ["o_orderkey"], num_buckets=8)
+    assert bucketed_join_ready(spark, t_orders, t_lineitem, ["o_orderkey"])
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
-        write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], num_buckets=8)
-        assert bucketed_join_ready(spark, "b_orders", "b_lineitem", ["o_orderkey"])
-
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            joined = spark.table("b_orders").join(
-                spark.table("b_lineitem"), "o_orderkey"
-            )
-            plan = _executed_plan(joined)
-        finally:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-            )
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        assert "Exchange hashpartitioning" not in plan
-        # and the co-located join returns the same rows as the plain one
-        assert joined.count() == orders.join(lineitem, "o_orderkey").count()
+        joined = spark.table(t_orders).join(
+            spark.table(t_lineitem), "o_orderkey"
+        )
+        plan = _executed_plan(joined)
     finally:
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # and the co-located join returns the same rows as the plain one
+    assert joined.count() == orders.join(lineitem, "o_orderkey").count()
 
 
-def test_shingle_index_self_join_without_sh_exchange(spark):
+def test_shingle_index_self_join_without_sh_exchange(spark, wh_table):
     """The pre-bucketed shingle artifact (VERDICT r10 'Next #3'): with
     broadcasts disabled, consuming build_shingle_index's table keeps
     the inverted-index SELF-join AND the defensive (doc_id, sh) dedup
@@ -235,22 +232,20 @@ def test_shingle_index_self_join_without_sh_exchange(spark):
     )
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tbl = wh_table("b_shingles_plan")
+    build_shingle_index(docs, tbl, num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        build_shingle_index(docs, "b_shingles_plan", num_buckets=8)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            indexed = ngram_jaccard_pairs(
-                docs, threshold=0.5, shingle_index="b_shingles_plan"
-            )
-            inop = ngram_jaccard_pairs(docs, threshold=0.5)
-            assert "hashpartitioning(sh" not in _executed_plan(indexed)
-            assert "hashpartitioning(sh" in _executed_plan(inop)
-        finally:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-            )
+        indexed = ngram_jaccard_pairs(
+            docs, threshold=0.5, shingle_index=tbl
+        )
+        inop = ngram_jaccard_pairs(docs, threshold=0.5)
+        assert "hashpartitioning(sh" not in _executed_plan(indexed)
+        assert "hashpartitioning(sh" in _executed_plan(inop)
     finally:
-        spark.sql("DROP TABLE IF EXISTS b_shingles_plan")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
 
 
 def test_salted_join_matches_plain_join(spark):
