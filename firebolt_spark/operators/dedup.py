@@ -598,26 +598,66 @@ def ngram_jaccard_pairs(
 
 def incremental_near_dups(
     new_docs: DataFrame,
-    index_signatures: DataFrame,
+    index_signatures: DataFrame | None = None,
     text_col: str = "text",
     k: int = N_MINHASH,
     bands: int = N_BANDS,
     threshold: float = 0.5,
+    index_table: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ingest dedup: check a NEW batch against an existing
     signature index (the realistic 100 TB workflow — the corpus is
     historical state, only the delta is scored).
 
     ``index_signatures`` is a previously-persisted output of
-    ``minhash_signatures`` (at scale: a table bucketed by band hash).
+    ``minhash_signatures``; ``index_table`` names a
+    :func:`build_minhash_index` artifact instead — the durable form
+    (round 11): signatures read from the ``doc_id``-bucketed ``_sig``
+    table and bands from the ``band_hash``-bucketed ``_bands`` table,
+    so the candidate band join and the scoring join both run with ZERO
+    Exchange on the index side; only the delta is shuffled into the
+    layout, and the corpus is never re-banded. Exactly one of the two
+    must be passed; the index's stored ``k``/``bands`` are validated
+    against the call's.
+
     Returns (matches, new_signatures): matches are (new_doc_id,
     index_doc_id, est_jaccard ≥ threshold) pairs; new_signatures is the
-    delta to append to the index. Only the delta's shingles are ever
-    computed — cost tracks batch size, not corpus size.
+    delta to append to the index (:func:`append_minhash_index` for the
+    on-disk form). Only the delta's shingles are ever computed — cost
+    tracks batch size, not corpus size.
     """
+    if (index_signatures is None) == (index_table is None):
+        raise ValueError(
+            "pass exactly one of index_signatures (an in-memory "
+            "minhash_signatures DataFrame) or index_table (a "
+            "build_minhash_index artifact)"
+        )
+    if index_table is not None:
+        spark = new_docs.sparkSession
+        props = _minhash_index_props(spark, index_table)
+        stored_k = int(props["firebolt.minhash_k"])
+        stored_bands = int(props["firebolt.minhash_bands"])
+        if (k, bands) != (stored_k, stored_bands):
+            raise ValueError(
+                f"minhash index {index_table} was built with "
+                f"k={stored_k}, bands={stored_bands}; got k={k}, "
+                f"bands={bands} — rebuild or match the build parameters"
+            )
+        index_signatures = spark.table(f"{index_table}_sig")
+        ib = spark.table(f"{index_table}_bands")
+        if props.get("firebolt.appended") == "1":
+            # defensive exactly-once read, paid only once the table has
+            # been appended to (an at-least-once replayed append leaves
+            # duplicate rows): duplicate SIGNATURE rows would duplicate
+            # match rows, and the dedup is a partial aggregate with
+            # zero Exchange on the doc_id-bucketed layout. Duplicate
+            # BAND rows only re-surface candidates the DISTINCT below
+            # collapses, so the bands read stays untouched.
+            index_signatures = index_signatures.dropDuplicates(["doc_id"])
     new_sig = minhash_signatures(new_docs, text_col, k).persist()
     nb = lsh_bands(new_sig, k, bands)
-    ib = lsh_bands(index_signatures, k, bands)
+    if index_table is None:
+        ib = lsh_bands(index_signatures, k, bands)
     cand = (
         nb.alias("a")
         .join(
@@ -652,6 +692,134 @@ def incremental_near_dups(
         .filter(F.col("est_jaccard") >= threshold)
     )
     return scored, new_sig
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the MinHash signature index as TWO bucketed tables —
+    the durable artifact :func:`incremental_near_dups`' docstring has
+    always promised ("at scale: a table bucketed by band hash"),
+    completing the on-disk index family (winnow fingerprints, shingle
+    inverted index, LSH/IVF embedding indexes; round 11).
+
+    - ``{table_name}_sig`` — :func:`minhash_signatures` output bucketed
+      (and sorted) by ``doc_id``: the scoring join (candidate pairs
+      back to full signatures) runs exchange-free on the index side.
+    - ``{table_name}_bands`` — :func:`lsh_bands` long format bucketed
+      by ``(band, band_hash)``, the candidate join's exact key set: the
+      historical corpus is never re-banded or re-shuffled; each ingest
+      batch shuffles only ITSELF into the layout.
+
+    ``k``/``bands`` are recorded as table properties on ``_sig`` and
+    validated at consumption — a foreign or mismatched layout would
+    silently change the band agreement probability. Cost model at
+    100 TB: the build pays the corpus signature scan and two bucket
+    shuffles ONCE; every later ingest batch pays only its own shingles
+    plus two delta-sized shuffles (``incremental_near_dups(new_docs,
+    index_table=...)``).
+    """
+    from firebolt_spark.functions import write_bucketed
+
+    spark = docs.sparkSession
+    write_bucketed(
+        minhash_signatures(docs, text_col, k), f"{table_name}_sig",
+        ["doc_id"], num_buckets=num_buckets, sort_cols=["doc_id"],
+    )
+    # derive bands by re-reading the saved table: one scan of the
+    # narrow signature parquet instead of re-running the O(tokens)
+    # signature expressions over the corpus text a second time
+    write_bucketed(
+        lsh_bands(spark.table(f"{table_name}_sig"), k, bands),
+        f"{table_name}_bands", ["band", "band_hash"],
+        num_buckets=num_buckets, sort_cols=["band", "band_hash"],
+    )
+    spark.sql(
+        f"ALTER TABLE {table_name}_sig SET TBLPROPERTIES "
+        f"('firebolt.minhash_k' = '{int(k)}', "
+        f"'firebolt.minhash_bands' = '{int(bands)}')"
+    )
+
+
+def append_minhash_index(new_signatures: DataFrame, table_name: str) -> None:
+    """Append an ingest batch's signatures (the ``new_signatures`` half
+    of :func:`incremental_near_dups`' return) to a
+    :func:`build_minhash_index` artifact — both tables, each in its
+    existing bucket layout. Cost tracks the batch; the historical
+    corpus is never re-signed.
+
+    Same at-least-once contract as :func:`append_shingle_index`:
+    warehouse tables have no ``_batches`` sidecar, so a replayed append
+    duplicates rows in storage, and the ``firebolt.appended`` property
+    (set here) tells consumers to pay a defensive exchange-free
+    ``dropDuplicates`` on the ``_sig`` read (duplicate signature rows
+    would duplicate match rows; duplicate band rows only re-surface
+    candidates the join's DISTINCT already collapses). Signatures are
+    deterministic in the text, so a replayed row is bit-identical and
+    any surviving duplicate is safe to drop. Rebuild to reclaim the
+    duplicate storage.
+    """
+    from firebolt_spark.functions import write_bucketed
+
+    spark = new_signatures.sparkSession
+    props = _minhash_index_props(spark, table_name)
+    k = int(props["firebolt.minhash_k"])
+    bands = int(props["firebolt.minhash_bands"])
+
+    def buckets_of(tbl: str) -> int:
+        # the append must restate the EXISTING bucket spec (Spark
+        # refuses a mismatch rather than silently breaking the layout)
+        info = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        }
+        return int(info["Num Buckets"])
+
+    write_bucketed(
+        new_signatures, f"{table_name}_sig", ["doc_id"],
+        num_buckets=buckets_of(f"{table_name}_sig"),
+        sort_cols=["doc_id"], mode="append",
+    )
+    write_bucketed(
+        lsh_bands(new_signatures, k, bands), f"{table_name}_bands",
+        ["band", "band_hash"],
+        num_buckets=buckets_of(f"{table_name}_bands"),
+        sort_cols=["band", "band_hash"], mode="append",
+    )
+    spark.sql(
+        f"ALTER TABLE {table_name}_sig SET TBLPROPERTIES "
+        f"('firebolt.appended' = '1')"
+    )
+
+
+def _minhash_index_props(spark, table_name: str) -> dict:
+    """Table properties of a :func:`build_minhash_index` artifact
+    (stored on the ``_sig`` table). Refuses a table without the
+    ``k``/``bands`` properties — consuming a foreign or hand-written
+    layout would skip the parameter validation and silently change the
+    band agreement probability (the ``_meta``-absent contract of the
+    ANN indexes, restated for warehouse tables)."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table_name}_sig"
+        ).collect()
+    }
+    if (
+        "firebolt.minhash_k" not in props
+        or "firebolt.minhash_bands" not in props
+    ):
+        raise ValueError(
+            f"table {table_name}_sig has no firebolt.minhash_k/"
+            f"firebolt.minhash_bands properties — not a "
+            f"build_minhash_index artifact; refusing to use it"
+        )
+    return props
 
 
 def dedup_clusters(

@@ -18,29 +18,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-2: the two round-11 NEW queries (the on-disk winnow index
-# and pre-bucketed shingle-index paths) — zero driver rows yet.
-# Slots 3-4: the two queries whose OPERATOR CODE changes in round 11
+# Slots 1-3: the three round-11 NEW queries (the on-disk winnow index,
+# pre-bucketed shingle-index, and on-disk MinHash-index paths) — zero
+# driver rows yet.
+# Slots 4-6: the three queries whose OPERATOR CODE changes in round 11
 # (ngram_jaccard_pairs gained the broadcast_hot tri-state;
-# dedup_spans_candidates gained the on-disk winnow index path).
-# Slots 5-14: the ten queries the r10 broadcast-hint sweep touched,
+# dedup_spans_candidates gained the on-disk winnow index path;
+# incremental_near_dups gained the index_table branch).
+# Slots 7-16: the ten queries the r10 broadcast-hint sweep touched,
 # whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 15-50: the remaining
-# r9-checked queries in their r9 check order — ALL but three:
-# q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters
-# and q_similarity_ann_lsh (unchanged since r9) spill a 53-candidate
-# field into the 50-slot budget; all three were re-verified against
-# DuckDB at sf0.01 this round via tests/run_oracle_check.py, so they
-# are the lowest-risk rows to go two rounds stale.  They must LEAD the
-# r12 rotation.  Names absent from this list keep their module order
-# after it.
+# coverage-section caveat / Next #2).  Slots 17-50: the remaining
+# r9-checked queries in their r9 check order — ALL but five:
+# q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters,
+# q_similarity_ann_lsh, q_hash_split and q_dedup_spans (all unchanged
+# since r9) spill a 55-candidate field into the 50-slot budget; all
+# five were re-verified against DuckDB at sf0.01 this round via
+# tests/run_oracle_check.py, so they are the lowest-risk rows to go
+# two rounds stale.  They must LEAD the r12 rotation.  Names absent
+# from this list keep their module order after it.
 _PRIORITY = [
     # NEW in round 11 — never driver-checked
     "q_dedup_spans_candidates_indexed",
     "q_dedup_ngram_jaccard_indexed",
+    "q_dedup_incremental_indexed",
     # operator code changed in round 11; driver row must be refreshed
     "q_dedup_ngram_jaccard",
     "q_dedup_spans_candidates",
+    "q_dedup_incremental",
     # r10 broadcast-hint sweep; last driver check (r9) pre-change
     "q_tpch3_shipping_priority",
     "q_tpch19_bracket_revenue",
@@ -87,8 +91,6 @@ _PRIORITY = [
     "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_temperature_mix",
-    "q_hash_split",
-    "q_dedup_spans",
 ]
 
 

@@ -1040,6 +1040,38 @@ Q_DEDUP_INCREMENTAL_SQL = f"""
 """
 
 
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-DISK MinHash index path of q_dedup_incremental (round
+    11): the signature index is a build_minhash_index artifact — built
+    fresh into deterministic scratch tables as part of this query's own
+    plan (``_sig`` bucketed by doc_id, ``_bands`` by (band, band_hash))
+    — so both index-side joins run exchange-free on the bucket layout
+    and only the delta batch is shuffled. The operator contract says
+    the match set is identical to the in-memory path, and this entry
+    makes the driver's oracle enforce that — same SQL, artifact path
+    exercised end-to-end."""
+    from firebolt_spark.operators.similarity import _delete_dir
+
+    docs = _documents(spark, sf_dir)
+    tbl = "fb_q_minhash_idx"
+    for t in (f"{tbl}_sig", f"{tbl}_bands"):
+        if not spark.catalog.tableExists(t):
+            # a PREVIOUS session's managed-table directory without a
+            # catalog entry blocks saveAsTable(LOCATION_ALREADY_EXISTS);
+            # this is our own deterministic scratch table, safe to clear
+            _delete_dir(
+                spark, spark.conf.get("spark.sql.warehouse.dir") + f"/{t}"
+            )
+    dedup.build_minhash_index(docs, tbl)
+    new_docs = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    matches, _new_sigs = dedup.incremental_near_dups(
+        new_docs, index_table=tbl
+    )
+    return matches
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-collapse + trim + lowercase normalization with a
     change flag — the canonical pre-dedup cleanup. Oracle mirrors the
@@ -1587,6 +1619,7 @@ QUERIES = {
     "q_shard_packing": q_shard_packing,
     "q_text_normalize": q_text_normalize,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_incremental_indexed": q_dedup_incremental_indexed,
     "q_similarity_bruteforce": q_similarity_bruteforce,
     "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -1628,6 +1661,7 @@ ORACLE = {
     "q_shard_packing": Q_SHARD_PACKING_SQL,
     "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+    "q_dedup_incremental_indexed": Q_DEDUP_INCREMENTAL_SQL,
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_repetition": Q_TEXT_REPETITION_SQL,

@@ -1840,3 +1840,83 @@ def test_semantic_near_dups_multi_assign_recall_gate(spark):
     assert len(m2_rows) == len(m2)  # cross-cluster discoveries deduped
     assert m1 <= m2 <= truth
     assert len(m2) / len(truth) >= 0.5, f"recall {len(m2)/len(truth):.3f}"
+
+
+def test_minhash_index_matches_in_memory_and_survives_replay(
+    spark, sf_dir, wh_table
+):
+    """Round 11: incremental_near_dups(index_table=) probes a
+    build_minhash_index artifact instead of an in-memory signature
+    DataFrame — the match set must be identical, a build+append must
+    equal one full build, and a REPLAYED append (at-least-once
+    ingestion) must not duplicate match rows (the appended-gated
+    signature dedup)."""
+    from firebolt_spark.operators.dedup import (
+        append_minhash_index, build_minhash_index, incremental_near_dups,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    new_docs = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    key = lambda df: {  # noqa: E731
+        (r["new_doc_id"], r["index_doc_id"], round(r["est_jaccard"], 9))
+        for r in df.collect()
+    }
+    ref, _ = incremental_near_dups(new_docs, minhash_signatures(docs))
+    ref_key = key(ref)
+
+    tbl = wh_table("t_mh_idx")
+    try:
+        build_minhash_index(base, tbl, num_buckets=8)
+        delta_sig = minhash_signatures(delta).persist()
+        append_minhash_index(delta_sig, tbl)
+        got, _ = incremental_near_dups(new_docs, index_table=tbl)
+        assert key(got) == ref_key
+        # replayed append: duplicate signature + band rows land in
+        # storage, the match multiset must stay exact
+        append_minhash_index(delta_sig, tbl)
+        replayed, _ = incremental_near_dups(new_docs, index_table=tbl)
+        assert replayed.count() == len(ref_key)
+        assert key(replayed) == ref_key
+        delta_sig.unpersist()
+    finally:
+        # wh_table drops the minted name; the artifact's two suffixed
+        # tables need their own cleanup
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_sig")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bands")
+
+
+def test_minhash_index_parameter_and_foreign_guards(spark, sf_dir, wh_table):
+    """A mismatched (k, bands) call, a foreign table without the
+    properties, and an ambiguous in-memory+on-disk call all refuse —
+    a silent mismatch would change the band agreement probability."""
+    import pytest
+
+    from firebolt_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dups, minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    small = docs.limit(20)
+    tbl = wh_table("t_mh_guard")
+    foreign = wh_table("t_mh_foreign")
+    try:
+        build_minhash_index(small, tbl, num_buckets=4)
+        with pytest.raises(ValueError, match="bands=16"):
+            incremental_near_dups(small, index_table=tbl, bands=16)
+        small.write.saveAsTable(f"{foreign}_sig")
+        with pytest.raises(ValueError, match="minhash_k"):
+            incremental_near_dups(small, index_table=foreign)
+        with pytest.raises(ValueError, match="exactly one"):
+            incremental_near_dups(
+                small, minhash_signatures(small), index_table=tbl
+            )
+        with pytest.raises(ValueError, match="exactly one"):
+            incremental_near_dups(small)
+    finally:
+        for t in (f"{tbl}_sig", f"{tbl}_bands", f"{foreign}_sig"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -248,6 +248,50 @@ def test_shingle_index_self_join_without_sh_exchange(spark, wh_table):
         )
 
 
+def test_minhash_index_joins_without_index_side_exchange(spark, wh_table):
+    """The on-disk MinHash index (round 11): with broadcasts disabled,
+    incremental_near_dups(index_table=) keeps BOTH index-side joins on
+    the bucket layout — the candidate join reads ``_bands`` bucketed by
+    its exact key set (band, band_hash) and the scoring join reads
+    ``_sig`` bucketed by doc_id — so the corpus-sized shuffles the
+    in-memory path pays (band×2 → band×1, doc_id×2 → doc_id×1) are
+    delta-sized only. At 100 TB the index side IS the corpus; these two
+    exchanges are the job."""
+    import re
+
+    from firebolt_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dups, minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    tbl = wh_table("b_mh_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_minhash_index(docs, tbl, num_buckets=8)
+
+        def exchange_keys(df):
+            plan = _executed_plan(df)
+            return re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+
+        indexed, _ = incremental_near_dups(new_docs, index_table=tbl)
+        inmem, _ = incremental_near_dups(new_docs, minhash_signatures(docs))
+        idx_keys, mem_keys = exchange_keys(indexed), exchange_keys(inmem)
+        # in-memory: both sides of the band join and both sides of the
+        # scoring join shuffle; indexed: only the delta sides do
+        assert mem_keys.count("band") == 2 and mem_keys.count("doc_id") == 2
+        assert idx_keys.count("band") == 1, idx_keys
+        assert idx_keys.count("doc_id") == 1, idx_keys
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_sig")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bands")
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = load_table(spark, SF_DIR, "orders").select(
         F.col("o_custkey").alias("k"), "o_orderkey"
