@@ -100,12 +100,21 @@ class NgramJaccardNode:
         self.threshold = float(params.get("threshold", 0.3))
         md = params.get("max_df")
         self.max_df = float(md) if md is not None else None
-        if self.max_df is None:
+        mdc = params.get("max_df_count")
+        self.max_df_count = int(mdc) if mdc is not None else None
+        if self.max_df is None and self.max_df_count is None:
             _warn_unset_cap("ngram_jaccard", "max_df")
+        # round 11: broadcast_hot tri-state and the pre-bucketed
+        # shingle-index table flow through YAML like the Python API
+        self.broadcast_hot = params.get("broadcast_hot")
+        self.shingle_index = params.get("shingle_index")
 
     def transform(self, df: DataFrame) -> DataFrame:
         return dedup.ngram_jaccard_pairs(
-            df, self.text_col, self.n, self.threshold, max_df=self.max_df
+            df, self.text_col, self.n, self.threshold, max_df=self.max_df,
+            broadcast_hot=self.broadcast_hot,
+            shingle_index=self.shingle_index,
+            max_df_count=self.max_df_count,
         )
 
 
@@ -412,18 +421,54 @@ class SpanDedupCandidatesNode:
     the exact overlapping pass restricted to winnow-flagged candidate
     docs — the production shape at 100 TB; duplicates shorter than
     window + span_words - 1 words may survive. Params: span_words
-    (16), window (8), text_col ('text'), id_col ('doc_id')."""
+    (16), window (8), text_col ('text'), id_col ('doc_id'),
+    index_path (optional — a build_winnow_index artifact; candidate
+    discovery reads it instead of re-winnowing the corpus, bit-
+    identical result)."""
 
     def __init__(self, params: dict[str, Any]):
         self.span_words = int(params.get("span_words", 16))
         self.window = int(params.get("window", 8))
         self.text_col = params.get("text_col", "text")
         self.id_col = params.get("id_col", "doc_id")
+        self.index_path = params.get("index_path")
 
     def transform(self, df: DataFrame) -> DataFrame:
         return dedup.dedup_spans_candidates(
-            df, self.span_words, self.window, self.text_col, self.id_col
+            df, self.span_words, self.window, self.text_col, self.id_col,
+            index_path=self.index_path,
         )
+
+
+class IncrementalDedupNode:
+    """Incremental ingest dedup against a DURABLE MinHash index
+    (dedup.incremental_near_dups(index_table=...), round 11): the
+    input batch is scored against a build_minhash_index artifact —
+    cost tracks the batch, both index-side joins stay on the bucket
+    layout. Emits (new_doc_id, index_doc_id, est_jaccard) match rows.
+    Params: index_table (REQUIRED — the build_minhash_index table-name
+    prefix; k/bands come from its table properties), text_col
+    ('text'), threshold (0.5). The node only PROBES: append the
+    batch's signatures with dedup.append_minhash_index in the ingest
+    job itself (e.g. inside foreachBatch) — a transform may be
+    re-planned and re-run, so it must stay side-effect-free."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("index_table"):
+            raise ValueError(
+                "dedup_incremental node requires index_table (a "
+                "build_minhash_index artifact table-name prefix)"
+            )
+        self.index_table = params["index_table"]
+        self.text_col = params.get("text_col", "text")
+        self.threshold = float(params.get("threshold", 0.5))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        matches, _new_sigs = dedup.incremental_near_dups(
+            df, text_col=self.text_col, threshold=self.threshold,
+            index_table=self.index_table,
+        )
+        return matches
 
 
 class WinnowFingerprintNode:
@@ -478,5 +523,6 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("span_dedup_overlap", SpanDedupOverlapNode, None, None)
     registry.register_node_type("span_dedup_candidates", SpanDedupCandidatesNode, None, None)
     registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)
+    registry.register_node_type("dedup_incremental", IncrementalDedupNode, None, None)
     registry.register_node_type("lm_quality", LmQualityNode, None, None)
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

@@ -384,3 +384,72 @@ def test_round9_nodes_compose_from_yaml(spark, sf_dir, tmp_path):
         Pipeline.from_yaml(FROZEN_MIX_PIPELINE.replace(
             'plan_path: "%(plan)s", ', "") % {
             "path": f"{sf_dir}/documents.parquet"})
+
+
+R11_INDEXED_PIPELINE = """
+application: r11-indexed-nodes-test
+source: {name: parquet, params: {path: "%(path)s"}}
+nodes:
+  - name: span_dedup_candidates
+    id: cands
+    params: {span_words: 3, window: 4, index_path: "%(widx)s"}
+  - name: ngram_jaccard
+    id: ng
+    params: {threshold: 0.01, max_df: 0.5, max_df_count: 400,
+             broadcast_hot: false, shingle_index: "%(shidx)s"}
+  - name: dedup_incremental
+    id: inc
+    params: {index_table: "%(mhidx)s", threshold: 0.5}
+"""
+
+
+def test_round11_index_nodes_compose_from_yaml(spark, sf_dir, tmp_path, wh_table):
+    """Round-11 surface through YAML: the three on-disk index paths
+    (winnow index_path, bucketed shingle_index, MinHash index_table via
+    the new dedup_incremental node) plus the broadcast_hot tri-state
+    and max_df_count cap flow through node params, and each node's
+    output equals the direct operator call."""
+    import pytest
+
+    from firebolt_spark.operators import dedup
+    from firebolt_spark.operators.llm_nodes import IncrementalDedupNode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    widx = str(tmp_path / "winnow_idx")
+    dedup.build_winnow_index(docs, widx, span_words=3, window=4)
+    shidx, mhidx = wh_table("t_yaml_sh"), wh_table("t_yaml_mh")
+    dedup.build_shingle_index(docs, shidx, num_buckets=8)
+    try:
+        dedup.build_minhash_index(docs, mhidx, num_buckets=8)
+        p = Pipeline.from_yaml(R11_INDEXED_PIPELINE % {
+            "path": f"{sf_dir}/documents.parquet",
+            "widx": widx, "shidx": shidx, "mhidx": mhidx,
+        })
+        res = p.run_batch(spark)
+        assert res.outputs["cands"].count() == 500
+        ng_key = {(r["doc_a"], r["doc_b"]) for r in res.outputs["ng"].collect()}
+        assert ng_key == {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.01, max_df=0.5, max_df_count=400,
+                broadcast_hot=False,
+            ).collect()
+        }
+        # the index was built over the SAME corpus, so every doc
+        # matches at least itself at est_jaccard 1.0
+        inc = res.outputs["inc"]
+        assert set(inc.columns) == {"new_doc_id", "index_doc_id", "est_jaccard"}
+        self_matches = inc.filter(
+            (F.col("new_doc_id") == F.col("index_doc_id"))
+            & (F.col("est_jaccard") == 1.0)
+        ).count()
+        assert self_matches == 500
+        res.unpersist()
+    finally:
+        for t in (f"{mhidx}_sig", f"{mhidx}_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    with pytest.raises(ValueError, match="index_table"):
+        IncrementalDedupNode({})
