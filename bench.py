@@ -229,6 +229,59 @@ def _ngram_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _minhash_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Durable MinHash index vs in-memory signature accretion for
+    incremental_near_dups (round 11): the in-memory path re-signs and
+    re-bands the whole corpus per ingest batch (in_memory_s);
+    build_minhash_index pays that once (index_build_s), after which a
+    batch probe shuffles only itself against the two bucketed tables
+    (indexed_s). Batch = 1% of the corpus, relabeled. min-of-2 each,
+    noop sink."""
+    from firebolt_spark.functions import release
+    from firebolt_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dups, minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        release(df)
+        return time.perf_counter() - t0
+
+    def in_memory() -> float:
+        m, sigs = incremental_near_dups(batch, minhash_signatures(docs))
+        t = run(m)
+        sigs.unpersist()
+        return t
+
+    out: dict[str, float] = {
+        "in_memory_s": round(min(in_memory() for _ in range(2)), 3),
+    }
+    try:
+        t0 = time.perf_counter()
+        build_minhash_index(docs, "bench_minhash_idx")
+        out["index_build_s"] = round(time.perf_counter() - t0, 3)
+
+        def indexed() -> float:
+            m, sigs = incremental_near_dups(
+                batch, index_table="bench_minhash_idx"
+            )
+            t = run(m)
+            sigs.unpersist()
+            return t
+
+        out["indexed_s"] = round(min(indexed() for _ in range(2)), 3)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_minhash_idx_sig")
+        spark.sql("DROP TABLE IF EXISTS bench_minhash_idx_bands")
+    return out
+
+
 def _calibrate() -> dict[str, float]:
     """Fixed-work host-speed probe, reported with every bench run.
 
@@ -501,6 +554,10 @@ def main() -> None:
                 sf1["ngram_index_demo"] = _ngram_demo(spark, sf1_dir)
             except Exception as exc:  # pragma: no cover
                 sf1["ngram_index_demo_error"] = str(exc)[:200]
+            try:
+                sf1["minhash_index_demo"] = _minhash_demo(spark, sf1_dir)
+            except Exception as exc:  # pragma: no cover
+                sf1["minhash_index_demo_error"] = str(exc)[:200]
             if "normalized" in payload:
                 sf1["normalized_value"] = round(
                     sf1["value"] / payload["normalized"]["host_speed_factor"], 3

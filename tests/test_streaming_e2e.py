@@ -746,3 +746,103 @@ def test_streaming_temperature_mix_frozen_plan(spark, tmp_path):
     # replayed (admitted ids are unique because doc_ids are)
     assert len(streamed) < 180
     assert any(lang == "en" for _, lang in streamed)
+
+
+def test_streaming_minhash_index_maintenance_with_crash_restarts(
+    spark, tmp_path, wh_table
+):
+    """append_minhash_index inside the streaming ingest loop (round 11,
+    the MinHash analogue of the winnow drill above): each micro-batch
+    is scored against the durable index BEFORE being appended to it, so
+    matches accumulate exactly as an in-memory index accreted in the
+    same order would produce them — across three availableNow runs from
+    one checkpoint (a 'crash' between every two). After the runs, a
+    probe of the durable index equals the in-memory path over
+    seed+deltas, and a manually REPLAYED append (at-least-once
+    ingestion) leaves probe results exact via the appended-gated
+    signature dedup."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import (
+        append_minhash_index, build_minhash_index, incremental_near_dups,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(F.col("doc_id") % 4 == 0)
+    # each delta carries fresh docs PLUS relabeled copies of seed docs,
+    # so cross-batch matches are guaranteed to exist
+    deltas = [
+        docs.filter(F.col("doc_id") % 4 == k).unionByName(
+            seed.filter(F.col("doc_id") < 40).withColumn(
+                "doc_id", F.col("doc_id") + 100000 * k
+            )
+        )
+        for k in (1, 2, 3)
+    ]
+    tbl = wh_table("t_mh_stream")
+    delta_dir = tmp_path / "mh-deltas"
+    delta_dir.mkdir()
+    out_dir = str(tmp_path / "mh-matches")
+    ckpt = str(tmp_path / "ckpt-mh")
+
+    def key(df):
+        return {
+            (r["new_doc_id"], r["index_doc_id"], round(r["est_jaccard"], 9))
+            for r in df.collect()
+        }
+
+    try:
+        build_minhash_index(seed, tbl, num_buckets=8)
+
+        def ingest(batch_df, batch_id):
+            # probe-then-append: the batch is scored against the index
+            # state BEFORE it joins it (matches.write materializes the
+            # probe first)
+            matches, new_sigs = incremental_near_dups(
+                batch_df, index_table=tbl
+            )
+            matches.write.mode("append").parquet(out_dir)
+            append_minhash_index(new_sigs, tbl)
+            new_sigs.unpersist()
+
+        for i, d in enumerate(deltas):
+            d.coalesce(1).write.mode("append").parquet(str(delta_dir))
+            q = (
+                spark.readStream.schema(docs.schema)
+                .parquet(str(delta_dir))
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .queryName(f"mh-ingest-{i}")
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        # expectation: the in-memory index accreted in the same order
+        expected: set = set()
+        acc = seed
+        for d in deltas:
+            m, _ = incremental_near_dups(d, minhash_signatures(acc))
+            expected |= key(m)
+            acc = acc.unionByName(d)
+        assert key(spark.read.parquet(out_dir)) == expected and expected
+
+        # post-run probe: durable index == in-memory over the full set
+        probe = docs.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+        got, _ = incremental_near_dups(probe, index_table=tbl)
+        want, _ = incremental_near_dups(probe, minhash_signatures(acc))
+        want_key = key(want)
+        assert key(got) == want_key and want_key
+
+        # at-least-once: a replayed append must not change probe results
+        append_minhash_index(minhash_signatures(deltas[-1]), tbl)
+        again, _ = incremental_near_dups(probe, index_table=tbl)
+        assert key(again) == want_key
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_sig")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bands")
