@@ -822,6 +822,53 @@ def _minhash_index_props(spark, table_name: str) -> dict:
     return props
 
 
+def text_index_stats(spark, table_name: str) -> DataFrame:
+    """Join-key population profile of an on-disk text-dedup index — the
+    warehouse-table analogue of :func:`firebolt_spark.operators.
+    similarity.index_stats`, and the cap/reindex-decision input:
+
+    - for a :func:`build_shingle_index` table the key is ``sh``, so the
+      output IS the shingle document-frequency profile — read the top
+      rows to pick ``max_df`` / ``max_df_count`` empirically instead of
+      guessing (a df² blowup is visible here before the join pays it);
+    - for a :func:`build_minhash_index` artifact the key is
+      ``(band, band_hash)`` over the ``_bands`` table — a dominant
+      bucket means the candidate join concentrates there (degenerate
+      clone sets, empty-text signatures); revisit ``k``/``bands`` or
+      the corpus hygiene.
+
+    One row per key value with its member count, descending. Only the
+    key columns are scanned (column-pruned; no text or signatures
+    move), and the aggregate is exchange-free on the bucket layout.
+    Refuses a table that is neither artifact kind."""
+    shingle_props = None
+    try:
+        shingle_props = _shingle_index_props(spark, table_name)
+    except Exception:
+        pass
+    if shingle_props is not None:
+        keyed = spark.table(table_name).select("sh")
+        keys = ["sh"]
+    else:
+        try:
+            _minhash_index_props(spark, table_name)
+        except Exception as exc:
+            raise ValueError(
+                f"{table_name} is neither a build_shingle_index table "
+                f"nor a build_minhash_index artifact prefix — refusing "
+                f"to profile it"
+            ) from exc
+        keyed = spark.table(f"{table_name}_bands").select(
+            "band", "band_hash"
+        )
+        keys = ["band", "band_hash"]
+    return (
+        keyed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), *keys)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1920,3 +1920,55 @@ def test_minhash_index_parameter_and_foreign_guards(spark, sf_dir, wh_table):
     finally:
         for t in (f"{tbl}_sig", f"{tbl}_bands", f"{foreign}_sig"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_text_index_stats_profiles_both_artifact_kinds(spark, sf_dir, wh_table):
+    """text_index_stats (round 11): the cap/reindex-decision profile
+    for the warehouse-table text indexes — shingle df counts on a
+    build_shingle_index table, band-bucket population on a
+    build_minhash_index artifact — with true counts, an exchange-free
+    aggregate on the bucket layout, and foreign-table refusal."""
+    import pytest
+
+    from firebolt_spark.operators.dedup import (
+        build_minhash_index, build_shingle_index, shingle_table,
+        text_index_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh_tbl, mh_tbl = wh_table("t_stats_sh"), wh_table("t_stats_mh")
+    build_shingle_index(docs, sh_tbl, num_buckets=8)
+    try:
+        build_minhash_index(docs, mh_tbl, num_buckets=8)
+
+        stats = text_index_stats(spark, sh_tbl)
+        assert stats.columns == ["sh", "n_docs"]
+        # true df: the profile must agree with a direct count over the
+        # same inverted index
+        top = stats.first()
+        direct = (
+            shingle_table(docs)
+            .filter(F.col("sh") == top["sh"])
+            .count()
+        )
+        assert top["n_docs"] == direct
+        # the aggregate runs on the bucket clustering: no hash Exchange
+        plan = stats._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+
+        mh_stats = text_index_stats(spark, mh_tbl)
+        assert mh_stats.columns == ["band", "band_hash", "n_docs"]
+        # every doc emits one row per band: totals must add up
+        n_docs = docs.filter(F.col("text").isNotNull()).count()
+        total = mh_stats.agg(F.sum("n_docs")).first()[0]
+        from firebolt_spark.operators.dedup import N_BANDS
+
+        assert total == n_docs * N_BANDS
+        mh_plan = mh_stats._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in mh_plan
+    finally:
+        for t in (f"{mh_tbl}_sig", f"{mh_tbl}_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    with pytest.raises(ValueError, match="neither"):
+        text_index_stats(spark, wh_table("t_stats_none"))
