@@ -14,6 +14,7 @@ def test_validate_examples():
         "sql_lakehouse",
         "ann_search",
         "training_mix",
+        "incremental_ingest",
     ):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 
