@@ -764,6 +764,10 @@ def ann_ivf_topk_from_index(
     index: ``[(id, [floats...]), ...]`` literals cast to the index's
     exact vector type. Column names are validated against the
     ``_meta`` sidecar; an empty resolved probe set raises.
+
+    Raises ``ValueError`` when ``query_ids`` and ``query_vectors`` are
+    BOTH empty/None — same contract as :func:`ann_ivf_topk` (r9
+    ADVICE: an empty probe set silently returned an empty frame).
     """
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
@@ -1610,6 +1614,10 @@ def ann_lsh_topk_from_index(
     build-time bit-for-bit) and probed alongside any in-index
     ``query_ids``. An empty resolved probe set raises rather than
     filtering on a null predicate.
+
+    Raises ``ValueError`` when ``query_ids`` and ``query_vectors`` are
+    BOTH empty/None — same contract as :func:`ann_lsh_topk` (r9
+    ADVICE: an empty probe set silently returned an empty frame).
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
