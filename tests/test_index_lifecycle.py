@@ -84,3 +84,66 @@ def test_append_skew_stats_rebuild_rebalances_probe_cost(spark, tmp_path):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, brute.collect())
     ), "exhaustive probe of the rebuilt index must equal brute force"
+
+
+def test_shingle_append_boilerplate_stats_pick_the_cap(spark, wh_table):
+    """The text analogue of the IVF drill above (round 11): ingest
+    batches carrying a spreading boilerplate footer are appended to a
+    shingle index; text_index_stats makes the drift measurable (the
+    footer tier dwarfs every organic df); a max_df_count chosen FROM
+    the profile — not guessed — removes exactly the boilerplate-only
+    pairs while a true cross-batch near-dup pair survives the cap."""
+    from firebolt_spark.operators.dedup import (
+        append_shingle_index, build_shingle_index, ngram_jaccard_pairs,
+        text_index_stats,
+    )
+
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 300)
+    tbl = wh_table("t_lifecycle_sh")
+    build_shingle_index(base, tbl, num_buckets=8)
+
+    FOOTER = " click here to subscribe to our newsletter today"
+    DUP = "identical organic passage alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for k in (1, 2, 3):
+        for i in range(40):
+            organic = " ".join(f"u{k}w{i}t{j}" for j in range(12))
+            rows.append((100000 * k + i, organic + FOOTER))
+    # one true near-dup pair spanning the last batch
+    rows += [(999001, DUP + FOOTER), (999002, DUP + FOOTER)]
+    batch_all = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    for k in (1, 2, 3):
+        lo, hi = 100000 * k, 100000 * k + 40
+        b = batch_all.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            | (F.lit(k == 3) & (F.col("doc_id") >= 999000))
+        )
+        append_shingle_index(b, tbl)
+
+    # --- the profile flags the drift: the footer tier (df = all 122
+    # footered docs, exact) towers over the organic ceiling ---
+    stats = text_index_stats(spark, tbl)
+    dfs = [r["n_docs"] for r in stats.limit(200).collect()]
+    top_df = dfs[0]
+    assert top_df == 122
+    organic_ceiling = next(v for v in dfs if v < top_df)
+    assert top_df >= 3 * organic_ceiling
+    cap = organic_ceiling  # the decision, read from the profile
+
+    corpus = base.unionByName(batch_all)
+    footer_only = lambda df: df.filter(  # noqa: E731
+        (F.col("doc_a") >= 100000) & (F.col("doc_b") >= 100000)
+        & ~((F.col("doc_a") == 999001) & (F.col("doc_b") == 999002))
+    )
+    uncapped = ngram_jaccard_pairs(corpus, threshold=0.1, shingle_index=tbl)
+    assert footer_only(uncapped).count() > 1000  # the blowup is real
+    capped = ngram_jaccard_pairs(
+        corpus, threshold=0.1, shingle_index=tbl, max_df_count=cap
+    )
+    assert footer_only(capped).count() == 0
+    # the true near-dup pair survives: its organic shingles carry it
+    assert capped.filter(
+        (F.col("doc_a") == 999001) & (F.col("doc_b") == 999002)
+    ).count() == 1
