@@ -822,9 +822,9 @@ def _minhash_index_props(spark, table_name: str) -> dict:
     return props
 
 
-def text_index_stats(spark, table_name: str) -> DataFrame:
+def text_index_stats(spark, index: str) -> DataFrame:
     """Join-key population profile of an on-disk text-dedup index — the
-    warehouse-table analogue of :func:`firebolt_spark.operators.
+    text analogue of :func:`firebolt_spark.operators.
     similarity.index_stats`, and the cap/reindex-decision input:
 
     - for a :func:`build_shingle_index` table the key is ``sh``, so the
@@ -835,32 +835,53 @@ def text_index_stats(spark, table_name: str) -> DataFrame:
       ``(band, band_hash)`` over the ``_bands`` table — a dominant
       bucket means the candidate join concentrates there (degenerate
       clone sets, empty-text signatures); revisit ``k``/``bands`` or
-      the corpus hygiene.
+      the corpus hygiene;
+    - for a :func:`build_winnow_index` PATH (an ``index`` containing a
+      ``/``) the key is ``fingerprint`` with a distinct-document count —
+      a fingerprint shared by most of the corpus means candidate
+      discovery degenerates toward the unrestricted pass (every sharer
+      is a candidate); clean the boilerplate span or skip the
+      restriction.
 
     One row per key value with its member count, descending. Only the
     key columns are scanned (column-pruned; no text or signatures
-    move), and the aggregate is exchange-free on the bucket layout.
-    Refuses a table that is neither artifact kind."""
+    move); on the warehouse tables the aggregate is exchange-free on
+    the bucket layout. Refuses anything that is not one of the three
+    artifact kinds."""
+    if "/" in index:
+        from firebolt_spark.operators.similarity import _read_index_meta
+
+        meta = _read_index_meta(spark, index)
+        if meta is None or "span_words" not in meta or "id_col" not in meta:
+            raise ValueError(
+                f"{index} is not a build_winnow_index artifact (no "
+                f"_meta sidecar with span_words/id_col) — refusing to "
+                f"profile it"
+            )
+        rows = spark.read.parquet(index)
+        return (
+            rows.groupBy("fingerprint")
+            .agg(F.countDistinct(meta["id_col"]).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "fingerprint")
+        )
     shingle_props = None
     try:
-        shingle_props = _shingle_index_props(spark, table_name)
+        shingle_props = _shingle_index_props(spark, index)
     except Exception:
         pass
     if shingle_props is not None:
-        keyed = spark.table(table_name).select("sh")
+        keyed = spark.table(index).select("sh")
         keys = ["sh"]
     else:
         try:
-            _minhash_index_props(spark, table_name)
+            _minhash_index_props(spark, index)
         except Exception as exc:
             raise ValueError(
-                f"{table_name} is neither a build_shingle_index table "
-                f"nor a build_minhash_index artifact prefix — refusing "
-                f"to profile it"
+                f"{index} is neither a build_shingle_index table nor a "
+                f"build_minhash_index artifact prefix — refusing to "
+                f"profile it"
             ) from exc
-        keyed = spark.table(f"{table_name}_bands").select(
-            "band", "band_hash"
-        )
+        keyed = spark.table(f"{index}_bands").select("band", "band_hash")
         keys = ["band", "band_hash"]
     return (
         keyed.groupBy(*keys)

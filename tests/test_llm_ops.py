@@ -1972,3 +1972,37 @@ def test_text_index_stats_profiles_both_artifact_kinds(spark, sf_dir, wh_table):
 
     with pytest.raises(ValueError, match="neither"):
         text_index_stats(spark, wh_table("t_stats_none"))
+
+
+def test_text_index_stats_profiles_winnow_path(spark, sf_dir, tmp_path):
+    """text_index_stats over a build_winnow_index PATH: the fingerprint
+    sharing profile (distinct docs per fingerprint) — the signal that a
+    boilerplate span is about to degenerate candidate discovery — with
+    true counts and refusal of a parquet directory without the _meta
+    sidecar."""
+    import pytest
+
+    from firebolt_spark.operators.dedup import (
+        build_winnow_index, text_index_stats, winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "winnow_stats_idx")
+    build_winnow_index(docs, path, span_words=3, window=4)
+
+    stats = text_index_stats(spark, path)
+    assert stats.columns == ["fingerprint", "n_docs"]
+    top = stats.first()
+    # true sharing count: distinct docs carrying that fingerprint in
+    # the public (already-distinct) fingerprint view
+    direct = (
+        winnow_fingerprints(docs, span_words=3, window=4)
+        .filter(F.col("fingerprint") == top["fingerprint"])
+        .count()
+    )
+    assert top["n_docs"] == direct
+
+    plain = str(tmp_path / "plain_parquet")
+    docs.limit(5).write.parquet(plain)
+    with pytest.raises(ValueError, match="_meta"):
+        text_index_stats(spark, plain)
