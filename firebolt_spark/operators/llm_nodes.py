@@ -305,6 +305,28 @@ class MediaFeaturesNode:
         return multimodal.extract_features(df, decode_stub=self.decode_stub)
 
 
+class MediaResizeNode:
+    """Resize media to a fixed target (multimodal.resize_media, round
+    11): emits the (media, media_meta) convention back out with
+    refreshed n_bytes/sha, so resizes compose with media_features /
+    downstream nodes. Params: width (REQUIRED), height (REQUIRED),
+    decode_stub (default True — the real path handles BMP only)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if "width" not in params or "height" not in params:
+            raise ValueError(
+                "media_resize node requires width and height params"
+            )
+        self.width = int(params["width"])
+        self.height = int(params["height"])
+        self.decode_stub = bool(params.get("decode_stub", True))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return multimodal.resize_media(
+            df, self.width, self.height, decode_stub=self.decode_stub
+        )
+
+
 class SemanticNearDupNode:
     """Params: threshold (0.9), n_centroids (16), max_cluster (None —
     ALWAYS set on real corpora), id_col, vec_col, n_assign (1 — top-m
@@ -515,6 +537,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("redact", RedactNode, None, None)
     registry.register_node_type("chunk", ChunkNode, None, None)
     registry.register_node_type("media_features", MediaFeaturesNode, None, None)
+    registry.register_node_type("media_resize", MediaResizeNode, None, None)
     registry.register_node_type("shard_pack", ShardPackNode, None, None)
     registry.register_node_type("embedding_near_dup", EmbeddingNearDupNode, None, None)
     registry.register_node_type("temperature_mix", TemperatureMixNode, None, None)

@@ -350,6 +350,128 @@ def extract_features(
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, media BINARY, "
+    "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+    "sha: STRING>, width INT, height INT"
+)
+
+
+def _bmp_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resample of a 24-bpp BMP, pure struct.unpack —
+    the dependency-free real-codec path (PIL's ``Image.resize(...,
+    NEAREST)`` analogue). Returns a VALID BMP with proper 4-byte row
+    padding (the fixture's widths need none, arbitrary output widths
+    do); None for anything that is not a positive-dimension
+    bottom-up 24-bpp BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or width <= 0 or height <= 0:
+        return None
+    if data_off < 54 or data_off > len(payload):
+        return None
+    src_row = (3 * width + 3) // 4 * 4
+    pix = payload[data_off:]
+    if len(pix) < src_row * height:
+        return None
+    dst_row = (3 * out_w + 3) // 4 * 4
+    out = bytearray(dst_row * out_h)  # pad bytes stay zero
+    for j in range(out_h):
+        src_base = (j * height // out_h) * src_row
+        dst_base = j * dst_row
+        for i in range(out_w):
+            s = src_base + 3 * (i * width // out_w)
+            d = dst_base + 3 * i
+            out[d : d + 3] = pix[s : s + 3]
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(out),
+        2835, 2835, 0, 0,
+    )
+    return header + bytes(out)
+
+
+def _stub_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic fake resize for formats this container can't
+    decode: payload bytes derive from the source digest + target dims,
+    sized exactly as the real output would be. A real build replaces
+    this body with PIL/ffmpeg scaling."""
+    digest = hashlib.sha256(
+        payload + struct.pack("<ii", out_w, out_h)
+    ).digest()
+    n = 54 + ((3 * out_w + 3) // 4 * 4) * out_h
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_media(
+    media_df: DataFrame,
+    out_w: int,
+    out_h: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize media to (``out_w`` × ``out_h``) via Arrow-batched
+    mapInPandas — the third brief-listed multimodal operation beside
+    decode / feature-extract / frame-sample. Emits the media
+    convention back out (new bytes, refreshed ``media_meta`` with
+    recomputed ``n_bytes``/``sha``) plus the output dimensions, so
+    resizes compose: attach → resize → extract_features → ... all stay
+    on the same (media, media_meta) contract.
+
+    ``decode_stub=False`` runs the REAL dependency-free BMP
+    nearest-neighbor resampler (``_bmp_resize_py``): bit-exact
+    reference-checked, identity-dimension resizes round-trip the pixel
+    array byte-for-byte, and the output parses under both
+    ``bmp_decode`` paths. Formats beyond BMP raise ValueError (PIL /
+    ffmpeg are absent in this container); the stub path keeps the
+    plumbing — schema, batching, meta refresh — real for them.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.media)
+                meta = rec.media_meta
+                if decode_stub:
+                    resized = _stub_resize(payload, out_w, out_h)
+                    mime = meta["mime"]
+                else:
+                    maybe = _bmp_resize_py(payload, out_w, out_h)
+                    if maybe is None:
+                        raise ValueError(
+                            "unsupported media format (only BMP resizes "
+                            "dependency-free; JPEG/PNG/audio/video need "
+                            "PIL/librosa/ffmpeg)"
+                        )
+                    resized = maybe
+                    mime = "image/bmp"
+                rows.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "media": resized,
+                        "media_meta": {
+                            "kind": meta["kind"],
+                            "mime": mime,
+                            "n_bytes": len(resized),
+                            "sha": hashlib.sha256(resized).hexdigest(),
+                        },
+                        "width": out_w,
+                        "height": out_h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media", "media_meta", "width", "height"],
+            )
+
+    return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame-sampling plumbing over decoded video features: emit one row
     per sampled frame index (explode of a generated sequence — the real

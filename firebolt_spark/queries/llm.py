@@ -1212,6 +1212,52 @@ Q_MULTIMODAL_FEATURES_SQL = f"""
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor BMP resize (multimodal.resize_media,
+    decode_stub=False, round 11) to a fixed 6x3 target, re-decoded
+    with the builtin SQL codec. The oracle replays the NN source-pixel
+    selection analytically over the deterministic fixture bytes; the 2
+    zero pad bytes per row the 6-pixel width forces are modeled by the
+    /60 denominator. Scalar-only output."""
+    media = multimodal.bmp_encode(_documents(spark, sf_dir))
+    resized = multimodal.resize_media(media, 6, 3, decode_stub=False)
+    return multimodal.bmp_decode(resized).select(
+        "doc_id", "width", "height", "n_pixel_bytes", "mean_all"
+    )
+
+
+Q_MULTIMODAL_RESIZE_SQL = """
+    WITH src AS (
+        SELECT doc_id,
+               4 * (1 + doc_id % 4) AS w,
+               1 + doc_id % 5 AS h,
+               repeat(md5(coalesce(text, '')), 15) AS hx
+        FROM documents),
+    sel AS (
+        SELECT doc_id, hx,
+               3 * (((j.v * h) // 3) * w + ((i.v * w) // 6)) + c.v AS idx
+        FROM src,
+             LATERAL (SELECT unnest(range(3)) AS v) j,
+             LATERAL (SELECT unnest(range(6)) AS v) i,
+             LATERAL (SELECT unnest(range(3)) AS v) c),
+    b AS (
+        SELECT doc_id,
+               16 * (instr('0123456789abcdef',
+                           substr(hx, CAST(2 * idx + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(hx, CAST(2 * idx + 2 AS INTEGER), 1)) - 1)
+                   AS byteval
+        FROM sel)
+    SELECT doc_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS height,
+           CAST(60 AS INTEGER) AS n_pixel_bytes,
+           round(sum(byteval) / 60.0, 6) AS mean_all
+    FROM b
+    GROUP BY doc_id
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over DECODED fields: every 2nd pixel row of each
     BMP is a 'frame' (fixture convention n_frames = height)."""
@@ -1634,6 +1680,7 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_anomaly_scores": q_anomaly_scores,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_decontaminate": q_decontaminate,
     "q_temperature_mix": q_temperature_mix,
@@ -1674,6 +1721,7 @@ ORACLE = {
     "q_profile_events": Q_PROFILE_SQL,
     "q_anomaly_scores": Q_ANOMALY_SQL,
     "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+    "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
     "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,

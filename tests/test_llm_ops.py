@@ -2006,3 +2006,90 @@ def test_text_index_stats_profiles_winnow_path(spark, sf_dir, tmp_path):
     docs.limit(5).write.parquet(plain)
     with pytest.raises(ValueError, match="_meta"):
         text_index_stats(spark, plain)
+
+
+def test_bmp_resize_nn_reference_and_identity_roundtrip(spark, sf_dir):
+    """resize_media(decode_stub=False), round 11: the NN resample is
+    bit-exact against an independent pure-Python reference (including
+    the 4-byte row padding an arbitrary output width forces), an
+    identity-dimension resize round-trips the pixel array byte-for-
+    byte, the refreshed media_meta is truthful, and the output parses
+    under the builtin SQL decoder with the new dimensions."""
+    import hashlib
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(40)
+    media = multimodal.bmp_encode(docs)
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+
+    def ref_resize(payload, ow, oh):
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        src_row = (3 * w + 3) // 4 * 4
+        pix = payload[data_off:]
+        dst_row = (3 * ow + 3) // 4 * 4
+        out = bytearray(dst_row * oh)
+        for j in range(oh):
+            for i in range(ow):
+                s = (j * h // oh) * src_row + 3 * (i * w // ow)
+                d = j * dst_row + 3 * i
+                out[d : d + 3] = pix[s : s + 3]
+        return bytes(out)
+
+    # width 6 → 18 pixel bytes + 2 pad bytes per row
+    resized = multimodal.resize_media(media, 6, 3, decode_stub=False)
+    for r in resized.collect():
+        got = bytes(r["media"])
+        assert got[54:] == ref_resize(src[r["doc_id"]], 6, 3)
+        assert r["media_meta"]["n_bytes"] == len(got) == 54 + 20 * 3
+        assert r["media_meta"]["sha"] == hashlib.sha256(got).hexdigest()
+        assert r["media_meta"]["mime"] == "image/bmp"
+
+    # the resized payload is a valid BMP for the builtin decoder
+    dec = multimodal.bmp_decode(resized)
+    for r in dec.select("width", "height", "n_pixel_bytes").collect():
+        assert (r["width"], r["height"], r["n_pixel_bytes"]) == (6, 3, 60)
+
+    # identity dims: pixel array byte-for-byte (header is normalized)
+    one = media.filter(F.col("doc_id") == 7)
+    pay = src[7]
+    w, h = struct.unpack_from("<ii", pay, 18)
+    ident = multimodal.resize_media(one, w, h, decode_stub=False).first()
+    assert bytes(ident["media"])[54:] == pay[54:]
+
+
+def test_resize_media_stub_and_guards(spark, sf_dir):
+    """The stub path is deterministic and meta-truthful for formats the
+    container can't decode; the real path refuses non-BMP; bad target
+    dims refuse; the media_resize YAML node requires width/height."""
+    import hashlib
+
+    import pytest
+
+    from firebolt_spark.operators.llm_nodes import MediaResizeNode
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(10)
+    fake = multimodal.attach_media(docs)  # UTF-8 bytes, not BMP
+    a = multimodal.resize_media(fake, 8, 4).collect()
+    b = multimodal.resize_media(fake, 8, 4).collect()
+    assert [bytes(r["media"]) for r in a] == [bytes(r["media"]) for r in b]
+    for r in a:
+        got = bytes(r["media"])
+        assert len(got) == 54 + 24 * 4
+        assert r["media_meta"]["n_bytes"] == len(got)
+        assert r["media_meta"]["sha"] == hashlib.sha256(got).hexdigest()
+        assert r["media_meta"]["mime"] == "image/fake"  # stub keeps mime
+
+    with pytest.raises(Exception, match="unsupported media format"):
+        multimodal.resize_media(fake, 8, 4, decode_stub=False).collect()
+    with pytest.raises(ValueError, match="dims"):
+        multimodal.resize_media(fake, 0, 4)
+    with pytest.raises(ValueError, match="width"):
+        MediaResizeNode({"height": 3})
+    node = MediaResizeNode({"width": 6, "height": 3, "decode_stub": False})
+    out = node.transform(multimodal.bmp_encode(docs))
+    assert out.count() == 10 and "media_meta" in out.columns
