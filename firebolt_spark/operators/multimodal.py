@@ -31,8 +31,10 @@ Two decode paths exist (round 4 — VERDICT r3 "Next #3"):
 
 At 100 TB: binary columns dominate size, so (a) media is read with
 column pruning (select the meta first, media only where the filter
-passed), (b) feature extraction repartitions by size buckets so one
-task doesn't get all the 4 K videos, (c) outputs (small features) are
+passed), (b) feature extraction repartitions by byte budget ahead of
+the codec (``balance_media_bytes`` — byte-contiguous bins via the
+two-phase global cumsum, oversized payloads isolated) so one task
+doesn't get all the 4 K videos, (c) outputs (small features) are
 written separately from inputs (big bytes) to keep downstream scans
 cheap. The mapInPandas path is the real-codec scale shape (numpy over
 Arrow buffers); the builtin path exists so the BMP decode is
@@ -348,6 +350,65 @@ def extract_features(
             )
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _byte_bins(media_df: DataFrame, num_partitions: int, id_col: str):
+    """The bin assignment behind :func:`balance_media_bytes`, exposed
+    for testing: returns (binned_df_with ``_bin``, budget). Bins are
+    byte-contiguous windows of ``~total/num_partitions`` bytes over the
+    id-ordered running byte total (two-phase ``global_cumsum`` — no
+    SinglePartition window), EXCEPT oversized payloads (n_bytes ≥
+    budget), which each get a unique bin of their own — a 2 GB video
+    must not absorb a budget's worth of neighbors into its task.
+    Every bin therefore totals ≤ budget + its largest regular payload,
+    and an oversized payload sits alone."""
+    import math
+
+    from firebolt_spark.functions import global_cumsum
+
+    sized = media_df.withColumn(
+        "_nb", F.col("media_meta.n_bytes").cast("bigint")
+    )
+    total = sized.agg(F.sum("_nb").alias("t")).first()["t"] or 0
+    budget = max(1, math.ceil(total / num_partitions))
+    cum = global_cumsum(sized, "_nb", [id_col], out_col="_cum")
+    binned = cum.withColumn(
+        "_bin",
+        F.when(
+            F.col("_nb") >= budget,
+            -F.abs(F.xxhash64(F.col(id_col).cast("string"))) - F.lit(1),
+        )
+        .otherwise(
+            F.floor((F.col("_cum") - F.col("_nb")) / F.lit(float(budget)))
+        )
+        .cast("bigint"),
+    )
+    return binned, budget
+
+
+def balance_media_bytes(
+    media_df: DataFrame, num_partitions: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-balanced repartition ahead of an expensive codec stage —
+    the module docstring's point (b) made real. ``repartition(n)``
+    balances row COUNTS; under heavy payload-size skew the straggler
+    task is the one that got the one 2 GB video PLUS a full row share
+    of the corpus. This packs rows into byte-contiguous bins of
+    ``~total/num_partitions`` bytes (oversized payloads get dedicated
+    bins) and repartitions on the bin id, so downstream
+    ``mapInPandas`` codec tasks see comparable byte volumes.
+
+    Costs one metadata aggregate, one extra shuffle, and
+    ``global_cumsum``'s eager localCheckpoint of the media rows —
+    worth it only when the downstream per-byte Python/codec work
+    dominates (real decode), not for the cheap builtin paths.
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    binned, _budget = _byte_bins(media_df, num_partitions, id_col)
+    return binned.repartition(num_partitions, "_bin").drop(
+        "_nb", "_cum", "_bin"
+    )
 
 
 RESIZE_SCHEMA = (

@@ -2093,3 +2093,56 @@ def test_resize_media_stub_and_guards(spark, sf_dir):
     node = MediaResizeNode({"width": 6, "height": 3, "decode_stub": False})
     out = node.transform(multimodal.bmp_encode(docs))
     assert out.count() == 10 and "media_meta" in out.columns
+
+
+def test_balance_media_bytes_bins_and_oversized_isolation(spark):
+    """balance_media_bytes (round 11): the module docstring's
+    byte-balance claim made real — every byte-contiguous bin totals at
+    most budget + its largest regular payload, an oversized payload
+    (the '2 GB video') sits ALONE in a dedicated bin instead of
+    absorbing a budget's worth of neighbors, and the repartition
+    preserves the row set at the requested partition count."""
+    import pytest
+
+    rows = [(i, b"x" * 1000) for i in range(60)] + [(60, b"y" * 940_000)]
+    media = spark.createDataFrame(
+        rows, "doc_id BIGINT, media BINARY"
+    ).select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/fake").alias("mime"),
+            F.length("media").cast("bigint").alias("n_bytes"),
+            F.sha2("media", 256).alias("sha"),
+        ).alias("media_meta"),
+    )
+    binned, budget = multimodal._byte_bins(media, 4, "doc_id")
+    per_bin = {
+        r["_bin"]: (r["total"], r["n"], r["mx"])
+        for r in binned.groupBy("_bin")
+        .agg(
+            F.sum("_nb").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("_nb").alias("mx"),
+        )
+        .collect()
+    }
+    for b, (total, n, mx) in per_bin.items():
+        if b < 0:  # dedicated oversized bin
+            assert n == 1 and total >= budget
+        else:
+            assert total <= budget + mx
+    # the huge payload is alone in a negative bin
+    huge_bins = [b for b, (t, n, _) in per_bin.items() if t >= 940_000]
+    assert huge_bins and all(b < 0 for b in huge_bins)
+    assert all(per_bin[b][1] == 1 for b in huge_bins)
+
+    out = multimodal.balance_media_bytes(media, 4)
+    assert out.rdd.getNumPartitions() == 4
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == set(
+        range(61)
+    )
+    assert set(out.columns) == {"doc_id", "media", "media_meta"}
+    with pytest.raises(ValueError, match="num_partitions"):
+        multimodal.balance_media_bytes(media, 0)
