@@ -846,3 +846,64 @@ def test_streaming_minhash_index_maintenance_with_crash_restarts(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_sig")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_bands")
+
+
+def test_streaming_shingle_index_maintenance_with_crash_restarts(
+    spark, tmp_path, wh_table
+):
+    """append_shingle_index inside the streaming ingest loop (round 11
+    — completes the maintenance-e2e symmetry with the winnow and
+    MinHash drills above): a bucketed shingle index built from a seed
+    corpus accretes document deltas via foreachBatch across three
+    availableNow runs from one checkpoint (a 'crash' between every
+    two). The indexed pairs over seed+deltas equal the in-session
+    computation, and a manually REPLAYED append stays exact through
+    the appended-gated defensive dedup."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.dedup import (
+        append_shingle_index, build_shingle_index, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(F.col("doc_id") % 4 == 0)
+    deltas = [docs.filter(F.col("doc_id") % 4 == k) for k in (1, 2, 3)]
+    tbl = wh_table("t_sh_stream")
+    delta_dir = tmp_path / "sh-deltas"
+    delta_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt-sh")
+
+    def key(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+
+    try:
+        build_shingle_index(seed, tbl, num_buckets=8)
+
+        def ingest(batch_df, batch_id):
+            append_shingle_index(batch_df, tbl)
+
+        for i, d in enumerate(deltas):
+            d.coalesce(1).write.mode("append").parquet(str(delta_dir))
+            q = (
+                spark.readStream.schema(docs.schema)
+                .parquet(str(delta_dir))
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .queryName(f"sh-ingest-{i}")
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        ref = key(ngram_jaccard_pairs(docs, max_df=0.5))
+        assert key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)) == ref
+        # at-least-once: replay the last delta's append
+        append_shingle_index(deltas[-1], tbl)
+        assert key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)) == ref
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
