@@ -1342,6 +1342,61 @@ def dedup_spans(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level exact dedup across the corpus — the classic C4 move
+    (Raffel et al. 2020 §2.2 deployed deduplication at line
+    granularity over Common Crawl): every line whose exact content
+    appeared earlier, anywhere in the corpus, is removed (keeping its
+    first occurrence in (id, line position) order) and each document
+    is reassembled from its surviving lines.
+
+    Lines whose trimmed length is under ``min_chars`` are always KEPT:
+    empty lines and whitespace are document structure, not content —
+    deduping them would fuse every paragraph break in the corpus into
+    one survivor.
+
+    Returns one row per input document:
+    ``(id, n_lines int, n_kept int, text_dedup string)``.
+
+    Scale shape: identical topology to :func:`dedup_spans`, at line
+    instead of word-window granularity — the global keep-first
+    decision runs on the narrow (id, pos, digest) stream (min-struct
+    aggregation, map-side combined, so heavily-boilerplated corpora
+    shuffle one row per distinct line per map partition), kept
+    positions come back as one sorted int-array row per doc, and
+    bodies cross exactly one doc-key equi-join where the surviving
+    text is rebuilt IN-ROW (two-arg transform + filter + array_join
+    over the row's own lines). Deterministic total order (digest →
+    min (id, pos)); the DuckDB oracle replays the identical rule.
+    """
+    split_expr = f"split(coalesce({text_col}, ''), '\\n', -1)"
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.expr(split_expr)).alias("pos", "line"),
+    ).filter(F.col("line").isNotNull())
+    meta = lines.filter(
+        F.length(F.trim(F.col("line"))) >= min_chars
+    ).select(id_col, "pos", F.md5(F.col("line")).alias("digest"))
+    kept = _keep_first_positions(meta, id_col)
+    survivors = (
+        f"filter(transform({split_expr}, (x, i) -> "
+        f"CASE WHEN length(trim(x)) < {int(min_chars)} "
+        f"OR array_contains(coalesce(_kept_pos, array()), i) "
+        f"THEN x END), x -> x IS NOT NULL)"
+    )
+    return docs.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.expr(f"size({split_expr})").cast("int").alias("n_lines"),
+        F.expr(f"size({survivors})").cast("int").alias("n_kept"),
+        F.expr(f"array_join({survivors}, '\\n')").alias("text_dedup"),
+    )
+
+
 def _keep_first_positions(meta: DataFrame, id_col: str) -> DataFrame:
     """keep-first == min (id, pos) per digest — an aggregation, not a
     row_number window: partial (map-side) aggregation collapses

@@ -462,6 +462,24 @@ class SpanDedupCandidatesNode:
         )
 
 
+class LineDedupNode:
+    """Line-level exact dedup across the corpus (dedup.dedup_lines —
+    the C4 move, round 11): repeated lines keep their first (id, pos)
+    occurrence; sub-min_chars lines (structure) always survive. Emits
+    (id, n_lines, n_kept, text_dedup). Params: text_col ('text'),
+    id_col ('doc_id'), min_chars (1)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+        self.min_chars = int(params.get("min_chars", 1))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return dedup.dedup_lines(
+            df, self.text_col, self.id_col, self.min_chars
+        )
+
+
 class IncrementalDedupNode:
     """Incremental ingest dedup against a DURABLE MinHash index
     (dedup.incremental_near_dups(index_table=...), round 11): the
@@ -543,6 +561,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("temperature_mix", TemperatureMixNode, None, None)
     registry.register_node_type("hash_split", HashSplitNode, None, None)
     registry.register_node_type("span_dedup", SpanDedupNode, None, None)
+    registry.register_node_type("line_dedup", LineDedupNode, None, None)
     registry.register_node_type("span_dedup_overlap", SpanDedupOverlapNode, None, None)
     registry.register_node_type("span_dedup_candidates", SpanDedupCandidatesNode, None, None)
     registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)

@@ -1408,6 +1408,49 @@ Q_DEDUP_SPANS_SQL = f"""
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the corpus (dedup.dedup_lines —
+    the C4 move, Raffel et al. 2020 §2.2, round 11): every line whose
+    exact content appeared earlier in (doc_id, position) order is
+    removed and documents are reassembled; sub-min_chars lines (empty/
+    whitespace — document structure) are always kept. The oracle
+    replays split-on-newline → md5 → row_number keep-first → rebuild,
+    certifying the surviving text byte-for-byte (the fixture's exact-
+    duplicate documents lose their single line to the first copy)."""
+    return dedup.dedup_lines(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_DEDUP_LINES_SQL = """
+    WITH base AS (
+        -- coalesce mirrors the operator: NULL text splits as empty
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(0, len(ls))) AS pos,
+               unnest(ls) AS line
+        FROM base),
+    keep AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos) AS rk
+            FROM lines WHERE length(trim(line)) >= 1)
+        WHERE rk = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM lines WHERE length(trim(line)) < 1),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM keep GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.ls) AS INT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 _WINNOW_W = 4  # winnowing window (grams per min-selection)
 
 
@@ -1686,6 +1729,7 @@ QUERIES = {
     "q_temperature_mix": q_temperature_mix,
     "q_hash_split": q_hash_split,
     "q_dedup_spans": q_dedup_spans,
+    "q_dedup_lines": q_dedup_lines,
     "q_dedup_spans_overlap": q_dedup_spans_overlap,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_dedup_spans_candidates": q_dedup_spans_candidates,
@@ -1729,6 +1773,7 @@ ORACLE = {
     "q_temperature_mix": Q_TEMPERATURE_MIX_SQL,
     "q_hash_split": _hash_split_sql(),
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
+    "q_dedup_lines": Q_DEDUP_LINES_SQL,
     "q_dedup_spans_overlap": Q_DEDUP_SPANS_OVERLAP_SQL,
     "q_winnow_fingerprints": Q_WINNOW_FINGERPRINTS_SQL,
     "q_dedup_spans_candidates": Q_DEDUP_SPANS_CANDIDATES_SQL,

@@ -2146,3 +2146,49 @@ def test_balance_media_bytes_bins_and_oversized_isolation(spark):
     assert set(out.columns) == {"doc_id", "media", "media_meta"}
     with pytest.raises(ValueError, match="num_partitions"):
         multimodal.balance_media_bytes(media, 0)
+
+
+def test_dedup_lines_keep_first_structure_and_rebuild(spark):
+    """dedup_lines (round 11, the C4 line-granularity move): a
+    boilerplate line shared across documents survives only in its
+    first (id, pos) occurrence, empty/whitespace lines are structure
+    and always survive, a doc whose only line appeared earlier comes
+    back empty, NULL text behaves as empty text, and untouched
+    documents rebuild byte-for-byte — including their blank lines."""
+    from firebolt_spark.operators.dedup import dedup_lines
+    from firebolt_spark.operators.llm_nodes import LineDedupNode
+
+    rows = [
+        (0, "alpha beta\nshared boilerplate line\ngamma"),
+        (1, "delta\nshared boilerplate line\n\nepsilon"),
+        (2, "shared boilerplate line"),
+        (3, ""),
+        (4, None),
+        (5, "alpha beta"),
+        (6, "unique one\n\nunique two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (3, 3)
+    assert got[0]["text_dedup"] == rows[0][1]  # first occurrences win
+    assert got[1]["text_dedup"] == "delta\n\nepsilon"  # blank kept
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (4, 3)
+    assert got[2]["text_dedup"] == "" and got[2]["n_kept"] == 0
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (1, 1)  # structure
+    assert got[4]["text_dedup"] == ""  # NULL ≡ empty
+    assert got[5]["n_kept"] == 0  # single duplicate line dropped
+    assert got[6]["text_dedup"] == rows[6][1]  # byte-for-byte rebuild
+
+    # min_chars raises the structure floor: 10-char floor exempts the
+    # duplicated 'alpha beta' (10 chars is NOT under the floor) but
+    # exempts shorter lines from dedup
+    floored = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, min_chars=11).collect()
+    }
+    assert floored[5]["n_kept"] == 1  # 'alpha beta' now structure
+
+    node = LineDedupNode({"min_chars": 2})
+    out = node.transform(df)
+    assert set(out.columns) == {"doc_id", "n_lines", "n_kept", "text_dedup"}
+    assert out.count() == 7
