@@ -81,6 +81,12 @@ EXTRA = [
     # round 9: the winnow->exact composition — the production-shaped
     # offset-robust pass (exact digests only for candidate docs)
     "q_dedup_spans_candidates",
+    # round 11: line-level exact dedup (the C4 move — narrow digest
+    # keep-first at line granularity, in-row rebuild; the index-path
+    # queries are tracked by the *_index_demo rows instead, and the
+    # BMP resize is a fixture-bounded mapInPandas with nothing to
+    # track at scale)
+    "q_dedup_lines",
 ]
 
 
