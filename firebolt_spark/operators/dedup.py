@@ -1374,15 +1374,91 @@ def dedup_lines(
     over the row's own lines). Deterministic total order (digest →
     min (id, pos)); the DuckDB oracle replays the identical rule.
     """
-    split_expr = f"split(coalesce({text_col}, ''), '\\n', -1)"
+    meta = _line_meta(docs, text_col, id_col, min_chars)
+    return _rebuild_lines(
+        docs, _keep_first_positions(meta, id_col), text_col, id_col,
+        min_chars,
+    )
+
+
+def incremental_dedup_lines(
+    new_docs: DataFrame,
+    line_index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental line-level dedup: scrub a NEW ingest batch against a
+    persisted line-digest index — the ingest-loop face of
+    :func:`dedup_lines`, exactly as :func:`incremental_dedup_spans` is
+    for span tiles (the corpus is historical state; only the delta is
+    split and scored).
+
+    ``line_index`` is a single-column ``(digest)`` DataFrame of every
+    dedupable line already admitted (``None`` = empty). A new line
+    survives iff its digest is absent from the index AND it is the
+    first occurrence within the batch (same keep-first total order as
+    ``dedup_lines``); sub-``min_chars`` lines are structure and always
+    survive. Returns ``(deduped, new_digests)`` — ``deduped`` in the
+    ``dedup_lines`` contract, ``new_digests`` the distinct digests to
+    append to the index (at 100 TB: a table bucketed by digest so the
+    anti-join is co-located and the append a partitioned write).
+
+    Cost tracks the batch: the index is touched only by a narrow
+    digest anti-join, batch bodies cross one doc-key join, and nothing
+    rescans the historical corpus.
+    """
+    meta = _line_meta(new_docs, text_col, id_col, min_chars)
+    # persist: both outputs derive from the anti-joined line set (the
+    # incremental_dedup_spans precedent) — release via
+    # functions.release(deduped) after materializing both outputs.
+    fresh = (
+        meta.join(line_index.select("digest"), "digest", "left_anti")
+        if line_index is not None
+        else meta
+    ).persist()
+    deduped = _rebuild_lines(
+        new_docs, _keep_first_positions(fresh, id_col), text_col, id_col,
+        min_chars,
+    )
+    new_digests = fresh.select("digest").distinct()
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(deduped, fresh), new_digests
+
+
+def _line_split_expr(text_col: str) -> str:
+    return f"split(coalesce({text_col}, ''), '\\n', -1)"
+
+
+def _line_meta(
+    docs: DataFrame, text_col: str, id_col: str, min_chars: int
+) -> DataFrame:
+    """The dedupable (id, pos, digest) line stream shared by the
+    one-shot and incremental paths (sub-min_chars lines never enter —
+    they are structure, kept unconditionally at rebuild)."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode_outer(F.expr(split_expr)).alias("pos", "line"),
+        F.posexplode_outer(F.expr(_line_split_expr(text_col))).alias(
+            "pos", "line"
+        ),
     ).filter(F.col("line").isNotNull())
-    meta = lines.filter(
+    return lines.filter(
         F.length(F.trim(F.col("line"))) >= min_chars
     ).select(id_col, "pos", F.md5(F.col("line")).alias("digest"))
-    kept = _keep_first_positions(meta, id_col)
+
+
+def _rebuild_lines(
+    docs: DataFrame,
+    kept: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int,
+) -> DataFrame:
+    """Left-join kept line positions back to the docs and rebuild the
+    surviving text in-row (two-arg transform + filter + array_join
+    over the row's own lines); sub-min_chars lines always survive."""
+    split_expr = _line_split_expr(text_col)
     survivors = (
         f"filter(transform({split_expr}, (x, i) -> "
         f"CASE WHEN length(trim(x)) < {int(min_chars)} "

@@ -2192,3 +2192,48 @@ def test_dedup_lines_keep_first_structure_and_rebuild(spark):
     out = node.transform(df)
     assert set(out.columns) == {"doc_id", "n_lines", "n_kept", "text_dedup"}
     assert out.count() == 7
+
+
+def test_incremental_dedup_lines_across_batches(spark):
+    """Three ingest batches through a growing line-digest index
+    (round 11, the line analogue of the spans test above): a line
+    admitted in batch N never survives in batch N+k, within-batch
+    keep-first still applies, blank lines survive every batch, the
+    index grows monotonically, and the union of survivors equals a
+    one-shot dedup_lines over the concatenated corpus."""
+    from firebolt_spark.operators.dedup import (
+        dedup_lines, incremental_dedup_lines,
+    )
+
+    batches = [
+        [(1, "alpha\nboiler"), (2, "beta\nboiler")],
+        [(3, "boiler\n\ngamma"), (4, "delta")],
+        [(5, "delta\nalpha"), (6, "unique\n")],
+    ]
+    index = None
+    survivors = {}
+    index_sizes = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        deduped, new_digests = incremental_dedup_lines(df, index)
+        for r in deduped.collect():
+            survivors[r["doc_id"]] = (r["n_kept"], r["text_dedup"])
+        index = (
+            new_digests if index is None
+            else index.union(new_digests).distinct()
+        ).persist()
+        index_sizes.append(index.count())
+    assert index_sizes == sorted(index_sizes)  # monotone growth
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], ["doc_id", "text"]
+    )
+    oneshot = {r["doc_id"]: (r["n_kept"], r["text_dedup"])
+               for r in dedup_lines(all_docs).collect()}
+    assert survivors == oneshot
+    # spot semantics: doc 5's lines were both admitted earlier
+    # ('delta' by doc 4, 'alpha' by doc 1) -> fully scrubbed; doc 3
+    # keeps its blank line (structure) but loses 'boiler' to doc 1
+    assert survivors[5] == (0, "")
+    assert survivors[3] == (2, "\ngamma")
+    # the trailing newline of doc 6 is a kept empty line
+    assert survivors[6] == (2, "unique\n")
