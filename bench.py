@@ -87,6 +87,13 @@ EXTRA = [
     # BMP resize is a fixture-bounded mapInPandas with nothing to
     # track at scale)
     "q_dedup_lines",
+    # round 11 data-selection trio: hashed-feature classifier inference
+    # (broadcast model join + decimal dot product) and DSIR importance
+    # weights (single corpus scan, persisted feature table feeding both
+    # the raw model and the per-doc sum) carry real aggregate cost;
+    # weighted_sample is a TakeOrdered scan with nothing to track
+    "q_classifier_score",
+    "q_importance_weights",
 ]
 
 

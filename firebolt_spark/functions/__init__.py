@@ -322,6 +322,51 @@ def hash_sample_by(
     return df.filter(bucket < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``k``
+    rows with inclusion probability proportional to ``weight_col`` —
+    the A-Res reservoir scheme of Efraimidis & Spirakis (2006), ranked
+    by ``u^(1/w)`` with the uniform ``u`` drawn from the row's CONTENT
+    HASH instead of an RNG stream.  The selected row SET is therefore a
+    pure function of (data, salt): stable under repartitioning, task
+    retries, incremental re-runs, and portable to any engine with md5
+    — the property ``hash_sample`` gives Bernoulli sampling, extended
+    to weighted selection (e.g. sample training documents ∝ a quality
+    or DSIR importance weight; vary ``salt`` for independent draws).
+
+    Rows with NULL or non-positive weight are EXCLUDED (they have zero
+    inclusion probability; u^(1/w) is undefined at w <= 0).
+
+    Ranking uses the order-equivalent key ``ln(u)/w`` (monotone in
+    ``u^(1/w)``; avoids pow underflow at tiny weights), with ``u =
+    (h32 + 0.5) / 2^32`` strictly inside (0, 1).  Ties are broken by
+    the key column, so the result is total-ordered and reproducible.
+
+    Scale shape: one scan; the global top-k is Spark's TakeOrdered
+    (per-partition heaps merged at the driver — k rows cross the wire,
+    never the corpus).  The returned frame preserves the input columns
+    (the rank key is internal)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    rank = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ares_rank", rank)
+        .orderBy(F.col("_ares_rank").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_ares_rank")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -541,6 +541,118 @@ class LmQualityNode:
         return text.lm_cross_entropy(df, self.text_col, self.id_col)
 
 
+class ClassifierScoreNode:
+    """Linear quality-classifier inference over hashed n-gram features
+    (text.classifier_score — fastText-style filtering, round 11).
+    Params: weights_path (REQUIRED — parquet with (bucket, weight)
+    rows, e.g. exported trained weights), text_col ('text'), id_col
+    ('doc_id'), n_buckets (4096), bigrams (true), salt ('feat'), bias
+    (0.0). The model table is bounded by n_buckets, so the join is
+    broadcast. Emits (id, n_features, logit, score)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("weights_path"):
+            raise ValueError(
+                "classifier_score node requires weights_path (parquet "
+                "with (bucket, weight) rows)"
+            )
+        self.weights_path = params["weights_path"]
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+        self.n_buckets = int(params.get("n_buckets", 4096))
+        self.bigrams = bool(params.get("bigrams", True))
+        self.salt = params.get("salt", "feat")
+        self.bias = float(params.get("bias", 0.0))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        weights = df.sparkSession.read.parquet(self.weights_path)
+        return text.classifier_score(
+            df,
+            weights,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n_buckets=self.n_buckets,
+            bigrams=self.bigrams,
+            salt=self.salt,
+            bias=self.bias,
+        )
+
+
+class ImportanceWeightsNode:
+    """DSIR importance weights (text.importance_weights, round 11):
+    log-likelihood ratio of each document's hashed-ngram features
+    under a target vs the raw corpus model. Params: exactly one of
+    target_filter (SQL boolean expr selecting the target slice of the
+    INPUT, e.g. "lang = 'en'") or target_model_path (parquet with a
+    stored hashed_bucket_model — (bucket, cnt, total) rows); plus
+    text_col ('text'), id_col ('doc_id'), n_buckets (4096), bigrams
+    (true), salt ('feat'). The raw model is built from the input
+    corpus itself (the standard DSIR setup). Emits (id, n_features,
+    log_weight)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.target_filter = params.get("target_filter")
+        self.target_model_path = params.get("target_model_path")
+        if bool(self.target_filter) == bool(self.target_model_path):
+            raise ValueError(
+                "importance_weights node requires exactly one of "
+                "target_filter or target_model_path"
+            )
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+        self.n_buckets = int(params.get("n_buckets", 4096))
+        self.bigrams = bool(params.get("bigrams", True))
+        self.salt = params.get("salt", "feat")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.target_model_path:
+            target_model = df.sparkSession.read.parquet(self.target_model_path)
+        else:
+            target_model = text.hashed_bucket_model(
+                df.filter(F.expr(self.target_filter)),
+                text_col=self.text_col,
+                n_buckets=self.n_buckets,
+                bigrams=self.bigrams,
+                salt=self.salt,
+            )
+        return text.importance_weights(
+            df,
+            target_model,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n_buckets=self.n_buckets,
+            bigrams=self.bigrams,
+            salt=self.salt,
+        )
+
+
+class WeightedSampleNode:
+    """Deterministic weighted sampling without replacement
+    (functions.weighted_sample — A-Res with content-hash uniforms,
+    round 11): keep k rows with probability ∝ weight_col; the selected
+    set is a pure function of (data, salt). Params: weight_col
+    (REQUIRED), k (REQUIRED), key_col ('doc_id'), salt ('')."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("weight_col") or "k" not in params:
+            raise ValueError(
+                "weighted_sample node requires weight_col and k"
+            )
+        self.weight_col = params["weight_col"]
+        self.k = int(params["k"])
+        self.key_col = params.get("key_col", "doc_id")
+        self.salt = params.get("salt", "")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import weighted_sample
+
+        return weighted_sample(
+            df, self.weight_col, self.k, self.key_col, self.salt
+        )
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -567,4 +679,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)
     registry.register_node_type("dedup_incremental", IncrementalDedupNode, None, None)
     registry.register_node_type("lm_quality", LmQualityNode, None, None)
+    registry.register_node_type("classifier_score", ClassifierScoreNode, None, None)
+    registry.register_node_type("importance_weights", ImportanceWeightsNode, None, None)
+    registry.register_node_type("weighted_sample", WeightedSampleNode, None, None)
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

@@ -450,3 +450,290 @@ def lm_cross_entropy(
             ).alias("bits_per_token"),
         )
     )
+
+
+# ---- hashed-feature models: classifier scoring and DSIR selection --------
+
+def _ngram_features(text_col: str, bigrams: bool) -> Column:
+    """Unigram (+ optional bigram) feature stream of a text column,
+    WITH multiplicity (array<string>) — the raw material for hashed
+    bag-of-ngram features.  Same bound-tokenization trick as
+    ``word_shingles`` (the token array is materialized once per row via
+    a lambda argument, not re-split per position), but deliberately NOT
+    distinct: feature COUNTS are the model inputs.  Bigrams are emitted
+    only for texts of >= 2 tokens — ``sequence(1, 0)`` would count DOWN
+    in Spark, so the guard is an explicit IF, and the oracle mirrors it
+    with a WHERE len >= 2."""
+    big = (
+        "IF(size(t) >= 2, zip_with(slice(t, 1, size(t) - 1), "
+        "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)), "
+        "CAST(array() AS ARRAY<STRING>))"
+        if bigrams
+        else "CAST(array() AS ARRAY<STRING>)"
+    )
+    return F.expr(
+        f"flatten(transform(array(split(trim({text_col}), ' ')), "
+        f"t -> concat(t, {big})))"
+    )
+
+
+def _feature_bucket(feature: Column, n_buckets: int, salt: str) -> Column:
+    """Engine-portable feature hashing: first 8 md5 hex digits of
+    ``feature#salt`` as a non-negative BIGINT, mod ``n_buckets`` — the
+    same md5 spelling every sampling/bucketing primitive in this repo
+    uses (``functions._hash_bucket``), so the DuckDB oracle reproduces
+    the bucket assignment digit-for-digit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(feature, F.lit("#" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % F.lit(n_buckets)).cast("int")
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "feat",
+) -> DataFrame:
+    """Hashed bag-of-ngrams: ``(id, bucket int, cnt bigint)`` — the
+    fixed-width feature representation linear quality classifiers
+    (fastText-style) and DSIR-style importance models consume.  The
+    feature space is unigrams plus adjacent-word bigrams, hashed into
+    ``n_buckets`` buckets (the "hashing trick"), so the downstream
+    model table is bounded by a CONSTRUCTOR CONSTANT regardless of
+    corpus size — that bound is what makes every model join below
+    broadcast-safe at 100 TB.
+
+    NULL-text documents produce no feature rows and are OMITTED (same
+    contract as ``lm_cross_entropy``).  Scale shape: one scan, one
+    map-side-combined groupBy on (id, bucket); document bodies are
+    never shuffled."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(_ngram_features(text_col, bigrams)).alias("_f"),
+    )
+    return (
+        feats.select(
+            id_col,
+            _feature_bucket(F.col("_f"), n_buckets, salt).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "feat",
+    bias: float = 0.0,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Linear classifier inference over hashed n-gram features — the
+    distributed form of fastText-style quality-classifier scoring
+    (the CCNet / LLaMA-pipeline "keep what looks like reference text"
+    filter).  ``weights`` is the trained model: ``(bucket, weight)``
+    rows, at most ``n_buckets`` of them; buckets absent from the model
+    score zero.
+
+    Returns ``(id, n_features int, logit double, score double)``, both
+    floats rounded to 4 decimals; ``score = sigmoid(bias + w·x)``.
+
+    Exactness: weights are quantized to ``decimal(20,15)`` and the dot
+    product is an exact decimal sum (weight × integer count), so the
+    logit is ORDER-INDEPENDENT — bit-identical across partitionings,
+    retries, and engines (the ``lm_cross_entropy`` decimal-sum
+    technique; the only non-exact steps are the final one-shot
+    sigmoid/round on an identical double).
+
+    Scale shape: corpus scanned once, feature counts aggregated
+    map-side, then one broadcast join against the model (bounded by
+    ``n_buckets`` — a constructor constant, hence ``broadcast_weights``
+    defaults True; pass False to force a shuffled join for a
+    pathologically large bucket count) and one narrow groupBy on the
+    doc key.  No per-row Python; whole-stage codegen throughout."""
+    feats = hashed_ngram_counts(
+        docs, text_col, id_col, n_buckets, bigrams, salt
+    )
+    w = weights.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").cast("decimal(20,15)").alias("_w"),
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    zero = F.lit(0).cast("decimal(20,15)")
+    per_doc = (
+        feats.join(w, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("int").alias("n_features"),
+            F.sum(
+                F.coalesce(F.col("_w"), zero)
+                * F.col("cnt").cast("decimal(10,0)")
+            ).alias("_dot"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.col("_dot").cast("double")
+    # + 0.0 normalizes IEEE negative zero: Spark's round() returns +0.0
+    # for tiny negatives but DuckDB keeps -0.0, and the two hash apart
+    return per_doc.select(
+        id_col,
+        "n_features",
+        (F.round(logit, 4) + F.lit(0.0)).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("score"),
+    )
+
+
+def hashed_bucket_model(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "feat",
+) -> DataFrame:
+    """Hashed-ngram occurrence model of a corpus: ``(bucket, cnt,
+    total)`` with the corpus-wide total carried as a constant column
+    (same layout trick as ``unigram_model``).  At most ``n_buckets``
+    rows no matter the corpus size — the table a DSIR importance
+    scorer broadcasts."""
+    feats = docs.select(F.explode(_ngram_features(text_col, bigrams)).alias("_f"))
+    counts = (
+        feats.select(_feature_bucket(F.col("_f"), n_buckets, salt).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "feat",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-ngram features are
+    under a TARGET distribution (e.g. curated reference text) than
+    under the RAW corpus distribution —
+    ``log w(doc) = Σ_f cnt_f · (log p_target(f) − log p_raw(f))``
+    with Laplace-smoothed bucket probabilities
+    ``p(b) = (cnt_b + 1) / (total + n_buckets)``.  Documents that look
+    like the target score high; selection is then a threshold, top-k,
+    or :func:`firebolt_spark.functions.weighted_sample` over
+    ``exp(log_weight)``.
+
+    ``target_model`` / ``raw_model`` are :func:`hashed_bucket_model`
+    outputs (raw defaults to a model of ``docs`` itself — the standard
+    DSIR setup).  They MUST share this call's ``n_buckets`` /
+    ``bigrams`` / ``salt`` so the feature spaces line up.
+
+    Returns ``(id, n_features int, log_weight double)`` (rounded to 4
+    decimals; natural log).  NULL-text documents are omitted (no
+    feature rows).
+
+    Exactness: the per-bucket log-ratio is computed ONCE on the joined
+    model table, quantized to ``decimal(20,15)``, and the per-document
+    sum is an exact decimal sum — order-independent across engines
+    (the ``lm_cross_entropy`` technique).  Buckets present in the
+    corpus but in NEITHER model get the same formula with zero counts
+    (a 1-row broadcast constant), so out-of-model features still
+    contribute their true smoothed log-ratio.
+
+    Scale shape: THE CORPUS IS SCANNED ONCE — the per-doc feature table
+    is persisted (a multi-consumer intermediate, released via
+    ``functions.release``) and the default raw model is DERIVED from it
+    rather than re-reading the corpus; both model tables (≤
+    ``n_buckets`` rows, constant) are persisted too, so their totals
+    re-read a bounded cache instead of re-executing a possibly
+    corpus-sized upstream.  The corpus-side llr/oov joins are
+    broadcast; the only shuffles a 100 TB run pays are the map-side
+    (id, bucket) feature agg and the narrow doc-key agg."""
+    feats = hashed_ngram_counts(
+        docs, text_col, id_col, n_buckets, bigrams, salt
+    ).persist()
+    if raw_model is None:
+        # derive from the persisted per-doc feature table: summing the
+        # per-doc counts per bucket IS the corpus model — no second
+        # corpus scan
+        counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        raw_model = counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("cnt").alias("total")))
+        )
+    # bounded tables, referenced 2-3 times each (counts, total, llr):
+    # persisting pins one execution of whatever subtree produced them
+    target_model = target_model.persist()
+    raw_model = raw_model.persist()
+
+    def llr(t_cnt: Column, r_cnt: Column) -> Column:
+        # one expression shape for joined rows AND the zero-count OOV
+        # constant, so quantization is identical on both paths
+        return F.log(
+            (t_cnt + F.lit(1)).cast("double")
+            / (F.col("t_total") + F.lit(n_buckets)).cast("double")
+        ) - F.log(
+            (r_cnt + F.lit(1)).cast("double")
+            / (F.col("r_total") + F.lit(n_buckets)).cast("double")
+        )
+
+    t = target_model.select("bucket", F.col("cnt").alias("t_cnt"))
+    r = raw_model.select("bucket", F.col("cnt").alias("r_cnt"))
+    t_tot = F.broadcast(
+        target_model.select(F.col("total").alias("t_total")).limit(1)
+    )
+    r_tot = F.broadcast(raw_model.select(F.col("total").alias("r_total")).limit(1))
+    llr_tbl = (
+        t.join(r, "bucket", "full")
+        .crossJoin(t_tot)
+        .crossJoin(r_tot)
+        .select(
+            "bucket",
+            llr(
+                F.coalesce(F.col("t_cnt"), F.lit(0)),
+                F.coalesce(F.col("r_cnt"), F.lit(0)),
+            ).cast("decimal(20,15)").alias("_llr"),
+        )
+    )
+    oov = (
+        t_tot.crossJoin(r_tot)
+        .select(llr(F.lit(0), F.lit(0)).cast("decimal(20,15)").alias("_oov_llr"))
+    )
+    from firebolt_spark.functions import track_persisted
+
+    result = (
+        feats.join(F.broadcast(llr_tbl), "bucket", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("int").alias("n_features"),
+            # + 0.0 → canonical zero (see classifier_score: DuckDB's
+            # round keeps -0.0 for tiny negatives, Spark's does not)
+            (
+                F.round(
+                    F.sum(
+                        F.coalesce(F.col("_llr"), F.col("_oov_llr"))
+                        * F.col("cnt").cast("decimal(10,0)")
+                    ).cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("log_weight"),
+        )
+    )
+    return track_persisted(result, feats, target_model, raw_model)

@@ -1696,6 +1696,177 @@ Q_LM_QUALITY_SQL = """
 """
 
 
+# ---- hashed-feature quality scoring & data selection ----------------------
+
+_FEAT_BUCKETS = 4096
+_FEAT_SALT = "feat"
+
+# unigram + adjacent-bigram feature stream → md5 bucket, WITH
+# multiplicity — the SQL mirror of text.hashed_ngram_counts (the
+# md5-bucket spelling is the repo-wide _H32 one; bigrams only for
+# len >= 2 texts, matching the Spark-side IF guard)
+_HASHED_FEATS_CTES = f"""
+    toks AS (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+    feats AS (
+        SELECT doc_id, lang, unnest(t) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS f
+        FROM toks WHERE len(t) >= 2),
+    fb AS (
+        SELECT doc_id, lang,
+               CAST((('0x' || substr(md5(f || '#{_FEAT_SALT}'), 1, 8))::BIGINT)
+                    % {_FEAT_BUCKETS} AS INTEGER) AS bucket
+        FROM feats),
+    fc AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY ALL)"""
+
+
+def _pseudo_weights(spark: SparkSession, n_buckets: int) -> DataFrame:
+    """Deterministic md5-derived classifier weights in [-1, 1] — stands
+    in for a trained fastText-style model so the oracle can rebuild the
+    IDENTICAL weight table from nothing but SQL (a real deployment
+    would load trained weights from a table instead)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w#"), F.col("id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((h % 2001).cast("double") - 1000) / 1000.0).alias("weight"),
+    )
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over hashed n-gram features
+    (text.classifier_score — the fastText-style CCNet/LLaMA "looks
+    like reference text" filter): unigram+bigram counts hashed into a
+    fixed bucket space, one broadcast join against the (bounded)
+    weight table, exact decimal dot product, sigmoid. The oracle
+    rebuilds the identical md5-derived weight table and hashes the
+    same buckets, so logit AND score are certified value-for-value."""
+    w = _pseudo_weights(spark, _FEAT_BUCKETS)
+    return text.classifier_score(
+        _documents(spark, sf_dir),
+        w,
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+    ).orderBy("doc_id")
+
+
+Q_CLASSIFIER_SCORE_SQL = f"""
+    WITH {_HASHED_FEATS_CTES},
+    w AS (
+        SELECT CAST(range AS INTEGER) AS bucket,
+               CAST((CAST((('0x' || substr(md5('w#' || CAST(range AS VARCHAR)),
+                            1, 8))::BIGINT) % 2001 AS DOUBLE) - 1000) / 1000.0
+                    AS DECIMAL(20, 15)) AS w
+        FROM range({_FEAT_BUCKETS})),
+    dot AS (
+        SELECT fc.doc_id, CAST(sum(fc.cnt) AS INTEGER) AS n_features,
+               sum(COALESCE(w.w, CAST(0 AS DECIMAL(20, 15)))
+                   * CAST(fc.cnt AS DECIMAL(10, 0))) AS d
+        FROM fc LEFT JOIN w USING (bucket) GROUP BY fc.doc_id)
+    SELECT doc_id, n_features,
+           round(CAST(d AS DOUBLE), 4) + 0.0 AS logit,
+           round(1.0 / (1.0 + exp(-CAST(d AS DOUBLE))), 4) AS score
+    FROM dot ORDER BY doc_id
+"""
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.importance_weights, Xie et al.
+    2023): log-likelihood ratio of each document's hashed-ngram
+    features under a TARGET model (here: the corpus's English slice —
+    the curated-reference stand-in) vs the RAW corpus model, Laplace-
+    smoothed, summed exactly in decimal. High scores = "looks like the
+    target distribution"; downstream selection is a threshold, top-k,
+    or weighted_sample over exp(log_weight). Both model tables are
+    bucket-bounded constants — broadcast joins only; the corpus pays
+    one scan and two narrow aggregations."""
+    docs = _documents(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return text.importance_weights(
+        docs,
+        text.hashed_bucket_model(
+            target, n_buckets=_FEAT_BUCKETS, salt=_FEAT_SALT
+        ),
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+    ).orderBy("doc_id")
+
+
+Q_IMPORTANCE_WEIGHTS_SQL = f"""
+    WITH {_HASHED_FEATS_CTES},
+    tm AS (SELECT bucket, count(*) AS t_cnt FROM fb WHERE lang = 'en'
+           GROUP BY bucket),
+    rm AS (SELECT bucket, count(*) AS r_cnt FROM fb GROUP BY bucket),
+    tt AS (SELECT sum(t_cnt) AS t_total FROM tm),
+    rt AS (SELECT sum(r_cnt) AS r_total FROM rm),
+    llr AS (
+        SELECT COALESCE(tm.bucket, rm.bucket) AS bucket,
+               CAST(ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(t_total + {_FEAT_BUCKETS} AS DOUBLE))
+                  - ln(CAST(COALESCE(r_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(r_total + {_FEAT_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(20, 15)) AS llr
+        FROM tm FULL JOIN rm USING (bucket), tt, rt),
+    oov AS (
+        SELECT CAST(ln(CAST(1 AS DOUBLE)
+                       / CAST(t_total + {_FEAT_BUCKETS} AS DOUBLE))
+                  - ln(CAST(1 AS DOUBLE)
+                       / CAST(r_total + {_FEAT_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(20, 15)) AS ollr
+        FROM tt, rt)
+    SELECT fc.doc_id, CAST(sum(fc.cnt) AS INTEGER) AS n_features,
+           round(CAST(sum(COALESCE(llr.llr, oov.ollr)
+                          * CAST(fc.cnt AS DECIMAL(10, 0))) AS DOUBLE),
+                 4) + 0.0 AS log_weight
+    FROM fc LEFT JOIN llr USING (bucket), oov
+    GROUP BY fc.doc_id ORDER BY fc.doc_id
+"""
+
+_WSAMPLE_K = 100
+_WSAMPLE_SALT = "ws1"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (functions.weighted_sample — Efraimidis & Spirakis A-Res with
+    content-hash uniforms): keep k documents with probability ∝
+    n_chars. The selected row SET is a pure function of (data, salt) —
+    reproducible under any partitioning, retry, or engine — which
+    Bernoulli/RNG sampling cannot promise; the oracle replays the
+    identical ln(u)/w ranking, so the hash match certifies the exact
+    sample membership. Global top-k is TakeOrdered: k rows cross the
+    wire, never the corpus."""
+    from firebolt_spark.functions import weighted_sample
+
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample(
+        docs, "n_chars", _WSAMPLE_K, "doc_id", salt=_WSAMPLE_SALT
+    ).orderBy("doc_id")
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '#{_WSAMPLE_SALT}'), 1, 8))::BIGINT)
+                   ::DOUBLE + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) AS rk
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    sel AS (SELECT doc_id, source, n_chars FROM r
+            ORDER BY rk DESC, doc_id LIMIT {_WSAMPLE_K})
+    SELECT * FROM sel ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
@@ -1736,6 +1907,9 @@ QUERIES = {
     "q_dedup_spans_candidates_indexed": q_dedup_spans_candidates_indexed,
     "q_dedup_ngram_jaccard_indexed": q_dedup_ngram_jaccard_indexed,
     "q_lm_quality": q_lm_quality,
+    "q_classifier_score": q_classifier_score,
+    "q_importance_weights": q_importance_weights,
+    "q_weighted_sample": q_weighted_sample,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
 }
@@ -1780,6 +1954,9 @@ ORACLE = {
     "q_dedup_spans_candidates_indexed": Q_DEDUP_SPANS_CANDIDATES_SQL,
     "q_dedup_ngram_jaccard_indexed": Q_DEDUP_NGRAM_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
+    "q_classifier_score": Q_CLASSIFIER_SCORE_SQL,
+    "q_importance_weights": Q_IMPORTANCE_WEIGHTS_SQL,
+    "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),
 }

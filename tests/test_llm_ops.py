@@ -2237,3 +2237,191 @@ def test_incremental_dedup_lines_across_batches(spark):
     assert survivors[3] == (2, "\ngamma")
     # the trailing newline of doc 6 is a kept empty line
     assert survivors[6] == (2, "unique\n")
+
+
+def test_hashed_ngram_counts_features_and_buckets(spark):
+    """hashed_ngram_counts (round 11): unigrams + adjacent bigrams with
+    multiplicity, hashed into [0, n_buckets); NULL-text docs omitted;
+    single-token docs emit no bigrams."""
+    from firebolt_spark.operators.text import hashed_ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "solo"), (3, None)], ["doc_id", "text"]
+    )
+    got = hashed_ngram_counts(df, n_buckets=8).collect()
+    per_doc = {}
+    for r in got:
+        assert 0 <= r["bucket"] < 8
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+    # doc 1: 3 unigrams + 2 bigrams = 5 features; doc 2: 1 unigram;
+    # doc 3 (NULL) omitted entirely
+    assert per_doc == {1: 5, 2: 1}
+
+
+def test_classifier_score_logit_and_sigmoid(spark):
+    """classifier_score: in-model features contribute their weights
+    exactly; out-of-model features score zero; bias shifts the logit;
+    the shuffled-join path (broadcast_weights=False) is bit-identical."""
+    import math
+
+    from firebolt_spark.operators.text import (
+        classifier_score, hashed_ngram_counts,
+    )
+
+    df = spark.createDataFrame([(1, "x y"), (2, "q")], ["doc_id", "text"])
+    # learn the actual buckets (collisions included), weight doc 1's
+    # buckets that doc 2 does NOT share +1 each, and derive the exact
+    # expected dot products from the observed counts
+    fc = hashed_ngram_counts(df, n_buckets=64).collect()
+    b1 = {r["bucket"] for r in fc if r["doc_id"] == 1}
+    b2 = {r["bucket"] for r in fc if r["doc_id"] == 2}
+    weighted = sorted(b1 - b2)
+    assert weighted, "degenerate fixture: every doc-1 bucket collided"
+    weights = spark.createDataFrame(
+        [(b, 1.0) for b in weighted], ["bucket", "weight"]
+    )
+    exp1 = -1.0 + sum(
+        r["cnt"] for r in fc if r["doc_id"] == 1 and r["bucket"] in weighted
+    )
+    got = {
+        r["doc_id"]: r
+        for r in classifier_score(
+            df, weights, n_buckets=64, bias=-1.0
+        ).collect()
+    }
+    # doc 1: 'x','y','x y' -> 3 features
+    assert got[1]["n_features"] == 3
+    assert got[1]["logit"] == exp1
+    assert abs(got[1]["score"] - 1.0 / (1.0 + math.exp(-exp1))) < 5e-5
+    # doc 2: every feature out-of-model -> bias only
+    assert got[2]["n_features"] == 1
+    assert got[2]["logit"] == -1.0
+    shuffled = {
+        r["doc_id"]: r
+        for r in classifier_score(
+            df, weights, n_buckets=64, bias=-1.0, broadcast_weights=False
+        ).collect()
+    }
+    assert {k: (v["logit"], v["score"]) for k, v in got.items()} == {
+        k: (v["logit"], v["score"]) for k, v in shuffled.items()
+    }
+
+
+def test_importance_weights_target_affinity(spark):
+    """importance_weights (DSIR): target == raw gives log_weight 0 for
+    every doc; against a distinct target slice, docs sharing the
+    target's vocabulary outscore docs that don't."""
+    from firebolt_spark.operators.text import (
+        hashed_bucket_model, importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good clean prose", "tgt"),
+            (2, "good clean words", "tgt"),
+            (3, "spam junk noise", "raw"),
+            (4, "good clean prose", "raw"),
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    self_model = hashed_bucket_model(df, n_buckets=256)
+    zero = importance_weights(df, self_model, raw_model=self_model,
+                              n_buckets=256)
+    assert {r["log_weight"] for r in zero.collect()} == {0.0}
+
+    target = df.filter(df.kind == "tgt")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(
+            df, hashed_bucket_model(target, n_buckets=256), n_buckets=256
+        ).collect()
+    }
+    # doc 4 repeats the target's exact text -> top score, tied with 1;
+    # doc 3 shares nothing with the target -> strictly lowest
+    assert got[4] == got[1]
+    assert got[3] < min(got[1], got[2], got[4])
+
+
+def test_weighted_sample_deterministic_and_guarded(spark):
+    """weighted_sample (A-Res): the selected set is identical across
+    repartitionings; NULL / non-positive weights are excluded; k >=
+    eligible rows returns exactly the eligible set."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import weighted_sample
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)]
+    rows += [(900, None), (901, 0.0), (902, -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 25, "doc_id", "s").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(13), "w", 25, "doc_id", "s"
+        ).collect()
+    )
+    assert a == b and len(a) == 25
+    assert not {900, 901, 902} & set(a)
+    everything = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, "w", 10_000, "doc_id", "s").collect()
+    )
+    assert everything == [i for i in range(200)]
+    # a different salt draws a different sample (independence knob)
+    c = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 25, "doc_id", "t").collect()
+    )
+    assert a != c
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w", 0, "doc_id")
+
+
+def test_data_selection_nodes(spark, tmp_path):
+    """The round-11 data-selection YAML nodes: classifier_score reads
+    its weight table from parquet; importance_weights accepts exactly
+    one of target_filter / target_model_path; weighted_sample validates
+    its params."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import (
+        ClassifierScoreNode, ImportanceWeightsNode, WeightedSampleNode,
+    )
+    from firebolt_spark.operators.text import hashed_bucket_model
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    wpath = str(tmp_path / "weights")
+    spark.createDataFrame([(0, 0.5)], ["bucket", "weight"]).write.parquet(wpath)
+    scored = ClassifierScoreNode(
+        {"weights_path": wpath, "n_buckets": 16}
+    ).transform(df)
+    assert {"doc_id", "n_features", "logit", "score"} == set(scored.columns)
+    assert scored.count() == 2
+    with _pytest.raises(ValueError):
+        ClassifierScoreNode({})
+
+    iw = ImportanceWeightsNode(
+        {"target_filter": "lang = 'en'", "n_buckets": 16}
+    ).transform(df)
+    assert iw.count() == 2
+    mpath = str(tmp_path / "model")
+    hashed_bucket_model(df, n_buckets=16).write.parquet(mpath)
+    iw2 = ImportanceWeightsNode(
+        {"target_model_path": mpath, "n_buckets": 16}
+    ).transform(df)
+    assert {r["log_weight"] for r in iw2.collect()} == {0.0}
+    with _pytest.raises(ValueError):
+        ImportanceWeightsNode({})
+    with _pytest.raises(ValueError):
+        ImportanceWeightsNode(
+            {"target_filter": "x", "target_model_path": "y"}
+        )
+
+    ws = WeightedSampleNode({"weight_col": "doc_id", "k": 1}).transform(df)
+    assert ws.count() == 1
+    with _pytest.raises(ValueError):
+        WeightedSampleNode({"k": 3})

@@ -1215,3 +1215,40 @@ def test_tpch_linear_dims_unhinted_but_aqe_broadcasts(spark):
     # Q17: the per-part correlated aggregate joins back unhinted
     q17 = relational.q_tpch17_small_qty_revenue(spark, SF_DIR)
     assert "ResolvedHint" not in analyzed(q17)
+
+
+def test_classifier_and_dsir_plan_shapes(spark):
+    """The round-11 data-selection queries keep their 100 TB shape:
+    every model-table join is broadcast (the tables are bounded by
+    n_buckets — a constructor constant), the corpus pays exactly its
+    two narrow aggregations (feature agg + doc agg), and nothing drops
+    to a Python UDF or a cartesian product."""
+    from firebolt_spark.queries import llm
+
+    clf = llm.q_classifier_score(spark, SF_DIR)
+    plan = _executed_plan(clf)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    iw = llm.q_importance_weights(spark, SF_DIR)
+    plan = _executed_plan(iw)
+    # corpus-side joins (llr table, oov constant) are broadcast; the
+    # only sort-merge join permitted is the bucket-bounded model⋈model
+    # full-outer (Spark cannot broadcast a full-outer side)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    """weighted_sample's global top-k must execute as TakeOrdered
+    (per-partition heaps, k rows to the driver) — a global Sort +
+    single-partition Exchange would serialize the corpus at scale."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
