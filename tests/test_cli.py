@@ -15,6 +15,7 @@ def test_validate_examples():
         "ann_search",
         "training_mix",
         "incremental_ingest",
+        "data_selection",
     ):
         assert main(["validate", f"/root/repo/examples/{cfg}.yaml"]) == 0
 
