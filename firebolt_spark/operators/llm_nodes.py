@@ -541,6 +541,39 @@ class LmQualityNode:
         return text.lm_cross_entropy(df, self.text_col, self.id_col)
 
 
+class GopherQualityNode:
+    """Gopher composite quality gate (text.gopher_quality, Rae et al.
+    2021 §A1.1): six heuristic rules in one zero-shuffle scan,
+    emitting the signal columns plus keep (0/1). Params: text_col
+    ('text'), id_col ('doc_id'), min_words (50), max_words (100000),
+    min_mean_word_len (3.0), max_mean_word_len (10.0),
+    min_alpha_word_frac (0.8), min_stopword_hits (2),
+    max_dup_word_frac (0.3), max_top_bigram_frac (0.2)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.id_col = params.get("id_col", "doc_id")
+        self.kw = {
+            k: t(params[k])
+            for k, t in (
+                ("min_words", int),
+                ("max_words", int),
+                ("min_mean_word_len", float),
+                ("max_mean_word_len", float),
+                ("min_alpha_word_frac", float),
+                ("min_stopword_hits", int),
+                ("max_dup_word_frac", float),
+                ("max_top_bigram_frac", float),
+            )
+            if k in params
+        }
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.gopher_quality(
+            df, self.text_col, self.id_col, **self.kw
+        )
+
+
 class ClassifierScoreNode:
     """Linear quality-classifier inference over hashed n-gram features
     (text.classifier_score — fastText-style filtering, round 11).
@@ -679,6 +712,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)
     registry.register_node_type("dedup_incremental", IncrementalDedupNode, None, None)
     registry.register_node_type("lm_quality", LmQualityNode, None, None)
+    registry.register_node_type("gopher_quality", GopherQualityNode, None, None)
     registry.register_node_type("classifier_score", ClassifierScoreNode, None, None)
     registry.register_node_type("importance_weights", ImportanceWeightsNode, None, None)
     registry.register_node_type("weighted_sample", WeightedSampleNode, None, None)

@@ -737,3 +737,132 @@ def importance_weights(
         )
     )
     return track_persisted(result, feats, target_model, raw_model)
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
+    the six heuristic rules evaluated in ONE scan with zero shuffle —
+    every signal is a per-row higher-order expression (the bigram
+    multiplicity reuses ``repetition_stats``'s sorted-run fold).
+
+    Signals and rules (defaults are the published Gopher thresholds,
+    word-level where the paper uses lines/paragraphs):
+
+    - ``n_words`` within [min_words, max_words]
+    - ``mean_word_len`` (non-space chars / words) within [3, 10]
+    - ``alpha_word_frac`` (words containing an ASCII letter) ≥ 0.8
+    - ``stopword_hits`` (DISTINCT English stopwords present) ≥ 2
+    - ``dup_word_frac`` ≤ 0.3 (bulk repetition)
+    - ``top_bigram_frac`` ≤ 0.2 (looping/boilerplate)
+
+    Returns the signal columns (ratios rounded to 4 decimals) plus
+    ``keep`` (int 0/1).  Rules are evaluated against the ROUNDED
+    values, so the decision is bit-identical across engines.  NULL
+    text yields NULL signals and ``keep = 0``."""
+    words = F.expr(f"split(trim({text_col}), ' ')")
+    d = docs.select(F.col(id_col), F.col(text_col).alias("_t"), words.alias("_w"))
+    n_words = F.size("_w")
+    n_distinct = F.size(F.array_distinct("_w"))
+    bigrams = (
+        "zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+        "slice(_w, 2, greatest(size(_w) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y))"
+    )
+    top_run = F.expr(
+        f"aggregate(array_sort({bigrams}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "              THEN acc.run + 1 ELSE 1 END, "
+        "  'best', greatest(acc.best, "
+        "     CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "          THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+    padded = F.concat(F.lit(" "), F.col("_t"), F.lit(" "))
+    stop_hits = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(padded.contains(f" {w} "), 1).otherwise(0)
+            for w in LANG_PROFILES["en"]
+        ],
+    )
+    def nn(col: Column) -> Column:
+        # NULL text must yield NULL signals — without the guard,
+        # Spark's size(NULL) = -1 leaks through the ratio arithmetic
+        # (e.g. -1 / -1 = 1.0) while the SQL oracle's len(NULL) stays
+        # NULL
+        return F.when(F.col("_t").isNotNull(), col)
+
+    sig = d.select(
+        id_col,
+        "_t",
+        nn(n_words.cast("int")).alias("n_words"),
+        nn(
+            F.round(
+                F.length(F.expr("replace(trim(_t), ' ', '')")).cast("double")
+                / n_words,
+                4,
+            )
+        ).alias("mean_word_len"),
+        nn(
+            F.round(
+                F.size(
+                    F.expr("filter(_w, x -> x rlike '[A-Za-z]')")
+                ).cast("double")
+                / n_words,
+                4,
+            )
+        ).alias("alpha_word_frac"),
+        nn(stop_hits.cast("int")).alias("stopword_hits"),
+        nn(
+            F.round(
+                F.when(
+                    n_words > 0, (n_words - n_distinct).cast("double") / n_words
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+        ).alias("dup_word_frac"),
+        nn(
+            F.round(
+                F.when(
+                    n_words >= 2, top_run.cast("double") / (n_words - F.lit(1))
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+        ).alias("top_bigram_frac"),
+    )
+    rules = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return sig.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "stopword_hits",
+        "dup_word_frac",
+        "top_bigram_frac",
+        F.when(F.col("_t").isNull(), F.lit(0))
+        .otherwise(rules.cast("int"))
+        .alias("keep"),
+    )

@@ -679,6 +679,78 @@ Q_TEXT_REPETITION_SQL = """
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher composite quality gate (text.gopher_quality, Rae et al.
+    2021 §A1.1): all six heuristic rules — word-count bounds, mean
+    word length, alpha-word fraction, stopword presence, bulk
+    repetition, top-bigram looping — evaluated in one zero-shuffle
+    scan against the ROUNDED signals, so the keep decision is
+    bit-identical across engines. The oracle recomputes every signal
+    the relational way (bigram unnest → groupBy → max), making the
+    hash match certify the in-row folds AND the rule composition.
+    max_dup_word_frac is raised to 0.55 for the fixtures (synthetic
+    small-vocabulary word soup averages dup_word_frac ≈ 0.50; the
+    published 0.3 default gates out every row, which would make the
+    keep column a constant instead of a discriminating signal)."""
+    return text.gopher_quality(
+        _documents(spark, sf_dir), max_dup_word_frac=0.55
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOPS = " + ".join(
+    f"(CASE WHEN contains(' ' || s.text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+    for w in text.LANG_PROFILES["en"]
+)
+
+Q_GOPHER_QUALITY_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        FROM documents),
+    sized AS (
+        SELECT doc_id, text, w, len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct
+        FROM base),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM sized WHERE len(w) >= 2),
+    top AS (
+        SELECT doc_id, max(cnt) AS top_cnt
+        FROM (SELECT doc_id, bigram, count(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id),
+    sig AS (
+        SELECT s.doc_id, s.text,
+               CAST(s.n_words AS INTEGER) AS n_words,
+               round(CAST(length(replace(trim(s.text), ' ', '')) AS DOUBLE)
+                     / s.n_words, 4) AS mean_word_len,
+               round(CAST(len(list_filter(s.w,
+                          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / s.n_words, 4) AS alpha_word_frac,
+               CAST({_GOPHER_STOPS} AS INTEGER) AS stopword_hits,
+               round(CASE WHEN s.n_words > 0
+                          THEN CAST(s.n_words - s.n_distinct AS DOUBLE)
+                               / s.n_words
+                          ELSE 0.0 END, 4) AS dup_word_frac,
+               round(CASE WHEN s.n_words >= 2
+                          THEN CAST(COALESCE(t.top_cnt, 0) AS DOUBLE)
+                               / (s.n_words - 1)
+                          ELSE 0.0 END, 4) AS top_bigram_frac
+        FROM sized s LEFT JOIN top t USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+           dup_word_frac, top_bigram_frac,
+           CASE WHEN text IS NULL THEN 0 ELSE CAST(
+               (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND alpha_word_frac >= 0.8
+               AND stopword_hits >= 2
+               AND dup_word_frac <= 0.55
+               AND top_bigram_frac <= 0.2 AS INTEGER) END AS keep
+    FROM sig ORDER BY doc_id
+"""
+
+
 # per-source training-mix fractions for q_sample_by_source; chosen so
 # every branch of hash_sample_by executes (full keep, partial rates,
 # and the default for every unlisted source)
@@ -1885,6 +1957,7 @@ QUERIES = {
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
     "q_text_stats": q_text_stats,
     "q_text_repetition": q_text_repetition,
+    "q_gopher_quality": q_gopher_quality,
     "q_sample_by_source": q_sample_by_source,
     "q_text_langid": q_text_langid,
     "q_text_token_counts": q_text_token_counts,
@@ -1930,6 +2003,7 @@ ORACLE = {
     "q_similarity_bruteforce": Q_SIMILARITY_SQL,
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_text_repetition": Q_TEXT_REPETITION_SQL,
+    "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
     "q_sample_by_source": Q_SAMPLE_BY_SOURCE_SQL,
     "q_text_langid": Q_TEXT_LANGID_SQL,
     "q_text_token_counts": Q_TEXT_TOKENS_SQL,

@@ -2425,3 +2425,53 @@ def test_data_selection_nodes(spark, tmp_path):
     assert ws.count() == 1
     with _pytest.raises(ValueError):
         WeightedSampleNode({"k": 3})
+
+
+def test_gopher_quality_rules(spark):
+    """gopher_quality (round 11): each of the six rules can
+    independently reject a document; a compliant document passes; NULL
+    text yields keep = 0 with NULL signals."""
+    from firebolt_spark.operators.llm_nodes import GopherQualityNode
+    from firebolt_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox and the lazy dog walked over sunny hills"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                              # passes all rules
+            (2, "the and short"),                   # too few words
+            (3, "a a a a a a of of of and and the"),  # mean word len < 3
+            (4, ("1 2 3 4 5 6 7 8 9 10 of the")),   # alpha frac < 0.8
+            (5, good.replace("the", "xx").replace("and", "yy")),  # no stops
+            (6, "the boiler plate and " + "loop " * 8),  # dup words
+            (7, None),                              # NULL text
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            docs, min_words=5, max_dup_word_frac=0.3
+        ).collect()
+    }
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["n_words"] == 3
+    assert got[3]["keep"] == 0 and got[3]["mean_word_len"] < 3.0
+    assert got[4]["keep"] == 0 and got[4]["alpha_word_frac"] < 0.8
+    assert got[5]["keep"] == 0 and got[5]["stopword_hits"] < 2
+    assert got[6]["keep"] == 0 and got[6]["dup_word_frac"] > 0.3
+    assert got[7]["keep"] == 0 and got[7]["n_words"] is None
+    # looping bigrams trip the top-bigram rule even with dup allowed
+    loops = spark.createDataFrame(
+        [(8, "the stop and go " + "tick tock " * 10)], ["doc_id", "text"]
+    )
+    r8 = gopher_quality(
+        loops, min_words=5, max_dup_word_frac=1.0
+    ).collect()[0]
+    assert r8["keep"] == 0 and r8["top_bigram_frac"] > 0.2
+
+    node_got = GopherQualityNode(
+        {"min_words": 5, "max_dup_word_frac": 0.3}
+    ).transform(docs)
+    assert {r["doc_id"]: r["keep"] for r in node_got.collect()} == {
+        k: v["keep"] for k, v in got.items()
+    }

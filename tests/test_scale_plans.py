@@ -1252,3 +1252,16 @@ def test_weighted_sample_is_take_ordered_not_global_sort(spark):
 
     plan = _executed_plan(llm.q_weighted_sample(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_quality_is_single_scan_no_exchange(spark):
+    """The Gopher gate is six per-row folds — the plan must be one
+    parquet scan with zero Exchange (the final orderBy in the declared
+    query is presentation; the operator itself is map-only)."""
+    from firebolt_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _executed_plan(gopher_quality(docs))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
