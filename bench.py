@@ -94,6 +94,10 @@ EXTRA = [
     # weighted_sample is a TakeOrdered scan with nothing to track
     "q_classifier_score",
     "q_importance_weights",
+    # the composed selection stage (gate -> classifier -> DSIR ->
+    # A-Res sample) — tracked like corpus_curation: the composition's
+    # cost is the product story, not any one operator's
+    "q_quality_selection",
 ]
 
 

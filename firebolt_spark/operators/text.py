@@ -752,6 +752,7 @@ def gopher_quality(
     min_stopword_hits: int = 2,
     max_dup_word_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    include: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
     the six heuristic rules evaluated in ONE scan with zero shuffle —
@@ -771,9 +772,18 @@ def gopher_quality(
     Returns the signal columns (ratios rounded to 4 decimals) plus
     ``keep`` (int 0/1).  Rules are evaluated against the ROUNDED
     values, so the decision is bit-identical across engines.  NULL
-    text yields NULL signals and ``keep = 0``."""
+    text yields NULL signals and ``keep = 0``.
+
+    ``include`` names extra input columns carried through to the
+    output unchanged (e.g. the text itself) — the gate stays a single
+    map-only scan, so a downstream ``filter(keep = 1)`` continues the
+    pipeline WITHOUT re-joining the corpus on the doc key (the
+    composition shape ``q_quality_selection`` relies on)."""
     words = F.expr(f"split(trim({text_col}), ' ')")
-    d = docs.select(F.col(id_col), F.col(text_col).alias("_t"), words.alias("_w"))
+    extra = [F.col(c) for c in include]
+    d = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), words.alias("_w"), *extra
+    )
     n_words = F.size("_w")
     n_distinct = F.size(F.array_distinct("_w"))
     bigrams = (
@@ -811,6 +821,7 @@ def gopher_quality(
     sig = d.select(
         id_col,
         "_t",
+        *[F.col(c) for c in include],
         nn(n_words.cast("int")).alias("n_words"),
         nn(
             F.round(
@@ -856,6 +867,7 @@ def gopher_quality(
     )
     return sig.select(
         id_col,
+        *[F.col(c) for c in include],
         "n_words",
         "mean_word_len",
         "alpha_word_frac",

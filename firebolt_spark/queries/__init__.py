@@ -18,33 +18,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-9: the nine round-11 NEW queries (the on-disk winnow-index,
+# Slots 1-10: the ten round-11 NEW queries (the on-disk winnow-index,
 # pre-bucketed shingle-index, and on-disk MinHash-index paths, the
-# real-codec BMP resize, C4-style line dedup, the Gopher composite
-# gate, the hashed-feature classifier, DSIR importance weights, and
-# A-Res weighted sampling) — zero driver rows yet.
-# Slots 10-12: the three queries whose OPERATOR CODE changes in round
+# real-codec BMP resize, C4-style line dedup, the composed quality
+# selection, the Gopher composite gate, the hashed-feature
+# classifier, DSIR importance weights, and A-Res weighted sampling) —
+# zero driver rows yet.
+# Slots 11-13: the three queries whose OPERATOR CODE changes in round
 # 11 (ngram_jaccard_pairs gained the broadcast_hot tri-state;
 # dedup_spans_candidates gained the on-disk winnow index path;
 # incremental_near_dups gained the index_table branch).
-# Slots 13-22: the ten queries the r10 broadcast-hint sweep touched,
+# Slots 14-23: the ten queries the r10 broadcast-hint sweep touched,
 # whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 23-50: the remaining
-# r9-checked queries in their r9 check order — ALL but ELEVEN:
+# coverage-section caveat / Next #2).  Slots 24-50: the remaining
+# r9-checked queries in their r9 check order — ALL but TWELVE:
 # q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters,
 # q_similarity_ann_lsh, q_hash_split, q_dedup_spans, q_temperature_mix,
 # q_multimodal_frame_sample (all unchanged since r9), plus
-# q_text_chunks, q_profile_events, q_multimodal_features and
-# q_text_fingerprint (unchanged since r9; displaced by the four new
-# quality/selection queries) spill a 61-candidate field into the
-# 50-slot budget; all eleven were re-verified against DuckDB at sf0.01
-# this round via tests/run_oracle_check.py (the first seven also in
-# the full sf0.01 + sf1 registry sweeps this round), so they are the
-# lowest-risk rows to go two rounds stale.  They must LEAD the r12
-# rotation.  Names absent from this list keep their module order
-# after it.
+# q_text_chunks, q_profile_events, q_multimodal_features,
+# q_text_fingerprint and q_text_token_counts (unchanged since r9;
+# displaced by the five new quality/selection queries) spill a
+# 62-candidate field into the 50-slot budget; all twelve were
+# re-verified against DuckDB at sf0.01 this round via
+# tests/run_oracle_check.py (the first seven also in the full sf0.01
+# + sf1 registry sweeps this round), so they are the lowest-risk rows
+# to go two rounds stale.  They must LEAD the r12 rotation.  Names
+# absent from this list keep their module order after it.
 _PRIORITY = [
     # NEW in round 11 — never driver-checked
+    "q_quality_selection",
     "q_gopher_quality",
     "q_classifier_score",
     "q_importance_weights",
@@ -97,7 +99,6 @@ _PRIORITY = [
     "q_text_normalize",
     "q_text_stats",
     "q_text_langid",
-    "q_text_token_counts",
 ]
 
 

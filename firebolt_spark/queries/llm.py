@@ -1776,7 +1776,20 @@ _FEAT_SALT = "feat"
 # unigram + adjacent-bigram feature stream → md5 bucket, WITH
 # multiplicity — the SQL mirror of text.hashed_ngram_counts (the
 # md5-bucket spelling is the repo-wide _H32 one; bigrams only for
-# len >= 2 texts, matching the Spark-side IF guard)
+# len >= 2 texts, matching the Spark-side IF guard). src parametrizes
+# the corpus relation so q_quality_selection can run the same chain
+# over its gated subset.
+def _hashed_feats_ctes(src: str = "documents", materialized: bool = False) -> str:
+    out = _HASHED_FEATS_CTES.replace("FROM documents", f"FROM {src}")
+    if materialized:
+        # fb is referenced by fc AND both DSIR models — at sf10 DuckDB's
+        # CTE inlining recomputes the whole gate+feature chain per
+        # reference and its spill exhausts the disk; materializing the
+        # shared stream bounds the temp footprint
+        out = out.replace("fb AS (", "fb AS MATERIALIZED (")
+    return out
+
+
 _HASHED_FEATS_CTES = f"""
     toks AS (
         SELECT doc_id, lang, string_split(trim(text), ' ') AS t
@@ -1939,6 +1952,165 @@ Q_WEIGHTED_SAMPLE_SQL = f"""
 """
 
 
+# ---- composed quality selection -------------------------------------------
+
+_QSEL_MIN_WORDS = 20
+_QSEL_MAX_DUP = 0.6
+_QSEL_TAU = 0.5
+_QSEL_K = 25
+_QSEL_SALT = "qsel"
+
+
+def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data-selection stage end-to-end — the pipeline a
+    training-data run would actually execute: Gopher gate (keep=1,
+    text carried through via ``include`` so NO corpus re-join) →
+    fastText-style classifier score ≥ τ → DSIR importance weights over
+    the gated set (target = its English slice) → deterministic A-Res
+    sample of k docs ∝ exp(log_weight). One oracle certifies the whole
+    chain: gate signals, both models, the decimal sums, the score
+    filter, and the exact sample membership. The gated set is derived
+    by map-only recompute (predicate-pushed scans), not persisted —
+    at 100 TB a corpus-sized cache is the wrong trade while the gate
+    is a single cheap scan; the two narrow (doc, score/weight) tables
+    join on the doc key. Gate thresholds are the fixture-adapted ones
+    (min_words=20, dup ≤ 0.6 — see q_gopher_quality's rationale)."""
+    from firebolt_spark.functions import weighted_sample
+
+    docs = _documents(spark, sf_dir)
+    gated = (
+        text.gopher_quality(
+            docs,
+            include=("text", "lang"),
+            min_words=_QSEL_MIN_WORDS,
+            max_dup_word_frac=_QSEL_MAX_DUP,
+        )
+        .filter("keep = 1")
+        .select("doc_id", "text", "lang")
+    )
+    scores = text.classifier_score(
+        gated,
+        _pseudo_weights(spark, _FEAT_BUCKETS),
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+    ).select("doc_id", "score")
+    weights = text.importance_weights(
+        gated,
+        text.hashed_bucket_model(
+            gated.filter(F.col("lang") == "en"),
+            n_buckets=_FEAT_BUCKETS,
+            salt=_FEAT_SALT,
+        ),
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+    ).select("doc_id", "log_weight")
+    pool = (
+        scores.join(weights, "doc_id")
+        .filter(F.col("score") >= _QSEL_TAU)
+        .withColumn("w", F.exp(F.col("log_weight")))
+    )
+    return (
+        weighted_sample(pool, "w", _QSEL_K, "doc_id", salt=_QSEL_SALT)
+        .select("doc_id", "score", "log_weight")
+        .orderBy("doc_id")
+    )
+
+
+_QSEL_GATE_SQL = f"""
+    gbase AS (SELECT doc_id, text, lang,
+                     string_split(trim(text), ' ') AS gw
+              FROM documents),
+    gsized AS (SELECT doc_id, text, lang, gw, len(gw) AS gn,
+                      len(list_distinct(gw)) AS gnd
+               FROM gbase),
+    gbg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(gw)),
+                          i -> gw[i] || ' ' || gw[i + 1])) AS bigram
+            FROM gsized WHERE len(gw) >= 2),
+    gtop AS (SELECT doc_id, max(cnt) AS top_cnt
+             FROM (SELECT doc_id, bigram, count(*) AS cnt
+                   FROM gbg GROUP BY doc_id, bigram)
+             GROUP BY doc_id),
+    gated AS MATERIALIZED (
+        SELECT s.doc_id, s.text, s.lang
+        FROM gsized s LEFT JOIN gtop t USING (doc_id)
+        WHERE s.text IS NOT NULL
+          AND s.gn BETWEEN {_QSEL_MIN_WORDS} AND 100000
+          AND round(CAST(length(replace(trim(s.text), ' ', '')) AS DOUBLE)
+                    / s.gn, 4) BETWEEN 3.0 AND 10.0
+          AND round(CAST(len(list_filter(s.gw,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / s.gn, 4) >= 0.8
+          AND ({_GOPHER_STOPS}) >= 2
+          AND round(CASE WHEN s.gn > 0
+                         THEN CAST(s.gn - s.gnd AS DOUBLE) / s.gn
+                         ELSE 0.0 END, 4) <= {_QSEL_MAX_DUP}
+          AND round(CASE WHEN s.gn >= 2
+                         THEN CAST(COALESCE(t.top_cnt, 0) AS DOUBLE)
+                              / (s.gn - 1)
+                         ELSE 0.0 END, 4) <= 0.2)"""
+
+Q_QUALITY_SELECTION_SQL = f"""
+    WITH {_QSEL_GATE_SQL},
+    {_hashed_feats_ctes("gated", materialized=True)},
+    w AS (
+        SELECT CAST(range AS INTEGER) AS bucket,
+               CAST((CAST((('0x' || substr(md5('w#' || CAST(range AS VARCHAR)),
+                            1, 8))::BIGINT) % 2001 AS DOUBLE) - 1000) / 1000.0
+                    AS DECIMAL(20, 15)) AS w
+        FROM range({_FEAT_BUCKETS})),
+    dot AS (
+        SELECT fc.doc_id,
+               sum(COALESCE(w.w, CAST(0 AS DECIMAL(20, 15)))
+                   * CAST(fc.cnt AS DECIMAL(10, 0))) AS d
+        FROM fc LEFT JOIN w USING (bucket) GROUP BY fc.doc_id),
+    scores AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-CAST(d AS DOUBLE))), 4) AS score
+        FROM dot),
+    tm AS (SELECT bucket, count(*) AS t_cnt FROM fb WHERE lang = 'en'
+           GROUP BY bucket),
+    rm AS (SELECT bucket, count(*) AS r_cnt FROM fb GROUP BY bucket),
+    tt AS (SELECT sum(t_cnt) AS t_total FROM tm),
+    rt AS (SELECT sum(r_cnt) AS r_total FROM rm),
+    llr AS (
+        SELECT COALESCE(tm.bucket, rm.bucket) AS bucket,
+               CAST(ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(t_total + {_FEAT_BUCKETS} AS DOUBLE))
+                  - ln(CAST(COALESCE(r_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(r_total + {_FEAT_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(20, 15)) AS llr
+        FROM tm FULL JOIN rm USING (bucket), tt, rt),
+    oov AS (
+        SELECT CAST(ln(CAST(1 AS DOUBLE)
+                       / CAST(t_total + {_FEAT_BUCKETS} AS DOUBLE))
+                  - ln(CAST(1 AS DOUBLE)
+                       / CAST(r_total + {_FEAT_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(20, 15)) AS ollr
+        FROM tt, rt),
+    wts AS (
+        SELECT fc.doc_id,
+               round(CAST(sum(COALESCE(llr.llr, oov.ollr)
+                              * CAST(fc.cnt AS DECIMAL(10, 0))) AS DOUBLE),
+                     4) + 0.0 AS log_weight
+        FROM fc LEFT JOIN llr USING (bucket), oov
+        GROUP BY fc.doc_id),
+    pool AS (
+        SELECT s.doc_id, s.score, wt.log_weight, exp(wt.log_weight) AS wgt
+        FROM scores s JOIN wts wt USING (doc_id)
+        WHERE s.score >= {_QSEL_TAU}),
+    ranked AS (
+        SELECT doc_id, score, log_weight,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '#{_QSEL_SALT}'), 1, 8))::BIGINT)
+                   ::DOUBLE + 0.5) / 4294967296.0) / wgt AS rk
+        FROM pool),
+    sel AS (SELECT doc_id, score, log_weight FROM ranked
+            ORDER BY rk DESC, doc_id LIMIT {_QSEL_K})
+    SELECT * FROM sel ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
@@ -1983,6 +2155,7 @@ QUERIES = {
     "q_classifier_score": q_classifier_score,
     "q_importance_weights": q_importance_weights,
     "q_weighted_sample": q_weighted_sample,
+    "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
 }
@@ -2031,6 +2204,7 @@ ORACLE = {
     "q_classifier_score": Q_CLASSIFIER_SCORE_SQL,
     "q_importance_weights": Q_IMPORTANCE_WEIGHTS_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),
 }

@@ -2475,3 +2475,19 @@ def test_gopher_quality_rules(spark):
     assert {r["doc_id"]: r["keep"] for r in node_got.collect()} == {
         k: v["keep"] for k, v in got.items()
     }
+
+
+def test_gopher_quality_include_passthrough(spark):
+    """include= carries input columns through the gate unchanged, so a
+    downstream filter(keep=1) continues the pipeline without a corpus
+    re-join (the q_quality_selection composition shape)."""
+    from firebolt_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the dog ran over hills", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    got = gopher_quality(df, include=("text", "lang"), min_words=5).collect()[0]
+    assert got["text"] == df.collect()[0]["text"]
+    assert got["lang"] == "en"
+    assert got["keep"] in (0, 1)

@@ -1265,3 +1265,17 @@ def test_gopher_quality_is_single_scan_no_exchange(spark):
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_selection_composition_plan(spark):
+    """The composed selection pipeline: no cartesian product, no
+    Python eval, the weighted top-k as TakeOrdered, and every
+    model-table join broadcast. The gate recompute (multiple document
+    scans) is the intended trade — a corpus-sized cache is wrong at
+    100 TB while the gate is a single map-only scan."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_quality_selection(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
