@@ -357,9 +357,14 @@ def weighted_sample(
     u = (_hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 32)
     )
-    rank = F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    rank = F.log(u) / w
+    # NaN must be excluded explicitly: Spark orders NaN ABOVE every
+    # double (so NaN > 0 passes the positivity filter and a NaN rank
+    # would always win the descending top-k), which would grant NaN-
+    # weighted rows certain inclusion instead of zero probability
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("_ares_rank", rank)
         .orderBy(F.col("_ares_rank").desc(), F.col(key_col))
         .limit(k)

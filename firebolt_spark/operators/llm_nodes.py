@@ -548,11 +548,15 @@ class GopherQualityNode:
     ('text'), id_col ('doc_id'), min_words (50), max_words (100000),
     min_mean_word_len (3.0), max_mean_word_len (10.0),
     min_alpha_word_frac (0.8), min_stopword_hits (2),
-    max_dup_word_frac (0.3), max_top_bigram_frac (0.2)."""
+    max_dup_word_frac (0.3), max_top_bigram_frac (0.2); include
+    (list of input columns carried through unchanged — e.g.
+    [text, lang] so a downstream filter keep=1 continues the pipeline
+    without a corpus re-join)."""
 
     def __init__(self, params: dict[str, Any]):
         self.text_col = params.get("text_col", "text")
         self.id_col = params.get("id_col", "doc_id")
+        self.include = tuple(params.get("include", ()))
         self.kw = {
             k: t(params[k])
             for k, t in (
@@ -570,7 +574,7 @@ class GopherQualityNode:
 
     def transform(self, df: DataFrame) -> DataFrame:
         return text.gopher_quality(
-            df, self.text_col, self.id_col, **self.kw
+            df, self.text_col, self.id_col, include=self.include, **self.kw
         )
 
 

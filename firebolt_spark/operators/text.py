@@ -694,10 +694,22 @@ def importance_weights(
 
     t = target_model.select("bucket", F.col("cnt").alias("t_cnt"))
     r = raw_model.select("bucket", F.col("cnt").alias("r_cnt"))
+    # totals via an aggregate, NOT select(total).limit(1): an EMPTY
+    # model (e.g. a target_filter matching zero rows) has no rows to
+    # select, and a 0-row broadcast crossJoin would silently annihilate
+    # the whole result. agg() always returns one row; max(total) is the
+    # constant itself on a populated model and NULL→0 on an empty one —
+    # which is exactly the Laplace limit: every feature scores
+    # (cnt+1)/(0+n_buckets), so an empty target degrades to a uniform
+    # model instead of an empty DataFrame.
     t_tot = F.broadcast(
-        target_model.select(F.col("total").alias("t_total")).limit(1)
+        target_model.agg(
+            F.coalesce(F.max("total"), F.lit(0)).alias("t_total")
+        )
     )
-    r_tot = F.broadcast(raw_model.select(F.col("total").alias("r_total")).limit(1))
+    r_tot = F.broadcast(
+        raw_model.agg(F.coalesce(F.max("total"), F.lit(0)).alias("r_total"))
+    )
     llr_tbl = (
         t.join(r, "bucket", "full")
         .crossJoin(t_tot)

@@ -1874,16 +1874,23 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     or weighted_sample over exp(log_weight). Both model tables are
     bucket-bounded constants — broadcast joins only; the corpus pays
     one scan and two narrow aggregations."""
+    from firebolt_spark.functions import track_persisted
+
     docs = _documents(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
-    return text.importance_weights(
+    res = text.importance_weights(
         docs,
         text.hashed_bucket_model(
             target, n_buckets=_FEAT_BUCKETS, salt=_FEAT_SALT
         ),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
-    ).orderBy("doc_id")
+    )
+    # re-attach the operator's release handles: deriving (orderBy)
+    # strips _persisted_inputs (see q_dedup_semantic's no-orderBy note)
+    return track_persisted(
+        res.orderBy("doc_id"), *getattr(res, "_persisted_inputs", [])
+    )
 
 
 Q_IMPORTANCE_WEIGHTS_SQL = f"""
@@ -1988,13 +1995,15 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep = 1")
         .select("doc_id", "text", "lang")
     )
+    from firebolt_spark.functions import track_persisted
+
     scores = text.classifier_score(
         gated,
         _pseudo_weights(spark, _FEAT_BUCKETS),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
     ).select("doc_id", "score")
-    weights = text.importance_weights(
+    iw = text.importance_weights(
         gated,
         text.hashed_bucket_model(
             gated.filter(F.col("lang") == "en"),
@@ -2003,16 +2012,19 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
-    ).select("doc_id", "log_weight")
+    )
     pool = (
-        scores.join(weights, "doc_id")
+        scores.join(iw.select("doc_id", "log_weight"), "doc_id")
         .filter(F.col("score") >= _QSEL_TAU)
         .withColumn("w", F.exp(F.col("log_weight")))
     )
-    return (
+    # carry the importance_weights release handles through to the
+    # returned frame (derivation strips _persisted_inputs)
+    return track_persisted(
         weighted_sample(pool, "w", _QSEL_K, "doc_id", salt=_QSEL_SALT)
         .select("doc_id", "score", "log_weight")
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        *getattr(iw, "_persisted_inputs", []),
     )
 
 

@@ -2491,3 +2491,53 @@ def test_gopher_quality_include_passthrough(spark):
     assert got["text"] == df.collect()[0]["text"]
     assert got["lang"] == "en"
     assert got["keep"] in (0, 1)
+
+
+def test_importance_weights_empty_target_degrades_to_uniform(spark):
+    """An empty target model (target_filter matching zero rows) must
+    NOT annihilate the output via a 0-row broadcast crossJoin — it
+    degrades to the Laplace limit (every feature scores 1/n_buckets
+    under the target), so every doc still gets a row."""
+    from firebolt_spark.operators.text import (
+        hashed_bucket_model, importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    empty_target = hashed_bucket_model(
+        df.filter("lang = 'xx'"), n_buckets=64
+    )
+    got = importance_weights(df, empty_target, n_buckets=64).collect()
+    assert len(got) == 2
+    assert all(r["log_weight"] is not None for r in got)
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """NaN weights must be excluded: Spark orders NaN above every
+    double, so an unguarded NaN row would pass the > 0 filter and
+    always win the descending top-k."""
+    from firebolt_spark.functions import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, float("nan"))], ["doc_id", "w"]
+    )
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 3, "doc_id").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_query_release_handles_survive_derivation(spark):
+    """The declared DSIR queries re-attach the operator's persisted
+    handles after orderBy/select, so functions.release() actually
+    frees the feature/model caches (q_dedup_semantic convention)."""
+    from firebolt_spark.queries import llm
+    from tests.conftest import SF_DIR
+
+    df = llm.q_importance_weights(spark, SF_DIR)
+    handles = getattr(df, "_persisted_inputs", [])
+    assert len(handles) == 3  # feats, target_model, raw_model
+    sel = llm.q_quality_selection(spark, SF_DIR)
+    assert len(getattr(sel, "_persisted_inputs", [])) == 3
