@@ -372,6 +372,83 @@ def weighted_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement PER STRATUM:
+    within each distinct ``strata_col`` value, keep the ``k`` rows with
+    inclusion probability proportional to ``weight_col`` — the
+    per-group form of :func:`weighted_sample` (same A-Res ranking
+    ``ln(u)/w`` with the uniform drawn from the row's content hash, so
+    the selected set is a pure function of (data, salt)).  This is the
+    quota operator a training mix needs: "the best / a representative
+    k documents per language (or per domain)" rather than a single
+    global top-k that lets one giant stratum crowd out the rest.
+
+    Rows with NULL, NaN or non-positive weight are excluded (zero
+    inclusion probability — same contract as :func:`weighted_sample`);
+    a NULL stratum is one ordinary stratum.  Ties are broken by
+    ``key_col``, so the result is total-ordered and reproducible.
+
+    Scale shape: the naive plan — ``row_number() OVER (PARTITION BY
+    stratum ORDER BY rank)`` — hash-partitions the CORPUS by stratum
+    alone, and a training corpus has few strata (tens of languages /
+    domains), so at 100 TB each reducer would sort terabytes.  Instead
+    the top-k runs in two phases: phase 1 partitions by (stratum,
+    internal bucket of the key into ``fan_in`` buckets) and keeps each
+    bucket's local top-k — at most ``k * fan_in`` survivors per
+    stratum, with the corpus-sized sort spread over ``fan_in`` × more
+    tasks; phase 2 re-ranks the tiny survivor set per stratum.  Exact
+    by construction: every stratum-wide top-k row is its own bucket's
+    top-k (the rank order is total), so phase 1 keeps a superset.
+    (Spark 4's ``WindowGroupLimit`` already prunes each MAP task to its
+    local top-k before either shuffle; the bucketing addresses what
+    that cannot — the reduce side, where a stratum-only partitioning
+    still lands ``map_tasks × k`` survivor rows on ONE task per
+    stratum, ``fan_in`` × more than necessary.)  ``fan_in=1``
+    degenerates to the single-phase window.  The bucket column is
+    internal (never affects WHICH rows win), so it uses the cheap JVM
+    hash, not the portable md5.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    u = (_hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    w = F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .withColumn("_ares_rank", F.log(u) / w)
+        .withColumn(
+            "_ares_b", F.pmod(F.xxhash64(F.col(key_col)), F.lit(fan_in))
+        )
+    )
+    local = Window.partitionBy(strata_col, "_ares_b").orderBy(
+        F.col("_ares_rank").desc(), F.col(key_col)
+    )
+    survivors = (
+        ranked.withColumn("_ares_rn", F.row_number().over(local))
+        .filter(F.col("_ares_rn") <= k)
+        .drop("_ares_rn", "_ares_b")
+    )
+    final = Window.partitionBy(strata_col).orderBy(
+        F.col("_ares_rank").desc(), F.col(key_col)
+    )
+    return (
+        survivors.withColumn("_ares_rn", F.row_number().over(final))
+        .filter(F.col("_ares_rn") <= k)
+        .drop("_ares_rn", "_ares_rank")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

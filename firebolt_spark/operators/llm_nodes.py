@@ -690,6 +690,44 @@ class WeightedSampleNode:
         )
 
 
+class StratifiedSampleNode:
+    """Per-stratum deterministic weighted sampling
+    (functions.stratified_sample): keep k rows per strata_col value
+    with probability ∝ weight_col — the quota operator of a training
+    mix (e.g. k docs per language). Params: strata_col (REQUIRED),
+    weight_col (REQUIRED), k (REQUIRED), key_col ('doc_id'),
+    salt (''), fan_in (32 — phase-1 top-k fan-out)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if (
+            not params.get("strata_col")
+            or not params.get("weight_col")
+            or "k" not in params
+        ):
+            raise ValueError(
+                "stratified_sample node requires strata_col, weight_col and k"
+            )
+        self.strata_col = params["strata_col"]
+        self.weight_col = params["weight_col"]
+        self.k = int(params["k"])
+        self.key_col = params.get("key_col", "doc_id")
+        self.salt = params.get("salt", "")
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import stratified_sample
+
+        return stratified_sample(
+            df,
+            self.strata_col,
+            self.weight_col,
+            self.k,
+            self.key_col,
+            self.salt,
+            fan_in=self.fan_in,
+        )
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -720,4 +758,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("classifier_score", ClassifierScoreNode, None, None)
     registry.register_node_type("importance_weights", ImportanceWeightsNode, None, None)
     registry.register_node_type("weighted_sample", WeightedSampleNode, None, None)
+    registry.register_node_type(
+        "stratified_sample", StratifiedSampleNode, None, None
+    )
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

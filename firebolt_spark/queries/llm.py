@@ -1959,6 +1959,49 @@ Q_WEIGHTED_SAMPLE_SQL = f"""
 """
 
 
+_SSAMPLE_K = 30
+_SSAMPLE_SALT = "strat1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic weighted sampling
+    (functions.stratified_sample): within EACH language keep the k
+    documents selected with probability ∝ n_chars — the quota form of
+    q_weighted_sample, so no giant stratum crowds out rare languages
+    in a training mix. Same content-hash A-Res ranking, so the oracle
+    replays the identical per-stratum ln(u)/w top-k and the hash match
+    certifies the exact per-language sample membership. The two-phase
+    top-k (bucketed local phase, tiny survivor re-rank) keeps the
+    per-stratum sort spread over fan_in × more tasks than the naive
+    PARTITION BY lang window — the difference between tens of reducers
+    and tens × fan_in at 100 TB."""
+    from firebolt_spark.functions import stratified_sample
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(
+        docs, "lang", "n_chars", _SSAMPLE_K, "doc_id", salt=_SSAMPLE_SALT
+    ).orderBy("doc_id")
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '#{_SSAMPLE_SALT}'), 1, 8))::BIGINT)
+                   ::DOUBLE + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) AS rk
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    sel AS (SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY rk DESC, doc_id) AS rn
+            FROM r)
+    SELECT doc_id, lang, source, n_chars FROM sel
+    WHERE rn <= {_SSAMPLE_K} ORDER BY doc_id
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2167,6 +2210,7 @@ QUERIES = {
     "q_classifier_score": q_classifier_score,
     "q_importance_weights": q_importance_weights,
     "q_weighted_sample": q_weighted_sample,
+    "q_stratified_sample": q_stratified_sample,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2216,6 +2260,7 @@ ORACLE = {
     "q_classifier_score": Q_CLASSIFIER_SCORE_SQL,
     "q_importance_weights": Q_IMPORTANCE_WEIGHTS_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

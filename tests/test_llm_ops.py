@@ -2541,3 +2541,87 @@ def test_query_release_handles_survive_derivation(spark):
     assert len(handles) == 3  # feats, target_model, raw_model
     sel = llm.q_quality_selection(spark, SF_DIR)
     assert len(getattr(sel, "_persisted_inputs", [])) == 3
+
+
+def test_stratified_sample_two_phase_matches_brute_force(spark):
+    """stratified_sample's two-phase top-k must select exactly the
+    rows a brute-force per-stratum A-Res ranking selects, at any
+    fan_in (phase 1 keeps each bucket's top-k, a superset of the
+    stratum top-k, so the composition is exact by construction)."""
+    import hashlib
+    import math
+
+    from firebolt_spark.functions import stratified_sample
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], float(1 + (i * 7) % 13))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+
+    def rank(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}#s1".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2**32) / w
+
+    expect = set()
+    for lang in ("en", "fr", "de"):
+        grp = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (-rank(r[0], r[2]), r[0]),
+        )
+        expect |= {r[0] for r in grp[:5]}
+
+    for fan_in in (1, 4, 32):
+        got = {
+            r["doc_id"]
+            for r in stratified_sample(
+                df, "lang", "w", 5, "doc_id", salt="s1", fan_in=fan_in
+            ).collect()
+        }
+        assert got == expect, f"fan_in={fan_in}"
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    """A stratum with fewer than k positive-weight rows is kept in
+    full; NULL stratum is one ordinary stratum; NULL/NaN/non-positive
+    weights are excluded (zero inclusion probability)."""
+    from firebolt_spark.functions import stratified_sample
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 2.0),
+            (2, "en", None),
+            (3, None, 1.0),
+            (4, None, float("nan")),
+            (5, "fr", 0.0),
+            (6, "fr", -3.0),
+        ],
+        ["doc_id", "lang", "w"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", "w", 10, "doc_id").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_stratified_sample_node(spark):
+    """The stratified_sample YAML node validates its params and keeps
+    k rows per stratum."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import StratifiedSampleNode
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", float(i + 1)) for i in range(10)],
+        ["doc_id", "lang", "w"],
+    )
+    out = StratifiedSampleNode(
+        {"strata_col": "lang", "weight_col": "w", "k": 2}
+    ).transform(df)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {2}
+    with _pytest.raises(ValueError):
+        StratifiedSampleNode({"weight_col": "w", "k": 2})

@@ -1279,3 +1279,28 @@ def test_quality_selection_composition_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_two_phase_window_partitioning(spark):
+    """stratified_sample must run its corpus-sized window partitioned
+    by (stratum, bucket) — fan_in × more reducers than the naive
+    PARTITION BY stratum plan, which funnels a 100 TB corpus into a
+    handful of language-keyed sorts. The stratum-only window may only
+    see the tiny phase-2 survivor set (≤ k·fan_in rows per stratum),
+    and no single-partition Exchange anywhere."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_stratified_sample(spark, SF_DIR))
+    assert "_ares_b" in plan  # phase-1 bucket key reaches the physical plan
+    assert plan.count("Window") >= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-sized exchange (deepest in the printed tree) hashes on
+    # stratum AND bucket; only the tiny survivor exchange is stratum-only
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert "lang" in exchanges[-1] and "_ares_b" in exchanges[-1]
+    # Spark 4 pushes a partial rank-limit below both exchanges — the map
+    # side already drops everything past its local top-k
+    assert "WindowGroupLimit" in plan
