@@ -728,6 +728,48 @@ class StratifiedSampleNode:
         )
 
 
+class TokenBudgetMixNode:
+    """Per-stratum token-budget mixture fill
+    (mixture.token_budget_mix): keep each stratum's rows in
+    deterministic hash order until its TOKEN budget fills — quotas in
+    tokens, the way a pretraining mix is specified. Params: strata_col
+    (REQUIRED), budgets (REQUIRED dict stratum→budget), token_col
+    (REQUIRED), key_col ('doc_id'), salt (''), default_budget (0 —
+    strata absent from budgets are excluded), fan_in (32)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if (
+            not params.get("strata_col")
+            or not isinstance(params.get("budgets"), dict)
+            or not params.get("token_col")
+        ):
+            raise ValueError(
+                "token_budget_mix node requires strata_col, budgets "
+                "(a mapping) and token_col"
+            )
+        self.strata_col = params["strata_col"]
+        self.budgets = {str(k): int(v) for k, v in params["budgets"].items()}
+        self.token_col = params["token_col"]
+        self.key_col = params.get("key_col", "doc_id")
+        self.salt = params.get("salt", "")
+        self.default_budget = int(params.get("default_budget", 0))
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.operators.mixture import token_budget_mix
+
+        return token_budget_mix(
+            df,
+            self.strata_col,
+            self.budgets,
+            self.token_col,
+            self.key_col,
+            salt=self.salt,
+            default_budget=self.default_budget,
+            fan_in=self.fan_in,
+        )
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -760,5 +802,8 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("weighted_sample", WeightedSampleNode, None, None)
     registry.register_node_type(
         "stratified_sample", StratifiedSampleNode, None, None
+    )
+    registry.register_node_type(
+        "token_budget_mix", TokenBudgetMixNode, None, None
     )
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

@@ -218,3 +218,90 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
         out.append((name, min(int(math.floor(cum * _BUCKET_SPACE)), 1 << 32)))
     out.append((names[-1], 1 << 32))
     return out
+
+
+def token_budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    key_col: str,
+    salt: str = "",
+    default_budget: int = 0,
+    fan_in: int = 32,
+) -> DataFrame:
+    """Fill each stratum to a TOKEN budget instead of a row quota: walk
+    the stratum's rows in deterministic content-hash order and keep a
+    row iff the running token total BEFORE it is still under the
+    stratum's budget — so the row that crosses the boundary is the
+    last one in, and a budget > 0 always admits at least one row. This
+    is how an actual pretraining mix is specified ("300 B tokens of
+    web, 50 B of code, all of wikipedia"): quotas are in tokens, and a
+    row-count quota (``stratified_sample``) over variable-length
+    documents cannot express them. Strata absent from ``budgets`` get
+    ``default_budget`` (0 = excluded); rows with NULL or negative
+    token counts are excluded (they cannot be budgeted).
+
+    Deterministic like every sampler here: the visit order is
+    ``(md5-hash(key#salt), key)``, a pure row property, so the
+    selected set survives repartitioning, retries, incremental reruns,
+    and re-executes identically on any engine with md5 — and varying
+    ``salt`` draws an independent mix.
+
+    Scale shape: the running sum is a per-stratum ORDERED window, and
+    unlike a rank top-k Spark cannot partially prune it — a naive
+    ``SUM() OVER (PARTITION BY stratum ORDER BY hash)`` funnels each
+    stratum (a terabyte-scale language, say) through ONE reduce task.
+    The cumsum therefore runs the two-phase grouped form, fully
+    declaratively: the 32-bit hash space splits into ``fan_in``
+    CONTIGUOUS ranges (so range order == hash order and a row's range
+    is a function of its own hash); phase 1 cumsums within (stratum,
+    range) on ``fan_in`` × more tasks; per-(stratum, range) totals —
+    a ``strata × fan_in``-row aggregate — get prefix offsets from a
+    window over that TINY table and broadcast-join back. No driver
+    collect, no single-partition exchange, exact by construction.
+    """
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    if default_budget < 0 or any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    from pyspark.sql import Window
+
+    u = _hash_bucket(key_col, salt)
+    tok = F.col(token_col).cast("bigint")
+    # contiguous hash ranges: ordering by (_b, _u) == ordering by _u
+    width = ((1 << 32) + fan_in - 1) // fan_in
+    # NULL strata form one ordinary stratum; the internal sentinel key
+    # exists because a plain equi-join would silently DROP them
+    sk = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
+    base = (
+        df.filter(tok.isNotNull() & (tok >= 0))
+        .withColumn("_u", u)
+        .withColumn("_b", F.floor(F.col("_u") / F.lit(width)))
+        .withColumn("_sk", sk)
+    )
+    w_local = (
+        Window.partitionBy("_sk", "_b")
+        .orderBy("_u", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum", F.sum(tok).over(w_local))
+    totals = base.groupBy("_sk", "_b").agg(F.sum(tok).alias("_tot"))
+    w_off = (
+        Window.partitionBy("_sk")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_sk", "_b", "_off")
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(
+            budget
+        )
+    return (
+        cum.join(F.broadcast(offsets), ["_sk", "_b"])
+        .filter(F.col("_off") + F.col("_cum") - tok < budget)
+        .drop("_u", "_b", "_sk", "_cum", "_off")
+    )

@@ -2002,6 +2002,59 @@ Q_STRATIFIED_SAMPLE_SQL = f"""
 """
 
 
+_TBMIX_SALT = "tbm1"
+_TBMIX_BUDGETS = {"en": 20000, "zh": 8000}
+_TBMIX_DEFAULT = 10000
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKEN-budget mixture fill (mixture.token_budget_mix):
+    walk each language's documents in deterministic content-hash order
+    and keep a document iff the running n_chars total before it is
+    still under that language's budget — the way a pretraining mix is
+    actually specified (token quotas, not row quotas). The oracle
+    replays the identical per-stratum ordered cumsum, so the hash
+    match certifies the exact mix membership; the Spark side computes
+    the cumsum in the two-phase grouped form (contiguous hash-range
+    buckets + broadcast prefix offsets), never funneling a language
+    through one reduce task."""
+    from firebolt_spark.operators.mixture import token_budget_mix
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return token_budget_mix(
+        docs,
+        "lang",
+        _TBMIX_BUDGETS,
+        "n_chars",
+        "doc_id",
+        salt=_TBMIX_SALT,
+        default_budget=_TBMIX_DEFAULT,
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_BUDGET_MIX_SQL = f"""
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || '#{_TBMIX_SALT}'), 1, 8))::BIGINT) AS u
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+    c AS (
+        SELECT doc_id, lang, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+        FROM r)
+    SELECT doc_id, lang, source, n_chars FROM c
+    WHERE cum - n_chars < CASE lang
+                            WHEN 'en' THEN {_TBMIX_BUDGETS["en"]}
+                            WHEN 'zh' THEN {_TBMIX_BUDGETS["zh"]}
+                            ELSE {_TBMIX_DEFAULT} END
+    ORDER BY doc_id
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2211,6 +2264,7 @@ QUERIES = {
     "q_importance_weights": q_importance_weights,
     "q_weighted_sample": q_weighted_sample,
     "q_stratified_sample": q_stratified_sample,
+    "q_token_budget_mix": q_token_budget_mix,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2261,6 +2315,7 @@ ORACLE = {
     "q_importance_weights": Q_IMPORTANCE_WEIGHTS_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

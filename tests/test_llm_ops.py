@@ -2625,3 +2625,114 @@ def test_stratified_sample_node(spark):
     assert {len(v) for v in by_lang.values()} == {2}
     with _pytest.raises(ValueError):
         StratifiedSampleNode({"weight_col": "w", "k": 2})
+
+
+def test_token_budget_mix_matches_brute_force(spark):
+    """token_budget_mix's two-phase grouped cumsum must keep exactly
+    the rows a sequential per-stratum budget walk keeps, at any
+    fan_in (contiguous hash ranges preserve the visit order, and the
+    broadcast prefix offsets reconstruct the exact running total)."""
+    import hashlib
+
+    from firebolt_spark.operators.mixture import token_budget_mix
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], 10 + (i * 37) % 90)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "toks"])
+    budgets = {"en": 300, "fr": 95}
+
+    def h(doc_id):
+        return int(hashlib.md5(f"{doc_id}#s2".encode()).hexdigest()[:8], 16)
+
+    expect = set()
+    for lang in ("en", "fr", "de"):
+        budget = budgets.get(lang, 120)
+        running = 0
+        for r in sorted(
+            (r for r in rows if r[1] == lang), key=lambda r: (h(r[0]), r[0])
+        ):
+            if running < budget:
+                expect.add(r[0])
+            running += r[2]
+
+    for fan_in in (1, 4, 32):
+        got = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                df, "lang", budgets, "toks", "doc_id",
+                salt="s2", default_budget=120, fan_in=fan_in,
+            ).collect()
+        }
+        assert got == expect, f"fan_in={fan_in}"
+
+
+def test_token_budget_mix_edges(spark):
+    """Budget edges: the boundary-crossing row is the LAST one in (a
+    positive budget always admits at least one row, even one larger
+    than the budget); a zero/absent budget excludes the stratum; NULL
+    strata form one ordinary stratum under default_budget; NULL and
+    negative token counts are excluded; zero-token rows consume
+    nothing and pass while the budget is open."""
+    from firebolt_spark.operators.mixture import token_budget_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 500),   # first in hash order or not — one of the
+            (2, "en", 500),   # two en rows must cross the 600 boundary
+            (3, "en", 500),
+            (4, "fr", 50),    # fr absent from budgets -> default 0
+            (5, None, 10),
+            (6, None, None),
+            (7, None, -5),
+            (8, "de", 0),
+        ],
+        ["doc_id", "lang", "toks"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "lang", {"en": 600, "de": 1}, "toks", "doc_id",
+            default_budget=20,
+        ).collect()
+    )
+    # en: two of the three 500-token rows (0 < 600 and 500 < 600; the
+    # third starts at 1000); fr: doc 4 is its boundary-crossing first
+    # row under the default budget (0 < 20, even though 50 > 20); NULL
+    # stratum: doc 5 only (6, 7 invalid); de: the zero-token row
+    # passes a positive budget
+    en_kept = [d for d in got if d in (1, 2, 3)]
+    assert len(en_kept) == 2
+    assert 4 in got
+    assert 5 in got and 6 not in got and 7 not in got
+    assert 8 in got
+    # default_budget=0 (the default) excludes every unlisted stratum
+    got0 = sorted(
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "lang", {"en": 600}, "toks", "doc_id"
+        ).collect()
+    )
+    assert all(d in (1, 2, 3) for d in got0) and len(got0) == 2
+
+
+def test_token_budget_mix_node(spark):
+    """The token_budget_mix YAML node validates params and applies the
+    per-stratum budgets."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import TokenBudgetMixNode
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", 100) for i in range(10)],
+        ["doc_id", "lang", "toks"],
+    )
+    out = TokenBudgetMixNode(
+        {"strata_col": "lang", "budgets": {"en": 250}, "token_col": "toks"}
+    ).transform(df)
+    rows = out.collect()
+    assert {r["lang"] for r in rows} == {"en"}
+    assert len(rows) == 3  # 0 < 250, 100 < 250, 200 < 250
+    with _pytest.raises(ValueError):
+        TokenBudgetMixNode({"strata_col": "lang", "token_col": "toks"})

@@ -1304,3 +1304,25 @@ def test_stratified_sample_two_phase_window_partitioning(spark):
     # Spark 4 pushes a partial rank-limit below both exchanges — the map
     # side already drops everything past its local top-k
     assert "WindowGroupLimit" in plan
+
+
+def test_token_budget_mix_two_phase_cumsum_plan(spark):
+    """token_budget_mix must never run the corpus through a
+    stratum-only ordered window (a running sum has no rank-limit
+    pushdown, so that is a one-task-per-language funnel): the
+    corpus-sized exchange hashes on (stratum, hash-range bucket), the
+    prefix offsets come back as a broadcast join, and nothing is
+    single-partition."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_token_budget_mix(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # every corpus-touching exchange carries the bucket key: the only
+    # _sk-without-_b partitioning allowed is the offsets table's tiny
+    # window (strata × fan_in rows)
+    assert any("_sk" in ln and "_b" in ln for ln in exchanges)
