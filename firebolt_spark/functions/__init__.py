@@ -449,6 +449,117 @@ def stratified_sample(
     )
 
 
+_KMV_SPACE = float(1 << 48)
+
+
+def _hash48(col: str, salt: str) -> Column:
+    """48-bit content hash (first 12 md5 hex digits of ``value#salt``
+    as a BIGINT) — the KMV sketch keys on 48 bits rather than
+    ``_hash_bucket``'s 32 because the estimator's bias grows with hash
+    collisions, and 32 bits start colliding at ~65 k distinct values
+    (far below a corpus vocabulary).  Same engine-portable md5 recipe,
+    so a DuckDB oracle replays it exactly; NULL hashes as the sentinel
+    (one deterministic fate, like every sampler here)."""
+    v = F.coalesce(F.col(col).cast("string"), F.lit("\x00"))
+    return F.conv(
+        F.substring(F.md5(F.concat(v, F.lit("#" + salt))), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    out_col: str = "kmv",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Build a K-Minimum-Values distinct-count sketch of ``col`` per
+    group: the ``k`` smallest distinct 48-bit content hashes, as a
+    sorted array.  The sketch is the corpus-stats primitive a 100 TB
+    pipeline profiles with — O(k) per group instead of a
+    count-distinct's unbounded state, and MERGEABLE: the sketch of a
+    union is :func:`kmv_merge` of the parts, so per-shard (or
+    per-ingest-batch) sketch tables roll up to corpus totals without
+    re-touching the data.  Deterministic (content-hashed, no RNG), so
+    shard-then-merge equals one-shot exactly and a SQL oracle can
+    replay it.
+
+    Estimate with :func:`kmv_estimate`: exact below ``k`` distinct
+    values (the sketch simply holds them all), the standard
+    ``(k-1) * space / h_k`` KMV estimator above (Bar-Yossef et al.
+    2002), with relative error ~``1/sqrt(k-2)``.
+
+    Scale shape: one distinct-shuffle on (group, hash) — partial
+    aggregation halves it map-side — then the min-k per group runs the
+    same two-phase form as :func:`stratified_sample` (a running
+    row_number has rank-limit pushdown, but the reduce side of a
+    group-only partitioning would still swallow a group's whole
+    distinct set on one task): phase 1 keeps each of ``fan_in`` hash
+    buckets' local min-k, phase 2 collects the ≤ ``k * fan_in``
+    survivors per group into the final sorted array.  No unbounded
+    ``collect_set``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    groups = list(group_cols or [])
+    h = df.select(*groups, _hash48(col, salt).alias("_h")).distinct()
+    local = Window.partitionBy(
+        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
+    ).orderBy("_h")
+    survivors = (
+        h.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    agg = survivors.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(out_col)
+    )
+    return agg
+
+
+def kmv_estimate(sketch_col: str, k: int = 256) -> Column:
+    """Distinct-count estimate from a :func:`kmv_sketch` array: the
+    exact size while the sketch is not full (< ``k`` distinct values
+    seen), else ``(k-1) * 2^48 / h_k`` with ``h_k`` the k-th smallest
+    hash.  A pure column expression — usable on a sketch TABLE without
+    touching the corpus."""
+    size = F.size(F.col(sketch_col))
+    return F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE)
+        / F.element_at(F.col(sketch_col), k).cast("double")
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    sketch_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge :func:`kmv_sketch` rows (one per shard / ingest batch)
+    into one sketch per group: union the arrays, de-duplicate, keep
+    the k smallest.  Exactly the sketch a one-shot build over the
+    union would produce — the property that lets per-shard sketch
+    tables stand in for the corpus.  Per-group state is bounded by
+    ``k × shards-per-group`` (each input row contributes ≤ k values),
+    so the collect stays small by construction."""
+    groups = list(group_cols or [])
+    merged = (
+        df.select(*groups, F.explode(sketch_col).alias("_h"))
+        .distinct()
+        .groupBy(*groups)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(
+                sketch_col
+            )
+        )
+    )
+    return merged
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -2055,6 +2055,60 @@ Q_TOKEN_BUDGET_MIX_SQL = f"""
 """
 
 
+_KMV_K = 64
+_KMV_SALT = "kmv1"
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV distinct-count sketch (functions.kmv_sketch):
+    the k smallest distinct 48-bit content hashes of doc_id per
+    language, plus the standard (k-1)·2^48/h_k estimate — the bounded-
+    state, MERGEABLE corpus-stats primitive (per-shard sketch tables
+    roll up via kmv_merge without re-touching data; merge == one-shot
+    is pytest-pinned). Content-hashed, so the oracle replays the
+    identical sketch and the hash match certifies sketch membership
+    AND the estimate arithmetic; the fixture's languages exceed k, so
+    the ESTIMATOR path is what's being certified, not the exact
+    fallback."""
+    from firebolt_spark.functions import kmv_estimate, kmv_sketch
+
+    docs = _documents(spark, sf_dir)
+    sk = kmv_sketch(
+        docs, "doc_id", k=_KMV_K, group_cols=["lang"], salt=_KMV_SALT
+    )
+    return (
+        sk.select(
+            "lang",
+            F.size("kmv").alias("n_sketch"),
+            F.round(kmv_estimate("kmv", _KMV_K), 4).alias("distinct_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DISTINCT_SKETCH_SQL = f"""
+    WITH h AS (
+        SELECT DISTINCT lang,
+               (('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))
+                                   || '#{_KMV_SALT}'), 1, 12))::BIGINT) AS hv
+        FROM documents),
+    r AS (SELECT lang, hv,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+          FROM h),
+    s AS (SELECT lang,
+                 count(*) FILTER (WHERE rn <= {_KMV_K}) AS n_sketch,
+                 max(hv) FILTER (WHERE rn <= {_KMV_K}) AS hk,
+                 count(*) AS n_distinct
+          FROM r GROUP BY lang)
+    SELECT lang, CAST(n_sketch AS INT) AS n_sketch,
+           round(CASE WHEN n_distinct < {_KMV_K}
+                      THEN CAST(n_distinct AS DOUBLE)
+                      ELSE {_KMV_K - 1} * 281474976710656.0
+                           / CAST(hk AS DOUBLE) END, 4) AS distinct_est
+    FROM s ORDER BY lang
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2265,6 +2319,7 @@ QUERIES = {
     "q_weighted_sample": q_weighted_sample,
     "q_stratified_sample": q_stratified_sample,
     "q_token_budget_mix": q_token_budget_mix,
+    "q_distinct_sketch": q_distinct_sketch,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2316,6 +2371,7 @@ ORACLE = {
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
+    "q_distinct_sketch": Q_DISTINCT_SKETCH_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

@@ -1326,3 +1326,24 @@ def test_token_budget_mix_two_phase_cumsum_plan(spark):
     # _sk-without-_b partitioning allowed is the offsets table's tiny
     # window (strata × fan_in rows)
     assert any("_sk" in ln and "_b" in ln for ln in exchanges)
+
+
+def test_kmv_sketch_bounded_state_plan(spark):
+    """The KMV sketch build must never hold unbounded per-group state:
+    no collect_set over the raw column (the distinct runs as a partial
+    aggregate first), the min-k window partitions by (group, hash
+    bucket) — not group alone — and nothing funnels through a single
+    partition."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_distinct_sketch(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "collect_set" not in plan
+    assert "WindowGroupLimit" in plan  # min-k pruned map-side
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # the min-k window's exchange carries the bucket key (projected as
+    # _w0 by the window operator), alongside the distinct's (group,
+    # hash) exchange and the final per-group collect
+    assert any("lang" in ln and "_w0" in ln for ln in exchanges)
