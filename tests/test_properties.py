@@ -236,3 +236,111 @@ def test_split_thresholds_partition_hash_space_proportionally(weights):
         if name != cuts[-1][0]:
             assert abs(width - weights[name] / total * (1 << 32)) <= 1
         prev = thr
+
+
+# ---- deterministic sampling family invariants (round 11) -------------------
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 9999),               # doc_id (unique via key below)
+        st.sampled_from(["en", "fr", None]),  # stratum incl. NULL
+        st.integers(1, 50),                  # weight / token count
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_docs, st.integers(1, 30), st.integers(31, 60))
+@settings(max_examples=10, deadline=None)
+def test_hash_sample_is_monotone_in_fraction(spark, rows, p1, p2):
+    """hash_sample's kept set can only GROW as the fraction grows (the
+    hash threshold is the only discriminator), with exact endpoints:
+    fraction 0 keeps nothing, fraction 1 keeps everything — including
+    NULL-keyed rows (sentinel-hashed, ADVICE r6)."""
+    from firebolt_spark.functions import hash_sample
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, w INT")
+    f1, f2 = p1 / 60.0, p2 / 60.0
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", f1, "s").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", f2, "s").collect()}
+    assert s1 <= s2
+    assert hash_sample(df, "doc_id", 0.0, "s").count() == 0
+    assert hash_sample(df, "doc_id", 1.0, "s").count() == len(rows)
+
+
+@given(_docs, st.integers(1, 5))
+@settings(max_examples=10, deadline=None)
+def test_stratified_sample_restricts_to_per_stratum_weighted_sample(
+    spark, rows, k
+):
+    """stratified_sample(k) per stratum must select EXACTLY what
+    weighted_sample(k) selects when run on that stratum alone — the
+    defining restriction property of quota sampling (no cross-stratum
+    interference, whatever the strata sizes or weights)."""
+    from pyspark.sql import functions as F
+
+    from firebolt_spark.functions import stratified_sample, weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, w INT")
+    got = {}
+    for r in stratified_sample(
+        df, "lang", "w", k, "doc_id", salt="p", fan_in=3
+    ).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang in {t[1] for t in rows}:
+        sub = df.filter(
+            F.col("lang").eqNullSafe(F.lit(lang))
+        )
+        expect = {
+            r["doc_id"]
+            for r in weighted_sample(sub, "w", k, "doc_id", salt="p").collect()
+        }
+        assert got.get(lang, set()) == expect, f"stratum {lang}"
+
+
+@given(_docs, st.integers(0, 120), st.integers(0, 120))
+@settings(max_examples=10, deadline=None)
+def test_token_budget_mix_is_monotone_prefix_of_hash_order(
+    spark, rows, b_small, b_extra
+):
+    """Two defining invariants of the budget fill: (1) raising a
+    budget only ADDS rows (the kept set is monotone in the budget);
+    (2) within each stratum the kept set is a PREFIX of the
+    deterministic hash visit order — no row is skipped while a later
+    one is kept."""
+    import hashlib
+
+    from firebolt_spark.operators.mixture import token_budget_mix
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, toks INT")
+    lo = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "lang", {}, "toks", "doc_id", salt="p",
+            default_budget=b_small, fan_in=3,
+        ).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "lang", {}, "toks", "doc_id", salt="p",
+            default_budget=b_small + b_extra, fan_in=3,
+        ).collect()
+    }
+    assert lo <= hi
+
+    def h(doc_id):
+        return int(hashlib.md5(f"{doc_id}#p".encode()).hexdigest()[:8], 16)
+
+    for lang in {t[1] for t in rows}:
+        order = [
+            t[0]
+            for t in sorted(
+                (t for t in rows if t[1] == lang),
+                key=lambda t: (h(t[0]), t[0]),
+            )
+        ]
+        kept = [d for d in order if d in hi]
+        assert kept == order[: len(kept)], f"stratum {lang} not a prefix"
