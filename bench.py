@@ -98,6 +98,13 @@ EXTRA = [
     # A-Res sample) — tracked like corpus_curation: the composition's
     # cost is the product story, not any one operator's
     "q_quality_selection",
+    # round 11 sampling/mixing/sketch family: the token-budget fill
+    # (two-phase grouped cumsum — the one with a real shuffle story)
+    # and the KMV sketch (distinct shuffle + two-phase min-k);
+    # stratified_sample shares weighted_sample's TakeOrdered shape at
+    # fixture scale and its plan is pytest-pinned, so no bench row
+    "q_token_budget_mix",
+    "q_distinct_sketch",
 ]
 
 
