@@ -560,6 +560,82 @@ def kmv_merge(
     return merged
 
 
+def _payload_digest(payload_cols: list[str]) -> Column:
+    """Engine-portable digest of the payload columns: md5 over the
+    values joined with ``\\x01``, NULLs as the ``\\x00`` sentinel (a
+    plain concat would make (NULL, 'a') collide with ('a', NULL), and
+    md5(NULL) would void the whole row).  The separator is in-band if
+    a value CONTAINS ``\\x01`` — vanishingly unlikely in real columns
+    and an accepted trade for a digest any SQL engine can replay."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in payload_cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    include_unchanged: bool = False,
+    status_col: str = "status",
+) -> DataFrame:
+    """Diff two corpus snapshots by key: which rows were ``added``,
+    ``removed``, or ``changed`` (payload digest differs) between
+    ``old`` and ``new`` — the audit step of an ingest loop ("what did
+    this batch actually do?") and the input to every
+    refresh-the-derived-artifact decision (reindex, re-dedup,
+    re-embed: touch only the changed keys).  ``include_unchanged``
+    adds the ``unchanged`` rows for a full ledger.
+
+    Returns the key columns + ``status_col``.  Keys are compared
+    null-safely (a NULL key is one ordinary key); payloads compare by
+    :func:`_payload_digest`, so text-sized columns never cross the
+    shuffle — at 100 TB each side reduces to (key, 16-byte digest)
+    before the join.
+
+    Scale shape: one digest projection per side (map-only over the
+    snapshot scans) and ONE full-outer equi-join on the keys — the
+    minimal shuffle a snapshot comparison can do; no corpus-sized
+    collect, no window.  Both sides pre-aggregate nothing: a snapshot
+    is assumed key-unique (enforce upstream with dedup_exact if not).
+    """
+    if not key_cols or not payload_cols:
+        raise ValueError("key_cols and payload_cols must be non-empty")
+    # the key columns are RENAMED per side (not qualified by lineage):
+    # old and new are routinely two filters of the SAME frame (a
+    # versioned snapshot read), where df[col] references are ambiguous
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in key_cols],
+        _payload_digest(payload_cols).alias("_old_sig"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in key_cols],
+        _payload_digest(payload_cols).alias("_new_sig"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+        for k in key_cols
+    ]
+    status = (
+        F.when(F.col("_old_sig").isNull(), F.lit("added"))
+        .when(F.col("_new_sig").isNull(), F.lit("removed"))
+        .when(F.col("_old_sig") != F.col("_new_sig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*keys, status.alias(status_col))
+    if not include_unchanged:
+        out = out.filter(F.col(status_col) != "unchanged")
+    return out
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -770,6 +770,38 @@ class TokenBudgetMixNode:
         )
 
 
+class SnapshotDiffNode:
+    """Diff the flowing snapshot against a stored one
+    (functions.snapshot_diff): emit (keys, status) rows for every
+    added / removed / changed key — the ingest-loop audit step, and
+    the touch-only-the-delta input to reindex decisions. Params:
+    old_path (REQUIRED — parquet of the previous snapshot),
+    payload_cols (REQUIRED — columns whose digest defines 'changed'),
+    key_cols (['doc_id']), include_unchanged (false)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("old_path") or not params.get("payload_cols"):
+            raise ValueError(
+                "snapshot_diff node requires old_path and payload_cols"
+            )
+        self.old_path = params["old_path"]
+        self.payload_cols = list(params["payload_cols"])
+        self.key_cols = list(params.get("key_cols", ["doc_id"]))
+        self.include_unchanged = bool(params.get("include_unchanged", False))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import snapshot_diff
+
+        old = df.sparkSession.read.parquet(self.old_path)
+        return snapshot_diff(
+            old,
+            df,
+            self.key_cols,
+            self.payload_cols,
+            include_unchanged=self.include_unchanged,
+        )
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -806,4 +838,5 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type(
         "token_budget_mix", TokenBudgetMixNode, None, None
     )
+    registry.register_node_type("snapshot_diff", SnapshotDiffNode, None, None)
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

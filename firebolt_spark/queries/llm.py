@@ -2109,6 +2109,52 @@ Q_DISTINCT_SKETCH_SQL = f"""
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (functions.snapshot_diff): which doc_ids
+    were added / removed / changed between two snapshot versions —
+    the ingest-loop audit and the touch-only-the-delta input to every
+    reindex/re-dedup decision. The two snapshots are derived
+    deterministically from the fixture (old drops doc_id%7==0 and
+    carries a ' [v1]' text suffix on doc_id%5==0; new drops
+    doc_id%11==3), so the oracle rebuilds both sides and replays the
+    identical digest full-outer join. Text never crosses the shuffle:
+    each side reduces to (key, md5 digest) before the ONE equi-join a
+    snapshot comparison minimally needs."""
+    from firebolt_spark.functions import snapshot_diff
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 3)
+    return snapshot_diff(old, new, ["doc_id"], ["text"]).orderBy("doc_id")
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                 THEN text || ' [v1]' ELSE text END,
+                            chr(0))) AS sig
+        FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+        SELECT doc_id, md5(coalesce(text, chr(0))) AS sig
+        FROM documents WHERE doc_id % 11 <> 3),
+    d AS (
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.sig IS NULL THEN 'added'
+                    WHEN new.sig IS NULL THEN 'removed'
+                    WHEN old.sig <> new.sig THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+    ORDER BY doc_id
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2320,6 +2366,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_token_budget_mix": q_token_budget_mix,
     "q_distinct_sketch": q_distinct_sketch,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2372,6 +2419,7 @@ ORACLE = {
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
     "q_distinct_sketch": Q_DISTINCT_SKETCH_SQL,
+    "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

@@ -2798,3 +2798,79 @@ def test_kmv_estimate_accuracy_and_exact_fallback(spark):
         .collect()[0]["e"]
     )
     assert exact == 40.0
+
+
+def test_snapshot_diff_statuses(spark):
+    """snapshot_diff classifies every key exactly: added (new only),
+    removed (old only), changed (digest differs), unchanged (hidden
+    unless asked); NULL keys are one ordinary key, NULL payloads
+    digest via the sentinel (NULL -> 'x' is a change, not a
+    collision), and composite keys compare null-safely."""
+    from firebolt_spark.functions import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (None, "n")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "x"), (4, "d")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, ["doc_id"], ["text"]).collect()
+    }
+    assert got == {
+        2: "changed",   # b -> B
+        3: "changed",   # NULL payload -> 'x'
+        4: "added",
+        None: "removed",  # NULL key matched null-safely, absent in new
+    }
+    full = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, ["doc_id"], ["text"], include_unchanged=True
+        ).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 5
+
+
+def test_snapshot_diff_payload_digest_null_vs_empty(spark):
+    """The digest separates (NULL) from ('') and (NULL, 'a') from
+    ('a', NULL) — the sentinel/separator encoding collides on none of
+    the classic concat traps."""
+    from firebolt_spark.functions import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "a"), (2, "", "")], "k BIGINT, p1 STRING, p2 STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, None, "")], "k BIGINT, p1 STRING, p2 STRING"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["p1", "p2"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_node(spark, tmp_path):
+    """The snapshot_diff YAML node reads the stored snapshot from
+    old_path and diffs the flowing frame against it."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import SnapshotDiffNode
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    p = str(tmp_path / "snap")
+    old.write.parquet(p)
+    new = spark.createDataFrame([(2, "bb"), (3, "c")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["status"]
+        for r in SnapshotDiffNode(
+            {"old_path": p, "payload_cols": ["text"]}
+        ).transform(new).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "added"}
+    with _pytest.raises(ValueError):
+        SnapshotDiffNode({"payload_cols": ["text"]})

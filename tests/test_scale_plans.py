@@ -1347,3 +1347,25 @@ def test_kmv_sketch_bounded_state_plan(spark):
     # _w0 by the window operator), alongside the distinct's (group,
     # hash) exchange and the final per-group collect
     assert any("lang" in ln and "_w0" in ln for ln in exchanges)
+
+
+def test_snapshot_diff_digests_before_the_join(spark):
+    """snapshot_diff must reduce each side to (key, md5 digest) BEFORE
+    the full-outer join — the text column may never cross the shuffle
+    — and the comparison is exactly one join: no window, no cartesian,
+    no Python."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_snapshot_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    # the join's exchange partitions on the renamed key, and its input
+    # projections already carry the digest, not the text
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_o_doc_id" in ln
+    ]
+    assert exchanges, "expected the old side keyed by _o_doc_id"
+    assert "FullOuter" in plan
