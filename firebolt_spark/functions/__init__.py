@@ -636,6 +636,59 @@ def snapshot_diff(
     return out
 
 
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    group_cols: list[str] | None = None,
+    count_col: str = "cnt",
+    fan_in: int = 32,
+) -> DataFrame:
+    """EXACT top-``k`` most frequent values of ``col`` per group —
+    "top domains per language", "most repeated lines", "dominant
+    sources per shard": the heavy-hitters readout that pairs with
+    :func:`kmv_sketch`'s cardinalities in a corpus profile.  Exact
+    rather than sketched: counting is a plain (group, value)
+    aggregation Spark already partial-aggregates map-side, so unlike
+    count-distinct there is no unbounded state to dodge — the only
+    scale hazard is the top-k, handled the same two-phase way as
+    :func:`stratified_sample` (bucketed local top-k, tiny survivor
+    re-rank) so the reduce side never funnels a group's whole value
+    histogram through one task.
+
+    Ties order by value ascending (total order, reproducible, SQL-
+    replayable).  NULL values count as one ordinary value; a NULL
+    group is one ordinary group.  (Caveat for SQL mirrors: a NULL
+    value tying AT the k boundary sorts NULLS FIRST here — Spark's
+    ascending default — while e.g. DuckDB defaults NULLS LAST; add an
+    explicit NULLS FIRST when replaying over nullable columns.)
+    Returns group columns + ``col`` + ``count_col``, top-k rows per
+    group."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    groups = list(group_cols or [])
+    counts = df.groupBy(*groups, col).agg(F.count(F.lit(1)).alias(count_col))
+    bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(fan_in))
+    local = Window.partitionBy(*groups, bucket).orderBy(
+        F.col(count_col).desc(), F.col(col)
+    )
+    survivors = (
+        counts.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    final = Window.partitionBy(*groups).orderBy(
+        F.col(count_col).desc(), F.col(col)
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

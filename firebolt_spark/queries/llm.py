@@ -2155,6 +2155,47 @@ Q_SNAPSHOT_DIFF_SQL = """
 """
 
 
+_FREQ_K = 8
+
+
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-k tokens (functions.frequent_items): the exact
+    heavy-hitters readout of a corpus profile — explode whitespace
+    tokens, count per (lang, token), keep each language's k most
+    frequent (ties by token). Counting partial-aggregates map-side;
+    the top-k runs the same two-phase bucketed form as
+    stratified_sample, so no language's token histogram funnels
+    through one reduce task. The oracle replays the count + ranked
+    window exactly."""
+    from firebolt_spark.functions import frequent_items
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return frequent_items(
+        toks, "token", k=_FREQ_K, group_cols=["lang"]
+    ).orderBy("lang", F.col("cnt").desc(), "token")
+
+
+Q_FREQUENT_ITEMS_SQL = f"""
+    WITH t AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents),
+    c AS (
+        SELECT lang, token, count(*) AS cnt FROM t
+        WHERE token <> '' GROUP BY lang, token),
+    r AS (
+        SELECT lang, token, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, token) AS rn
+        FROM c)
+    SELECT lang, token, cnt FROM r WHERE rn <= {_FREQ_K}
+    ORDER BY lang, cnt DESC, token
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2367,6 +2408,7 @@ QUERIES = {
     "q_token_budget_mix": q_token_budget_mix,
     "q_distinct_sketch": q_distinct_sketch,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_frequent_items": q_frequent_items,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2420,6 +2462,7 @@ ORACLE = {
     "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
     "q_distinct_sketch": Q_DISTINCT_SKETCH_SQL,
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+    "q_frequent_items": Q_FREQUENT_ITEMS_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

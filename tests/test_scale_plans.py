@@ -1369,3 +1369,20 @@ def test_snapshot_diff_digests_before_the_join(spark):
     ]
     assert exchanges, "expected the old side keyed by _o_doc_id"
     assert "FullOuter" in plan
+
+
+def test_frequent_items_two_phase_topk_plan(spark):
+    """frequent_items: the (group, value) count partial-aggregates
+    map-side; the top-k window partitions by (group, bucket) — never
+    group alone over the full histogram — with the rank limit pushed
+    below the shuffle; no single-partition funnel."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_frequent_items(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan  # map-side combine on the histogram
+    assert "WindowGroupLimit" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("lang" in ln and "_w0" in ln for ln in exchanges)
