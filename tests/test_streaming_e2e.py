@@ -907,3 +907,69 @@ def test_streaming_shingle_index_maintenance_with_crash_restarts(
         assert key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)) == ref
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_kmv_sketch_maintenance(spark, tmp_path):
+    """kmv_sketch inside the streaming ingest loop: each micro-batch
+    appends its per-language sketch ROWS to a sketch table; kmv_merge
+    over the table equals the one-shot sketch of everything streamed —
+    bit-identically — so corpus cardinalities stay current without
+    ever re-reading history. Unlike the index appends, replays need NO
+    batch_id machinery: merge unions distinct hashes, so appending the
+    same batch's sketch twice is a mathematical no-op (asserted by
+    replaying a batch)."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import kmv_merge, kmv_sketch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    delta_dir = tmp_path / "doc-deltas"
+    delta_dir.mkdir()
+    sketch_dir = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt-kmv")
+
+    def ingest(batch_df, batch_id):
+        kmv_sketch(
+            batch_df, "doc_id", k=32, group_cols=["lang"], salt="st"
+        ).write.mode("append").parquet(sketch_dir)
+
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"kmv-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    def rollup():
+        return {
+            r["lang"]: r["kmv"]
+            for r in kmv_merge(
+                spark.read.parquet(sketch_dir), "kmv", k=32,
+                group_cols=["lang"],
+            ).collect()
+        }
+
+    one_shot = {
+        r["lang"]: r["kmv"]
+        for r in kmv_sketch(
+            docs, "doc_id", k=32, group_cols=["lang"], salt="st"
+        ).collect()
+    }
+    assert rollup() == one_shot
+
+    # at-least-once is free: replay one batch's sketch append — the
+    # merged rollup is unchanged (union of distinct hashes)
+    kmv_sketch(
+        batches[1], "doc_id", k=32, group_cols=["lang"], salt="st"
+    ).write.mode("append").parquet(sketch_dir)
+    assert rollup() == one_shot
