@@ -802,6 +802,36 @@ class SnapshotDiffNode:
         )
 
 
+class InterleaveStrataNode:
+    """Domain-interleaved training order (mixture.interleave_strata):
+    add each row's 1-based position within its stratum along the
+    deterministic hash order — sort shards by (out_col, strata_col)
+    to spread domains evenly through the epoch. Params: strata_col
+    (REQUIRED), key_col ('doc_id'), salt (''), out_col
+    ('interleave_rank'), fan_in (32)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("strata_col"):
+            raise ValueError("interleave_strata node requires strata_col")
+        self.strata_col = params["strata_col"]
+        self.key_col = params.get("key_col", "doc_id")
+        self.salt = params.get("salt", "")
+        self.out_col = params.get("out_col", "interleave_rank")
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.operators.mixture import interleave_strata
+
+        return interleave_strata(
+            df,
+            self.strata_col,
+            self.key_col,
+            salt=self.salt,
+            out_col=self.out_col,
+            fan_in=self.fan_in,
+        )
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -839,4 +869,7 @@ def register_llm_node_types(registry) -> None:
         "token_budget_mix", TokenBudgetMixNode, None, None
     )
     registry.register_node_type("snapshot_diff", SnapshotDiffNode, None, None)
+    registry.register_node_type(
+        "interleave_strata", InterleaveStrataNode, None, None
+    )
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)

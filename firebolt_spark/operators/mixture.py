@@ -261,22 +261,56 @@ def token_budget_mix(
     window over that TINY table and broadcast-join back. No driver
     collect, no single-partition exchange, exact by construction.
     """
-    if fan_in < 1:
-        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
     if default_budget < 0 or any(b < 0 for b in budgets.values()):
         raise ValueError("budgets must be non-negative")
+    tok = F.col(token_col).cast("bigint")
+    cum = _hash_ordered_grouped_cumsum(
+        df.filter(tok.isNotNull() & (tok >= 0)),
+        strata_col,
+        tok,
+        key_col,
+        salt,
+        fan_in,
+    )
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(
+            budget
+        )
+    return cum.filter(F.col("_cum") - tok < budget).drop("_cum")
+
+
+def _hash_ordered_grouped_cumsum(
+    df: DataFrame,
+    strata_col: str,
+    value: "F.Column",
+    key_col: str,
+    salt: str,
+    fan_in: int,
+) -> DataFrame:
+    """The shared two-phase core of ``token_budget_mix`` and
+    ``interleave_strata``: per-stratum running sum of ``value`` over
+    the deterministic content-hash visit order ``(md5(key#salt),
+    key)``, returned as ``_cum`` (including the current row).  The
+    32-bit hash space splits into ``fan_in`` CONTIGUOUS ranges (so
+    range order == hash order and a row's range is a function of its
+    own hash); phase 1 cumsums within (stratum, range); the
+    per-(stratum, range) totals — a ``strata × fan_in``-row aggregate
+    — get prefix offsets from a window over that TINY table and
+    broadcast-join back.  Fully declarative: no driver collect, no
+    single-partition exchange, exact by construction."""
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
     from pyspark.sql import Window
 
     u = _hash_bucket(key_col, salt)
-    tok = F.col(token_col).cast("bigint")
     # contiguous hash ranges: ordering by (_b, _u) == ordering by _u
     width = ((1 << 32) + fan_in - 1) // fan_in
     # NULL strata form one ordinary stratum; the internal sentinel key
     # exists because a plain equi-join would silently DROP them
     sk = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
     base = (
-        df.filter(tok.isNotNull() & (tok >= 0))
-        .withColumn("_u", u)
+        df.withColumn("_u", u)
         .withColumn("_b", F.floor(F.col("_u") / F.lit(width)))
         .withColumn("_sk", sk)
     )
@@ -285,8 +319,8 @@ def token_budget_mix(
         .orderBy("_u", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = base.withColumn("_cum", F.sum(tok).over(w_local))
-    totals = base.groupBy("_sk", "_b").agg(F.sum(tok).alias("_tot"))
+    cum = base.withColumn("_lcum", F.sum(value).over(w_local))
+    totals = base.groupBy("_sk", "_b").agg(F.sum(value).alias("_tot"))
     w_off = (
         Window.partitionBy("_sk")
         .orderBy("_b")
@@ -295,13 +329,39 @@ def token_budget_mix(
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
     ).select("_sk", "_b", "_off")
-    budget = F.lit(int(default_budget))
-    for s, b in sorted(budgets.items()):
-        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(
-            budget
-        )
     return (
         cum.join(F.broadcast(offsets), ["_sk", "_b"])
-        .filter(F.col("_off") + F.col("_cum") - tok < budget)
-        .drop("_u", "_b", "_sk", "_cum", "_off")
+        .withColumn("_cum", F.col("_off") + F.col("_lcum"))
+        .drop("_u", "_b", "_sk", "_lcum", "_off")
     )
+
+
+def interleave_strata(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+    out_col: str = "interleave_rank",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Assign every row its 1-based position WITHIN its stratum along
+    the deterministic content-hash order — the sort key that
+    round-robin-interleaves domains in a training corpus: writing
+    shards ordered by ``(interleave_rank, strata_col)`` spreads every
+    domain evenly through the epoch instead of concatenating
+    domain-sized clumps (which correlates consecutive gradient steps).
+    Deterministic like every mix operator here: the rank is a pure
+    function of (data, salt), so the training order is versionable
+    and reproducible across reruns and engines.
+
+    Scale shape: a per-stratum ``row_number`` over an ordered window
+    — the cumsum-of-ones special case of ``token_budget_mix``'s
+    two-phase grouped cumsum, and it reuses exactly that core (no
+    stratum-only corpus window, broadcast prefix offsets, no driver
+    collect).  The final global sort by ``(rank, stratum)`` is the
+    WRITE's range partition — Spark's sort-before-write — not a
+    single-task funnel."""
+    cum = _hash_ordered_grouped_cumsum(
+        df, strata_col, F.lit(1).cast("bigint"), key_col, salt, fan_in
+    )
+    return cum.withColumnRenamed("_cum", out_col)

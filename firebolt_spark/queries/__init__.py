@@ -18,39 +18,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-5: the five NEWEST round-11 queries (sampling/mixing/sketch
-# family + snapshot diff + heavy hitters) — zero driver rows.
-# Slots 6-15: the ten round-11 NEW queries (the on-disk winnow-index,
+# Slots 1-6: the six NEWEST round-11 queries (sampling/mixing/sketch
+# family + snapshot diff + heavy hitters + interleave order) — zero
+# driver rows.
+# Slots 7-16: the ten round-11 NEW queries (the on-disk winnow-index,
 # pre-bucketed shingle-index, and on-disk MinHash-index paths, the
 # real-codec BMP resize, C4-style line dedup, the composed quality
 # selection, the Gopher composite gate, the hashed-feature
 # classifier, DSIR importance weights, and A-Res weighted sampling) —
 # zero driver rows yet.
-# Slots 16-18: the three queries whose OPERATOR CODE changes in round
+# Slots 17-19: the three queries whose OPERATOR CODE changes in round
 # 11 (ngram_jaccard_pairs gained the broadcast_hot tri-state;
 # dedup_spans_candidates gained the on-disk winnow index path;
 # incremental_near_dups gained the index_table branch).
-# Slots 19-28: the ten queries the r10 broadcast-hint sweep touched,
+# Slots 20-29: the ten queries the r10 broadcast-hint sweep touched,
 # whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 29-50: the remaining
-# r9-checked queries in their r9 check order — ALL but SEVENTEEN:
+# coverage-section caveat / Next #2).  Slots 30-50: the remaining
+# r9-checked queries in their r9 check order — ALL but EIGHTEEN:
 # q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters,
 # q_similarity_ann_lsh, q_hash_split, q_dedup_spans, q_temperature_mix,
 # q_multimodal_frame_sample (all unchanged since r9), plus
 # q_text_chunks, q_profile_events, q_multimodal_features,
 # q_text_fingerprint and q_text_token_counts (unchanged since r9;
 # displaced by the five new quality/selection queries), plus
-# q_dedup_simhash, q_dedup_simhash_pairs, q_text_normalize,
-# q_text_stats and q_text_langid (unchanged since r9; displaced off
-# the tail by the five sampling/sketch/diff/heavy-hitter queries)
-# spill a 67-candidate field into the 50-slot budget; all seventeen
-# were re-verified against DuckDB at sf0.01 this round via
-# tests/run_oracle_check.py (the first seven also in the full sf0.01
-# + sf1 registry sweeps this round; the final five in the
-# post-sampling-family full sf0.01 sweep — 113/113), so they are the
-# lowest-risk rows to go two rounds stale.  They must LEAD the r12
-# rotation.  Names absent from this list keep their module order
-# after it.
+# q_dedup_exact, q_dedup_simhash, q_dedup_simhash_pairs,
+# q_text_normalize, q_text_stats and q_text_langid (unchanged since
+# r9; displaced off the tail by the six sampling/sketch/diff/
+# heavy-hitter/interleave queries) spill a 68-candidate field into
+# the 50-slot budget; all eighteen were re-verified against DuckDB at
+# sf0.01 this round via tests/run_oracle_check.py (the first seven
+# also in the full sf0.01 + sf1 registry sweeps this round; the final
+# six in the post-sampling-family full sf0.01 sweep — 113/113), so
+# they are the lowest-risk rows to go two rounds stale.  They must
+# LEAD the r12 rotation.  Names absent from this list keep their
+# module order after it.
 _PRIORITY = [
     # NEW in round 11 — never driver-checked (the sampling/mixing/
     # sketch family added after the selection trio: per-stratum quota
@@ -60,6 +61,7 @@ _PRIORITY = [
     "q_distinct_sketch",
     "q_snapshot_diff",
     "q_frequent_items",
+    "q_interleave_strata",
     # NEW in round 11 — never driver-checked
     "q_quality_selection",
     "q_gopher_quality",

@@ -2196,6 +2196,40 @@ Q_FREQUENT_ITEMS_SQL = f"""
 """
 
 
+_ILV_SALT = "ilv1"
+
+
+def q_interleave_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-interleaved training order (mixture.interleave_strata):
+    every document gets its 1-based position within its language
+    along the deterministic hash order — writing shards sorted by
+    (interleave_rank, lang) spreads every domain evenly through the
+    epoch instead of concatenating domain-sized clumps. The rank is a
+    pure function of (data, salt); the oracle replays the identical
+    per-stratum row_number, certifying the exact training order. The
+    Spark side computes it via the two-phase grouped cumsum-of-ones
+    (no language-sized window funnel)."""
+    from firebolt_spark.operators.mixture import interleave_strata
+
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    return interleave_strata(
+        docs, "lang", "doc_id", salt=_ILV_SALT
+    ).orderBy("doc_id")
+
+
+Q_INTERLEAVE_STRATA_SQL = f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || '#{_ILV_SALT}'), 1, 8))::BIGINT) AS u
+        FROM documents)
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY u, doc_id) AS interleave_rank
+    FROM r ORDER BY doc_id
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2409,6 +2443,7 @@ QUERIES = {
     "q_distinct_sketch": q_distinct_sketch,
     "q_snapshot_diff": q_snapshot_diff,
     "q_frequent_items": q_frequent_items,
+    "q_interleave_strata": q_interleave_strata,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2463,6 +2498,7 @@ ORACLE = {
     "q_distinct_sketch": Q_DISTINCT_SKETCH_SQL,
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q_frequent_items": Q_FREQUENT_ITEMS_SQL,
+    "q_interleave_strata": Q_INTERLEAVE_STRATA_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

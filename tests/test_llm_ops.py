@@ -2926,3 +2926,56 @@ def test_frequent_items_k_exceeds_distinct(spark):
     )
     got = {r["v"]: r["cnt"] for r in frequent_items(df, "v", k=10).collect()}
     assert got == {"x": 2, "y": 1}
+
+
+def test_interleave_strata_matches_brute_force(spark):
+    """interleave_strata's two-phase rank equals the per-stratum
+    row_number over (md5 hash, key) at any fan_in — each stratum's
+    ranks are exactly 1..n with no gaps, and the interleaved sort
+    order (rank, stratum) round-robins the strata."""
+    import hashlib
+
+    from firebolt_spark.operators.mixture import interleave_strata
+
+    rows = [(i, ["en", "fr", None][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING")
+
+    def h(doc_id):
+        return int(hashlib.md5(f"{doc_id}#i".encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for lang in ("en", "fr", None):
+        order = sorted(
+            (t[0] for t in rows if t[1] == lang), key=lambda d: (h(d), d)
+        )
+        for pos, d in enumerate(order, start=1):
+            expect[d] = pos
+
+    for fan_in in (1, 4, 32):
+        got = {
+            r["doc_id"]: r["interleave_rank"]
+            for r in interleave_strata(
+                df, "lang", "doc_id", salt="i", fan_in=fan_in
+            ).collect()
+        }
+        assert got == expect, f"fan_in={fan_in}"
+
+
+def test_interleave_strata_node(spark):
+    """The interleave_strata YAML node validates params and emits
+    dense per-stratum ranks."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import InterleaveStrataNode
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(8)],
+        ["doc_id", "lang"],
+    )
+    out = InterleaveStrataNode({"strata_col": "lang"}).transform(df)
+    ranks = {}
+    for r in out.collect():
+        ranks.setdefault(r["lang"], []).append(r["interleave_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
+    with _pytest.raises(ValueError):
+        InterleaveStrataNode({})

@@ -1386,3 +1386,19 @@ def test_frequent_items_two_phase_topk_plan(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert any("lang" in ln and "_w0" in ln for ln in exchanges)
+
+
+def test_interleave_strata_reuses_two_phase_cumsum_plan(spark):
+    """interleave_strata (cumsum-of-ones over the shared two-phase
+    core): corpus exchange on (stratum, hash-range bucket), broadcast
+    prefix offsets, no stratum-only corpus window, no single
+    partition."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_interleave_strata(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("_sk" in ln and "_b" in ln for ln in exchanges)
