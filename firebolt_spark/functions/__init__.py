@@ -545,7 +545,13 @@ def kmv_merge(
     union would produce — the property that lets per-shard sketch
     tables stand in for the corpus.  Per-group state is bounded by
     ``k × shards-per-group`` (each input row contributes ≤ k values),
-    so the collect stays small by construction."""
+    so the collect stays small by construction.
+
+    All merged rows must come from builds with the SAME ``salt`` and
+    a build ``k`` ≥ this ``k`` (hashes from different salts never
+    agree, and a smaller-k part truncates below this sketch's
+    horizon); a sketch TABLE should record (k, salt) the way the ANN
+    index sidecars do and validate on read."""
     groups = list(group_cols or [])
     merged = (
         df.select(*groups, F.explode(sketch_col).alias("_h"))

@@ -45,11 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 # q_text_normalize, q_text_stats and q_text_langid (unchanged since
 # r9; displaced off the tail by the six sampling/sketch/diff/
 # heavy-hitter/interleave queries) spill a 68-candidate field into
-# the 50-slot budget; all eighteen were re-verified against DuckDB at
-# sf0.01 this round via tests/run_oracle_check.py (the first seven
-# also in the full sf0.01 + sf1 registry sweeps this round; the final
-# six in the post-sampling-family full sf0.01 sweep — 113/113), so
-# they are the lowest-risk rows to go two rounds stale.  They must
+# the 50-slot budget; all eighteen were re-verified this round via
+# tests/run_oracle_check.py — the post-additions FINAL-TREE sweeps
+# cover the whole registry at sf0.01 (113/113 before the last three
+# queries, which were each checked at sf0.01+sf1+sf10 on landing) and
+# at sf1 (116/116: EVERY registered query green on the 10x fixture) —
+# so they are the lowest-risk rows to go two rounds stale.  They must
 # LEAD the r12 rotation.  Names absent from this list keep their
 # module order after it.
 _PRIORITY = [

@@ -186,3 +186,19 @@ nodes:
     }
     with pytest.raises(ConfigError, match=message):
         cfg.validate(cfg.parse(yamls[mutation]), get_registry())
+
+
+def test_round11_family_node_types_registered():
+    """Every round-11 sampling/mixing/stats node type resolves through
+    the built-in registry (a missing register_node_type line would
+    otherwise only surface when a user's YAML fails)."""
+    reg = get_registry()
+    for name in (
+        "stratified_sample",
+        "token_budget_mix",
+        "snapshot_diff",
+        "interleave_strata",
+        "weighted_sample",
+        "gopher_quality",
+    ):
+        assert reg.get(name).factory is not None, name
