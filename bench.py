@@ -416,18 +416,44 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
 MATMUL_REF_S = 0.142
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes across all completed stages,
+    read from the local UI's REST API — deltas around a query give its
+    measured shuffle volume, turning the plan-shape claims ("this
+    operator shuffles digests, not text") into recorded numbers.
+    Returns None (and the bench omits the section) when the UI is
+    disabled or unreachable; never fails the bench."""
+    try:
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = _json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) or 0 for s in stages)
+    except Exception:
+        return None
+
+
 def _run_suite(
     spark, sf_dir: str, names: list[str], runs: int
-) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
-    """min/median-of-N noop-sink timings for the named queries."""
+) -> tuple[dict[str, float], dict[str, float], dict[str, str], dict[str, int]]:
+    """min/median-of-N noop-sink timings for the named queries, plus
+    each query's first-run shuffle-write bytes (when the UI is up)."""
     queries = all_queries()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
+    shuffle: dict[str, int] = {}
     for name in names:
         fn = queries[name]
         samples: list[float] = []
-        for _ in range(runs):  # min-of-N: JIT/cache noise doesn't skew rounds
+        for run_i in range(runs):  # min-of-N: JIT/cache noise doesn't skew
+            sh0 = _shuffle_write_bytes(spark) if run_i == 0 else None
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -435,6 +461,10 @@ def _run_suite(
                 errors[name] = str(exc)[:200]
                 break
             samples.append(time.perf_counter() - t0)
+            if sh0 is not None:
+                sh1 = _shuffle_write_bytes(spark)
+                if sh1 is not None:
+                    shuffle[name] = sh1 - sh0
             # free operator-persisted intermediates (minhash signatures,
             # simhash fingerprints, signed corpora) between runs: Spark's
             # CacheManager matches cached plan fragments, so without this
@@ -450,7 +480,7 @@ def _run_suite(
         if samples:
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
-    return timings, medians, errors
+    return timings, medians, errors, shuffle
 
 
 def _sf1_section(spark, suite_names: list[str]) -> dict:
@@ -481,7 +511,9 @@ def _sf1_section(spark, suite_names: list[str]) -> dict:
         gen_s = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1"))
     load_table(spark, sf1_dir, "lineitem").count()  # warm footers
-    timings, _medians, errors = _run_suite(spark, sf1_dir, suite_names, runs)
+    timings, _medians, errors, shuffle = _run_suite(
+        spark, sf1_dir, suite_names, runs
+    )
     out: dict = {
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -490,6 +522,8 @@ def _sf1_section(spark, suite_names: list[str]) -> dict:
         "sf": 1.0,
         "fixture_gen_s": gen_s,
     }
+    if shuffle:
+        out["shuffle_write_bytes"] = shuffle
     if errors:
         out["errors"] = errors
     return out
@@ -510,7 +544,9 @@ def main() -> None:
     load_table(spark, sf_dir, "events").count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings, medians, errors = _run_suite(spark, sf_dir, HEADLINE + EXTRA, runs)
+    timings, medians, errors, shuffle = _run_suite(
+        spark, sf_dir, HEADLINE + EXTRA, runs
+    )
 
     total = round(sum(timings.values()), 3)
     # shared-host attribution (VERDICT r3 "Next #7"): 1/5/15-min load
@@ -536,6 +572,11 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if shuffle:
+        # first-run shuffle-write bytes per query (UI REST deltas) —
+        # the measured counterpart of the plan-shape pins: a dedup
+        # query shuffling digests, not text, shows up as bytes here
+        payload["shuffle_write_bytes"] = shuffle
     # host-speed-normalized walls (VERDICT r6 "Next #4"): divide by the
     # calibration probe's slowdown vs the reference window so
     # round-over-round comparisons stop being hostage to host drift
