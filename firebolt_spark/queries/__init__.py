@@ -18,41 +18,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-11 first-50 rotation (standing VERDICT discipline: least-
 # recently-driver-checked first, changed-code queries lead).
-# Slots 1-6: the six NEWEST round-11 queries (sampling/mixing/sketch
-# family + snapshot diff + heavy hitters + interleave order) — zero
-# driver rows.
-# Slots 7-16: the ten round-11 NEW queries (the on-disk winnow-index,
+# Slots 1-7: the seven NEWEST round-11 queries (sampling/mixing/
+# sketch family + snapshot diff + heavy hitters + interleave order +
+# the corpus-profile composition) — zero driver rows.
+# Slots 8-17: the ten round-11 NEW queries (the on-disk winnow-index,
 # pre-bucketed shingle-index, and on-disk MinHash-index paths, the
 # real-codec BMP resize, C4-style line dedup, the composed quality
 # selection, the Gopher composite gate, the hashed-feature
 # classifier, DSIR importance weights, and A-Res weighted sampling) —
 # zero driver rows yet.
-# Slots 17-19: the three queries whose OPERATOR CODE changes in round
+# Slots 18-20: the three queries whose OPERATOR CODE changes in round
 # 11 (ngram_jaccard_pairs gained the broadcast_hot tri-state;
 # dedup_spans_candidates gained the on-disk winnow index path;
 # incremental_near_dups gained the index_table branch).
-# Slots 20-29: the ten queries the r10 broadcast-hint sweep touched,
+# Slots 21-30: the ten queries the r10 broadcast-hint sweep touched,
 # whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 30-50: the remaining
-# r9-checked queries in their r9 check order — ALL but EIGHTEEN:
+# coverage-section caveat / Next #2).  Slots 31-50: the remaining
+# r9-checked queries in their r9 check order — ALL but NINETEEN:
 # q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters,
 # q_similarity_ann_lsh, q_hash_split, q_dedup_spans, q_temperature_mix,
 # q_multimodal_frame_sample (all unchanged since r9), plus
 # q_text_chunks, q_profile_events, q_multimodal_features,
 # q_text_fingerprint and q_text_token_counts (unchanged since r9;
 # displaced by the five new quality/selection queries), plus
-# q_dedup_exact, q_dedup_simhash, q_dedup_simhash_pairs,
-# q_text_normalize, q_text_stats and q_text_langid (unchanged since
-# r9; displaced off the tail by the six sampling/sketch/diff/
-# heavy-hitter/interleave queries) spill a 68-candidate field into
-# the 50-slot budget; all eighteen were re-verified this round via
-# tests/run_oracle_check.py — the post-additions FINAL-TREE sweeps
-# cover the whole registry at sf0.01 (113/113 before the last three
-# queries, which were each checked at sf0.01+sf1+sf10 on landing) and
-# at sf1 (116/116: EVERY registered query green on the 10x fixture) —
-# so they are the lowest-risk rows to go two rounds stale.  They must
-# LEAD the r12 rotation.  Names absent from this list keep their
-# module order after it.
+# q_grouped_collect, q_dedup_exact, q_dedup_simhash,
+# q_dedup_simhash_pairs, q_text_normalize, q_text_stats and
+# q_text_langid (unchanged since r9; displaced off the tail by the
+# seven sampling/sketch/diff/heavy-hitter/interleave/profile queries)
+# spill a 69-candidate field into the 50-slot budget; all nineteen
+# were re-verified this round via tests/run_oracle_check.py — the
+# post-additions FINAL-TREE sweeps cover the whole registry at
+# sf0.001, sf0.01, sf1 (116/116 on the 10x fixture) and sf10
+# (115/116 + the union-find clusters check), with the last four
+# queries each individually checked at sf0.01+sf1(+sf10) on landing
+# — so they are the lowest-risk rows to go two rounds stale.  They
+# must LEAD the r12 rotation.  Names absent from this list keep
+# their module order after it.
 _PRIORITY = [
     # NEW in round 11 — never driver-checked (the sampling/mixing/
     # sketch family added after the selection trio: per-stratum quota
@@ -63,6 +64,7 @@ _PRIORITY = [
     "q_snapshot_diff",
     "q_frequent_items",
     "q_interleave_strata",
+    "q_corpus_profile",
     # NEW in round 11 — never driver-checked
     "q_quality_selection",
     "q_gopher_quality",

@@ -2230,6 +2230,88 @@ Q_INTERLEAVE_STRATA_SQL = f"""
 """
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-stats stage as ONE composed profile table: per
+    language — document count, total chars, the KMV distinct-doc
+    estimate (the sketch the 100 TB path maintains per shard and
+    merges, exercised here on its estimator branch), and the most
+    frequent token with its count (frequent_items k=1). Three small
+    per-language aggregates broadcast-joined on lang: the corpus pays
+    one scan per statistic family and the joins never shuffle it. One
+    oracle certifies the whole profile — counts, sketch arithmetic,
+    and heavy-hitter tie-breaks together."""
+    from firebolt_spark.functions import (
+        frequent_items, kmv_estimate, kmv_sketch,
+    )
+
+    docs = _documents(spark, sf_dir)
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    sk = kmv_sketch(
+        docs, "doc_id", k=_KMV_K, group_cols=["lang"], salt=_KMV_SALT
+    ).select(
+        "lang", F.round(kmv_estimate("kmv", _KMV_K), 4).alias("distinct_est")
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    top = frequent_items(toks, "token", k=1, group_cols=["lang"]).select(
+        "lang",
+        F.col("token").alias("top_token"),
+        F.col("cnt").alias("top_token_cnt"),
+    )
+    return (
+        base.join(F.broadcast(sk), "lang")
+        .join(F.broadcast(top), "lang")
+        .orderBy("lang")
+    )
+
+
+Q_CORPUS_PROFILE_SQL = f"""
+    WITH base AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang),
+    h AS (
+        SELECT DISTINCT lang,
+               (('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))
+                                   || '#{_KMV_SALT}'), 1, 12))::BIGINT) AS hv
+        FROM documents),
+    r AS (SELECT lang, hv,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+          FROM h),
+    s AS (SELECT lang,
+                 max(hv) FILTER (WHERE rn <= {_KMV_K}) AS hk,
+                 count(*) AS n_distinct
+          FROM r GROUP BY lang),
+    est AS (SELECT lang,
+                   round(CASE WHEN n_distinct < {_KMV_K}
+                              THEN CAST(n_distinct AS DOUBLE)
+                              ELSE {_KMV_K - 1} * 281474976710656.0
+                                   / CAST(hk AS DOUBLE) END,
+                         4) AS distinct_est
+            FROM s),
+    t AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents),
+    c AS (SELECT lang, token, count(*) AS cnt FROM t
+          WHERE token <> '' GROUP BY lang, token),
+    tr AS (SELECT lang, token, cnt,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, token) AS rn
+           FROM c),
+    top AS (SELECT lang, token AS top_token, cnt AS top_token_cnt
+            FROM tr WHERE rn = 1)
+    SELECT base.lang, n_docs, total_chars, distinct_est,
+           top_token, top_token_cnt
+    FROM base JOIN est ON base.lang = est.lang
+    JOIN top ON base.lang = top.lang
+    ORDER BY base.lang
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -2444,6 +2526,7 @@ QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_frequent_items": q_frequent_items,
     "q_interleave_strata": q_interleave_strata,
+    "q_corpus_profile": q_corpus_profile,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2499,6 +2582,7 @@ ORACLE = {
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q_frequent_items": Q_FREQUENT_ITEMS_SQL,
     "q_interleave_strata": Q_INTERLEAVE_STRATA_SQL,
+    "q_corpus_profile": Q_CORPUS_PROFILE_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

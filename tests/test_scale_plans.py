@@ -1402,3 +1402,18 @@ def test_interleave_strata_reuses_two_phase_cumsum_plan(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert any("_sk" in ln and "_b" in ln for ln in exchanges)
+
+
+def test_corpus_profile_composition_plan(spark):
+    """q_corpus_profile: three per-language aggregate families joined
+    on lang — both final joins broadcast (5-row sides), the corpus is
+    never shuffled for a join, no cartesian, no Python, and the KMV
+    min-k stays two-phase inside the composition."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_corpus_profile(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
