@@ -105,6 +105,9 @@ EXTRA = [
     # fixture scale and its plan is pytest-pinned, so no bench row
     "q_token_budget_mix",
     "q_distinct_sketch",
+    # the corpus-profile composition (three aggregate families over
+    # one corpus, broadcast-joined) — tracked like corpus_curation
+    "q_corpus_profile",
 ]
 
 
