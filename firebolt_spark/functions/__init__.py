@@ -515,22 +515,48 @@ def kmv_sketch(
         .drop("_rn")
     )
     agg = survivors.groupBy(*groups).agg(
-        F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(out_col)
+        F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(out_col),
+        # build parameters travel WITH the sketch rows (not column
+        # metadata, which a union silently takes from its first side):
+        # kmv_merge refuses incompatible rows instead of silently
+        # mis-estimating — the _meta-validation contract of the ANN
+        # and text indexes, restated for sketch tables (ADVICE r11)
+        F.lit(k).alias(f"{out_col}_k"),
+        F.lit(salt).alias(f"{out_col}_salt"),
     )
     return agg
 
 
-def kmv_estimate(sketch_col: str, k: int = 256) -> Column:
+def kmv_estimate(
+    sketch_col: str, k: int = 256, k_col: str | None = None
+) -> Column:
     """Distinct-count estimate from a :func:`kmv_sketch` array: the
     exact size while the sketch is not full (< ``k`` distinct values
     seen), else ``(k-1) * 2^48 / h_k`` with ``h_k`` the k-th smallest
     hash.  A pure column expression — usable on a sketch TABLE without
-    touching the corpus."""
+    touching the corpus.
+
+    Pass ``k_col`` (the ``{out_col}_k`` column :func:`kmv_sketch`
+    emits) to make the expression self-validating: estimating at a
+    ``k`` LARGER than the build k reads past the stored horizon
+    (``element_at`` returns NULL → a silent NULL estimate), so the
+    check raises instead."""
     size = F.size(F.col(sketch_col))
-    return F.when(size < k, size.cast("double")).otherwise(
+    est = F.when(size < k, size.cast("double")).otherwise(
         F.lit(float(k - 1) * _KMV_SPACE)
         / F.element_at(F.col(sketch_col), k).cast("double")
     )
+    if k_col is not None:
+        chk = F.assert_true(
+            F.col(k_col) >= F.lit(k),
+            F.concat(
+                F.lit(f"kmv_estimate: k={k} exceeds the build k ("),
+                F.col(k_col).cast("string"),
+                F.lit(") — the sketch has no k-th smallest hash"),
+            ),
+        )
+        est = F.when(chk.isNull(), est)
+    return est
 
 
 def kmv_merge(
@@ -550,20 +576,46 @@ def kmv_merge(
     All merged rows must come from builds with the SAME ``salt`` and
     a build ``k`` ≥ this ``k`` (hashes from different salts never
     agree, and a smaller-k part truncates below this sketch's
-    horizon); a sketch TABLE should record (k, salt) the way the ANN
-    index sidecars do and validate on read."""
+    horizon).  When the input carries the ``{sketch_col}_k`` /
+    ``{sketch_col}_salt`` columns :func:`kmv_sketch` emits, the
+    contract is ENFORCED: a per-group ``assert_true`` inside the merge
+    aggregate fails the job on mixed salts or a build k below this
+    ``k`` — no extra Spark job, and the wrong estimate is never
+    produced.  Rows from a pre-r12 sketch (no parameter columns) merge
+    unvalidated, as before."""
     groups = list(group_cols or [])
-    merged = (
-        df.select(*groups, F.explode(sketch_col).alias("_h"))
-        .distinct()
-        .groupBy(*groups)
-        .agg(
-            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(
-                sketch_col
-            )
+    kcol, scol = f"{sketch_col}_k", f"{sketch_col}_salt"
+    has_meta = kcol in df.columns and scol in df.columns
+    meta = [F.col(kcol), F.col(scol)] if has_meta else []
+    exploded = df.select(
+        *groups, *meta, F.explode(sketch_col).alias("_h")
+    ).distinct()
+    sketch = F.slice(F.array_sort(F.collect_list("_h")), 1, k)
+    aggs = []
+    if has_meta:
+        chk = F.assert_true(
+            (F.count_distinct(F.col(scol)) == 1)
+            & (F.min(kcol) >= F.lit(k)),
+            F.concat(
+                F.lit(
+                    "kmv_merge: incompatible sketch rows — expected "
+                    "one shared salt and every build k >= "
+                ),
+                F.lit(str(k)),
+                F.lit(", got salts="),
+                F.count_distinct(F.col(scol)).cast("string"),
+                F.lit(" min_k="),
+                F.min(kcol).cast("string"),
+            ),
         )
-    )
-    return merged
+        # the check rides INSIDE the kept column (assert_true is NULL
+        # on success) — a dropped sidecar column would be pruned by the
+        # optimizer and the assertion never evaluated
+        sketch = F.when(chk.isNull(), sketch)
+        # the merged row is itself a valid sketch at THIS k and the
+        # shared salt — re-stamp so merge outputs stay re-mergeable
+        aggs = [F.lit(k).alias(kcol), F.first(scol).alias(scol)]
+    return exploded.groupBy(*groups).agg(sketch.alias(sketch_col), *aggs)
 
 
 def _payload_digest(payload_cols: list[str]) -> Column:

@@ -393,18 +393,21 @@ def append_shingle_index(
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
     }
+    # mark the table as possibly-duplicated BEFORE writing: any append
+    # may be an at-least-once replay, and the flag is what tells
+    # consumers to pay the defensive dedup. Setting it first means a
+    # crash between the two statements leaves a prematurely-set flag
+    # (a harmless extra dedup on a still-duplicate-free table); the
+    # reverse order would leave duplicate rows with the flag UNSET —
+    # exactly the silent corruption the flag exists to prevent.
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('firebolt.appended' = '1')"
+    )
     write_bucketed(
         shingle_table(new_docs, text_col, n), table_name, ["sh"],
         num_buckets=int(info["Num Buckets"]), sort_cols=["sh"],
         mode="append",
-    )
-    # mark the table as possibly-duplicated: any append may be an
-    # at-least-once replay, and the flag is what tells consumers to pay
-    # the defensive dedup — a build-only table is duplicate-free by
-    # construction and skips it
-    spark.sql(
-        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-        f"('firebolt.appended' = '1')"
     )
 
 
@@ -780,6 +783,15 @@ def append_minhash_index(new_signatures: DataFrame, table_name: str) -> None:
         }
         return int(info["Num Buckets"])
 
+    # flag-first ordering (see append_shingle_index): a crash after a
+    # replayed append's write but before the ALTER would otherwise
+    # leave duplicate signature rows with the flag unset, silently
+    # duplicating match rows; a prematurely-set flag merely costs one
+    # harmless dedup on read.
+    spark.sql(
+        f"ALTER TABLE {table_name}_sig SET TBLPROPERTIES "
+        f"('firebolt.appended' = '1')"
+    )
     write_bucketed(
         new_signatures, f"{table_name}_sig", ["doc_id"],
         num_buckets=buckets_of(f"{table_name}_sig"),
@@ -790,10 +802,6 @@ def append_minhash_index(new_signatures: DataFrame, table_name: str) -> None:
         ["band", "band_hash"],
         num_buckets=buckets_of(f"{table_name}_bands"),
         sort_cols=["band", "band_hash"], mode="append",
-    )
-    spark.sql(
-        f"ALTER TABLE {table_name}_sig SET TBLPROPERTIES "
-        f"('firebolt.appended' = '1')"
     )
 
 

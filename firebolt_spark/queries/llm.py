@@ -1125,7 +1125,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebolt_spark.operators.similarity import _delete_dir
 
     docs = _documents(spark, sf_dir)
-    tbl = "fb_q_minhash_idx"
+    tbl = _scratch_table("minhash_idx")
     for t in (f"{tbl}_sig", f"{tbl}_bands"):
         if not spark.catalog.tableExists(t):
             # a PREVIOUS session's managed-table directory without a
@@ -1641,6 +1641,18 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"fb_{kind}_{tag}")
 
 
+def _scratch_table(kind: str) -> str:
+    """Deterministic PER-PROCESS scratch table name for index
+    artifacts a query builds in the shared spark-warehouse. The pid
+    suffix is what keeps concurrent driver / bench / pytest processes
+    from racing on one table (one overwriting ``_sig`` while another
+    probes) — the same collision the tests' ``wh_table`` fixture
+    prevents; within a process, repeated runs reuse the one name."""
+    import os
+
+    return f"fb_q_{kind}_{os.getpid()}"
+
+
 def q_dedup_spans_candidates_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1672,18 +1684,17 @@ def q_dedup_ngram_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     from firebolt_spark.operators.similarity import _delete_dir
 
     docs = _documents(spark, sf_dir)
-    if not spark.catalog.tableExists("fb_q_shingle_idx"):
+    tbl = _scratch_table("shingle_idx")
+    if not spark.catalog.tableExists(tbl):
         # a PREVIOUS session's managed-table directory without a
         # catalog entry blocks saveAsTable(LOCATION_ALREADY_EXISTS);
-        # this is our own deterministic scratch table, safe to clear
+        # this is our own per-process scratch table, safe to clear
         _delete_dir(
             spark,
-            spark.conf.get("spark.sql.warehouse.dir") + "/fb_q_shingle_idx",
+            spark.conf.get("spark.sql.warehouse.dir") + f"/{tbl}",
         )
-    dedup.build_shingle_index(docs, "fb_q_shingle_idx", n=3)
-    return dedup.ngram_jaccard_pairs(
-        docs, max_df=0.5, shingle_index="fb_q_shingle_idx"
-    )
+    dedup.build_shingle_index(docs, tbl, n=3)
+    return dedup.ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)
 
 
 Q_DEDUP_SPANS_CANDIDATES_SQL = f"""

@@ -2800,6 +2800,80 @@ def test_kmv_estimate_accuracy_and_exact_fallback(spark):
     assert exact == 40.0
 
 
+def test_kmv_merge_validates_parameters(spark):
+    """kmv_merge's compatibility contract is ENFORCED, not documented
+    (ADVICE r11): rows built with different salts, or a build k below
+    the merge k, fail the merge job instead of silently mis-estimating.
+    Legacy frames without the parameter columns still merge."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    a = kmv_sketch(df, "v", k=32, salt="x")
+    assert set(a.columns) == {"kmv", "kmv_k", "kmv_salt"}
+
+    # mixed salts -> raise
+    b = kmv_sketch(df, "v", k=32, salt="y")
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        kmv_merge(a.unionByName(b), "kmv", k=32).collect()
+
+    # merge k above the build k -> raise
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        kmv_merge(a, "kmv", k=64).collect()
+
+    # compatible rows -> merged, re-stamped with (merge k, shared salt)
+    c = kmv_sketch(df.filter(F.col("v") >= 50), "v", k=32, salt="x")
+    out = kmv_merge(a.unionByName(c), "kmv", k=16).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert len(row["kmv"]) == 16
+    assert row["kmv_k"] == 16 and row["kmv_salt"] == "x"
+
+    # legacy sketch rows (no parameter columns) merge unvalidated
+    legacy = a.select("kmv")
+    assert kmv_merge(legacy, "kmv", k=16).collect()[0]["kmv"] == row["kmv"]
+
+
+def test_kmv_estimate_k_col_validation(spark):
+    """kmv_estimate(k_col=...) raises when asked to estimate at a k
+    past the stored horizon (element_at would return a silent NULL
+    estimate otherwise), and passes through unchanged at a valid k."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(spark.range(20).withColumnRenamed("id", "v"), "v", k=32)
+    ok = sk.select(kmv_estimate("kmv", 32, k_col="kmv_k").alias("e"))
+    assert ok.collect()[0]["e"] == 20.0
+    bad = sk.select(kmv_estimate("kmv", 64, k_col="kmv_k").alias("e"))
+    with _pytest.raises(Exception, match="exceeds the build k"):
+        bad.collect()
+
+
+def test_clusters_groundtruth_pair_cap():
+    """The driver-side union-find's one corpus-dependent collect is
+    size-guarded: past the cap it refuses with the sampled alternative
+    instead of OOMing mid-collect (VERDICT r11 Next #6)."""
+    import pytest as _pt
+
+    from tools.check_clusters_groundtruth import collect_pairs_bounded
+
+    class FakeDF:
+        def __init__(self, n):
+            self.n = n
+
+        def count(self):
+            return self.n
+
+        def collect(self):
+            return ["row"] * self.n
+
+    assert collect_pairs_bounded(FakeDF(3), max_pairs=5) == ["row"] * 3
+    with _pt.raises(SystemExit, match="too large for a driver-side"):
+        collect_pairs_bounded(FakeDF(6), max_pairs=5)
+
+
 def test_snapshot_diff_statuses(spark):
     """snapshot_diff classifies every key exactly: added (new only),
     removed (old only), changed (digest differs), unchanged (hidden

@@ -23,6 +23,29 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# the ONE corpus-dependent collect in the verification path: the pair
+# graph is tens of thousands of rows at sf10, but nothing in the API
+# bounds it, so a pathological corpus (every doc near-duplicating every
+# other) could OOM the driver here. Count first, refuse past the cap.
+MAX_PAIRS = 5_000_000
+
+
+def collect_pairs_bounded(pair_df, max_pairs: int = MAX_PAIRS):
+    """Collect the candidate-pair frame after asserting it is
+    driver-sized. The count is a cheap aggregate next to the collect it
+    guards; on overflow we fail with the sampled alternative spelled
+    out instead of letting the driver OOM mid-collect."""
+    n = pair_df.count()
+    if n > max_pairs:
+        raise SystemExit(
+            f"pair graph has {n} rows > cap {max_pairs}: too large for a "
+            f"driver-side union-find. Re-run on a key-range slice "
+            f"(filter doc_a/doc_b) or verify a deterministic sample via "
+            f"functions.hash_split and compare per-slice cluster rows."
+        )
+    return pair_df.collect()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf10_flat"
 
@@ -35,14 +58,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {(r[0], r[1]) for r in llm.q_dedup_clusters(spark, sf_dir).collect()}
-    pairs = (
-        dedup.minhash_candidate_pairs(
-            load_table(spark, sf_dir, "documents"),
-            max_bucket=llm._MAX_BUCKET_BANDS,
-        )
-        .select("doc_a", "doc_b")
-        .collect()
-    )
+    pair_df = dedup.minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_bucket=llm._MAX_BUCKET_BANDS,
+    ).select("doc_a", "doc_b")
+    pairs = collect_pairs_bounded(pair_df)
 
     parent: dict[int, int] = {}
 

@@ -118,7 +118,16 @@ def _shard_suffix(r: int, shards: int) -> str:
     letters (shard 1 -> 'b' ... — byte-identical output for the
     standing sf1 generation); beyond that, UNIFORM two-letter codes for
     every r > 0, so no suffix can be a proper extension of another and
-    token spaces stay pairwise disjoint at any shard count. Prefer
+    the SUFFIXED shards' token spaces stay pairwise disjoint at any
+    shard count. Shard 0 is emitted verbatim, so a base-fixture token
+    that happens to END in a valid suffix (e.g. '...ab') can still
+    collide with a suffixed token from another shard — verbatim-vs-
+    suffixed disjointness depends on the base vocabulary, only
+    suffixed-vs-suffixed disjointness is guaranteed. (Measured on the standing
+    31-token base vocabulary: zero single-letter extensions, so <= 26
+    shards is collision-free; exactly one two-letter extension,
+    'agg' = 'a' + 'gg', which would first fire at shards > 163 --
+    far beyond any fixture we generate.) Prefer
     generating sfN DIRECTLY from the base fixture (one level): nesting
     (sf0.1 -> sf1 -> sf10) composes the suffix maps, and
     suffix-then-verbatim collides with verbatim-then-suffix — at the
