@@ -420,10 +420,15 @@ MATMUL_REF_S = 0.142
 
 
 def _shuffle_write_bytes(spark) -> int | None:
-    """Cumulative shuffle-write bytes across all completed stages,
-    read from the local UI's REST API — deltas around a query give its
-    measured shuffle volume, turning the plan-shape claims ("this
-    operator shuffles digests, not text") into recorded numbers.
+    """Cumulative shuffle-write bytes, read from the local UI's REST
+    API — deltas around a query give its measured shuffle volume,
+    turning the plan-shape claims ("this operator shuffles digests,
+    not text") into recorded numbers. Summed from ``/allexecutors``
+    ``totalShuffleWrite`` (lifetime executor counters), NOT from the
+    stage list: stages are evicted past ``spark.ui.retainedStages``,
+    so a stage-sum counter can go BACKWARDS mid-suite and record
+    negative per-query deltas (BENCH_r11's q_dedup_incremental
+    −14.8 MB). Executor totals are monotone for the life of the app.
     Returns None (and the bench omits the section) when the UI is
     disabled or unreachable; never fails the bench."""
     try:
@@ -434,10 +439,10 @@ def _shuffle_write_bytes(spark) -> int | None:
         if not base:
             return None
         app = spark.sparkContext.applicationId
-        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        url = f"{base}/api/v1/applications/{app}/allexecutors"
         with urllib.request.urlopen(url, timeout=5) as r:
-            stages = _json.load(r)
-        return sum(s.get("shuffleWriteBytes", 0) or 0 for s in stages)
+            execs = _json.load(r)
+        return sum(e.get("totalShuffleWrite", 0) or 0 for e in execs)
     except Exception:
         return None
 

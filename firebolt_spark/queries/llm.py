@@ -1351,6 +1351,60 @@ Q_MULTIMODAL_FRAMES_SQL = f"""
 """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (round 12 — VERDICT r11 Next #3):
+    multimodal.png_encode emits valid zlib-compressed PNGs whose
+    per-row filters cycle all five spec types, and
+    extract_features(decode_stub=False) decodes them for real in the
+    Arrow path (chunk walk, CRC verify, inflate, full unfilter). The
+    oracle never decodes a PNG — it recomputes the expected channel
+    statistics analytically from the deterministic md5 pixel stream,
+    so a decoder that mis-unfilters even one row hash-mismatches.
+    Scalar-only output (feature array unpacked into its slots). PNG
+    stores RGB, so the [b, g, r] feature slots map to byte positions
+    2/1/0 — the mirror of the BGR BMP oracle."""
+    media = multimodal.png_encode(_documents(spark, sf_dir))
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.element_at("feature", 1).alias("mean_b"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_all"),
+    )
+
+
+Q_MULTIMODAL_PNG_SQL = f"""
+    WITH dims AS ({_MM_DIMS_SQL}),
+    b AS (
+        SELECT doc_id, width, height, npix,
+               i,
+               16 * (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                   AS byteval
+        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
+    )
+    SELECT doc_id,
+           width,
+           height,
+           height AS n_frames,
+           round(sum(CASE WHEN i % 3 = 2 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_b,
+           round(sum(CASE WHEN i % 3 = 1 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_g,
+           round(sum(CASE WHEN i % 3 = 0 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_r,
+           round(sum(byteval) / CAST(npix AS DOUBLE), 6) AS mean_all
+    FROM b
+    GROUP BY doc_id, width, height, npix
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 
@@ -2516,6 +2570,7 @@ QUERIES = {
     "q_anomaly_scores": q_anomaly_scores,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_png": q_multimodal_png,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_decontaminate": q_decontaminate,
     "q_temperature_mix": q_temperature_mix,
@@ -2570,6 +2625,7 @@ ORACLE = {
     "q_anomaly_scores": Q_ANOMALY_SQL,
     "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
+    "q_multimodal_png": Q_MULTIMODAL_PNG_SQL,
     "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,
