@@ -433,6 +433,144 @@ def _shingle_index_n(spark, table_name: str) -> int:
     return int(_shingle_index_props(spark, table_name)["firebolt.ngram_n"])
 
 
+def _table_num_buckets(spark, table_name: str) -> int:
+    info = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+    }
+    return int(info["Num Buckets"])
+
+
+def _recover_compact(spark, table_name: str) -> None:
+    """Finish (or clean up after) an interrupted :func:`_compact_table`
+    swap — called on entry so compaction is idempotent across crashes.
+    The swap's only unsafe window is between the two renames, where the
+    target name is briefly absent but the compacted stage holds the
+    complete data; recovery promotes it. Orphan stage/old tables from
+    the other windows are dropped (stage is stale, old was already
+    replaced)."""
+    stage, old = f"{table_name}_cstage", f"{table_name}_cold"
+    cat = spark.catalog
+    if not cat.tableExists(table_name) and cat.tableExists(stage):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table_name}")
+    if cat.tableExists(table_name):
+        for leftover in (old, stage):
+            if cat.tableExists(leftover):
+                spark.sql(f"DROP TABLE {leftover}")
+
+
+def _compact_table(
+    spark,
+    table_name: str,
+    dedup_cols: list[str],
+    bucket_cols: list[str],
+    sort_cols: list[str],
+    stage_props: dict[str, str],
+) -> None:
+    """Rewrite one warehouse index table duplicate-free and swap it in
+    — the staged-commit protocol of the path-based indexes, restated
+    for catalog tables where the commit point is a metadata-only
+    RENAME instead of a ``_batches`` record. The stage carries the
+    build parameters but NOT ``firebolt.appended``, so data and flag
+    flip together: every crash point leaves either the old table (with
+    the flag — consumers keep paying the safe dedup) or the compacted
+    one (flag gone — fast path), never duplicate rows presented as
+    clean."""
+    from firebolt_spark.functions import write_bucketed
+    from firebolt_spark.operators.similarity import _delete_dir
+
+    stage = f"{table_name}_cstage"
+    if not spark.catalog.tableExists(stage):
+        # orphaned managed-table dir without a catalog entry (crash
+        # before the stage's own commit) blocks saveAsTable
+        _delete_dir(
+            spark,
+            spark.conf.get("spark.sql.warehouse.dir") + f"/{stage.lower()}",
+        )
+    write_bucketed(
+        spark.table(table_name).dropDuplicates(dedup_cols),
+        stage,
+        bucket_cols,
+        num_buckets=_table_num_buckets(spark, table_name),
+        sort_cols=sort_cols,
+    )
+    if stage_props:
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in stage_props.items())
+        spark.sql(f"ALTER TABLE {stage} SET TBLPROPERTIES ({kv})")
+    old = f"{table_name}_cold"
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
+
+
+def compact_shingle_index(spark, table_name: str) -> None:
+    """Rewrite a :func:`build_shingle_index` table duplicate-free and
+    clear ``firebolt.appended`` (round 12 — VERDICT r11 Next #4).
+
+    Why: the appended flag makes every consumer pay a defensive
+    ``(doc_id, sh)`` dedup aggregate forever (+31% of the sf10 pairs
+    job, measured round 11) — correct under at-least-once replays, but
+    the cost never goes away on its own. Compaction reclaims the
+    build-only fast path for long-lived ingest loops: one bucketed
+    rewrite (exchange-free — the table is already clustered on ``sh``),
+    then a staged-commit swap (see :func:`_compact_table`), after which
+    consumers skip the dedup and results are bit-identical (the dedup
+    applied here is exactly the one consumers were applying on read).
+
+    Idempotent and crash-recovering: a rerun finishes an interrupted
+    swap; a table whose flag is already clear is a no-op."""
+    _recover_compact(spark, table_name)
+    props = _shingle_index_props(spark, table_name)
+    if props.get("firebolt.appended") != "1":
+        return
+    _compact_table(
+        spark,
+        table_name,
+        dedup_cols=["doc_id", "sh"],
+        bucket_cols=["sh"],
+        sort_cols=["sh"],
+        stage_props={"firebolt.ngram_n": props["firebolt.ngram_n"]},
+    )
+
+
+def compact_minhash_index(spark, table_name: str) -> None:
+    """Rewrite a :func:`build_minhash_index` artifact (both tables)
+    duplicate-free and clear ``firebolt.appended`` — the MinHash twin
+    of :func:`compact_shingle_index`.
+
+    ``_bands`` compacts FIRST: the flag lives on ``_sig``, and
+    duplicate band rows are harmless by contract (the candidate join's
+    DISTINCT collapses them), so a crash between the two table
+    compactions leaves a flagged ``_sig`` (consumers still dedup —
+    safe) over an already-clean ``_bands``. The reverse order could
+    never corrupt either, but this one keeps the invariant simple:
+    the flag clears last."""
+    for t in (f"{table_name}_sig", f"{table_name}_bands"):
+        _recover_compact(spark, t)
+    props = _minhash_index_props(spark, table_name)
+    if props.get("firebolt.appended") != "1":
+        return
+    _compact_table(
+        spark,
+        f"{table_name}_bands",
+        dedup_cols=["doc_id", "band", "band_hash"],
+        bucket_cols=["band", "band_hash"],
+        sort_cols=["band", "band_hash"],
+        stage_props={},
+    )
+    _compact_table(
+        spark,
+        f"{table_name}_sig",
+        dedup_cols=["doc_id"],
+        bucket_cols=["doc_id"],
+        sort_cols=["doc_id"],
+        stage_props={
+            "firebolt.minhash_k": props["firebolt.minhash_k"],
+            "firebolt.minhash_bands": props["firebolt.minhash_bands"],
+        },
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

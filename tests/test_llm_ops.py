@@ -1648,6 +1648,158 @@ def test_shingle_index_dedup_only_after_append(spark, sf_dir, wh_table):
     assert deduped.count("Aggregate") > clean.count("Aggregate")
 
 
+def test_compact_shingle_index(spark, sf_dir, wh_table):
+    """compact_shingle_index (round 12 — VERDICT r11 Next #4): after a
+    replayed append, the table holds duplicate rows and every consumer
+    pays the defensive dedup aggregate. Compaction rewrites
+    duplicate-free, clears the flag, and the consumer plan drops back
+    to the build-only shape — with BIT-IDENTICAL results. Idempotent:
+    a second compact is a no-op."""
+    from firebolt_spark.operators.dedup import (
+        _shingle_index_props, append_shingle_index, build_shingle_index,
+        compact_shingle_index, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def key(df):
+        return {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in df.collect()}
+
+    tbl = wh_table("t_sh_compact")
+    try:
+        build_shingle_index(base, tbl, num_buckets=8)
+        clean_aggs = plan(
+            ngram_jaccard_pairs(base, max_df=0.5, shingle_index=tbl)
+        ).count("Aggregate")
+        append_shingle_index(delta, tbl)
+        append_shingle_index(delta, tbl)  # at-least-once replay
+        total = spark.table(tbl).count()
+        distinct = spark.table(tbl).distinct().count()
+        assert total > distinct  # duplicates physically present
+        ref = key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl))
+
+        compact_shingle_index(spark, tbl)
+        props = _shingle_index_props(spark, tbl)
+        assert "firebolt.appended" not in props
+        assert props["firebolt.ngram_n"] == "3"  # build params preserved
+        assert spark.table(tbl).count() == distinct  # storage reclaimed
+        post = ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)
+        # the per-consumer dedup aggregate is GONE from the plan...
+        assert plan(post).count("Aggregate") == clean_aggs
+        # ...and the results are bit-identical to the flagged read
+        assert key(post) == ref
+        # no swap leftovers; rerun is a no-op
+        assert not spark.catalog.tableExists(f"{tbl}_cstage")
+        assert not spark.catalog.tableExists(f"{tbl}_cold")
+        compact_shingle_index(spark, tbl)
+        assert key(ngram_jaccard_pairs(
+            docs, max_df=0.5, shingle_index=tbl
+        )) == ref
+    finally:
+        for t in (f"{tbl}_cstage", f"{tbl}_cold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_minhash_index(spark, sf_dir, wh_table):
+    """The MinHash twin: both tables rewritten duplicate-free (_bands
+    first — the flag on _sig clears last), parameters preserved and
+    still validated, probe matches bit-identical."""
+    from firebolt_spark.operators.dedup import (
+        _minhash_index_props, append_minhash_index, build_minhash_index,
+        compact_minhash_index, incremental_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0).limit(120)
+    newb = docs.filter(F.col("doc_id") % 3 == 0).limit(30)
+    tbl = wh_table("t_mh_compact")
+    try:
+        build_minhash_index(base, tbl)
+        matches, new_sigs = incremental_near_dups(newb, index_table=tbl)
+        new_sigs = new_sigs.localCheckpoint()
+        append_minhash_index(new_sigs, tbl)
+        append_minhash_index(new_sigs, tbl)  # replay
+        sig_total = spark.table(f"{tbl}_sig").count()
+        sig_distinct = spark.table(f"{tbl}_sig").distinct().count()
+        assert sig_total > sig_distinct
+        ref = {tuple(r) for r in incremental_near_dups(
+            newb, index_table=tbl
+        )[0].collect()}
+
+        compact_minhash_index(spark, tbl)
+        props = _minhash_index_props(spark, tbl)
+        assert "firebolt.appended" not in props
+        assert "firebolt.minhash_k" in props  # params preserved
+        assert spark.table(f"{tbl}_sig").count() == sig_distinct
+        bands = spark.table(f"{tbl}_bands")
+        assert bands.count() == bands.distinct().count()
+        got = {tuple(r) for r in incremental_near_dups(
+            newb, index_table=tbl
+        )[0].collect()}
+        assert got == ref
+        compact_minhash_index(spark, tbl)  # no-op rerun
+    finally:
+        for t in (
+            f"{tbl}_sig", f"{tbl}_bands",
+            f"{tbl}_sig_cstage", f"{tbl}_sig_cold",
+            f"{tbl}_bands_cstage", f"{tbl}_bands_cold",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_swap_crash_recovery(spark, sf_dir, wh_table):
+    """Every compaction crash window recovers on the next call: an
+    orphaned stage beside an intact target is discarded (stale), and
+    the between-renames window (target absent, compacted stage
+    complete) is promoted — never a lost or duplicate-presented
+    table."""
+    from firebolt_spark.functions import write_bucketed
+    from firebolt_spark.operators.dedup import (
+        _shingle_index_props, append_shingle_index, build_shingle_index,
+        compact_shingle_index, shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    tbl = wh_table("t_sh_crash")
+    try:
+        build_shingle_index(docs, tbl, num_buckets=4)
+        append_shingle_index(docs.limit(10), tbl)
+        expect = spark.table(tbl).distinct().count()
+
+        # window A: crash after the stage write, before any rename —
+        # target intact + flagged; the stale stage must be dropped and
+        # compaction still complete
+        write_bucketed(
+            spark.table(tbl).dropDuplicates(["doc_id", "sh"]),
+            f"{tbl}_cstage", ["sh"], num_buckets=4, sort_cols=["sh"],
+        )
+        compact_shingle_index(spark, tbl)
+        assert "firebolt.appended" not in _shingle_index_props(spark, tbl)
+        assert spark.table(tbl).count() == expect
+
+        # window B: crash between the renames — target name absent,
+        # the compacted stage holds the complete data
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}_cold")
+        spark.sql(f"ALTER TABLE {tbl}_cold RENAME TO {tbl}_cstage")
+        # (state: only _cstage exists, carrying the full compacted set)
+        compact_shingle_index(spark, tbl)
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}_cstage")
+        assert spark.table(tbl).count() == expect
+        assert "firebolt.ngram_n" in _shingle_index_props(spark, tbl)
+    finally:
+        for t in (f"{tbl}_cstage", f"{tbl}_cold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_shingle_index_width_guard(spark, sf_dir, wh_table):
     """A mismatched-n index or a foreign table without the width
     property silently changes the metric — both refuse."""
