@@ -108,6 +108,10 @@ EXTRA = [
     # the corpus-profile composition (three aggregate families over
     # one corpus, broadcast-joined) — tracked like corpus_curation
     "q_corpus_profile",
+    # round 12: exact per-group quantiles (histogram + range-
+    # partitioned global cumsum + broadcast rank select) — the
+    # distribution readout with a real two-shuffle story
+    "q_corpus_quantiles",
 ]
 
 

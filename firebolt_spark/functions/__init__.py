@@ -747,6 +747,120 @@ def frequent_items(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles of ``value_col`` — the length/score
+    distribution readout a corpus profile needs beside
+    :func:`kmv_sketch` cardinalities and :func:`frequent_items` heavy
+    hitters (round 12 — VERDICT r11 Next #5).  Exact, not
+    ``percentile_approx``: approx quantiles are nondeterministic across
+    partitionings, so no SQL oracle can replay them; and not Spark's
+    exact ``percentile`` aggregate, which buffers every group value in
+    one task's memory — the unbounded state this module's two-phase
+    patterns exist to avoid.
+
+    Algorithm (all shuffles narrow, no SinglePartition window):
+
+    1. value histogram: ``groupBy(group, value).count()`` — state is
+       DISTINCT values per group, partial-aggregated map-side;
+    2. per-group cumulative counts ordered by value, via ONE
+       :func:`global_cumsum` over (group, value) minus each group's
+       broadcast start offset (the global running sum is range-
+       partitioned two-phase; subtracting the offset where the group
+       begins turns it into a per-group running sum without a
+       per-group window);
+    3. the two bracketing order statistics per (group, q) — rank
+       ``floor(h)+1`` / ``ceil(h)+1`` with ``h = (n-1)*q``, plus the
+       discrete rank ``max(1, ceil(q*n))`` — selected by joining the
+       tiny broadcast target table (|groups| x |qs| rows) against the
+       histogram's rank intervals.
+
+    Returns group columns + ``q`` + ``n`` (non-NULL count) +
+    ``quantile_cont`` (linear interpolation, the SQL-standard
+    PERCENTILE_CONT / DuckDB quantile_cont definition, rounded to 6) +
+    ``quantile_disc`` (the DuckDB quantile_disc order statistic, in the
+    value's own type).  NULL values are ignored, per SQL; an all-NULL
+    group disappears.  Group cardinality is assumed driver-small (it
+    is the PROFILE's row count); distinct-value cardinality per group
+    is unbounded and never funnels through one task."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    groups = list(group_cols or [])
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    g = global_cumsum(hist, "_c", groups + [value_col], out_col="_g")
+    starts = g.groupBy(*groups).agg(
+        F.min(F.col("_g") - F.col("_c")).alias("_start"),
+        F.sum("_c").alias("n"),
+    )
+    cum = g.join(F.broadcast(starts.drop("n")), groups or None, "inner")
+    cum = cum.select(
+        *groups,
+        F.col(value_col).alias("_v"),
+        (F.col("_g") - F.col("_start") - F.col("_c")).alias("_pre"),
+        (F.col("_g") - F.col("_start")).alias("_cum"),
+    )
+    h = (F.col("n") - 1) * F.col("q")
+    targets = (
+        starts.select(
+            *groups,
+            "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("_lo", (F.floor(h) + 1).cast("bigint"))
+        .withColumn("_hi", (F.ceil(h) + 1).cast("bigint"))
+        .withColumn("_frac", h - F.floor(h))
+        .withColumn(
+            "_dr",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+            ),
+        )
+    )
+    in_range = lambda r: (F.col(r) > F.col("_pre")) & (  # noqa: E731
+        F.col(r) <= F.col("_cum")
+    )
+    joined = cum.join(
+        F.broadcast(targets),
+        on=(groups or None),
+        how="inner",
+    ).filter(in_range("_lo") | in_range("_hi") | in_range("_dr"))
+    picked = joined.groupBy(*groups, "q").agg(
+        F.first("n").alias("n"),
+        F.first("_frac").alias("_frac"),
+        F.max(F.when(in_range("_lo"), F.col("_v"))).alias("_vlo"),
+        F.max(F.when(in_range("_hi"), F.col("_v"))).alias("_vhi"),
+        F.max(F.when(in_range("_dr"), F.col("_v"))).alias("_vd"),
+    )
+    # frac == 0 (h integral, e.g. q = 0, 1, or an exact rank): the
+    # answer is v_lo alone — the interpolation form would multiply 0 by
+    # a possibly-NULL v_hi (rank n+1 has no histogram row at q = 1) and
+    # NULL the result instead
+    cont = F.when(F.col("_frac") == 0, F.col("_vlo").cast("double")).otherwise(
+        F.col("_vlo").cast("double")
+        + F.col("_frac")
+        * (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
+    )
+    return picked.select(
+        *groups,
+        "q",
+        "n",
+        F.round(cont, 6).alias("quantile_cont"),
+        F.col("_vd").alias("quantile_disc"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

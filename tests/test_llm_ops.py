@@ -3196,6 +3196,49 @@ def test_clusters_groundtruth_pair_cap():
         collect_pairs_bounded(FakeDF(6), max_pairs=5)
 
 
+def test_group_quantiles_semantics(spark):
+    """group_quantiles matches the SQL-standard definitions on known
+    values (duplicates included), handles the q=0/q=1 edges where the
+    upper bracketing rank has no histogram row, ignores NULL values,
+    drops all-NULL groups, and validates its inputs."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import group_quantiles
+
+    rows = (
+        [("a", v) for v in (10, 10, 30, 40, 40)]
+        + [("b", v) for v in (1, 2, 3, 4)]
+        + [("b", None), ("c", None)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    out = {
+        (r["g"], r["q"]): (r["n"], r["quantile_cont"], r["quantile_disc"])
+        for r in group_quantiles(
+            df, "v", [0.0, 0.25, 0.5, 0.9, 1.0], ["g"]
+        ).collect()
+    }
+    # group a: sorted 10,10,30,40,40 (n=5)
+    assert out[("a", 0.5)] == (5, 30.0, 30)     # h=2 -> v_2
+    assert out[("a", 0.25)] == (5, 10.0, 10)    # h=1 -> v_1
+    assert out[("a", 0.9)] == (5, 40.0, 40)     # h=3.6 -> interp 40,40
+    assert out[("a", 0.0)] == (5, 10.0, 10)
+    assert out[("a", 1.0)] == (5, 40.0, 40)     # upper rank absent
+    # group b: NULL ignored, n=4; q=0.25 -> h=0.75 -> 1 + .75*(2-1)
+    assert out[("b", 0.25)] == (4, 1.75, 1)
+    assert out[("b", 0.5)] == (4, 2.5, 2)
+    # all-NULL group disappears
+    assert not any(g == "c" for g, _ in out)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        group_quantiles(df, "v", [], ["g"])
+    with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        group_quantiles(df, "v", [1.5], ["g"])
+
+    # ungrouped: one global distribution
+    g = group_quantiles(df.filter(F.col("v").isNotNull()), "v", [0.5])
+    assert g.collect()[0]["n"] == 9
+
+
 def test_snapshot_diff_statuses(spark):
     """snapshot_diff classifies every key exactly: added (new only),
     removed (old only), changed (digest differs), unchanged (hidden

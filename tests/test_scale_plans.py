@@ -1349,6 +1349,25 @@ def test_kmv_sketch_bounded_state_plan(spark):
     assert any("lang" in ln and "_w0" in ln for ln in exchanges)
 
 
+def test_group_quantiles_no_single_partition_plan(spark):
+    """group_quantiles (round 12): exact quantiles with NO
+    SinglePartition funnel — the histogram partial-aggregates map-side,
+    the running count is the range-partitioned global cumsum (its
+    window partitions by _pid, never a bare ORDER BY), the rank-select
+    join broadcasts the tiny target table, and no value list is ever
+    collected per group."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_corpus_quantiles(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "percentile" not in plan  # neither approx nor exact agg
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # start offsets + rank targets
+    # the cumsum window runs per range-partition id, not globally
+    assert "_pid" in plan
+
+
 def test_snapshot_diff_digests_before_the_join(spark):
     """snapshot_diff must reduce each side to (key, md5 digest) BEFORE
     the full-outer join — the text column may never cross the shuffle
