@@ -701,6 +701,7 @@ def frequent_items(
     group_cols: list[str] | None = None,
     count_col: str = "cnt",
     fan_in: int = 32,
+    pre_counted: bool = False,
 ) -> DataFrame:
     """EXACT top-``k`` most frequent values of ``col`` per group —
     "top domains per language", "most repeated lines", "dominant
@@ -721,13 +722,31 @@ def frequent_items(
     ascending default — while e.g. DuckDB defaults NULLS LAST; add an
     explicit NULLS FIRST when replaying over nullable columns.)
     Returns group columns + ``col`` + ``count_col``, top-k rows per
-    group."""
+    group.
+
+    ``pre_counted=True`` takes ``df`` as an ALREADY-AGGREGATED
+    (group, value, count) table — the rolling-maintenance shape: a
+    streaming ingest loop keeps a persisted count table current by
+    summing each batch's counts into it (cheap, batch-sized), and the
+    heavy-hitter readout is just the two-phase top-k over that table,
+    never re-reading history.  The count column must be named
+    ``count_col``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if fan_in < 1:
         raise ValueError(f"fan_in must be >= 1, got {fan_in}")
     groups = list(group_cols or [])
-    counts = df.groupBy(*groups, col).agg(F.count(F.lit(1)).alias(count_col))
+    if pre_counted:
+        if count_col not in df.columns:
+            raise ValueError(
+                f"pre_counted=True requires a '{count_col}' column, "
+                f"got {df.columns}"
+            )
+        counts = df
+    else:
+        counts = df.groupBy(*groups, col).agg(
+            F.count(F.lit(1)).alias(count_col)
+        )
     bucket = F.pmod(F.xxhash64(F.col(col)), F.lit(fan_in))
     local = Window.partitionBy(*groups, bucket).orderBy(
         F.col(count_col).desc(), F.col(col)

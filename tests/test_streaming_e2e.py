@@ -973,3 +973,194 @@ def test_streaming_kmv_sketch_maintenance(spark, tmp_path):
         batches[1], "doc_id", k=32, group_cols=["lang"], salt="st"
     ).write.mode("append").parquet(sketch_dir)
     assert rollup() == one_shot
+
+
+def test_streaming_snapshot_diff_ledger_with_crash_restarts(spark, tmp_path):
+    """snapshot_diff inside the streaming ingest loop (round 12 —
+    VERDICT r11 Next #7): each micro-batch of upserts is diffed against
+    the PERSISTED snapshot before being applied, producing the
+    added/changed ledger an ingest audit needs, across three
+    availableNow runs from one checkpoint (a 'crash' between every
+    two). Both ledger and snapshot are written to batch-id-tagged dirs
+    with overwrite, so an at-least-once replay of an epoch rewrites
+    the same bytes instead of double-applying — asserted by replaying
+    the last epoch by hand. Final snapshot == one-shot sequential
+    application; each ledger == the directly-computed diff."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import snapshot_diff
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b0 = docs.filter(F.col("doc_id") < 50)
+    b1 = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 75)).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 50, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    b2 = docs.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v3")).alias("text")
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+    )
+    batches = [b0, b1, b2]
+
+    delta_dir = tmp_path / "upserts"
+    delta_dir.mkdir()
+    snap_root = tmp_path / "snap"
+    ledger_root = tmp_path / "ledger"
+    snap_root.mkdir()
+    ledger_root.mkdir()
+    ckpt = str(tmp_path / "ckpt-diff")
+
+    def current_version(before: int) -> int | None:
+        versions = [
+            int(p.name[1:]) for p in snap_root.iterdir()
+            if p.name.startswith("v") and int(p.name[1:]) < before
+        ]
+        return max(versions) if versions else None
+
+    def read_snapshot(before: int):
+        v = current_version(before)
+        if v is None:
+            return spark.createDataFrame([], "doc_id BIGINT, text STRING")
+        return spark.read.parquet(str(snap_root / f"v{v}"))
+
+    def ingest(batch_df, batch_id):
+        old = read_snapshot(batch_id)
+        new_snap = old.join(
+            batch_df.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(batch_df.select("doc_id", "text"))
+        ledger = snapshot_diff(old, new_snap, ["doc_id"], ["text"])
+        ledger.write.mode("overwrite").parquet(
+            str(ledger_root / f"b{batch_id}")
+        )
+        new_snap.write.mode("overwrite").parquet(
+            str(snap_root / f"v{batch_id}")
+        )
+
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(b0.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"diff-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    def ledger_counts(batch_id: int) -> dict[str, int]:
+        rows = spark.read.parquet(str(ledger_root / f"b{batch_id}")).collect()
+        out: dict[str, int] = {}
+        for r in rows:
+            out[r["status"]] = out.get(r["status"], 0) + 1
+        return out
+
+    assert ledger_counts(0) == {"added": 50}
+    assert ledger_counts(1) == {"changed": 25, "added": 25}
+    assert ledger_counts(2) == {"changed": 10, "added": 5}
+
+    # final snapshot == one-shot sequential application
+    snap = {r["doc_id"]: r["text"]
+            for r in read_snapshot(10**9).collect()}
+    expect = {}
+    for b in batches:
+        for r in b.collect():
+            expect[r["doc_id"]] = r["text"]
+    assert snap == expect
+
+    # at-least-once: replay the LAST epoch by hand — ledger and
+    # snapshot are rewritten identically, nothing double-applies
+    ingest(b2, 2)
+    assert ledger_counts(2) == {"changed": 10, "added": 5}
+    assert {r["doc_id"]: r["text"]
+            for r in read_snapshot(10**9).collect()} == expect
+
+
+def test_streaming_frequent_items_rolling_with_crash_restarts(spark, tmp_path):
+    """Rolling heavy hitters inside the streaming ingest loop (round 12
+    — VERDICT r11 Next #7): each micro-batch's (lang, token) counts are
+    SUMMED into a persisted count table (batch-sized work, history
+    never re-read); the readout is frequent_items(pre_counted=True)
+    over that table and must equal the one-shot heavy hitters of
+    everything streamed — across three availableNow runs from one
+    checkpoint (a 'crash' between every two), with version-tagged
+    overwrites making an epoch replay a no-op."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import frequent_items
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    batches = [toks.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    delta_dir = tmp_path / "tok-deltas"
+    delta_dir.mkdir()
+    counts_root = tmp_path / "counts"
+    counts_root.mkdir()
+    ckpt = str(tmp_path / "ckpt-hh")
+
+    def read_counts(before: int):
+        versions = [
+            int(p.name[1:]) for p in counts_root.iterdir()
+            if p.name.startswith("v") and int(p.name[1:]) < before
+        ]
+        if not versions:
+            return spark.createDataFrame(
+                [], "lang STRING, token STRING, cnt BIGINT"
+            )
+        return spark.read.parquet(str(counts_root / f"v{max(versions)}"))
+
+    def ingest(batch_df, batch_id):
+        batch_counts = batch_df.groupBy("lang", "token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        merged = (
+            read_counts(batch_id).unionByName(batch_counts)
+            .groupBy("lang", "token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(
+            str(counts_root / f"v{batch_id}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"hh-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    def rolling():
+        return sorted(
+            map(tuple, frequent_items(
+                read_counts(10**9), "token", k=5, group_cols=["lang"],
+                pre_counted=True,
+            ).collect())
+        )
+
+    one_shot = sorted(
+        map(tuple, frequent_items(
+            toks, "token", k=5, group_cols=["lang"]
+        ).collect())
+    )
+    assert rolling() == one_shot and one_shot
+
+    # replayed epoch: same version dir rewritten, rollup unchanged
+    ingest(batches[2], 2)
+    assert rolling() == one_shot
