@@ -480,6 +480,25 @@ class LineDedupNode:
         )
 
 
+class C4LineFilterNode:
+    """C4-style line + page cleaning (text.c4_line_filter, round 12):
+    keep only lines ending in terminal punctuation with >= min_words
+    words and no 'javascript'; drop pages containing '{' or with fewer
+    than min_kept_lines survivors. Emits (doc_id, n_lines, n_kept,
+    text_clean, keep). Params: text_col ('text'), min_words (5),
+    min_kept_lines (3)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.text_col = params.get("text_col", "text")
+        self.min_words = int(params.get("min_words", 5))
+        self.min_kept_lines = int(params.get("min_kept_lines", 3))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return text.c4_line_filter(
+            df, self.text_col, self.min_words, self.min_kept_lines
+        )
+
+
 class IncrementalDedupNode:
     """Incremental ingest dedup against a DURABLE MinHash index
     (dedup.incremental_near_dups(index_table=...), round 11): the
@@ -853,6 +872,7 @@ def register_llm_node_types(registry) -> None:
     registry.register_node_type("hash_split", HashSplitNode, None, None)
     registry.register_node_type("span_dedup", SpanDedupNode, None, None)
     registry.register_node_type("line_dedup", LineDedupNode, None, None)
+    registry.register_node_type("c4_line_filter", C4LineFilterNode, None, None)
     registry.register_node_type("span_dedup_overlap", SpanDedupOverlapNode, None, None)
     registry.register_node_type("span_dedup_candidates", SpanDedupCandidatesNode, None, None)
     registry.register_node_type("winnow_fingerprint", WinnowFingerprintNode, None, None)

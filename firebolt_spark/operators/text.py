@@ -262,6 +262,59 @@ def normalize_text(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-and-page cleaning (Raffel et al. 2020 §2.2, round
+    12) — the rule-based boilerplate pass that precedes
+    :func:`firebolt_spark.operators.dedup.dedup_lines` in the C4
+    pipeline. Line rules (each line must pass ALL):
+
+    - ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
+      closing quote ``"``);
+    - contains at least ``min_words`` whitespace words;
+    - does not contain the word "javascript" (case-insensitive) —
+      the browser-requirement boilerplate marker.
+
+    Page rules: a document is kept (``keep = 1``) only if it contains
+    no curly brace ``{`` (code, not prose — the paper drops the page
+    outright) and at least ``min_kept_lines`` lines survive.
+
+    Emits ``text_clean`` (surviving lines re-joined), ``n_lines``,
+    ``n_kept``, ``keep``. Entirely higher-order array functions over
+    one scan — no UDF, no shuffle, no explode (the line arrays never
+    leave their row) — so the whole pass is whole-stage codegen and a
+    SQL oracle replays it with list_filter. NULL text behaves as the
+    empty page: 1 raw line, 0 kept, dropped."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(col, "\n")
+
+    def line_ok(x):
+        t = F.trim(x)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, " +")) >= F.lit(int(min_words)))
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        (
+            (~col.contains("{"))
+            & (F.size(kept) >= F.lit(int(min_kept_lines)))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget_tokens: int = 4096,

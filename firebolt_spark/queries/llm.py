@@ -2380,6 +2380,169 @@ Q_CORPUS_PROFILE_SQL = f"""
 _QUANTILE_QS = [0.25, 0.5, 0.75, 0.9]
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line + page cleaning (text.c4_line_filter, Raffel et
+    al. 2020 SS2.2, round 12) over deterministically fabricated
+    multi-line pages (the fixture corpus is single-line): each doc gets
+    six lines exercising every rule — a passing sentence, a too-short
+    line, a javascript-boilerplate line, an unpunctuated (or, every 7th
+    doc, curly-brace code) line, and two parity-dependent lines that
+    decide whether the page reaches the 3-kept-line floor. The oracle
+    replays split -> list_filter -> rejoin, certifying the surviving
+    text byte-for-byte plus the page keep decision."""
+    docs = _documents(spark, sf_dir)
+    nl = F.lit("\n")
+    fabricated = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+                F.lit(" alpha beta gamma."),
+            ),
+            F.lit("too short."),
+            F.lit("you must enable JavaScript to continue."),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("config = { a: 1 }")
+            ).otherwise(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 25)
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("the quick brown fox jumps over the lazy dog today!"),
+            ).otherwise(F.lit("word word word word word?")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("another well formed sentence with plenty of words here."),
+            ).otherwise(F.lit("three words only")),
+        ).alias("text"),
+    )
+    return text.c4_line_filter(fabricated)
+
+
+Q_C4_LINE_FILTER_SQL = """
+    WITH fab AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   concat(substr(coalesce(text, ''), 1, 40),
+                          ' alpha beta gamma.'),
+                   'too short.',
+                   'you must enable JavaScript to continue.',
+                   CASE WHEN doc_id % 7 = 0 THEN 'config = { a: 1 }'
+                        ELSE substr(coalesce(text, ''), 1, 25) END,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'the quick brown fox jumps over the lazy dog today!'
+                        ELSE 'word word word word word?' END,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'another well formed sentence with plenty of words here.'
+                        ELSE 'three words only' END
+               ) AS t
+        FROM documents),
+    f AS (
+        SELECT doc_id, t,
+               string_split(t, chr(10)) AS ls,
+               list_filter(string_split(t, chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(string_split_regex(trim(x), ' +')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM fab)
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(kept, chr(10)) AS text_clean,
+           CASE WHEN NOT contains(t, '{') AND len(kept) >= 3
+                THEN 1 ELSE 0 END AS keep
+    FROM f
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end (text.redact, round 12 — the operator
+    had only pytest coverage): emails / phones / IPv4s / SSNs are
+    seeded deterministically into the fixture text by doc_id parity,
+    then redacted to typed tags with per-class counts. The redaction
+    is a sequential regexp_replace chain, so the oracle replays the
+    SAME pattern order with DuckDB's 'g' flag; counts mirror via
+    regexp-split length (text coalesced to '' first — Spark's
+    size(NULL) legacy -1 vs DuckDB NULL would diverge)."""
+    docs = _documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or admin@test.org"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" from 10.0.0.1"),
+                ),
+            )
+            .otherwise(F.lit(" ssn 123-45-6789 backup 987-65-4321")),
+        ).alias("text"),
+    )
+    out = text.redact(seeded)
+    return out.select(
+        "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4", "n_ssn"
+    )
+
+
+_PII_SEED_SQL = """
+        SELECT doc_id,
+               concat(coalesce(text, ''),
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                    '@example.com or admin@test.org')
+                        WHEN doc_id % 3 = 1
+                        THEN concat(' call 555-123-',
+                                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                                    ' from 10.0.0.1')
+                        ELSE ' ssn 123-45-6789 backup 987-65-4321' END
+               ) AS t
+        FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+Q_PII_REDACT_SQL = f"""
+    WITH seeded AS ({_PII_SEED_SQL}),
+    r AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM seeded),
+    r2 AS (
+        SELECT doc_id, t, t1,
+               regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+        FROM r),
+    r3 AS (
+        SELECT doc_id, t, t1, t2,
+               regexp_replace(t2, '{_PII_IPV4}', '<IPV4>', 'g') AS t3
+        FROM r2)
+    SELECT doc_id,
+           regexp_replace(t3, '{_PII_SSN}', '<SSN>', 'g') AS text_redacted,
+           CAST(len(regexp_split_to_array(t, '{_PII_EMAIL}')) - 1 AS INT)
+               AS n_email,
+           CAST(len(regexp_split_to_array(t1, '{_PII_PHONE}')) - 1 AS INT)
+               AS n_phone,
+           CAST(len(regexp_split_to_array(t2, '{_PII_IPV4}')) - 1 AS INT)
+               AS n_ipv4,
+           CAST(len(regexp_split_to_array(t3, '{_PII_SSN}')) - 1 AS INT)
+               AS n_ssn
+    FROM r3
+"""
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-(language, source) n_chars quantiles (round 12 —
     VERDICT r11 Next #5): the length-distribution readout
@@ -2633,6 +2796,8 @@ QUERIES = {
     "q_interleave_strata": q_interleave_strata,
     "q_corpus_profile": q_corpus_profile,
     "q_corpus_quantiles": q_corpus_quantiles,
+    "q_c4_line_filter": q_c4_line_filter,
+    "q_pii_redact": q_pii_redact,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2691,6 +2856,8 @@ ORACLE = {
     "q_interleave_strata": Q_INTERLEAVE_STRATA_SQL,
     "q_corpus_profile": Q_CORPUS_PROFILE_SQL,
     "q_corpus_quantiles": Q_CORPUS_QUANTILES_SQL,
+    "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
+    "q_pii_redact": Q_PII_REDACT_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
     "q_dedup_semantic": _make_semantic_sql(),

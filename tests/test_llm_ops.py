@@ -3196,6 +3196,45 @@ def test_clusters_groundtruth_pair_cap():
         collect_pairs_bounded(FakeDF(6), max_pairs=5)
 
 
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule in isolation plus the page-level gates: terminal
+    punctuation, the min-word floor, the javascript marker (any case),
+    the curly-brace page drop, the min-kept-lines floor; NULL text is
+    the empty page; the plan stays scan-only (no shuffle, no
+    explode)."""
+    from firebolt_spark.operators.text import c4_line_filter
+
+    pages = [
+        # 0: three good sentences -> kept page
+        (0, "one two three four five.\nsix seven eight nine ten!\n"
+            'quoted line with five words."'),
+        # 1: good lines but a '{' anywhere drops the page
+        (1, "one two three four five.\nsix seven eight nine ten.\n"
+            "a b c d e.\nvar x = { }"),
+        # 2: only two lines survive -> below the floor
+        (2, "one two three four five.\nsix seven eight nine ten.\n"
+            "short one.\nno punctuation here at all"),
+        # 3: javascript in any case kills its line
+        (3, "Please enable JAVASCRIPT to see this page.\n"
+            "one two three four five.\nsix seven eight nine ten.\n"
+            "eleven twelve thirteen fourteen fifteen."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+
+    assert (out[0]["n_kept"], out[0]["keep"]) == (3, 1)
+    assert out[0]["text_clean"].count("\n") == 2
+    assert (out[1]["n_kept"], out[1]["keep"]) == (3, 0)  # '{' drops page
+    assert (out[2]["n_kept"], out[2]["keep"]) == (2, 0)  # below floor
+    assert (out[3]["n_kept"], out[3]["keep"]) == (3, 1)  # js line gone
+    assert "JAVASCRIPT" not in out[3]["text_clean"]
+    assert (out[4]["n_lines"], out[4]["n_kept"], out[4]["keep"]) == (1, 0, 0)
+
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
 def test_group_quantiles_semantics(spark):
     """group_quantiles matches the SQL-standard definitions on known
     values (duplicates included), handles the q=0/q=1 edges where the
