@@ -16,102 +16,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-11 first-50 rotation (standing VERDICT discipline: least-
-# recently-driver-checked first, changed-code queries lead).
-# Slots 1-7: the seven NEWEST round-11 queries (sampling/mixing/
-# sketch family + snapshot diff + heavy hitters + interleave order +
-# the corpus-profile composition) — zero driver rows.
-# Slots 8-17: the ten round-11 NEW queries (the on-disk winnow-index,
-# pre-bucketed shingle-index, and on-disk MinHash-index paths, the
-# real-codec BMP resize, C4-style line dedup, the composed quality
-# selection, the Gopher composite gate, the hashed-feature
-# classifier, DSIR importance weights, and A-Res weighted sampling) —
-# zero driver rows yet.
-# Slots 18-20: the three queries whose OPERATOR CODE changes in round
-# 11 (ngram_jaccard_pairs gained the broadcast_hot tri-state;
-# dedup_spans_candidates gained the on-disk winnow index path;
-# incremental_near_dups gained the index_table branch).
-# Slots 21-30: the ten queries the r10 broadcast-hint sweep touched,
-# whose latest driver row (r9) predates that change (r10 VERDICT
-# coverage-section caveat / Next #2).  Slots 31-50: the remaining
-# r9-checked queries in their r9 check order — ALL but NINETEEN:
-# q_tpch1_pricing_summary (unchanged since round 2), q_topic_clusters,
-# q_similarity_ann_lsh, q_hash_split, q_dedup_spans, q_temperature_mix,
-# q_multimodal_frame_sample (all unchanged since r9), plus
-# q_text_chunks, q_profile_events, q_multimodal_features,
-# q_text_fingerprint and q_text_token_counts (unchanged since r9;
-# displaced by the five new quality/selection queries), plus
-# q_grouped_collect, q_dedup_exact, q_dedup_simhash,
-# q_dedup_simhash_pairs, q_text_normalize, q_text_stats and
-# q_text_langid (unchanged since r9; displaced off the tail by the
-# seven sampling/sketch/diff/heavy-hitter/interleave/profile queries)
-# spill a 69-candidate field into the 50-slot budget; all nineteen
-# were re-verified this round via tests/run_oracle_check.py — the
-# post-additions FINAL-TREE sweeps cover the whole registry at
-# sf0.001, sf0.01, sf1 (116/116 on the 10x fixture) and sf10
-# (115/116 + the union-find clusters check), with the last four
-# queries each individually checked at sf0.01+sf1(+sf10) on landing
-# — so they are the lowest-risk rows to go two rounds stale.  They
-# must LEAD the r12 rotation.  Names absent from this list keep
-# their module order after it.
+# Round-12 first-50 rotation (standing VERDICT discipline).
+# Slots 1-19: the NINETEEN queries whose latest driver row is r9 —
+# two rounds stale, the staleness ceiling; VERDICT r11 Next #1 orders
+# them to LEAD this round's check. None changed code in r12.
+# Slots 20-23: the four round-12 NEW queries (real PNG decode, exact
+# per-group quantiles, C4-style line filtering, PII redaction) — zero
+# driver rows.
+# Slots 24-30: the seven queries whose OPERATOR CODE changed in r12
+# (scratch-table names + the flag-first append ordering + compaction
+# machinery in dedup.py touch both indexed paths and the in-memory
+# incremental; kmv_sketch now emits (k, salt) parameter columns ->
+# q_distinct_sketch/q_corpus_profile; frequent_items gained
+# pre_counted; resize_media gained the PNG dispatch).
+# Slots 31-50: twenty of the 48 r10-latest queries, prioritized by
+# "operator lives in a file touched this round" (dedup/functions/
+# text/similarity adjacency), then reference-parity rows, then the
+# heaviest TPC-H shapes. The TWENTY-EIGHT spilled r10 rows —
+# q_agg_cube, q_agg_distinct, q_agg_grouping_sets, q_agg_rollup,
+# q_date_functions, q_having, q_join_anti, q_join_left_counts,
+# q_join_semi, q_percentiles, q_pivot, q_regexp_functions,
+# q_sample_by_source, q_scalar_functions, q_setops,
+# q_similarity_ann_ivf, q_similarity_bruteforce,
+# q_subquery_above_avg, q_topk_orders, q_tpch14_promo_share,
+# q_tpch15_top_supplier, q_tpch17_small_qty_revenue,
+# q_tpch4_order_priority, q_tpch6_revenue_forecast, q_window_leadlag,
+# q_window_rank, q_window_running_total, q_window_tumbling — are all
+# relational/similarity queries UNCHANGED since r10 or earlier, were
+# re-verified locally this round by the full-registry sf0.01 and sf1
+# sweeps (see ROADMAP round 12), and MUST LEAD the r13 rotation.
+# Names absent from this list keep their module order after it.
 _PRIORITY = [
-    # NEW in round 11 — never driver-checked (the sampling/mixing/
-    # sketch family added after the selection trio: per-stratum quota
-    # sampling, token-budget mixture fill, KMV distinct sketch)
-    "q_stratified_sample",
-    "q_token_budget_mix",
-    "q_distinct_sketch",
-    "q_snapshot_diff",
-    "q_frequent_items",
-    "q_interleave_strata",
-    "q_corpus_profile",
-    # NEW in round 11 — never driver-checked
-    "q_quality_selection",
-    "q_gopher_quality",
-    "q_classifier_score",
-    "q_importance_weights",
-    "q_weighted_sample",
-    "q_dedup_spans_candidates_indexed",
-    "q_dedup_ngram_jaccard_indexed",
-    "q_dedup_incremental_indexed",
-    "q_multimodal_resize",
-    "q_dedup_lines",
-    # operator code changed in round 11; driver row must be refreshed
-    "q_dedup_ngram_jaccard",
-    "q_dedup_spans_candidates",
-    "q_dedup_incremental",
-    # r10 broadcast-hint sweep; last driver check (r9) pre-change
-    "q_tpch3_shipping_priority",
-    "q_tpch19_bracket_revenue",
-    "q_tpch8_market_share",
-    "q_tpch9_product_profit",
-    "q_tpch2_min_cost_supplier",
-    "q_tpch11_important_parts",
-    "q_tpch16_supplier_variety",
-    "q_tpch20_promo_suppliers",
-    "q_tpch21_waiting_suppliers",
-    "q_anomaly_scores",
-    # last driver-checked in round 9 — re-green on current code
-    "q_dedup_semantic",
-    "q_s2_scan",
-    "q_s3_lag_cap",
-    "q_s4_recovery_scan",
-    "q_s5_interval_merge",
-    "q_p2_parse",
-    "q_p4_json_build",
-    "q_p5_conditional",
-    "q_f1_filter",
-    "q_e1_error_split",
-    "q_e2_error_json",
-    "q_x1_fanout",
-    "q_x2_tree_fanout",
-    "q_k1_produce_request",
-    "q_asof_join",
-    "q_range_join",
-    "q_tpch12_late_priority",
-    "q_tpch13_order_distribution",
-    "q_tpch22_idle_balance",
-    "q_array_functions",
+    # r9-latest (two rounds stale) — VERDICT r11 Next #1 leads
     "q_grouped_collect",
     "q_dedup_exact",
     "q_dedup_simhash",
@@ -119,6 +55,52 @@ _PRIORITY = [
     "q_text_normalize",
     "q_text_stats",
     "q_text_langid",
+    "q_tpch1_pricing_summary",
+    "q_similarity_ann_lsh",
+    "q_text_token_counts",
+    "q_text_fingerprint",
+    "q_text_chunks",
+    "q_profile_events",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_temperature_mix",
+    "q_hash_split",
+    "q_dedup_spans",
+    "q_topic_clusters",
+    # NEW in round 12 — never driver-checked
+    "q_multimodal_png",
+    "q_corpus_quantiles",
+    "q_c4_line_filter",
+    "q_pii_redact",
+    # operator code changed in round 12
+    "q_dedup_incremental_indexed",
+    "q_dedup_ngram_jaccard_indexed",
+    "q_dedup_incremental",
+    "q_distinct_sketch",
+    "q_corpus_profile",
+    "q_frequent_items",
+    "q_multimodal_resize",
+    # r10-latest, touched-file adjacency first
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_spans_overlap",
+    "q_decontaminate",
+    "q_winnow_fingerprints",
+    "q_dedup_embedding",
+    "q_corpus_curation",
+    "q_lm_quality",
+    "q_text_repetition",
+    "q_shard_packing",
+    "q_skew_salted_join",
+    "q_embedding_quantize",
+    "q_session_window",
+    "q_k2_index_request",
+    "q_p7_docid",
+    "q_s6_compaction",
+    "q_tpch18_large_orders",
+    "q_tpch5_local_supplier",
+    "q_tpch7_nation_volume",
+    "q_tpch10_returned_items",
 ]
 
 

@@ -905,8 +905,19 @@ def test_streaming_shingle_index_maintenance_with_crash_restarts(
         # at-least-once: replay the last delta's append
         append_shingle_index(deltas[-1], tbl)
         assert key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)) == ref
+        # round 12: the ingest loop's maintenance step — compaction
+        # reclaims the replayed duplicates and the build-only read
+        # path, with the pair set still bit-identical
+        from firebolt_spark.operators.dedup import (
+            _shingle_index_props, compact_shingle_index,
+        )
+
+        compact_shingle_index(spark, tbl)
+        assert "firebolt.appended" not in _shingle_index_props(spark, tbl)
+        assert key(ngram_jaccard_pairs(docs, max_df=0.5, shingle_index=tbl)) == ref
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for t in (tbl, f"{tbl}_cstage", f"{tbl}_cold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_streaming_kmv_sketch_maintenance(spark, tmp_path):
