@@ -2380,19 +2380,11 @@ Q_CORPUS_PROFILE_SQL = f"""
 _QUANTILE_QS = [0.25, 0.5, 0.75, 0.9]
 
 
-def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line + page cleaning (text.c4_line_filter, Raffel et
-    al. 2020 SS2.2, round 12) over deterministically fabricated
-    multi-line pages (the fixture corpus is single-line): each doc gets
-    six lines exercising every rule — a passing sentence, a too-short
-    line, a javascript-boilerplate line, an unpunctuated (or, every 7th
-    doc, curly-brace code) line, and two parity-dependent lines that
-    decide whether the page reaches the 3-kept-line floor. The oracle
-    replays split -> list_filter -> rejoin, certifying the surviving
-    text byte-for-byte plus the page keep decision."""
-    docs = _documents(spark, sf_dir)
-    nl = F.lit("\n")
-    fabricated = docs.select(
+def _c4_fabricate(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line page fabrication shared by the two C4
+    queries: six lines per doc, each exercising one cleaning rule (the
+    fixture corpus is single-line). Mirrored verbatim by _C4_FAB_SQL."""
+    return docs.select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -2417,11 +2409,22 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("three words only")),
         ).alias("text"),
     )
-    return text.c4_line_filter(fabricated)
 
 
-Q_C4_LINE_FILTER_SQL = """
-    WITH fab AS (
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line + page cleaning (text.c4_line_filter, Raffel et
+    al. 2020 SS2.2, round 12) over deterministically fabricated
+    multi-line pages (the fixture corpus is single-line): each doc gets
+    six lines exercising every rule — a passing sentence, a too-short
+    line, a javascript-boilerplate line, an unpunctuated (or, every 7th
+    doc, curly-brace code) line, and two parity-dependent lines that
+    decide whether the page reaches the 3-kept-line floor. The oracle
+    replays split -> list_filter -> rejoin, certifying the surviving
+    text byte-for-byte plus the page keep decision."""
+    return text.c4_line_filter(_c4_fabricate(_documents(spark, sf_dir)))
+
+
+_C4_FAB_SQL = """
         SELECT doc_id,
                concat_ws(chr(10),
                    concat(substr(coalesce(text, ''), 1, 40),
@@ -2437,7 +2440,11 @@ Q_C4_LINE_FILTER_SQL = """
                         THEN 'another well formed sentence with plenty of words here.'
                         ELSE 'three words only' END
                ) AS t
-        FROM documents),
+        FROM documents
+"""
+
+Q_C4_LINE_FILTER_SQL = f"""
+    WITH fab AS ({_C4_FAB_SQL}),
     f AS (
         SELECT doc_id, t,
                string_split(t, chr(10)) AS ls,
@@ -2450,9 +2457,69 @@ Q_C4_LINE_FILTER_SQL = """
            CAST(len(ls) AS INT) AS n_lines,
            CAST(len(kept) AS INT) AS n_kept,
            array_to_string(kept, chr(10)) AS text_clean,
-           CASE WHEN NOT contains(t, '{') AND len(kept) >= 3
+           CASE WHEN NOT contains(t, '{{') AND len(kept) >= 3
                 THEN 1 ELSE 0 END AS keep
     FROM f
+"""
+
+
+def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pipeline COMPOSED (round 12): rule-based line /
+    page filtering (c4_line_filter) feeding corpus-wide line dedup
+    (dedup_lines) — the order Raffel et al. 2020 §2.2 ran them. Pages
+    that fail the gates never reach the dedup; the fabricated
+    parity-dependent lines are identical ACROSS surviving pages, so
+    the keep-first dedup visibly strips them from every page but the
+    first. One declarative plan: the filter is scan-only, the dedup
+    adds its one narrow line-digest shuffle; the corpus crosses the
+    wire once. The oracle replays filter → page gate → split → md5 →
+    keep-first → rebuild, certifying the final text byte-for-byte."""
+    cleaned = text.c4_line_filter(_c4_fabricate(_documents(spark, sf_dir)))
+    kept_pages = cleaned.filter(F.col("keep") == 1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    return dedup.dedup_lines(kept_pages).orderBy("doc_id")
+
+
+Q_C4_PIPELINE_SQL = f"""
+    WITH fab AS ({_C4_FAB_SQL}),
+    f AS (
+        SELECT doc_id, t,
+               list_filter(string_split(t, chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(string_split_regex(trim(x), ' +')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM fab),
+    pages AS (
+        SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        FROM f
+        WHERE NOT contains(t, '{{') AND len(kept) >= 3),
+    base AS (
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM pages),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(0, len(ls))) AS pos,
+               unnest(ls) AS line
+        FROM base),
+    keep AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos) AS rk
+            FROM lines WHERE length(trim(line)) >= 1)
+        WHERE rk = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM lines WHERE length(trim(line)) < 1),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM keep GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.ls) AS INT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
 """
 
 
@@ -2797,6 +2864,7 @@ QUERIES = {
     "q_corpus_profile": q_corpus_profile,
     "q_corpus_quantiles": q_corpus_quantiles,
     "q_c4_line_filter": q_c4_line_filter,
+    "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
     "q_quality_selection": q_quality_selection,
     "q_topic_clusters": q_topic_clusters,
@@ -2857,6 +2925,7 @@ ORACLE = {
     "q_corpus_profile": Q_CORPUS_PROFILE_SQL,
     "q_corpus_quantiles": Q_CORPUS_QUANTILES_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
+    "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,
     "q_quality_selection": Q_QUALITY_SELECTION_SQL,
     "q_topic_clusters": _make_topic_clusters_sql(),
