@@ -2145,7 +2145,11 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.select(
             "lang",
             F.size("kmv").alias("n_sketch"),
-            F.round(kmv_estimate("kmv", _KMV_K), 4).alias("distinct_est"),
+            # k_col makes the estimate self-validating against the
+            # sketch's stored build k (r12 — ADVICE r11 enforcement)
+            F.round(
+                kmv_estimate("kmv", _KMV_K, k_col="kmv_k"), 4
+            ).alias("distinct_est"),
         )
         .orderBy("lang")
     )
@@ -2317,7 +2321,10 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketch(
         docs, "doc_id", k=_KMV_K, group_cols=["lang"], salt=_KMV_SALT
     ).select(
-        "lang", F.round(kmv_estimate("kmv", _KMV_K), 4).alias("distinct_est")
+        "lang",
+        F.round(
+            kmv_estimate("kmv", _KMV_K, k_col="kmv_k"), 4
+        ).alias("distinct_est"),
     )
     toks = docs.select(
         "lang",
