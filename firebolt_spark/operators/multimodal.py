@@ -276,6 +276,177 @@ def _bmp_decode_py(payload: bytes) -> dict | None:
     }
 
 
+# WAV fixture dimensions from doc_id: mono/stereo, three common rates,
+# 16..40 samples per channel. Total PCM bytes = 2*nch*nsamp <= 160,
+# within the 240-byte md5-repeat capacity shared with the BMP fixture.
+_WAV_NCH_SQL = "cast(1 + doc_id % 2 as int)"
+_WAV_RATE_SQL = "cast(element_at(array(8000, 16000, 44100), cast(doc_id % 3 as int) + 1) as int)"
+_WAV_NSAMP_SQL = "cast(16 + doc_id % 25 as int)"
+
+
+def wav_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic VALID 16-bit PCM WAV payloads from a text fixture
+    — the AUDIO modality made real (round 12), same construction idea
+    as :func:`bmp_encode`: a RIFF/WAVE container is fixed-offset
+    little-endian, so the whole file (12-byte RIFF header, 24-byte fmt
+    chunk, 8-byte data chunk header, PCM samples) is hex/string
+    expressions + ``unhex`` — no UDF, scan-only. Channels (1/2),
+    sample rate (8/16/44.1 kHz) and per-channel sample count derive
+    from doc_id; the interleaved int16 sample bytes are the
+    ``repeat(md5(text))`` stream, so a decoder's output is
+    analytically oracle-checkable from the row alone."""
+    nch, rate, nsamp = _WAV_NCH_SQL, _WAV_RATE_SQL, _WAV_NSAMP_SQL
+    data_bytes = f"(2 * ({nch}) * ({nsamp}))"
+    pcm_hex = (
+        f"substr(repeat(md5(coalesce({text_col}, '')),"
+        f" 15), 1, 2 * {data_bytes})"
+    )
+    header_hex = "concat(" + ", ".join(
+        [
+            "'52494646'",                          # 'RIFF'
+            _le_hex(f"36 + {data_bytes}", 4),      # riff size
+            "'57415645'",                          # 'WAVE'
+            "'666d7420'",                          # 'fmt '
+            "'10000000'",                          # fmt chunk size = 16
+            "'0100'",                              # audio format = PCM
+            _le_hex(nch, 2),
+            _le_hex(rate, 4),
+            _le_hex(f"({rate}) * ({nch}) * 2", 4),  # byte rate
+            _le_hex(f"({nch}) * 2", 2),             # block align
+            "'1000'",                               # bits per sample
+            "'64617461'",                           # 'data'
+            _le_hex(data_bytes, 4),
+        ]
+    ) + ")"
+    media = F.unhex(F.expr(f"concat({header_hex}, {pcm_hex})"))
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+            F.length(media).cast("bigint").alias("n_bytes"),
+            F.sha2(media, 256).alias("sha"),
+        ).alias("media_meta"),
+    )
+
+
+def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Parse 16-bit PCM WAV headers + sample statistics with pure
+    built-ins — the audio twin of :func:`bmp_decode`. Header fields
+    are little-endian reads at the fixed canonical-layout offsets
+    (RIFF + fmt at 12 + data chunk at 36 — the layout
+    :func:`wav_encode` and most PCM writers emit); signed int16
+    samples are folded in ONE higher-order ``aggregate`` (sum + sum of
+    squares, exact integer arithmetic well under 2^53), so mean and
+    RMS divide exactly the same in any engine. No UDF, no explode, no
+    shuffle.
+
+    Returns doc_id, n_channels, sample_rate, n_samples (per channel),
+    mean_pcm (round 6), rms_pcm (round 6). Non-WAV / truncated /
+    non-PCM / non-16-bit payloads yield NULL fields rather than an
+    error."""
+    d = media_df.select(
+        "doc_id",
+        F.expr(f"lower(hex({media_col}))").alias("hx"),
+        F.expr(f"octet_length({media_col})").alias("n_total"),
+    )
+    hx = "hx"
+    nch = _le_int(hx, 22, 2)
+    rate = _le_int(hx, 24, 4)
+    bits = _le_int(hx, 34, 2)
+    fmt = _le_int(hx, 20, 2)
+    dsz = _le_int(hx, 40, 4)
+    d = d.select(
+        "doc_id",
+        "hx",
+        F.expr(
+            "substr(hx, 1, 8) = '52494646'"          # RIFF
+            " AND substr(hx, 17, 8) = '57415645'"    # WAVE
+            " AND substr(hx, 73, 8) = '64617461'"    # data @ offset 36
+        ).alias("has_magic"),
+        F.expr(nch).cast("int").alias("n_channels"),
+        F.expr(rate).cast("int").alias("sample_rate"),
+        F.expr(bits).cast("int").alias("bits"),
+        F.expr(fmt).cast("int").alias("fmt"),
+        F.expr(dsz).cast("int").alias("data_bytes"),
+        F.col("n_total"),
+    ).withColumn(
+        "is_wav",
+        F.expr(
+            "has_magic AND fmt = 1 AND bits = 16 AND n_channels >= 1"
+            " AND data_bytes > 0 AND data_bytes % (2 * n_channels) = 0"
+            " AND n_total = 44 + data_bytes"
+        ),
+    )
+    # signed int16 sample k lives at data offset 2k (file offset 44+2k)
+    lo = _byte(hx, "(44 + 2 * k)")
+    hi = _byte(hx, "(45 + 2 * k)")
+    sample = f"(({lo}) + 256 * ({hi}))"
+    signed = f"(if({sample} >= 32768, {sample} - 65536, {sample}))"
+    sums = F.expr(
+        "aggregate("
+        "  sequence(0, cast(data_bytes / 2 as int) - 1),"
+        "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
+        f"  (acc, k) -> named_struct("
+        f"    's', acc.s + {signed},"
+        f"    'q', acc.q + cast({signed} as bigint) * {signed})"
+        ")"
+    )
+    d = d.withColumn("agg", F.when(F.col("is_wav"), sums))
+    n = F.col("data_bytes") / 2
+    return d.select(
+        "doc_id",
+        F.when(F.col("is_wav"), F.col("n_channels")).alias("n_channels"),
+        F.when(F.col("is_wav"), F.col("sample_rate")).alias("sample_rate"),
+        F.when(
+            F.col("is_wav"),
+            (F.col("data_bytes") / (2 * F.col("n_channels"))).cast("int"),
+        ).alias("n_samples"),
+        F.round(F.col("agg.s") / n, 6).alias("mean_pcm"),
+        F.round(F.sqrt(F.col("agg.q") / n), 6).alias("rms_pcm"),
+    )
+
+
+def _wav_decode_py(payload: bytes) -> dict | None:
+    """Pure-Python WAV parse for the Arrow/pandas path — mirrors
+    :func:`wav_decode`'s canonical-layout contract and statistics
+    bit-for-bit (struct.unpack + exact integer sums)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt " or payload[36:40] != b"data":
+        return None
+    fmt, nch = struct.unpack_from("<HH", payload, 20)
+    rate = struct.unpack_from("<I", payload, 24)[0]
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    dsz = struct.unpack_from("<I", payload, 40)[0]
+    if (
+        fmt != 1
+        or bits != 16
+        or nch < 1
+        or dsz <= 0
+        or dsz % (2 * nch) != 0
+        or len(payload) != 44 + dsz
+    ):
+        return None
+    n = dsz // 2
+    samples = struct.unpack_from(f"<{n}h", payload, 44)
+    s = sum(samples)
+    q = sum(v * v for v in samples)
+    import math
+
+    # math.sqrt is the IEEE correctly-rounded square root — identical
+    # to Spark's and DuckDB's sqrt; pow(x, 0.5) may differ in the last
+    # ulp on some platforms, which a cross-engine hash would catch
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_samples": n // nch,
+        "mean_pcm": round(s / n, 6),
+        "rms_pcm": round(math.sqrt(q / n), 6),
+    }
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -566,15 +737,51 @@ def extract_features(
                 if decode_stub:
                     decoded = _stub_decode(payload)
                 else:
+                    if payload[:4] == b"RIFF":
+                        parsed = _wav_decode_py(payload)
+                        if parsed is None:
+                            raise ValueError(
+                                "unsupported media format (RIFF payload "
+                                "is not canonical 16-bit PCM WAV)"
+                            )
+                        # audio mapping into the shared feature schema:
+                        # width = channels, height/n_frames = samples
+                        # per channel, feature = [mean, rms, rate,
+                        # duration_s]
+                        decoded = {
+                            "width": parsed["n_channels"],
+                            "height": parsed["n_samples"],
+                            "n_frames": parsed["n_samples"],
+                            "feature": [
+                                parsed["mean_pcm"],
+                                parsed["rms_pcm"],
+                                float(parsed["sample_rate"]),
+                                round(
+                                    parsed["n_samples"]
+                                    / parsed["sample_rate"],
+                                    6,
+                                ),
+                            ],
+                        }
+                        rows.append(
+                            {
+                                "doc_id": rec.doc_id,
+                                "kind": meta["kind"],
+                                "n_bytes": meta["n_bytes"],
+                                "sha": meta["sha"],
+                                **decoded,
+                            }
+                        )
+                        continue
                     if payload[:8] == _PNG_SIG:
                         parsed = _png_decode_py(payload)
                     else:
                         parsed = _bmp_decode_py(payload)
                     if parsed is None:
                         raise ValueError(
-                            "unsupported media format (only BMP and 8-bit "
-                            "truecolor PNG decode dependency-free; "
-                            "JPEG/audio/video need PIL/librosa/ffmpeg)"
+                            "unsupported media format (only BMP, 8-bit "
+                            "truecolor PNG, and 16-bit PCM WAV decode "
+                            "dependency-free; JPEG/video need PIL/ffmpeg)"
                         )
                     decoded = {
                         "width": parsed["width"],

@@ -1330,6 +1330,57 @@ Q_MULTIMODAL_RESIZE_SQL = """
 """
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (round 12): multimodal.wav_encode
+    emits valid 16-bit PCM WAVs (RIFF/fmt/data, mono or stereo, three
+    sample rates — all from scan-only hex expressions, like the BMP
+    encoder) and wav_decode parses them back with pure built-ins: one
+    higher-order fold computes the exact signed-sample sum and sum of
+    squares, so mean and RMS are engine-identical divisions of exact
+    integers. The oracle recomputes the expectation analytically from
+    the deterministic md5 sample stream — the audio twin of the
+    BMP/PNG queries. Scalar-only output."""
+    media = multimodal.wav_encode(_documents(spark, sf_dir))
+    return multimodal.wav_decode(media)
+
+
+Q_MULTIMODAL_WAV_SQL = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+               CAST(([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+                    AS INTEGER) AS sample_rate,
+               CAST(16 + doc_id % 25 AS INTEGER) AS nsamp,
+               CAST((1 + doc_id % 2) * (16 + doc_id % 25) AS INTEGER) AS n,
+               substr(repeat(md5(coalesce(text, '')), 15), 1,
+                      CAST(4 * (1 + doc_id % 2) * (16 + doc_id % 25)
+                           AS INTEGER)) AS pcmhex
+        FROM documents),
+    raw AS (
+        SELECT doc_id, n_channels, sample_rate, nsamp, n,
+               (16 * (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * k + 1 AS INTEGER), 1)) - 1)
+                   + (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * k + 2 AS INTEGER), 1)) - 1))
+               + 256 *
+               (16 * (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * k + 3 AS INTEGER), 1)) - 1)
+                   + (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * k + 4 AS INTEGER), 1)) - 1))
+                   AS v
+        FROM dims, LATERAL (SELECT unnest(range(n)) AS k) r),
+    sv AS (
+        SELECT doc_id, n_channels, sample_rate, nsamp,
+               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        FROM raw)
+    SELECT doc_id, n_channels, sample_rate, nsamp AS n_samples,
+           round(sum(s) / count(*), 6) AS mean_pcm,
+           round(sqrt(sum(s * s) / count(*)), 6) AS rms_pcm
+    FROM sv
+    GROUP BY doc_id, n_channels, sample_rate, nsamp
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over DECODED fields: every 2nd pixel row of each
     BMP is a 'frame' (fixture convention n_frames = height)."""
@@ -2847,6 +2898,7 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_png": q_multimodal_png,
+    "q_multimodal_wav": q_multimodal_wav,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_decontaminate": q_decontaminate,
     "q_temperature_mix": q_temperature_mix,
@@ -2906,6 +2958,7 @@ ORACLE = {
     "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
     "q_multimodal_png": Q_MULTIMODAL_PNG_SQL,
+    "q_multimodal_wav": Q_MULTIMODAL_WAV_SQL,
     "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,

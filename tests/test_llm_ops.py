@@ -2212,6 +2212,76 @@ def test_bmp_resize_nn_reference_and_identity_roundtrip(spark, sf_dir):
     assert bytes(ident["media"])[54:] == pay[54:]
 
 
+def test_wav_decode_known_samples_and_rejections():
+    """INDEPENDENT known-answer check of the WAV codec (round 12): a
+    minimal stereo PCM file assembled by hand (struct.pack, not our
+    encoder) must decode to hand-computed mean/RMS in BOTH decoders;
+    corrupt containers (bad magic, wrong bit depth, compressed format
+    tag, truncation, odd data size) are refused, not mis-parsed."""
+    import math
+    import struct
+
+    from firebolt_spark.operators.multimodal import _wav_decode_py
+
+    samples = [100, -200, 300, -400, 32767, -32768]  # 3 frames stereo
+    data = struct.pack("<6h", *samples)
+
+    def wav(fmt=1, nch=2, rate=16000, bits=16, body=data):
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        hdr += b"fmt " + struct.pack(
+            "<IHHIIHH", 16, fmt, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        )
+        hdr += b"data" + struct.pack("<I", len(body))
+        return hdr + body
+
+    d = _wav_decode_py(wav())
+    assert d is not None
+    assert (d["n_channels"], d["sample_rate"], d["n_samples"]) == (2, 16000, 3)
+    assert d["mean_pcm"] == round(sum(samples) / 6, 6)
+    assert d["rms_pcm"] == round(
+        math.sqrt(sum(v * v for v in samples) / 6), 6
+    )
+
+    assert _wav_decode_py(b"RIFX" + wav()[4:]) is None        # magic
+    assert _wav_decode_py(wav(fmt=3)) is None                  # non-PCM
+    assert _wav_decode_py(wav(bits=8)) is None                 # bit depth
+    assert _wav_decode_py(wav()[:-2]) is None                  # truncated
+    assert _wav_decode_py(wav(body=data[:-1])) is None         # odd size
+
+
+def test_wav_builtin_decode_matches_pandas_decode(spark, sf_dir):
+    """The two real WAV decode paths — the built-in hex-fold SQL
+    expressions and the Arrow/pandas struct.unpack path — agree
+    field-for-field over the fixture corpus, including the feature-
+    schema mapping (width=channels, height=n_frames=samples,
+    feature=[mean, rms, rate, duration])."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    media = multimodal.wav_encode(docs)
+    builtin = {r["doc_id"]: r for r in multimodal.wav_decode(media).collect()}
+    arrow = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            media, decode_stub=False
+        ).collect()
+    }
+    assert set(builtin) == set(arrow) and len(builtin) == 60
+    for doc_id, b in builtin.items():
+        a = arrow[doc_id]
+        assert a["width"] == b["n_channels"]
+        assert a["height"] == a["n_frames"] == b["n_samples"]
+        f = a["feature"]
+        assert f[0] == b["mean_pcm"] and f[1] == b["rms_pcm"]
+        assert f[2] == float(b["sample_rate"])
+        assert f[3] == round(b["n_samples"] / b["sample_rate"], 6)
+    # the builtin decoder NULLs out non-WAV payloads instead of erroring
+    fake = multimodal.attach_media(docs.limit(3))
+    for r in multimodal.wav_decode(fake).collect():
+        assert r["n_channels"] is None and r["mean_pcm"] is None
+
+
 def test_png_decode_known_filtered_scanlines():
     """INDEPENDENT known-answer check of the PNG unfilter (round 12):
     the filtered scanline bytes here were computed BY HAND from the
