@@ -444,7 +444,120 @@ def _wav_decode_py(payload: bytes) -> dict | None:
         "n_samples": n // nch,
         "mean_pcm": round(s / n, 6),
         "rms_pcm": round(math.sqrt(q / n), 6),
+        "samples": samples,  # interleaved, for resample_audio
     }
+
+
+def _wav_encode_py(
+    samples, nch: int, rate: int
+) -> bytes:
+    """Minimal VALID 16-bit PCM WAV from interleaved int16 samples —
+    the canonical layout :func:`wav_decode` parses (RIFF + fmt at 12 +
+    data at 36)."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, nch, rate, rate * nch * 2, nch * 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(body))
+    return hdr + body
+
+
+def _wav_resample_py(payload: bytes, target_rate: int) -> bytes | None:
+    """Nearest-neighbor sample-rate conversion of a 16-bit PCM WAV —
+    the audio analogue of :func:`_bmp_resize_py`'s pixel selection:
+    output frame ``j`` copies input frame ``(j * n_in) // n_out`` whole
+    (all channels), with ``n_out = max(1, n_in * target // source)``.
+    Real decode, deterministic selection, real re-encode; None for
+    anything the decoder refuses."""
+    parsed = _wav_decode_py(payload)
+    if parsed is None:
+        return None
+    nch = parsed["n_channels"]
+    n_in = parsed["n_samples"]
+    src = parsed["samples"]
+    n_out = max(1, (n_in * target_rate) // parsed["sample_rate"])
+    out = []
+    for j in range(n_out):
+        base = ((j * n_in) // n_out) * nch
+        out.extend(src[base : base + nch])
+    return _wav_encode_py(out, nch, target_rate)
+
+
+def resample_audio(
+    media_df: DataFrame, target_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resample audio media to ``target_rate`` via Arrow-batched
+    mapInPandas — the audio face of :func:`resize_media`, emitting the
+    (media, media_meta) convention back out (new bytes, refreshed
+    ``n_bytes``/``sha``) plus the output geometry, so resamples compose
+    with decode / feature-extract / frame-sample on the same contract.
+
+    ``decode_stub=False`` runs the REAL dependency-free WAV
+    nearest-neighbor converter (``_wav_resample_py``); identity-rate
+    resamples round-trip the sample array byte-for-byte and outputs
+    re-parse under both decoders. Non-WAV formats raise ValueError
+    (MP3/AAC need external codecs); the stub path keeps the plumbing
+    real for them, sized as the real output would be."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>, n_channels INT, sample_rate INT, n_samples INT"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.media)
+                meta = rec.media_meta
+                if decode_stub:
+                    digest = hashlib.sha256(
+                        payload + struct.pack("<i", target_rate)
+                    ).digest()
+                    n = 44 + 2 * (1 + digest[0] % 64)
+                    resampled = (digest * (n // len(digest) + 1))[:n]
+                    mime = meta["mime"]
+                    nch = n_out = None
+                else:
+                    maybe = _wav_resample_py(payload, target_rate)
+                    if maybe is None:
+                        raise ValueError(
+                            "unsupported media format (only 16-bit PCM "
+                            "WAV resamples dependency-free; MP3/AAC "
+                            "need external codecs)"
+                        )
+                    resampled = maybe
+                    mime = "audio/wav"
+                    d = _wav_decode_py(resampled)
+                    nch, n_out = d["n_channels"], d["n_samples"]
+                rows.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "media": resampled,
+                        "media_meta": {
+                            "kind": meta["kind"],
+                            "mime": mime,
+                            "n_bytes": len(resampled),
+                            "sha": hashlib.sha256(resampled).hexdigest(),
+                        },
+                        "n_channels": nch,
+                        "sample_rate": target_rate,
+                        "n_samples": n_out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media", "media_meta",
+                    "n_channels", "sample_rate", "n_samples",
+                ],
+            )
+
+    return media_df.mapInPandas(run, schema=schema)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

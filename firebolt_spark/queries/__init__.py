@@ -20,21 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 # Slots 1-19: the NINETEEN queries whose latest driver row is r9 —
 # two rounds stale, the staleness ceiling; VERDICT r11 Next #1 orders
 # them to LEAD this round's check. None changed code in r12.
-# Slots 20-25: the six round-12 NEW queries (real PNG decode, real
-# 16-bit PCM WAV decode, exact per-group quantiles, C4-style line
-# filtering, PII redaction, the composed C4 filter->line-dedup
-# pipeline) — zero driver rows.
-# Slots 26-32: the seven queries whose OPERATOR CODE changed in r12
+# Slots 20-26: the seven round-12 NEW queries (real PNG decode, real
+# 16-bit PCM WAV decode, the NN audio resample, exact per-group
+# quantiles, C4-style line filtering, PII redaction, the composed C4
+# filter->line-dedup pipeline) — zero driver rows.
+# Slots 27-33: the seven queries whose OPERATOR CODE changed in r12
 # (scratch-table names + the flag-first append ordering + compaction
 # machinery in dedup.py touch both indexed paths and the in-memory
 # incremental; kmv_sketch now emits (k, salt) parameter columns ->
 # q_distinct_sketch/q_corpus_profile; frequent_items gained
 # pre_counted; resize_media gained the PNG dispatch).
-# Slots 33-50: eighteen of the 48 r10-latest queries, prioritized by
+# Slots 34-50: seventeen of the 48 r10-latest queries, prioritized by
 # "operator lives in a file touched this round" (dedup/functions/
 # text/similarity adjacency), then reference-parity rows, then the
-# heaviest TPC-H shapes. The THIRTY spilled r10 rows —
-# q_tpch10_returned_items, q_tpch7_nation_volume,
+# heaviest TPC-H shapes. The THIRTY-ONE spilled r10 rows —
+# q_tpch10_returned_items, q_tpch7_nation_volume, q_tpch5_local_supplier,
 # q_agg_cube, q_agg_distinct, q_agg_grouping_sets, q_agg_rollup,
 # q_date_functions, q_having, q_join_anti, q_join_left_counts,
 # q_join_semi, q_percentiles, q_pivot, q_regexp_functions,
@@ -76,6 +76,7 @@ _PRIORITY = [
     "q_pii_redact",
     "q_c4_pipeline",
     "q_multimodal_wav",
+    "q_multimodal_resample",
     # operator code changed in round 12
     "q_dedup_incremental_indexed",
     "q_dedup_ngram_jaccard_indexed",
@@ -102,7 +103,6 @@ _PRIORITY = [
     "q_p7_docid",
     "q_s6_compaction",
     "q_tpch18_large_orders",
-    "q_tpch5_local_supplier",
 ]
 
 

@@ -1381,6 +1381,73 @@ Q_MULTIMODAL_WAV_SQL = """
 """
 
 
+_RESAMPLE_RATE = 12000
+
+
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio resample end-to-end (round 12): wav_encode ->
+    resample_audio(12 kHz, decode_stub=False) -> wav_decode. The three
+    fixture rates exercise upsample (8 kHz, frames repeat), downsample
+    (16 kHz) and heavy downsample (44.1 kHz); the oracle replays the
+    nearest-neighbor frame selection analytically over the md5 sample
+    stream — repetitions included — and certifies the re-decoded
+    mean/RMS of the RESAMPLED file, so a converter that picked even
+    one wrong source frame hash-mismatches. Scalar-only output."""
+    media = multimodal.wav_encode(_documents(spark, sf_dir))
+    resampled = multimodal.resample_audio(
+        media, _RESAMPLE_RATE, decode_stub=False
+    )
+    return multimodal.wav_decode(resampled)
+
+
+Q_MULTIMODAL_RESAMPLE_SQL = f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+               CAST(([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+                    AS INTEGER) AS src_rate,
+               CAST(16 + doc_id % 25 AS INTEGER) AS nsamp,
+               substr(repeat(md5(coalesce(text, '')), 15), 1,
+                      CAST(4 * (1 + doc_id % 2) * (16 + doc_id % 25)
+                           AS INTEGER)) AS pcmhex
+        FROM documents),
+    sized AS (
+        SELECT *, greatest(1, (nsamp * {_RESAMPLE_RATE}) // src_rate) AS n_out
+        FROM dims),
+    sel AS (
+        SELECT doc_id, n_channels, nsamp, n_out,
+               (((j.v * nsamp) // n_out) * n_channels + c.v) AS idx
+        FROM sized,
+             LATERAL (SELECT unnest(range(n_out)) AS v) j,
+             LATERAL (SELECT unnest(range(n_channels)) AS v) c),
+    raw AS (
+        SELECT sel.doc_id AS doc_id, sel.n_channels AS n_channels,
+               sel.nsamp AS nsamp, sel.n_out AS n_out,
+               (16 * (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * idx + 1 AS INTEGER), 1)) - 1)
+                   + (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * idx + 2 AS INTEGER), 1)) - 1))
+               + 256 *
+               (16 * (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * idx + 3 AS INTEGER), 1)) - 1)
+                   + (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(4 * idx + 4 AS INTEGER), 1)) - 1))
+                   AS v
+        FROM sel JOIN dims ON sel.doc_id = dims.doc_id),
+    sv AS (
+        SELECT doc_id, n_channels, n_out,
+               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        FROM raw)
+    SELECT doc_id, n_channels,
+           CAST({_RESAMPLE_RATE} AS INTEGER) AS sample_rate,
+           CAST(n_out AS INTEGER) AS n_samples,
+           round(sum(s) / count(*), 6) AS mean_pcm,
+           round(sqrt(sum(s * s) / count(*)), 6) AS rms_pcm
+    FROM sv
+    GROUP BY doc_id, n_channels, n_out
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over DECODED fields: every 2nd pixel row of each
     BMP is a 'frame' (fixture convention n_frames = height)."""
@@ -2899,6 +2966,7 @@ QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_png": q_multimodal_png,
     "q_multimodal_wav": q_multimodal_wav,
+    "q_multimodal_resample": q_multimodal_resample,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_decontaminate": q_decontaminate,
     "q_temperature_mix": q_temperature_mix,
@@ -2959,6 +3027,7 @@ ORACLE = {
     "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
     "q_multimodal_png": Q_MULTIMODAL_PNG_SQL,
     "q_multimodal_wav": Q_MULTIMODAL_WAV_SQL,
+    "q_multimodal_resample": Q_MULTIMODAL_RESAMPLE_SQL,
     "q_multimodal_frame_sample": Q_MULTIMODAL_FRAMES_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_similarity_ann_lsh": Q_SIMILARITY_ANN_LSH_SQL,

@@ -2282,6 +2282,68 @@ def test_wav_builtin_decode_matches_pandas_decode(spark, sf_dir):
         assert r["n_channels"] is None and r["mean_pcm"] is None
 
 
+def test_wav_resample_reference_and_identity(spark, sf_dir):
+    """resample_audio(decode_stub=False): identity-rate resamples
+    round-trip the interleaved sample array byte-for-byte, NN frame
+    selection matches an independent reference at up- and down-sample
+    rates (frames move whole — channels never mix), outputs re-parse
+    under both decoders, meta is refreshed truthfully, and the stub /
+    guard paths behave."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from firebolt_spark.operators.multimodal import _wav_decode_py
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(30)
+    media = multimodal.wav_encode(docs)
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+
+    out = multimodal.resample_audio(media, 12000, decode_stub=False)
+    for r in out.collect():
+        got = bytes(r["media"])
+        d = _wav_decode_py(got)
+        assert d is not None and d["sample_rate"] == 12000
+        sdec = _wav_decode_py(src[r["doc_id"]])
+        nch, n_in = sdec["n_channels"], sdec["n_samples"]
+        n_out = max(1, (n_in * 12000) // sdec["sample_rate"])
+        assert (r["n_channels"], r["n_samples"]) == (nch, n_out)
+        expect = []
+        for j in range(n_out):
+            base = ((j * n_in) // n_out) * nch
+            expect.extend(sdec["samples"][base : base + nch])
+        assert list(d["samples"]) == expect
+        assert r["media_meta"]["n_bytes"] == len(got)
+        assert r["media_meta"]["sha"] == hashlib.sha256(got).hexdigest()
+        assert r["media_meta"]["mime"] == "audio/wav"
+
+    # identity rate: sample array byte-for-byte
+    one = media.filter(F.col("doc_id") == 5)
+    sdec = _wav_decode_py(src[5])
+    ident = multimodal.resample_audio(
+        one, sdec["sample_rate"], decode_stub=False
+    ).first()
+    assert _wav_decode_py(bytes(ident["media"]))["samples"] == sdec["samples"]
+
+    # builtin decoder parses the resampled output too
+    dec = multimodal.wav_decode(out)
+    assert dec.filter(F.col("sample_rate") != 12000).count() == 0
+
+    # stub path: deterministic, meta-truthful, geometry NULL
+    fake = multimodal.attach_media(docs.limit(4))
+    a = multimodal.resample_audio(fake, 9000).collect()
+    b = multimodal.resample_audio(fake, 9000).collect()
+    assert [bytes(r["media"]) for r in a] == [bytes(r["media"]) for r in b]
+    assert all(r["n_channels"] is None for r in a)
+    with pytest.raises(Exception, match="unsupported media format"):
+        multimodal.resample_audio(fake, 9000, decode_stub=False).collect()
+    with pytest.raises(ValueError, match="target_rate"):
+        multimodal.resample_audio(fake, 0)
+
+
 def test_png_decode_known_filtered_scanlines():
     """INDEPENDENT known-answer check of the PNG unfilter (round 12):
     the filtered scanline bytes here were computed BY HAND from the
