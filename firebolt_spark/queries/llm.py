@@ -1125,7 +1125,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebolt_spark.operators.similarity import _delete_dir
 
     docs = _documents(spark, sf_dir)
-    tbl = _scratch_table("minhash_idx")
+    tbl = _scratch_table("minhash_idx", spark)
     for t in (f"{tbl}_sig", f"{tbl}_bands"):
         if not spark.catalog.tableExists(t):
             # a PREVIOUS session's managed-table directory without a
@@ -1813,16 +1813,38 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"fb_{kind}_{tag}")
 
 
-def _scratch_table(kind: str) -> str:
+def _scratch_table(kind: str, spark: SparkSession | None = None) -> str:
     """Deterministic PER-PROCESS scratch table name for index
     artifacts a query builds in the shared spark-warehouse. The pid
     suffix is what keeps concurrent driver / bench / pytest processes
     from racing on one table (one overwriting ``_sig`` while another
     probes) — the same collision the tests' ``wh_table`` fixture
-    prevents; within a process, repeated runs reuse the one name."""
+    prevents; within a process, repeated runs reuse the one name.
+    When ``spark`` is passed, scratch tables left by DEAD processes
+    are dropped first — the accumulation cost per-process names would
+    otherwise pay forever, swept safely because a dead pid cannot be
+    mid-probe."""
     import os
 
+    if spark is not None:
+        _sweep_dead_scratch(spark, kind)
     return f"fb_q_{kind}_{os.getpid()}"
+
+
+def _sweep_dead_scratch(spark: SparkSession, kind: str) -> None:
+    import os
+    import re
+
+    pat = re.compile(rf"^fb_q_{re.escape(kind)}_(\d+)(_sig|_bands)?$")
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        # only reap tables whose owning process is gone — a live pid
+        # may be probing its table right now (the race the per-process
+        # name exists to prevent)
+        if not os.path.exists(f"/proc/{m.group(1)}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def q_dedup_spans_candidates_indexed(
@@ -1856,7 +1878,7 @@ def q_dedup_ngram_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     from firebolt_spark.operators.similarity import _delete_dir
 
     docs = _documents(spark, sf_dir)
-    tbl = _scratch_table("shingle_idx")
+    tbl = _scratch_table("shingle_idx", spark)
     if not spark.catalog.tableExists(tbl):
         # a PREVIOUS session's managed-table directory without a
         # catalog entry blocks saveAsTable(LOCATION_ALREADY_EXISTS);

@@ -1648,6 +1648,30 @@ def test_shingle_index_dedup_only_after_append(spark, sf_dir, wh_table):
     assert deduped.count("Aggregate") > clean.count("Aggregate")
 
 
+def test_scratch_table_sweeps_dead_pids_only(spark):
+    """Per-process scratch tables (ADVICE r11) would accumulate one
+    orphan per dead driver/bench/pytest process forever; _scratch_table
+    reaps tables whose owning pid is gone and NEVER touches a live
+    process's table (a live pid may be mid-probe — the race the naming
+    scheme exists to prevent)."""
+    import os
+
+    from firebolt_spark.queries.llm import _scratch_table
+
+    dead = "fb_q_minhash_idx_999999_sig"
+    mine = f"fb_q_minhash_idx_{os.getpid()}_sig"
+    spark.range(2).write.mode("overwrite").saveAsTable(dead)
+    spark.range(2).write.mode("overwrite").saveAsTable(mine)
+    try:
+        tbl = _scratch_table("minhash_idx", spark)
+        assert tbl == f"fb_q_minhash_idx_{os.getpid()}"
+        assert not spark.catalog.tableExists(dead)
+        assert spark.catalog.tableExists(mine)
+    finally:
+        for t in (dead, mine):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_compact_shingle_index(spark, sf_dir, wh_table):
     """compact_shingle_index (round 12 — VERDICT r11 Next #4): after a
     replayed append, the table holds duplicate rows and every consumer
