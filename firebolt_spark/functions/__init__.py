@@ -771,6 +771,7 @@ def group_quantiles(
     value_col: str,
     qs: list[float],
     group_cols: list[str] | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """EXACT per-group quantiles of ``value_col`` — the length/score
     distribution readout a corpus profile needs beside
@@ -805,18 +806,36 @@ def group_quantiles(
     value's own type).  NULL values are ignored, per SQL; an all-NULL
     group disappears.  Group cardinality is assumed driver-small (it
     is the PROFILE's row count); distinct-value cardinality per group
-    is unbounded and never funnels through one task."""
+    is unbounded and never funnels through one task.
+
+    ``count_col`` takes ``df`` as an ALREADY-AGGREGATED
+    (group, value, count) histogram — the rolling-maintenance shape
+    (the quantile twin of ``frequent_items(pre_counted=True)``): a
+    streaming loop keeps a persisted histogram current by summing each
+    batch's value counts into it, and the quantile readout runs over
+    that table without re-reading history.  The histogram must be
+    (group, value)-unique with positive counts."""
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantiles must be in [0, 1], got {q}")
     groups = list(group_cols or [])
-    hist = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*groups, value_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    if count_col is not None:
+        if count_col not in df.columns:
+            raise ValueError(
+                f"count_col requires a '{count_col}' column, got "
+                f"{df.columns}"
+            )
+        hist = df.filter(F.col(value_col).isNotNull()).select(
+            *groups, value_col, F.col(count_col).cast("bigint").alias("_c")
+        )
+    else:
+        hist = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*groups, value_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
     g = global_cumsum(hist, "_c", groups + [value_col], out_col="_g")
     starts = g.groupBy(*groups).agg(
         F.min(F.col("_g") - F.col("_c")).alias("_start"),

@@ -1175,3 +1175,79 @@ def test_streaming_frequent_items_rolling_with_crash_restarts(spark, tmp_path):
     # replayed epoch: same version dir rewritten, rollup unchanged
     ingest(batches[2], 2)
     assert rolling() == one_shot
+
+
+def test_streaming_rolling_quantiles_with_crash_restarts(spark, tmp_path):
+    """Rolling EXACT quantiles inside the streaming ingest loop (round
+    12 — the quantile twin of the heavy-hitters drill above): each
+    micro-batch's per-(lang) n_chars value counts are summed into a
+    persisted histogram table; group_quantiles(count_col=) over that
+    table equals the one-shot quantiles of everything streamed —
+    across three availableNow runs from one checkpoint (a 'crash'
+    between every two), version-tagged overwrites making an epoch
+    replay a no-op."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import group_quantiles
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    delta_dir = tmp_path / "len-deltas"
+    delta_dir.mkdir()
+    hist_root = tmp_path / "hist"
+    hist_root.mkdir()
+    ckpt = str(tmp_path / "ckpt-gq")
+
+    def read_hist(before: int):
+        versions = [
+            int(p.name[1:]) for p in hist_root.iterdir()
+            if p.name.startswith("v") and int(p.name[1:]) < before
+        ]
+        if not versions:
+            return spark.createDataFrame(
+                [], "lang STRING, n_chars BIGINT, cnt BIGINT"
+            )
+        return spark.read.parquet(str(hist_root / f"v{max(versions)}"))
+
+    def ingest(batch_df, batch_id):
+        batch_hist = batch_df.groupBy("lang", "n_chars").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        merged = (
+            read_hist(batch_id).unionByName(batch_hist)
+            .groupBy("lang", "n_chars")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(str(hist_root / f"v{batch_id}"))
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"gq-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    qs = [0.25, 0.5, 0.9]
+
+    def rolling():
+        return sorted(map(tuple, group_quantiles(
+            read_hist(10**9), "n_chars", qs, ["lang"], count_col="cnt"
+        ).collect()))
+
+    one_shot = sorted(map(tuple, group_quantiles(
+        docs, "n_chars", qs, ["lang"]
+    ).collect()))
+    assert rolling() == one_shot and one_shot
+
+    # replayed epoch: same version dir rewritten, readout unchanged
+    ingest(batches[2], 2)
+    assert rolling() == one_shot
