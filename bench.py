@@ -112,6 +112,13 @@ EXTRA = [
     # partitioned global cumsum + broadcast rank select) — the
     # distribution readout with a real two-shuffle story
     "q_corpus_quantiles",
+    # round 12: the composed C4 stage (scan-only line/page filter
+    # feeding line dedup's narrow digest shuffle) — tracked like
+    # corpus_curation; the PNG/WAV codec queries are fixture-bounded
+    # mapInPandas with nothing to track at scale (the codecs' scale
+    # lever is balance_media_bytes) and q_c4_line_filter/q_pii_redact
+    # are zero-shuffle scans
+    "q_c4_pipeline",
 ]
 
 
