@@ -590,7 +590,13 @@ def kmv_merge(
     exploded = df.select(
         *groups, *meta, F.explode(sketch_col).alias("_h")
     ).distinct()
-    sketch = F.slice(F.array_sort(F.collect_list("_h")), 1, k)
+    # collect_set, NOT collect_list: the distinct above includes the
+    # meta columns, so the same hash arriving from builds with
+    # DIFFERENT k values (allowed: min(k) >= merge k) survives once
+    # per distinct build k — a collect_list would keep the duplicates
+    # and inflate the estimate (ADVICE r12, high).  The set dedupes
+    # on the hash alone; per-group state stays <= k x shards.
+    sketch = F.slice(F.array_sort(F.collect_set("_h")), 1, k)
     aggs = []
     if has_meta:
         chk = F.assert_true(
@@ -841,7 +847,13 @@ def group_quantiles(
         F.min(F.col("_g") - F.col("_c")).alias("_start"),
         F.sum("_c").alias("n"),
     )
-    cum = g.join(F.broadcast(starts.drop("n")), groups or None, "inner")
+    # ungrouped: the "offsets" table is ONE row — an explicit broadcast
+    # crossJoin, not join(on=None) (which only happens to cross-join
+    # via empty-using-columns resolution; ADVICE r12)
+    if groups:
+        cum = g.join(F.broadcast(starts.drop("n")), groups, "inner")
+    else:
+        cum = g.crossJoin(F.broadcast(starts.drop("n")))
     cum = cum.select(
         *groups,
         F.col(value_col).alias("_v"),
@@ -869,11 +881,13 @@ def group_quantiles(
     in_range = lambda r: (F.col(r) > F.col("_pre")) & (  # noqa: E731
         F.col(r) <= F.col("_cum")
     )
-    joined = cum.join(
-        F.broadcast(targets),
-        on=(groups or None),
-        how="inner",
-    ).filter(in_range("_lo") | in_range("_hi") | in_range("_dr"))
+    if groups:
+        joined = cum.join(F.broadcast(targets), groups, "inner")
+    else:
+        joined = cum.crossJoin(F.broadcast(targets))
+    joined = joined.filter(
+        in_range("_lo") | in_range("_hi") | in_range("_dr")
+    )
     picked = joined.groupBy(*groups, "q").agg(
         F.first("n").alias("n"),
         F.first("_frac").alias("_frac"),

@@ -24,6 +24,7 @@ swap xxhash64 for speed, the topology is unchanged.
 
 from __future__ import annotations
 
+import uuid
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -400,10 +401,7 @@ def append_shingle_index(
     # (a harmless extra dedup on a still-duplicate-free table); the
     # reverse order would leave duplicate rows with the flag UNSET —
     # exactly the silent corruption the flag exists to prevent.
-    spark.sql(
-        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-        f"('firebolt.appended' = '1')"
-    )
+    _stamp_appended(spark, table_name)
     write_bucketed(
         shingle_table(new_docs, text_col, n), table_name, ["sh"],
         num_buckets=int(info["Num Buckets"]), sort_cols=["sh"],
@@ -459,6 +457,26 @@ def _recover_compact(spark, table_name: str) -> None:
                 spark.sql(f"DROP TABLE {leftover}")
 
 
+def _stamp_appended(spark, table_name: str) -> None:
+    """Set ``firebolt.appended`` and a fresh ``firebolt.append_gen``
+    nonce in ONE statement — the gen is what lets a concurrent
+    compaction detect that an append landed after its snapshot read
+    (see :func:`_compact_table`)."""
+    gen = uuid.uuid4().hex
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('firebolt.appended' = '1', 'firebolt.append_gen' = '{gen}')"
+    )
+
+
+def _live_append_gen(spark, table_name: str) -> str:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    return props.get("firebolt.append_gen", "")
+
+
 def _compact_table(
     spark,
     table_name: str,
@@ -466,6 +484,7 @@ def _compact_table(
     bucket_cols: list[str],
     sort_cols: list[str],
     stage_props: dict[str, str],
+    gen_guard: tuple[str, str] | None = None,
 ) -> None:
     """Rewrite one warehouse index table duplicate-free and swap it in
     — the staged-commit protocol of the path-based indexes, restated
@@ -475,7 +494,19 @@ def _compact_table(
     flip together: every crash point leaves either the old table (with
     the flag — consumers keep paying the safe dedup) or the compacted
     one (flag gone — fast path), never duplicate rows presented as
-    clean."""
+    clean.
+
+    ``gen_guard`` = (table holding the flag, its ``firebolt.append_gen``
+    at snapshot time): re-checked immediately before the swap, and the
+    compaction ABORTS (stage dropped, table untouched) if an append's
+    fresh gen landed in between — that append's rows would be absent
+    from the stage while the swap also clears the flag (ADVICE r12).
+    The check is best-effort (a catalog has no transactions; an append
+    in the sub-second window between the re-check and the RENAME still
+    slips through), so compaction retains a SINGLE-WRITER requirement:
+    run it from the same maintenance loop that issues the appends,
+    never concurrently with one. The guard turns a violated contract
+    into a loud abort in all but a vanishing window."""
     from firebolt_spark.functions import write_bucketed
     from firebolt_spark.operators.similarity import _delete_dir
 
@@ -497,6 +528,17 @@ def _compact_table(
     if stage_props:
         kv = ", ".join(f"'{k}' = '{v}'" for k, v in stage_props.items())
         spark.sql(f"ALTER TABLE {stage} SET TBLPROPERTIES ({kv})")
+    if gen_guard is not None:
+        flag_table, snapshot_gen = gen_guard
+        live = _live_append_gen(spark, flag_table)
+        if live != snapshot_gen:
+            spark.sql(f"DROP TABLE {stage}")
+            raise RuntimeError(
+                f"compact aborted: concurrent append detected on "
+                f"{flag_table} (append_gen {snapshot_gen!r} -> {live!r})"
+                f" — compaction requires a single writer; re-run when "
+                f"no append is in flight"
+            )
     old = f"{table_name}_cold"
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table_name}")
@@ -530,6 +572,7 @@ def compact_shingle_index(spark, table_name: str) -> None:
         bucket_cols=["sh"],
         sort_cols=["sh"],
         stage_props={"firebolt.ngram_n": props["firebolt.ngram_n"]},
+        gen_guard=(table_name, props.get("firebolt.append_gen", "")),
     )
 
 
@@ -550,6 +593,7 @@ def compact_minhash_index(spark, table_name: str) -> None:
     props = _minhash_index_props(spark, table_name)
     if props.get("firebolt.appended") != "1":
         return
+    guard = (f"{table_name}_sig", props.get("firebolt.append_gen", ""))
     _compact_table(
         spark,
         f"{table_name}_bands",
@@ -557,6 +601,7 @@ def compact_minhash_index(spark, table_name: str) -> None:
         bucket_cols=["band", "band_hash"],
         sort_cols=["band", "band_hash"],
         stage_props={},
+        gen_guard=guard,
     )
     _compact_table(
         spark,
@@ -568,6 +613,7 @@ def compact_minhash_index(spark, table_name: str) -> None:
             "firebolt.minhash_k": props["firebolt.minhash_k"],
             "firebolt.minhash_bands": props["firebolt.minhash_bands"],
         },
+        gen_guard=guard,
     )
 
 
@@ -926,10 +972,7 @@ def append_minhash_index(new_signatures: DataFrame, table_name: str) -> None:
     # leave duplicate signature rows with the flag unset, silently
     # duplicating match rows; a prematurely-set flag merely costs one
     # harmless dedup on read.
-    spark.sql(
-        f"ALTER TABLE {table_name}_sig SET TBLPROPERTIES "
-        f"('firebolt.appended' = '1')"
-    )
+    _stamp_appended(spark, f"{table_name}_sig")
     write_bucketed(
         new_signatures, f"{table_name}_sig", ["doc_id"],
         num_buckets=buckets_of(f"{table_name}_sig"),

@@ -363,6 +363,7 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
         F.expr(
             "substr(hx, 1, 8) = '52494646'"          # RIFF
             " AND substr(hx, 17, 8) = '57415645'"    # WAVE
+            " AND substr(hx, 25, 8) = '666d7420'"    # 'fmt ' @ offset 12
             " AND substr(hx, 73, 8) = '64617461'"    # data @ offset 36
         ).alias("has_magic"),
         F.expr(nch).cast("int").alias("n_channels"),

@@ -1730,6 +1730,54 @@ def test_compact_shingle_index(spark, sf_dir, wh_table):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compact_aborts_on_concurrent_append(spark, sf_dir, wh_table):
+    """The compaction gen-guard (ADVICE r12): an append landing after
+    the compaction's snapshot read bumps firebolt.append_gen, and the
+    pre-swap re-check ABORTS the swap (stage dropped, flagged table
+    untouched) instead of silently presenting a table missing the
+    appended rows with the flag cleared. The contract stays
+    single-writer; the guard makes a violation loud."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.dedup import (
+        _compact_table, _shingle_index_props, append_shingle_index,
+        build_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    tbl = wh_table("t_sh_race")
+    try:
+        build_shingle_index(docs.limit(40), tbl, num_buckets=4)
+        append_shingle_index(docs.limit(10), tbl)
+        stale_gen = _shingle_index_props(spark, tbl)["firebolt.append_gen"]
+        # a second append lands "mid-compaction" — fresh gen
+        append_shingle_index(docs.limit(5), tbl)
+        before = spark.table(tbl).count()
+        with _pytest.raises(RuntimeError, match="concurrent append"):
+            _compact_table(
+                spark, tbl,
+                dedup_cols=["doc_id", "sh"], bucket_cols=["sh"],
+                sort_cols=["sh"],
+                stage_props={"firebolt.ngram_n": "3"},
+                gen_guard=(tbl, stale_gen),
+            )
+        props = _shingle_index_props(spark, tbl)
+        assert props.get("firebolt.appended") == "1"  # flag intact
+        assert spark.table(tbl).count() == before     # rows intact
+        assert not spark.catalog.tableExists(f"{tbl}_cstage")
+        assert not spark.catalog.tableExists(f"{tbl}_cold")
+        # with the CURRENT gen the compact goes through
+        from firebolt_spark.operators.dedup import compact_shingle_index
+
+        compact_shingle_index(spark, tbl)
+        assert "firebolt.appended" not in _shingle_index_props(spark, tbl)
+    finally:
+        for t in (f"{tbl}_cstage", f"{tbl}_cold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_compact_minhash_index(spark, sf_dir, wh_table):
     """The MinHash twin: both tables rewritten duplicate-free (_bands
     first — the flag on _sig clears last), parameters preserved and
@@ -2304,6 +2352,31 @@ def test_wav_builtin_decode_matches_pandas_decode(spark, sf_dir):
     fake = multimodal.attach_media(docs.limit(3))
     for r in multimodal.wav_decode(fake).collect():
         assert r["n_channels"] is None and r["mean_pcm"] is None
+
+    # fmt-tag refusal parity (ADVICE r12): a payload whose 'fmt ' tag
+    # is corrupted but whose RIFF/WAVE/data magics are intact must be
+    # refused by BOTH decode paths — r12's SQL path skipped the fmt
+    # check and returned non-NULL stats where the pandas path refused
+    import struct as _struct
+
+    from firebolt_spark.operators.multimodal import _wav_decode_py
+
+    body = _struct.pack("<4h", 1, -2, 3, -4)
+    good = (
+        b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    bad = good[:12] + b"junk" + good[16:]
+    assert _wav_decode_py(good) is not None and _wav_decode_py(bad) is None
+    pair = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "doc_id int, media binary",
+    )
+    got = {r["doc_id"]: r for r in multimodal.wav_decode(pair).collect()}
+    assert got[1]["n_channels"] == 2 and got[1]["mean_pcm"] is not None
+    assert got[2]["n_channels"] is None and got[2]["mean_pcm"] is None
 
 
 def test_wav_resample_reference_and_identity(spark, sf_dir):
@@ -3312,6 +3385,16 @@ def test_kmv_merge_validates_parameters(spark):
     legacy = a.select("kmv")
     assert kmv_merge(legacy, "kmv", k=16).collect()[0]["kmv"] == row["kmv"]
 
+    # HETEROGENEOUS build k (explicitly allowed: min build k >= merge
+    # k) must equal the one-shot sketch — r12's distinct included the
+    # (k, salt) meta columns, so a hash present under two build-k
+    # values survived twice and inflated the merged array (ADVICE r12)
+    d64 = kmv_sketch(df, "v", k=64, salt="x")
+    het = kmv_merge(a.unionByName(d64), "kmv", k=32).collect()[0]
+    one_shot = kmv_sketch(df, "v", k=32, salt="x").collect()[0]
+    assert het["kmv"] == one_shot["kmv"]
+    assert len(het["kmv"]) == len(set(het["kmv"]))
+
 
 def test_kmv_estimate_k_col_validation(spark):
     """kmv_estimate(k_col=...) raises when asked to estimate at a k
@@ -3429,9 +3512,18 @@ def test_group_quantiles_semantics(spark):
     with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
         group_quantiles(df, "v", [1.5], ["g"])
 
-    # ungrouped: one global distribution
-    g = group_quantiles(df.filter(F.col("v").isNotNull()), "v", [0.5])
-    assert g.collect()[0]["n"] == 9
+    # ungrouped: one global distribution (group_cols=None exercises
+    # the explicit crossJoin path — ADVICE r12); sorted values are
+    # 1,2,3,4,10,10,30,40,40 (n=9)
+    g = {
+        r["q"]: (r["n"], r["quantile_cont"], r["quantile_disc"])
+        for r in group_quantiles(
+            df.filter(F.col("v").isNotNull()), "v", [0.25, 0.5, 1.0]
+        ).collect()
+    }
+    assert g[0.5] == (9, 10.0, 10)    # h=4 -> v_4
+    assert g[0.25] == (9, 3.0, 3)     # h=2 -> v_2
+    assert g[1.0] == (9, 40.0, 40)
 
 
 def test_snapshot_diff_statuses(spark):
