@@ -351,8 +351,41 @@ def _minhash_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _calibrate() -> dict[str, float]:
-    """Fixed-work host-speed probe, reported with every bench run.
+def _spark_probe(spark) -> float:
+    """Fixed-work SPARK-shaped calibration probe (round 13 — VERDICT
+    r12 Next #3): a tiny synthetic groupBy shuffle at the suite's own
+    parallelism. The r12 window showed why the two process-local
+    probes aren't enough: matmul (BLAS, contention-sensitive even
+    pinned to one thread via cache pressure) ran 3.8x slower while
+    pyloop (single-core Python) was flat — neither resembles what the
+    suite actually does (JVM codegen + 32-way scheduling + shuffle),
+    so neither raw nor matmul-normalized cross-round totals were
+    meaningful. This probe drifts WITH the suite under the confounds
+    that matter (JVM/CPU contention, scheduler), making "suite moved,
+    spark probe didn't -> it's ours" a usable attribution. min-of-3,
+    warm JVM (runs after the suite)."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                (F.col("id") * 31 % 101).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    return round(min(once() for _ in range(3)), 3)
+
+
+def _calibrate(spark=None) -> dict[str, float]:
+    """Fixed-work host-speed probes, reported with every bench run.
 
     Round 5's suite drifted +37% with zero code changes on any benched
     plan; a controlled r6 re-run at loadavg 0.9 reproduced it, so the
@@ -361,6 +394,8 @@ def _calibrate() -> dict[str, float]:
     and a pure-Python loop) make that attribution *measurable*: if
     calibration moves with the suite, the drift is the host's; if the
     suite moves and calibration doesn't, it's ours. (PERF.md round 6.)
+    Round 13 adds the third, Spark-shaped probe (:func:`_spark_probe`)
+    after the two diverged 3.8x vs 1.04x in the r12 window.
     """
     import contextlib
 
@@ -388,7 +423,16 @@ def _calibrate() -> dict[str, float]:
     for i in range(4_000_000):
         s += i * i
     pyloop = time.perf_counter() - t0
-    return {"matmul6x1200_s": round(matmul, 3), "pyloop4m_s": round(pyloop, 3)}
+    out = {
+        "matmul6x1200_s": round(matmul, 3),
+        "pyloop4m_s": round(pyloop, 3),
+    }
+    if spark is not None:
+        try:
+            out["spark_shuffle_s"] = _spark_probe(spark)
+        except Exception:  # pragma: no cover - never kill the bench
+            pass
+    return out
 
 
 def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
@@ -459,6 +503,18 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
 # this host. normalized = wall / (matmul_s / MATMUL_REF_S): "what the
 # suite would have taken in the reference window" (PERF.md round 7).
 MATMUL_REF_S = 0.142
+# per-probe reference values for the three-probe normalization (round
+# 13): matmul/pyloop from the round-6 controlled window above;
+# spark_shuffle from the round-13 paired-measurement window (loadavg
+# 0.7, warm-JVM min-of-3 = 0.472 s — the window that also re-measured
+# q_dedup_incremental, PERF.md round 13). When the probes disagree
+# (r12: matmul 3.8x vs pyloop 1.04x), cite the spark probe — it is
+# the only one shaped like the suite.
+PROBE_REFS = {
+    "matmul6x1200_s": MATMUL_REF_S,
+    "pyloop4m_s": 0.224,
+    "spark_shuffle_s": 0.472,
+}
 
 
 def _shuffle_write_bytes(spark) -> int | None:
@@ -615,7 +671,7 @@ def main() -> None:
         "runs": runs,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
-        "calibration": _calibrate(),
+        "calibration": _calibrate(spark),
         # same 16 queries as round 1 — the round-over-round anchor
         "subtotal_r1_suite": round(
             sum(t for n, t in timings.items() if n in HEADLINE), 3
@@ -640,6 +696,20 @@ def main() -> None:
             "subtotal_r1_suite_s": round(
                 payload["subtotal_r1_suite"] / factor, 3
             ),
+        }
+        # three-probe normalization (round 13): the matmul-only factor
+        # overcorrected 3x in the r12 window (BLAS contention without
+        # host slowdown). Report the suite normalized by EACH probe;
+        # cross-round claims should cite by_probe.spark_shuffle_s and
+        # treat probe disagreement as "raw totals unusable this window"
+        payload["normalized"]["by_probe"] = {
+            probe: {
+                "ref_s": ref,
+                "host_speed_factor": round(v / ref, 3),
+                "suite_s": round(total / (v / ref), 3),
+            }
+            for probe, ref in PROBE_REFS.items()
+            if (v := payload["calibration"].get(probe, 0)) > 0
         }
     try:
         payload["ann_recall"] = _ann_recall(spark, sf_dir)
