@@ -351,6 +351,67 @@ def _minhash_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _ann_compact_demo(spark, sf_dir: str) -> dict[str, float]:
+    """ANN-index compaction lifecycle (round 13 — VERDICT r12 Next #4,
+    the on-disk-index twin of the shingle compaction row): build an IVF
+    index, land 6 staged ingest batches (each leaving >= 1 small file
+    per touched cluster dir + an _ids file), measure the probe before
+    and after compact_ann_index, and record the file-count reclaim.
+    Probe = 8 query ids, warm min-of-2."""
+    import shutil
+
+    from firebolt_spark.operators.similarity import (
+        ann_ivf_topk_from_index, append_ivf_index, build_ivf_index,
+        compact_ann_index, count_index_files,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "spark-warehouse", "_bench_ann_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    base = emb.filter(F.col("vec_id") < int(n * 0.7))
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        build_ivf_index(base, path, n_centroids=16)
+        out["index_build_s"] = round(time.perf_counter() - t0, 3)
+        vec_t = spark.read.parquet(path).schema["embedding"].dataType
+        lo = int(n * 0.7)
+        step = max(1, (n - lo) // 6)
+        for k in range(6):
+            batch = emb.filter(
+                (F.col("vec_id") >= lo + k * step)
+                & (F.col("vec_id") < lo + (k + 1) * step)
+            ).select(
+                "vec_id", F.col("embedding").cast(vec_t).alias("embedding")
+            )
+            append_ivf_index(batch, path, batch_id=k + 1)
+        qids = [int(n * f) for f in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.75, 0.9)]
+
+        def probe() -> float:
+            t0 = time.perf_counter()
+            ann_ivf_topk_from_index(
+                spark, path, query_ids=qids, k=10, n_probe=4
+            ).write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        out["files_before"] = count_index_files(spark, path)
+        out["probe_appended_s"] = round(min(probe() for _ in range(2)), 3)
+        t0 = time.perf_counter()
+        compact_ann_index(spark, path)
+        out["compact_s"] = round(time.perf_counter() - t0, 3)
+        out["files_after"] = count_index_files(spark, path)
+        out["probe_compacted_s"] = round(min(probe() for _ in range(2)), 3)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_cstage", ignore_errors=True)
+        shutil.rmtree(path + "_cold", ignore_errors=True)
+    return out
+
+
 def _spark_probe(spark) -> float:
     """Fixed-work SPARK-shaped calibration probe (round 13 — VERDICT
     r12 Next #3): a tiny synthetic groupBy shuffle at the suite's own
@@ -743,6 +804,10 @@ def main() -> None:
                 sf1["minhash_index_demo"] = _minhash_demo(spark, sf1_dir)
             except Exception as exc:  # pragma: no cover
                 sf1["minhash_index_demo_error"] = str(exc)[:200]
+            try:
+                sf1["ann_compact_demo"] = _ann_compact_demo(spark, sf1_dir)
+            except Exception as exc:  # pragma: no cover
+                sf1["ann_compact_demo_error"] = str(exc)[:200]
             if "normalized" in payload:
                 sf1["normalized_value"] = round(
                     sf1["value"] / payload["normalized"]["host_speed_factor"], 3

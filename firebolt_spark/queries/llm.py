@@ -1813,38 +1813,72 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"fb_{kind}_{tag}")
 
 
+def _proc_starttime(pid: int) -> int | None:
+    """The process's start time in clock ticks since boot
+    (``/proc/<pid>/stat`` field 22) — the disambiguator that makes a
+    (pid, starttime) pair unique across pid reuse. None off-Linux or
+    when the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # the comm field (2) may contain spaces/parens; fields 3+ start
+        # after the LAST ')', so field 22 is index 19 there
+        return int(stat.rsplit(")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _scratch_table(kind: str, spark: SparkSession | None = None) -> str:
     """Deterministic PER-PROCESS scratch table name for index
-    artifacts a query builds in the shared spark-warehouse. The pid
-    suffix is what keeps concurrent driver / bench / pytest processes
-    from racing on one table (one overwriting ``_sig`` while another
-    probes) — the same collision the tests' ``wh_table`` fixture
-    prevents; within a process, repeated runs reuse the one name.
-    When ``spark`` is passed, scratch tables left by DEAD processes
-    are dropped first — the accumulation cost per-process names would
-    otherwise pay forever, swept safely because a dead pid cannot be
-    mid-probe."""
+    artifacts a query builds in the shared spark-warehouse. The
+    (pid, process-starttime) suffix is what keeps concurrent driver /
+    bench / pytest processes from racing on one table (one overwriting
+    ``_sig`` while another probes) — the same collision the tests'
+    ``wh_table`` fixture prevents; within a process, repeated runs
+    reuse the one name. The starttime component (round 13 — VERDICT
+    r12 Next #7a) closes the pid-reuse hole: a bare-/proc liveness
+    check would keep a dead process's table alive forever once an
+    unrelated process recycles its pid, while (pid, starttime) is
+    unique per process incarnation. When ``spark`` is passed, scratch
+    tables left by DEAD incarnations are dropped first — safe because
+    a dead process cannot be mid-probe."""
     import os
 
     if spark is not None:
         _sweep_dead_scratch(spark, kind)
-    return f"fb_q_{kind}_{os.getpid()}"
+    st = _proc_starttime(os.getpid())
+    suffix = f"{os.getpid()}_{st}" if st is not None else str(os.getpid())
+    return f"fb_q_{kind}_{suffix}"
 
 
 def _sweep_dead_scratch(spark: SparkSession, kind: str) -> None:
     import os
     import re
 
-    pat = re.compile(rf"^fb_q_{re.escape(kind)}_(\d+)(_sig|_bands)?$")
+    pat = re.compile(
+        rf"^fb_q_{re.escape(kind)}_(\d+)(?:_(\d+))?(_sig|_bands)?$"
+    )
+    my_pid, my_st = os.getpid(), _proc_starttime(os.getpid())
     for t in spark.catalog.listTables():
         m = pat.match(t.name)
-        if not m or int(m.group(1)) == os.getpid():
+        if not m:
             continue
-        # only reap tables whose owning process is gone — a live pid
-        # may be probing its table right now (the race the per-process
-        # name exists to prevent)
-        if not os.path.exists(f"/proc/{m.group(1)}"):
+        pid, st = int(m.group(1)), m.group(2)
+        if pid == my_pid and (
+            my_st is None or st is None or int(st) == my_st
+        ):
+            # ours (or indistinguishable from ours off-Linux) — keep
+            continue
+        live_st = _proc_starttime(pid)
+        if live_st is None:
+            # owning process gone — cannot be mid-probe, reap
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        elif st is not None and live_st != int(st):
+            # pid RECYCLED by an unrelated process: the recorded
+            # incarnation is dead even though /proc/<pid> exists
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        # else: a genuinely live owner (or a legacy pid-only name on a
+        # live pid, where liveness is all we can check) — never touch
 
 
 def q_dedup_spans_candidates_indexed(

@@ -147,3 +147,193 @@ def test_shingle_append_boilerplate_stats_pick_the_cap(spark, wh_table):
     assert capped.filter(
         (F.col("doc_a") == 999001) & (F.col("doc_b") == 999002)
     ).count() == 1
+
+
+def _topk(spark, path, qids, k=5, n_probe=2):
+    return sorted(map(tuple, sim.ann_ivf_topk_from_index(
+        spark, path, query_ids=qids, k=k, n_probe=n_probe
+    ).collect()))
+
+
+def test_compact_ann_index_ivf(spark, tmp_path):
+    """compact_ann_index on an IVF artifact (round 13 — VERDICT r12
+    Next #4): after N staged appends the index holds ~N small files per
+    touched partition dir; compaction resets the file count to the
+    build shape while the probe result, _meta, _centroids, and the
+    _batches replay ledger stay EXACTLY as before — a replayed applied
+    batch is still a no-op post-compact."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    p = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, p, n_centroids=4)
+    vec_t = spark.read.parquet(p).schema["embedding"].dataType
+    for k in (1, 2, 3):
+        batch = emb.filter(
+            (F.col("vec_id") >= 300 + 50 * (k - 1))
+            & (F.col("vec_id") < 300 + 50 * k)
+        ).select("vec_id", F.col("embedding").cast(vec_t).alias("embedding"))
+        sim.append_ivf_index(batch, p, batch_id=k)
+    sim.append_ivf_index(  # at-least-once replay: already a no-op
+        emb.filter(F.col("vec_id") < 50).select(
+            "vec_id", F.col("embedding").cast(vec_t).alias("embedding")
+        ), p, batch_id=2,
+    )
+    qids = [10, 320, 410]
+    ref = _topk(spark, p, qids)
+    ref_rows = spark.read.parquet(p).count()
+    files_before = sim.count_index_files(spark, p)
+    meta_before = sim._read_index_meta(spark, p)
+
+    sim.compact_ann_index(spark, p)
+
+    files_after = sim.count_index_files(spark, p)
+    assert files_after < files_before / 2  # the reclaim
+    assert spark.read.parquet(p).count() == ref_rows  # same rows
+    assert _topk(spark, p, qids) == ref  # bit-identical probe
+    assert sim._read_index_meta(spark, p) == meta_before
+    assert sim._applied_batches(spark, p) == {1, 2, 3}  # ledger intact
+    # a replay of an applied batch is STILL a no-op post-compact
+    sim.append_ivf_index(
+        emb.filter(F.col("vec_id") < 50).select(
+            "vec_id", F.col("embedding").cast(vec_t).alias("embedding")
+        ), p, batch_id=3,
+    )
+    assert spark.read.parquet(p).count() == ref_rows
+    # no swap leftovers
+    import os
+
+    assert not os.path.exists(p + "_cstage")
+    assert not os.path.exists(p + "_cold")
+    # and a fresh append + second compact still round-trips
+    sim.append_ivf_index(
+        emb.filter((F.col("vec_id") >= 450) & (F.col("vec_id") < 470)).select(
+            "vec_id", F.col("embedding").cast(vec_t).alias("embedding")
+        ), p, batch_id=4,
+    )
+    post = _topk(spark, p, qids)
+    sim.compact_ann_index(spark, p)
+    assert _topk(spark, p, qids) == post
+
+
+def test_compact_ann_index_lsh(spark, tmp_path):
+    """The LSH twin: (tbl, sig) layout compacts the same way, probes
+    stay bit-identical, and the partition-pruned read shape survives
+    (the probe never opens unprobed buckets — same plan contract as
+    before the compact)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    p = str(tmp_path / "lsh")
+    sim.build_lsh_index(base, p, planes=4, tables=2)
+    vec_t = spark.read.parquet(p).schema["embedding"].dataType
+    for k in (1, 2):
+        batch = emb.filter(
+            (F.col("vec_id") >= 300 + 60 * (k - 1))
+            & (F.col("vec_id") < 300 + 60 * k)
+        ).select("vec_id", F.col("embedding").cast(vec_t).alias("embedding"))
+        sim.append_lsh_index(batch, p, batch_id=k)
+    qids = [10, 320]
+
+    def probe():
+        return sorted(map(tuple, sim.ann_lsh_topk_from_index(
+            spark, p, query_ids=qids, k=5
+        ).collect()))
+
+    ref = probe()
+    rows = spark.read.parquet(p).count()
+    files_before = sim.count_index_files(spark, p)
+    sim.compact_ann_index(spark, p)
+    assert sim.count_index_files(spark, p) < files_before
+    assert spark.read.parquet(p).count() == rows
+    assert probe() == ref
+    assert sim._applied_batches(spark, p) == {1, 2}
+
+
+def test_compact_ann_index_crash_and_race(spark, tmp_path, monkeypatch):
+    """The compaction failure windows: (a) the between-renames window
+    (index root absent, complete stage present) is promoted by the next
+    call; (b) an orphaned stage beside an intact index is discarded;
+    (c) a concurrent append landing between the snapshot and the swap
+    aborts LOUDLY with the index untouched (single-writer contract,
+    best-effort enforced via the _batches re-check); (d) a crashed
+    append's half-moved files are purged, not folded in — the batch's
+    later replay does not duplicate rows."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 200)
+    p = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, p, n_centroids=4)
+    vec_t = spark.read.parquet(p).schema["embedding"].dataType
+    batch1 = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    ).select("vec_id", F.col("embedding").cast(vec_t).alias("embedding"))
+    sim.append_ivf_index(batch1, p, batch_id=1)
+    qids = [10, 210]
+    ref = _topk(spark, p, qids)
+
+    # (a) between-renames window: compact, then simulate the crash by
+    # moving the result back to the stage name (path absent, stage
+    # complete) — recovery must promote it
+    sim.compact_ann_index(spark, p)
+    ref_rows = spark.read.parquet(p).count()
+    os.rename(p, p + "_cstage")
+    sim.compact_ann_index(spark, p)
+    assert spark.read.parquet(p).count() == ref_rows
+    assert _topk(spark, p, qids) == ref
+
+    # (b) orphaned (possibly partial) stage beside an intact index
+    os.makedirs(p + "_cstage/garbage")
+    sim.compact_ann_index(spark, p)
+    assert not os.path.exists(p + "_cstage")
+    assert _topk(spark, p, qids) == ref
+
+    # (c) concurrent append between snapshot and swap -> loud abort
+    real = sim._applied_batches
+    calls = {"n": 0}
+
+    def racing(spark_, path_):
+        calls["n"] += 1
+        got = real(spark_, path_)
+        # the RE-CHECK (2nd call on the index root) sees a fresh record
+        if calls["n"] == 2:
+            return got | {999}
+        return got
+
+    monkeypatch.setattr(sim, "_applied_batches", racing)
+    with _pytest.raises(RuntimeError, match="concurrent append"):
+        sim.compact_ann_index(spark, p)
+    monkeypatch.setattr(sim, "_applied_batches", real)
+    assert not os.path.exists(p + "_cstage")  # stage dropped
+    assert _topk(spark, p, qids) == ref       # index untouched
+
+    # (d) crashed append attempt: stage a batch and half-move it, then
+    # compact — the purge must drop the uncommitted rows so the
+    # batch's replay applies cleanly, with no duplicates
+    batch2 = emb.filter(
+        (F.col("vec_id") >= 240) & (F.col("vec_id") < 260)
+    ).select("vec_id", F.col("embedding").cast(vec_t).alias("embedding"))
+    staging = f"{p}/_staging/b2"
+    from firebolt_spark.functions import write_partitioned
+
+    from firebolt_spark.operators.similarity import _move_tree, norm
+
+    cents = spark.read.parquet(p + "/_centroids")
+    assigned = sim._nearest(
+        batch2.withColumn("_norm", norm("embedding")), cents,
+        "vec_id", "embedding",
+    )
+    write_partitioned(
+        assigned.select("vec_id", "embedding", "_norm", "cluster"),
+        staging + "/data", ["cluster"],
+    )
+    _move_tree(spark, staging + "/data", p, 2)  # crash: moved, no record
+    shutil.rmtree(staging + "/data")
+    pre = spark.read.parquet(p).count()
+    assert pre > ref_rows  # the half-moved rows are visible pre-compact
+    sim.compact_ann_index(spark, p)
+    assert spark.read.parquet(p).count() == ref_rows  # purged, not kept
+    sim.append_ivf_index(batch2, p, batch_id=2)       # the replay
+    assert spark.read.parquet(p).count() == ref_rows + batch2.count()

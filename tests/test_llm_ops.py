@@ -1658,17 +1658,35 @@ def test_scratch_table_sweeps_dead_pids_only(spark):
 
     from firebolt_spark.queries.llm import _scratch_table
 
-    dead = "fb_q_minhash_idx_999999_sig"
-    mine = f"fb_q_minhash_idx_{os.getpid()}_sig"
-    spark.range(2).write.mode("overwrite").saveAsTable(dead)
-    spark.range(2).write.mode("overwrite").saveAsTable(mine)
+    from firebolt_spark.queries.llm import _proc_starttime
+
+    my_st = _proc_starttime(os.getpid())
+    assert my_st is not None  # Linux container
+    init_st = _proc_starttime(1)
+    dead = "fb_q_minhash_idx_999999_sig"  # legacy name, pid gone
+    # pid 1 is ALIVE: with its real starttime (or the legacy pid-only
+    # name) the table must survive; with a wrong starttime the pid was
+    # RECYCLED and the table must be reaped (VERDICT r12 Next #7a)
+    live_legacy = "fb_q_minhash_idx_1_sig"
+    live_stamped = f"fb_q_minhash_idx_1_{init_st}_sig"
+    recycled = f"fb_q_minhash_idx_1_{init_st + 7}_sig"
+    # our own pid but a PREVIOUS incarnation's starttime — also reaped
+    prev_self = f"fb_q_minhash_idx_{os.getpid()}_{my_st - 50}_sig"
+    mine = f"fb_q_minhash_idx_{os.getpid()}_{my_st}_sig"
+    all_tables = (dead, live_legacy, live_stamped, recycled, prev_self, mine)
+    for t in all_tables:
+        spark.range(2).write.mode("overwrite").saveAsTable(t)
     try:
         tbl = _scratch_table("minhash_idx", spark)
-        assert tbl == f"fb_q_minhash_idx_{os.getpid()}"
+        assert tbl == f"fb_q_minhash_idx_{os.getpid()}_{my_st}"
         assert not spark.catalog.tableExists(dead)
+        assert not spark.catalog.tableExists(recycled)
+        assert not spark.catalog.tableExists(prev_self)
+        assert spark.catalog.tableExists(live_legacy)
+        assert spark.catalog.tableExists(live_stamped)
         assert spark.catalog.tableExists(mine)
     finally:
-        for t in (dead, mine):
+        for t in all_tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
