@@ -624,6 +624,197 @@ def kmv_merge(
     return exploded.groupBy(*groups).agg(sketch.alias(sketch_col), *aggs)
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    out_col: str = "qsk",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Mergeable bounded-state RANK sketch of ``value_col`` per group
+    (round 13 — VERDICT r12 Next #6): the values of the ``k`` rows
+    whose content-hashed ``id_col`` is smallest, as a sorted
+    ``array<struct<h, v>>`` — a deterministic bottom-k sample (Cohen &
+    Kaplan 2007: a bottom-k sketch under a uniform hash IS a uniform
+    sample without replacement), which makes it the quantile
+    counterpart of :func:`kmv_sketch` with the SAME machinery: O(k)
+    state per group, per-shard sketch rows roll up through
+    :func:`quantile_sketch_merge` to EXACTLY the one-shot sketch
+    (min-k of a union is the min-k of the parts), (k, salt) parameter
+    columns travel with the rows and are enforced at merge, and a SQL
+    oracle replays every bit (md5-prefix hashes, no RNG).
+
+    Why not KLL / t-digest: their compactions are randomized and
+    insertion-order-sensitive, so shard-then-merge is NOT bit-equal to
+    one-shot, no SQL engine can replay them, and a streaming replay
+    changes the sketch. The bottom-k sketch trades a larger ``k`` for
+    determinism: rank error follows the uniform-sampling (DKW) bound
+    ``eps ~ sqrt(ln(2/delta) / (2k))`` — at k=1024 that is ±3.3 points
+    of rank at 99% confidence, ample for corpus profiles; exactness
+    stays :func:`group_quantiles`' job.
+
+    ``id_col`` must be row-unique (the document key): the hash is the
+    sampling lottery ticket, so replayed rows re-draw the same ticket
+    (at-least-once appends are mathematical no-ops) and re-sharding
+    never changes the sample. Values ride as doubles; NULL values are
+    ignored per SQL. A 48-bit hash collision (different ids, one
+    ticket) resolves deterministically to the smaller value.
+
+    Scale shape: one (group, h) distinct-shuffle with map-side
+    partials, then the same two-phase ``fan_in``-bucketed min-k as
+    :func:`kmv_sketch` — no group's sample ever funnels through one
+    task. Read quantiles off the sketch with
+    :func:`quantile_sketch_quantiles` (map-only column expressions)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    groups = list(group_cols or [])
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *groups,
+            _hash48(id_col, salt).alias("_h"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy(*groups, "_h")
+        .agg(F.min("_v").alias("_v"))
+    )
+    local = Window.partitionBy(
+        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
+    ).orderBy("_h")
+    survivors = (
+        h.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return survivors.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_h").alias("h"), F.col("_v").alias("v"))
+                )
+            ),
+            1,
+            k,
+        ).alias(out_col),
+        F.lit(k).alias(f"{out_col}_k"),
+        F.lit(salt).alias(f"{out_col}_salt"),
+    )
+
+
+def quantile_sketch_merge(
+    df: DataFrame,
+    sketch_col: str = "qsk",
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge :func:`quantile_sketch` rows (one per shard / ingest
+    batch) into one sketch per group — union the samples, keep the k
+    smallest tickets. Exactly the one-shot sketch of the union, so
+    per-batch sketch tables stand in for the corpus. State is bounded
+    by ``k x shards-per-group``.
+
+    Same contract enforcement as :func:`kmv_merge` (and the same
+    collect_SET discipline — dedup must ignore the meta columns): all
+    rows must share one salt and carry a build ``k`` >= this ``k``,
+    asserted inside the merge aggregate when the parameter columns are
+    present. A 48-bit ticket collision across shards resolves to the
+    smaller value, matching the build."""
+    groups = list(group_cols or [])
+    kcol, scol = f"{sketch_col}_k", f"{sketch_col}_salt"
+    has_meta = kcol in df.columns and scol in df.columns
+    meta = [F.col(kcol), F.col(scol)] if has_meta else []
+    exploded = df.select(
+        *groups, *meta, F.explode(sketch_col).alias("_s")
+    ).distinct()
+    raw = F.array_sort(F.collect_set("_s"))
+    aggs = []
+    if has_meta:
+        chk = F.assert_true(
+            (F.count_distinct(F.col(scol)) == 1)
+            & (F.min(kcol) >= F.lit(k)),
+            F.concat(
+                F.lit(
+                    "quantile_sketch_merge: incompatible sketch rows — "
+                    "expected one shared salt and every build k >= "
+                ),
+                F.lit(str(k)),
+                F.lit(", got salts="),
+                F.count_distinct(F.col(scol)).cast("string"),
+                F.lit(" min_k="),
+                F.min(kcol).cast("string"),
+            ),
+        )
+        raw = F.when(chk.isNull(), raw)
+        aggs = [F.lit(k).alias(kcol), F.first(scol).alias(scol)]
+    merged = exploded.groupBy(*groups).agg(raw.alias("_raw"), *aggs)
+    arr = F.col("_raw")
+    # collapse ticket collisions to the smaller value (the sort puts it
+    # first): keep element i iff its h differs from element i-1's
+    # (F.get at -1 is NULL -> the predicate is TRUE for element 0)
+    deduped = F.filter(
+        arr, lambda x, i: (i == F.lit(0)) | (F.get(arr, i - 1)["h"] != x["h"])
+    )
+    return merged.select(
+        *groups,
+        F.slice(deduped, 1, k).alias(sketch_col),
+        *([kcol, scol] if has_meta else []),
+    )
+
+
+def quantile_sketch_quantiles(
+    df: DataFrame,
+    qs: list[float],
+    sketch_col: str = "qsk",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile readout of a :func:`quantile_sketch` table: the sample's
+    own order statistics, in DuckDB/SQL-standard semantics so the
+    oracle replays them exactly — ``est_cont`` interpolates at
+    ``h = (n-1) * q`` (PERCENTILE_CONT / quantile_cont, rounded to 6),
+    ``est_disc`` is the order statistic at rank ``max(1, ceil(q*n))``
+    (quantile_disc). Pure column expressions over the sketch rows — a
+    corpus profile reads current quantiles without touching the corpus
+    (zero shuffle, zero scan beyond the sketch table).
+
+    Returns group columns + ``q`` + ``n_sampled`` + ``est_cont`` +
+    ``est_disc``. The estimates carry the sample's DKW rank-error band
+    (see :func:`quantile_sketch`), NOT :func:`group_quantiles`'
+    exactness — use the sketch for rolling profiles, the exact operator
+    for gates."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    groups = list(group_cols or [])
+    vals = F.array_sort(F.transform(F.col(sketch_col), lambda s: s["v"]))
+    base = df.select(
+        *groups,
+        vals.alias("_vals"),
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("_n", F.size("_vals"))
+    hh = (F.col("_n") - 1) * F.col("q")
+    frac = hh - F.floor(hh)
+    v_lo = F.element_at("_vals", (F.floor(hh) + 1).cast("int"))
+    v_hi = F.element_at("_vals", (F.ceil(hh) + 1).cast("int"))
+    cont = F.when(frac == 0, v_lo).otherwise(v_lo + frac * (v_hi - v_lo))
+    disc_rank = F.greatest(
+        F.lit(1), F.ceil(F.col("q") * F.col("_n")).cast("int")
+    )
+    return base.select(
+        *groups,
+        "q",
+        F.col("_n").cast("bigint").alias("n_sampled"),
+        F.round(cont, 6).alias("est_cont"),
+        F.element_at("_vals", disc_rank).alias("est_disc"),
+    )
+
+
 def _payload_digest(payload_cols: list[str]) -> Column:
     """Engine-portable digest of the payload columns: md5 over the
     values joined with ``\\x01``, NULLs as the ``\\x00`` sentinel (a

@@ -2827,6 +2827,60 @@ Q_CORPUS_QUANTILES_SQL = f"""
 """
 
 
+_QSK_K = 64
+_QSK_QS = [0.25, 0.5, 0.9]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-state quantile sketch readout (round 13 —
+    VERDICT r12 Next #6): per-language n_chars quantile ESTIMATES off
+    functions.quantile_sketch, the deterministic bottom-k rank sample
+    that is the streaming/rollup counterpart of the exact
+    q_corpus_quantiles. The build is shard-merge-exact and
+    content-hashed (no RNG), so DuckDB replays the whole path — the
+    md5-prefix sampling lottery, the min-v collision rule, the k
+    smallest tickets, and the sample's quantile_cont / quantile_disc
+    readout — bit-for-bit."""
+    from firebolt_spark.functions import (
+        quantile_sketch, quantile_sketch_quantiles,
+    )
+
+    sk = quantile_sketch(
+        _documents(spark, sf_dir), "n_chars", "doc_id",
+        k=_QSK_K, group_cols=["lang"], salt="qs",
+    )
+    return quantile_sketch_quantiles(
+        sk, _QSK_QS, group_cols=["lang"]
+    ).orderBy("lang", "q")
+
+
+Q_QUANTILE_SKETCH_SQL = f"""
+    WITH h AS (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#qs'),
+                               1, 12))::BIGINT AS h,
+               CAST(n_chars AS DOUBLE) AS v
+        FROM documents
+        WHERE n_chars IS NOT NULL),
+    hd AS (SELECT lang, h, min(v) AS v FROM h GROUP BY lang, h),
+    k AS (SELECT lang, h, v FROM hd
+          QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h)
+                  <= {_QSK_K}),
+    agg AS (
+        SELECT lang, count(*) AS n_sampled,
+               quantile_cont(v, {_QSK_QS}) AS qc,
+               quantile_disc(v, {_QSK_QS}) AS qd
+        FROM k GROUP BY lang)
+    SELECT lang,
+           unnest({_QSK_QS}::DOUBLE[]) AS q,
+           n_sampled,
+           round(unnest(qc), 6) AS est_cont,
+           unnest(qd) AS est_disc
+    FROM agg
+    ORDER BY lang, q
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -3046,6 +3100,7 @@ QUERIES = {
     "q_interleave_strata": q_interleave_strata,
     "q_corpus_profile": q_corpus_profile,
     "q_corpus_quantiles": q_corpus_quantiles,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3109,6 +3164,7 @@ ORACLE = {
     "q_interleave_strata": Q_INTERLEAVE_STRATA_SQL,
     "q_corpus_profile": Q_CORPUS_PROFILE_SQL,
     "q_corpus_quantiles": Q_CORPUS_QUANTILES_SQL,
+    "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,

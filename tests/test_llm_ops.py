@@ -3723,3 +3723,139 @@ def test_interleave_strata_node(spark):
     assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
     with _pytest.raises(ValueError):
         InterleaveStrataNode({})
+
+
+def test_quantile_sketch_merge_equals_one_shot(spark):
+    """The bottom-k rank sketch's mergeability contract (round 13 —
+    VERDICT r12 Next #6): sketch each shard, merge the shard sketches,
+    and the result is BIT-IDENTICAL to the one-shot sketch — including
+    across fan_in choices and HETEROGENEOUS build k (min build k >=
+    merge k), the case the r12 kmv_merge bug taught us to pin."""
+    from firebolt_spark.functions import quantile_sketch, quantile_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], float(i * 7 % 101)) for i in range(400)],
+        "doc_id BIGINT, lang STRING, score DOUBLE",
+    )
+    whole = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch(
+            df, "score", "doc_id", k=32, group_cols=["lang"], salt="m"
+        ).collect()
+    }
+    shards = [
+        quantile_sketch(
+            df.filter(F.col("doc_id") % 3 == s),
+            "score", "doc_id", k=32, group_cols=["lang"], salt="m",
+            fan_in=1 + s,
+        )
+        for s in range(3)
+    ]
+    stacked = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch_merge(
+            stacked, "qsk", k=32, group_cols=["lang"]
+        ).collect()
+    }
+    assert merged == whole
+
+    # heterogeneous build k: a k=64 part merged with a k=32 part at
+    # merge k=32 equals the one-shot k=32 sketch, no duplicate tickets
+    wide = quantile_sketch(
+        df, "score", "doc_id", k=64, group_cols=["lang"], salt="m"
+    )
+    het = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch_merge(
+            stacked.unionByName(wide), "qsk", k=32, group_cols=["lang"]
+        ).collect()
+    }
+    assert het == whole
+    for arr in het.values():
+        hs = [s["h"] for s in arr]
+        assert hs == sorted(hs) and len(hs) == len(set(hs))
+
+
+def test_quantile_sketch_merge_validates_and_dedupes_collisions(spark):
+    """quantile_sketch_merge enforces the (salt, k) compatibility
+    contract inside the merge aggregate (mixed salts or a build k
+    below the merge k fail the job), merges legacy rows without the
+    parameter columns, and resolves a 48-bit ticket collision across
+    shards to the SMALLER value — the build-side rule."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import quantile_sketch, quantile_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id BIGINT, v DOUBLE"
+    )
+    a = quantile_sketch(df, "v", "doc_id", k=32, salt="x")
+    assert set(a.columns) == {"qsk", "qsk_k", "qsk_salt"}
+    b = quantile_sketch(df, "v", "doc_id", k=32, salt="y")
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        quantile_sketch_merge(a.unionByName(b), "qsk", k=32).collect()
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        quantile_sketch_merge(a, "qsk", k=64).collect()
+
+    out = quantile_sketch_merge(a, "qsk", k=16).collect()[0]
+    assert len(out["qsk"]) == 16
+    assert out["qsk_k"] == 16 and out["qsk_salt"] == "x"
+    legacy = a.select("qsk")
+    assert (
+        quantile_sketch_merge(legacy, "qsk", k=16).collect()[0]["qsk"]
+        == out["qsk"]
+    )
+
+    # forced ticket collision: two shard rows share h=5 with different
+    # values — the merged sketch keeps (5, 1.0), not both
+    ddl = "qsk ARRAY<STRUCT<h: BIGINT, v: DOUBLE>>"
+    s1 = spark.createDataFrame([([(5, 1.0), (9, 3.0)],)], ddl)
+    s2 = spark.createDataFrame([([(5, 2.0), (7, 4.0)],)], ddl)
+    got = quantile_sketch_merge(
+        s1.unionByName(s2), "qsk", k=8
+    ).collect()[0]["qsk"]
+    assert [(s["h"], s["v"]) for s in got] == [(5, 1.0), (7, 4.0), (9, 3.0)]
+
+
+def test_quantile_sketch_rank_error_within_dkw_bound(spark):
+    """The sketch's accuracy contract: estimated quantiles land within
+    the uniform-sampling DKW rank-error band eps = sqrt(ln(2/d)/(2k))
+    (d = 0.01) of the true rank, across shaped distributions (uniform,
+    quadratic-skew, heavy-duplicate) and salts. Deterministic: content
+    hashes, no RNG, so the draw is fixed per (salt, ids) and the
+    assertion is stable."""
+    import math
+
+    from firebolt_spark.functions import quantile_sketch, quantile_sketch_quantiles
+
+    n, k = 4000, 256
+    eps = math.sqrt(math.log(2 / 0.01) / (2 * k))  # ~0.102 at k=256
+    dists = {
+        "uniform": [float(i) for i in range(n)],
+        "quadratic": [float(i * i) for i in range(n)],
+        "dupheavy": [float(min(i % 97, 5)) for i in range(n)],
+    }
+    for name, values in dists.items():
+        ordered = sorted(values)
+        for salt in ("a", "b"):
+            df = spark.createDataFrame(
+                list(enumerate(values)), "doc_id BIGINT, v DOUBLE"
+            )
+            sk = quantile_sketch(df, "v", "doc_id", k=k, salt=salt)
+            est = {
+                r["q"]: r["est_disc"]
+                for r in quantile_sketch_quantiles(
+                    sk, [0.1, 0.25, 0.5, 0.75, 0.9]
+                ).collect()
+            }
+            for q, v in est.items():
+                # realized rank band of the estimate in the TRUE data
+                lo_rank = next(
+                    i for i, x in enumerate(ordered) if x >= v
+                ) / n
+                hi_rank = sum(1 for x in ordered if x <= v) / n
+                assert lo_rank - eps <= q <= hi_rank + eps, (
+                    f"{name}/{salt}: q={q} estimate {v} has true rank "
+                    f"[{lo_rank:.3f}, {hi_rank:.3f}], outside ±{eps:.3f}"
+                )

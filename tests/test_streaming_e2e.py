@@ -1377,3 +1377,81 @@ def test_streaming_c4_pipeline_with_crash_restarts(spark, tmp_path):
     # last availableNow query with no new delta forms no batch
     run_one_delta([])
     assert spark.read.parquet(out_dir).count() == 6
+
+
+def test_streaming_quantile_sketch_maintenance(spark, tmp_path):
+    """quantile_sketch inside the streaming ingest loop (round 13 —
+    VERDICT r12 Next #6, the rank twin of the KMV drill above): each
+    micro-batch appends its per-language sketch ROWS to a sketch
+    table; quantile_sketch_merge over the table equals the one-shot
+    sketch of everything streamed BIT-IDENTICALLY, and the quantile
+    readout runs off the merged sketch without touching the corpus.
+    Replays are mathematical no-ops (the merge unions distinct
+    tickets), asserted by re-appending a batch's sketch."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import (
+        quantile_sketch, quantile_sketch_merge, quantile_sketch_quantiles,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    delta_dir = tmp_path / "qsk-deltas"
+    delta_dir.mkdir()
+    sketch_dir = str(tmp_path / "qsk-sketches")
+    ckpt = str(tmp_path / "ckpt-qsk")
+
+    def ingest(batch_df, batch_id):
+        quantile_sketch(
+            batch_df, "n_chars", "doc_id", k=32, group_cols=["lang"],
+            salt="st",
+        ).write.mode("append").parquet(sketch_dir)
+
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"qsk-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    def rollup():
+        return quantile_sketch_merge(
+            spark.read.parquet(sketch_dir), "qsk", k=32,
+            group_cols=["lang"],
+        )
+
+    one_shot = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch(
+            docs, "n_chars", "doc_id", k=32, group_cols=["lang"], salt="st"
+        ).collect()
+    }
+    merged = {r["lang"]: r["qsk"] for r in rollup().collect()}
+    assert merged == one_shot and one_shot
+
+    # the readout runs off the MERGED sketch rows alone (no corpus
+    # scan) and matches the one-shot sketch's readout exactly
+    readout = sorted(map(tuple, quantile_sketch_quantiles(
+        rollup(), [0.25, 0.5, 0.9], group_cols=["lang"]
+    ).collect()))
+    one_shot_readout = sorted(map(tuple, quantile_sketch_quantiles(
+        quantile_sketch(
+            docs, "n_chars", "doc_id", k=32, group_cols=["lang"], salt="st"
+        ),
+        [0.25, 0.5, 0.9], group_cols=["lang"],
+    ).collect()))
+    assert readout == one_shot_readout
+
+    # at-least-once is free: replay one batch's sketch append
+    quantile_sketch(
+        batches[1], "n_chars", "doc_id", k=32, group_cols=["lang"],
+        salt="st",
+    ).write.mode("append").parquet(sketch_dir)
+    assert {r["lang"]: r["qsk"] for r in rollup().collect()} == one_shot
