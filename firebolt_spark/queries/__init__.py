@@ -16,93 +16,93 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-12 first-50 rotation (standing VERDICT discipline).
-# Slots 1-19: the NINETEEN queries whose latest driver row is r9 —
-# two rounds stale, the staleness ceiling; VERDICT r11 Next #1 orders
-# them to LEAD this round's check. None changed code in r12.
-# Slots 20-26: the seven round-12 NEW queries (real PNG decode, real
-# 16-bit PCM WAV decode, the NN audio resample, exact per-group
-# quantiles, C4-style line filtering, PII redaction, the composed C4
-# filter->line-dedup pipeline) — zero driver rows.
-# Slots 27-33: the seven queries whose OPERATOR CODE changed in r12
-# (scratch-table names + the flag-first append ordering + compaction
-# machinery in dedup.py touch both indexed paths and the in-memory
-# incremental; kmv_sketch now emits (k, salt) parameter columns ->
-# q_distinct_sketch/q_corpus_profile; frequent_items gained
-# pre_counted; resize_media gained the PNG dispatch).
-# Slots 34-50: seventeen of the 48 r10-latest queries, prioritized by
-# "operator lives in a file touched this round" (dedup/functions/
-# text/similarity adjacency), then reference-parity rows, then the
-# heaviest TPC-H shapes. The THIRTY-ONE spilled r10 rows —
-# q_tpch10_returned_items, q_tpch7_nation_volume, q_tpch5_local_supplier,
-# q_agg_cube, q_agg_distinct, q_agg_grouping_sets, q_agg_rollup,
-# q_date_functions, q_having, q_join_anti, q_join_left_counts,
-# q_join_semi, q_percentiles, q_pivot, q_regexp_functions,
-# q_sample_by_source, q_scalar_functions, q_setops,
-# q_similarity_ann_ivf, q_similarity_bruteforce,
-# q_subquery_above_avg, q_topk_orders, q_tpch14_promo_share,
-# q_tpch15_top_supplier, q_tpch17_small_qty_revenue,
-# q_tpch4_order_priority, q_tpch6_revenue_forecast, q_window_leadlag,
-# q_window_rank, q_window_running_total, q_window_tumbling — are all
-# relational/similarity queries UNCHANGED since r10 or earlier, were
-# re-verified locally this round by the full-registry sf0.01 and sf1
-# sweeps (see ROADMAP round 12), and MUST LEAD the r13 rotation.
+# Round-13 first-50 rotation (standing VERDICT discipline).
+# Slots 1-31: the THIRTY-ONE queries whose latest driver row is r10 —
+# two rounds stale, the staleness ceiling; VERDICT r12 Next #1 names
+# them and orders them to LEAD. None changed code in r13.
+# Slot 32: the round-13 NEW query (the mergeable bottom-k quantile
+# sketch) — zero driver rows.
+# Slots 33-39: the seven queries whose OPERATOR CODE changed in r13
+# (kmv_merge's collect_set dedup fix -> q_distinct_sketch /
+# q_corpus_profile; group_quantiles' explicit ungrouped crossJoin ->
+# q_corpus_quantiles; wav_decode's fmt-magic parity -> q_multimodal_wav
+# / q_multimodal_resample; the dedup append gen-stamp + scratch-table
+# (pid, starttime) naming -> q_dedup_incremental_indexed /
+# q_dedup_ngram_jaccard_indexed).
+# Slots 40-50: eleven of the 43 r11-latest rows, prioritized by
+# touched-file adjacency (functions/__init__.py sampling + snapshot
+# family, dedup.py line/ngram/span paths, similarity.py semantic).
+# The THIRTY-TWO spilled r11 rows — q_anomaly_scores,
+# q_array_functions, q_asof_join, q_classifier_score,
+# q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,
+# q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
+# q_quality_selection, q_range_join, q_s2_scan, q_s3_lag_cap,
+# q_s4_recovery_scan, q_s5_interval_merge, q_tpch11_important_parts,
+# q_tpch12_late_priority, q_tpch13_order_distribution,
+# q_tpch16_supplier_variety, q_tpch19_bracket_revenue,
+# q_tpch20_promo_suppliers, q_tpch21_waiting_suppliers,
+# q_tpch22_idle_balance, q_tpch2_min_cost_supplier,
+# q_tpch3_shipping_priority, q_tpch8_market_share,
+# q_tpch9_product_profit, q_x1_fanout, q_x2_tree_fanout — are
+# relational/parity/llm queries UNCHANGED since r11, were re-verified
+# locally this round by the full-registry sf0.01 sweep (see ROADMAP
+# round 13), and MUST LEAD the r14 rotation.
 # Names absent from this list keep their module order after it.
 _PRIORITY = [
-    # r9-latest (two rounds stale) — VERDICT r11 Next #1 leads
-    "q_grouped_collect",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_text_normalize",
-    "q_text_stats",
-    "q_text_langid",
-    "q_tpch1_pricing_summary",
-    "q_similarity_ann_lsh",
-    "q_text_token_counts",
-    "q_text_fingerprint",
-    "q_text_chunks",
-    "q_profile_events",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_temperature_mix",
-    "q_hash_split",
-    "q_dedup_spans",
-    "q_topic_clusters",
-    # NEW in round 12 — never driver-checked
-    "q_multimodal_png",
-    "q_corpus_quantiles",
-    "q_c4_line_filter",
-    "q_pii_redact",
-    "q_c4_pipeline",
-    "q_multimodal_wav",
-    "q_multimodal_resample",
-    # operator code changed in round 12
-    "q_dedup_incremental_indexed",
-    "q_dedup_ngram_jaccard_indexed",
-    "q_dedup_incremental",
+    # r10-latest (two rounds stale) — VERDICT r12 Next #1 leads
+    "q_tpch10_returned_items",
+    "q_tpch7_nation_volume",
+    "q_tpch5_local_supplier",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_rollup",
+    "q_date_functions",
+    "q_having",
+    "q_join_anti",
+    "q_join_left_counts",
+    "q_join_semi",
+    "q_percentiles",
+    "q_pivot",
+    "q_regexp_functions",
+    "q_sample_by_source",
+    "q_scalar_functions",
+    "q_setops",
+    "q_similarity_ann_ivf",
+    "q_similarity_bruteforce",
+    "q_subquery_above_avg",
+    "q_topk_orders",
+    "q_tpch14_promo_share",
+    "q_tpch15_top_supplier",
+    "q_tpch17_small_qty_revenue",
+    "q_tpch4_order_priority",
+    "q_tpch6_revenue_forecast",
+    "q_window_leadlag",
+    "q_window_rank",
+    "q_window_running_total",
+    "q_window_tumbling",
+    # NEW in round 13 — never driver-checked
+    "q_quantile_sketch",
+    # operator code changed in round 13
     "q_distinct_sketch",
     "q_corpus_profile",
-    "q_frequent_items",
-    "q_multimodal_resize",
-    # r10-latest, touched-file adjacency first
-    "q_dedup_clusters",
-    "q_dedup_minhash",
-    "q_dedup_spans_overlap",
-    "q_decontaminate",
-    "q_winnow_fingerprints",
-    "q_dedup_embedding",
-    "q_corpus_curation",
-    "q_lm_quality",
-    "q_text_repetition",
-    "q_shard_packing",
-    "q_skew_salted_join",
-    "q_embedding_quantize",
-    "q_session_window",
-    "q_k2_index_request",
-    "q_p7_docid",
-    "q_s6_compaction",
-    "q_tpch18_large_orders",
+    "q_corpus_quantiles",
+    "q_multimodal_wav",
+    "q_multimodal_resample",
+    "q_dedup_incremental_indexed",
+    "q_dedup_ngram_jaccard_indexed",
+    # r11-latest, touched-file adjacency
+    "q_snapshot_diff",
+    "q_stratified_sample",
+    "q_token_budget_mix",
+    "q_interleave_strata",
+    "q_weighted_sample",
+    "q_dedup_lines",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_spans_candidates_indexed",
+    "q_dedup_spans_candidates",
+    "q_dedup_semantic",
+    "q_importance_weights",
 ]
 
 

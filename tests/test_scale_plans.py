@@ -1436,3 +1436,26 @@ def test_corpus_profile_composition_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_quantile_sketch_two_phase_min_k_plan(spark):
+    """quantile_sketch (round 13): the bottom-k sample never funnels a
+    group through one task — the (group, h) dedup partial-aggregates
+    map-side, the min-k window partitions by (group, hash-bucket) with
+    the rank limit pushed below the shuffle (the kmv_sketch shape), and
+    the readout off the sketch adds NO further shuffle (pure column
+    expressions over the sketch rows)."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_quantile_sketch(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan  # map-side combine on the (g, h) dedup
+    assert "WindowGroupLimit" in plan  # rank limit below the shuffle
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("lang" in ln and "_w0" in ln for ln in exchanges), (
+        "the min-k window must partition by (lang, fan-in bucket)"
+    )
