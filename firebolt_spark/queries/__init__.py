@@ -20,22 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 # Slots 1-31: the THIRTY-ONE queries whose latest driver row is r10 —
 # two rounds stale, the staleness ceiling; VERDICT r12 Next #1 names
 # them and orders them to LEAD. None changed code in r13.
-# Slot 32: the round-13 NEW query (the mergeable bottom-k quantile
-# sketch) — zero driver rows.
-# Slots 33-39: the seven queries whose OPERATOR CODE changed in r13
+# Slots 32-33: the round-13 NEW queries (the mergeable bottom-k
+# quantile sketch; incremental line-level dedup against the persisted
+# line-digest ledger) — zero driver rows.
+# Slots 34-40: the seven queries whose OPERATOR CODE changed in r13
 # (kmv_merge's collect_set dedup fix -> q_distinct_sketch /
 # q_corpus_profile; group_quantiles' explicit ungrouped crossJoin ->
 # q_corpus_quantiles; wav_decode's fmt-magic parity -> q_multimodal_wav
 # / q_multimodal_resample; the dedup append gen-stamp + scratch-table
 # (pid, starttime) naming -> q_dedup_incremental_indexed /
 # q_dedup_ngram_jaccard_indexed).
-# Slots 40-50: eleven of the 43 r11-latest rows, prioritized by
+# Slots 41-50: ten of the 43 r11-latest rows, prioritized by
 # touched-file adjacency (functions/__init__.py sampling + snapshot
 # family, dedup.py line/ngram/span paths, similarity.py semantic).
-# The THIRTY-TWO spilled r11 rows — q_anomaly_scores,
+# The THIRTY-THREE spilled r11 rows — q_anomaly_scores,
 # q_array_functions, q_asof_join, q_classifier_score,
 # q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,
-# q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
+# q_importance_weights, q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
 # q_quality_selection, q_range_join, q_s2_scan, q_s3_lag_cap,
 # q_s4_recovery_scan, q_s5_interval_merge, q_tpch11_important_parts,
 # q_tpch12_late_priority, q_tpch13_order_distribution,
@@ -83,6 +84,7 @@ _PRIORITY = [
     "q_window_tumbling",
     # NEW in round 13 — never driver-checked
     "q_quantile_sketch",
+    "q_dedup_lines_incremental",
     # operator code changed in round 13
     "q_distinct_sketch",
     "q_corpus_profile",
@@ -102,7 +104,6 @@ _PRIORITY = [
     "q_dedup_spans_candidates_indexed",
     "q_dedup_spans_candidates",
     "q_dedup_semantic",
-    "q_importance_weights",
 ]
 
 

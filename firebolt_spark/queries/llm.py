@@ -1695,6 +1695,67 @@ Q_DEDUP_LINES_SQL = """
 """
 
 
+def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line-level dedup (round 13): a new ingest batch
+    (first 50 docs relabeled) is scrubbed against the corpus's
+    persisted line-digest ledger via dedup.incremental_dedup_lines —
+    the ingest-loop face of q_dedup_lines, exactly as
+    q_dedup_incremental is for MinHash signatures. The ledger is built
+    through the operator's own public path (an empty-index run's
+    new_digests output — what a maintenance loop accumulates). Since
+    the batch is an exact relabeled copy, every dedupable line is
+    already in the ledger and only sub-min_chars structure lines
+    survive; the oracle replays ledger → anti-join → within-batch
+    keep-first → rebuild byte-for-byte."""
+    docs = _documents(spark, sf_dir)
+    _, ledger = dedup.incremental_dedup_lines(docs)
+    new_docs = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    deduped, _new_digests = dedup.incremental_dedup_lines(new_docs, ledger)
+    return deduped.orderBy("doc_id")
+
+
+Q_DEDUP_LINES_INCREMENTAL_SQL = """
+    WITH base AS (
+        SELECT doc_id + 2000000 AS doc_id,
+               string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents WHERE doc_id < 50),
+    idx AS (
+        SELECT DISTINCT md5(line) AS digest FROM (
+            SELECT unnest(string_split(coalesce(text, ''), chr(10))) AS line
+            FROM documents) t
+        WHERE length(trim(line)) >= 1),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(0, len(ls))) AS pos,
+               unnest(ls) AS line
+        FROM base),
+    fresh AS (
+        SELECT doc_id, pos, line FROM lines
+        WHERE length(trim(line)) >= 1
+          AND md5(line) NOT IN (SELECT digest FROM idx)),
+    keep AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos) AS rk
+            FROM fresh)
+        WHERE rk = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM lines WHERE length(trim(line)) < 1),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM keep GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.ls) AS INT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 _WINNOW_W = 4  # winnowing window (grams per min-selection)
 
 
@@ -3083,6 +3144,7 @@ QUERIES = {
     "q_hash_split": q_hash_split,
     "q_dedup_spans": q_dedup_spans,
     "q_dedup_lines": q_dedup_lines,
+    "q_dedup_lines_incremental": q_dedup_lines_incremental,
     "q_dedup_spans_overlap": q_dedup_spans_overlap,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_dedup_spans_candidates": q_dedup_spans_candidates,
@@ -3147,6 +3209,7 @@ ORACLE = {
     "q_hash_split": _hash_split_sql(),
     "q_dedup_spans": Q_DEDUP_SPANS_SQL,
     "q_dedup_lines": Q_DEDUP_LINES_SQL,
+    "q_dedup_lines_incremental": Q_DEDUP_LINES_INCREMENTAL_SQL,
     "q_dedup_spans_overlap": Q_DEDUP_SPANS_OVERLAP_SQL,
     "q_winnow_fingerprints": Q_WINNOW_FINGERPRINTS_SQL,
     "q_dedup_spans_candidates": Q_DEDUP_SPANS_CANDIDATES_SQL,
