@@ -407,6 +407,9 @@ def append_shingle_index(
         num_buckets=int(info["Num Buckets"]), sort_cols=["sh"],
         mode="append",
     )
+    # gen-last: make this append visible to a compaction that
+    # snapshotted while the write above was running
+    _stamp_appended(spark, table_name)
 
 
 def _shingle_index_props(spark, table_name: str) -> dict:
@@ -461,7 +464,12 @@ def _stamp_appended(spark, table_name: str) -> None:
     """Set ``firebolt.appended`` and a fresh ``firebolt.append_gen``
     nonce in ONE statement — the gen is what lets a concurrent
     compaction detect that an append landed after its snapshot read
-    (see :func:`_compact_table`)."""
+    (see :func:`_compact_table`). Appends stamp TWICE — flag-first
+    before the write (crash safety: duplicates never hide behind an
+    unset flag) and again after it (guard coverage: a compaction that
+    snapshotted mid-write sees the gen change at its pre-swap
+    re-check; with only the pre-write stamp, the whole write duration
+    — minutes at scale — would be an undetectable window)."""
     gen = uuid.uuid4().hex
     spark.sql(
         f"ALTER TABLE {table_name} SET TBLPROPERTIES "
@@ -501,12 +509,15 @@ def _compact_table(
     compaction ABORTS (stage dropped, table untouched) if an append's
     fresh gen landed in between — that append's rows would be absent
     from the stage while the swap also clears the flag (ADVICE r12).
-    The check is best-effort (a catalog has no transactions; an append
-    in the sub-second window between the re-check and the RENAME still
-    slips through), so compaction retains a SINGLE-WRITER requirement:
-    run it from the same maintenance loop that issues the appends,
-    never concurrently with one. The guard turns a violated contract
-    into a loud abort in all but a vanishing window."""
+    The check is best-effort: it detects appends that COMPLETE (their
+    gen-last re-stamp, see :func:`_stamp_appended`) before the
+    re-check; an append still mid-write at the re-check, or landing in
+    the instants between re-check and RENAME, is not detected — a
+    catalog has no transactions. Compaction therefore retains a
+    SINGLE-WRITER requirement: run it from the same maintenance loop
+    that issues the appends, never concurrently with one. The guard
+    turns completed-append violations into loud aborts; it does not
+    replace the contract."""
     from firebolt_spark.functions import write_bucketed
     from firebolt_spark.operators.similarity import _delete_dir
 
@@ -984,6 +995,9 @@ def append_minhash_index(new_signatures: DataFrame, table_name: str) -> None:
         num_buckets=buckets_of(f"{table_name}_bands"),
         sort_cols=["band", "band_hash"], mode="append",
     )
+    # gen-last: make this append visible to a compaction that
+    # snapshotted while either write above was running
+    _stamp_appended(spark, f"{table_name}_sig")
 
 
 def _minhash_index_props(spark, table_name: str) -> dict:

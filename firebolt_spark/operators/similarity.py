@@ -743,10 +743,14 @@ def compact_ann_index(
     SINGLE-WRITER requirement, same as the warehouse compaction: run
     from the maintenance loop that issues the appends, never
     concurrently with one. Best-effort enforcement: the applied-batch
-    set is re-read immediately before the swap and a concurrent
-    append's fresh record aborts the compaction loudly (stage dropped,
-    index untouched); an append in the sub-second window after the
-    re-check still requires the contract.
+    set is re-read immediately before the swap, so an append that
+    COMMITS while the compaction runs aborts it loudly (stage dropped,
+    main tree intact). The guard cannot cover everything the contract
+    does: an append whose files are staged-but-uncommitted at entry is
+    indistinguishable from a crashed attempt and gets purged (its
+    replay then re-applies it cleanly — but only because under the
+    contract any staging found here IS a crash), and an append still
+    mid-write at the swap loses the race entirely.
 
     ``max_records_per_file`` bounds file size under skewed partitions
     (one hot cluster still splits into parallel scan tasks)."""
@@ -761,13 +765,21 @@ def compact_ann_index(
         )
     part_cols = ["tbl", "sig"] if "planes" in meta else ["cluster"]
     id_col = meta["id_col"]
-    # purge crashed append attempts before snapshotting the data: their
-    # half-moved files are UNCOMMITTED rows (the batch will replay)
+    # resolve leftover staging dirs before snapshotting the data. Two
+    # distinct crash shapes live here: a batch that died BEFORE its
+    # _batches record left half-moved UNCOMMITTED files (purge them —
+    # the batch will replay, exactly as its own replay would first
+    # purge), while a batch that died AFTER the record but before its
+    # staging cleanup is COMMITTED — its b{id}-* files are live index
+    # rows and its replay is a no-op, so purging them would lose the
+    # batch permanently; only the stale staging dir is dropped
+    # (mirroring append_*_index's early-return path).
+    committed = _applied_batches(spark, path)
     fs, sroot, _ = _hadoop_fs(spark, path + "/_staging")
     if fs.exists(sroot):
         for st in fs.listStatus(sroot):
             name = st.getPath().getName()
-            if name.startswith("b"):
+            if name.startswith("b") and int(name[1:]) not in committed:
                 _purge_batch_files(spark, path, int(name[1:]))
         _delete_dir(spark, path + "/_staging")
     applied = _applied_batches(spark, path)

@@ -336,4 +336,23 @@ def test_compact_ann_index_crash_and_race(spark, tmp_path, monkeypatch):
     sim.compact_ann_index(spark, p)
     assert spark.read.parquet(p).count() == ref_rows  # purged, not kept
     sim.append_ivf_index(batch2, p, batch_id=2)       # the replay
-    assert spark.read.parquet(p).count() == ref_rows + batch2.count()
+    rows_with_b2 = ref_rows + batch2.count()
+    assert spark.read.parquet(p).count() == rows_with_b2
+
+    # (e) a COMMITTED batch that crashed AFTER its _batches record but
+    # before its staging cleanup: the leftover staging dir must NOT
+    # get the batch's live rows purged (its replay is a no-op — the
+    # rows would be lost forever); only the stale staging dir goes
+    batch3 = emb.filter(
+        (F.col("vec_id") >= 260) & (F.col("vec_id") < 275)
+    ).select("vec_id", F.col("embedding").cast(vec_t).alias("embedding"))
+    sim.append_ivf_index(batch3, p, batch_id=3)  # fully committed
+    rows_with_b3 = rows_with_b2 + batch3.count()
+    assert spark.read.parquet(p).count() == rows_with_b3
+    os.makedirs(staging.replace("b2", "b3") + "/data")  # the crash relic
+    sim.compact_ann_index(spark, p)
+    assert spark.read.parquet(p).count() == rows_with_b3  # rows survive
+    assert sim._applied_batches(spark, p) == {1, 2, 3}
+    assert not os.path.exists(p + "/_staging")
+    sim.append_ivf_index(batch3, p, batch_id=3)  # replay: still a no-op
+    assert spark.read.parquet(p).count() == rows_with_b3

@@ -1748,15 +1748,20 @@ def test_compact_shingle_index(spark, sf_dir, wh_table):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_compact_aborts_on_concurrent_append(spark, sf_dir, wh_table):
+def test_compact_aborts_on_concurrent_append(spark, sf_dir, wh_table, monkeypatch):
     """The compaction gen-guard (ADVICE r12): an append landing after
     the compaction's snapshot read bumps firebolt.append_gen, and the
     pre-swap re-check ABORTS the swap (stage dropped, flagged table
     untouched) instead of silently presenting a table missing the
     appended rows with the flag cleared. The contract stays
-    single-writer; the guard makes a violation loud."""
+    single-writer; the guard makes a violation loud. Appends stamp the
+    gen TWICE (flag-first before the write, gen-last after it) so a
+    compaction that snapshotted mid-write also sees the change — the
+    pre-write stamp alone would leave the whole write duration
+    undetectable."""
     import pytest as _pytest
 
+    from firebolt_spark.operators import dedup as dedup_mod
     from firebolt_spark.operators.dedup import (
         _compact_table, _shingle_index_props, append_shingle_index,
         build_shingle_index,
@@ -1786,6 +1791,26 @@ def test_compact_aborts_on_concurrent_append(spark, sf_dir, wh_table):
         assert spark.table(tbl).count() == before     # rows intact
         assert not spark.catalog.tableExists(f"{tbl}_cstage")
         assert not spark.catalog.tableExists(f"{tbl}_cold")
+        # gen-last: one append stamps twice — flag-first (crash
+        # safety), then again after the write (guard coverage for a
+        # compaction that snapshotted mid-write)
+        stamps = []
+        real_stamp = dedup_mod._stamp_appended
+
+        def counting(s, t):
+            stamps.append(t)
+            real_stamp(s, t)
+
+        monkeypatch.setattr(dedup_mod, "_stamp_appended", counting)
+        pre_gen = _shingle_index_props(spark, tbl)["firebolt.append_gen"]
+        append_shingle_index(docs.limit(3), tbl)
+        monkeypatch.setattr(dedup_mod, "_stamp_appended", real_stamp)
+        assert stamps == [tbl, tbl]
+        assert (
+            _shingle_index_props(spark, tbl)["firebolt.append_gen"]
+            != pre_gen
+        )
+
         # with the CURRENT gen the compact goes through
         from firebolt_spark.operators.dedup import compact_shingle_index
 

@@ -69,10 +69,19 @@ def main() -> None:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else f"{REPO}/testdata_sf1"
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     wt = os.path.join(REPO, f".ab_{ref[:10]}")
+    # a killed prior run (finally never fires on SIGKILL) leaves the
+    # worktree registered and would fail the add — clear it first
     subprocess.run(
-        ["git", "worktree", "add", "--detach", wt, ref],
-        cwd=REPO, check=True, capture_output=True,
+        ["git", "worktree", "remove", "--force", wt],
+        cwd=REPO, capture_output=True,
     )
+    subprocess.run(["git", "worktree", "prune"], cwd=REPO, capture_output=True)
+    add = subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, ref],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if add.returncode != 0:
+        raise RuntimeError(f"git worktree add failed:\n{add.stderr[-2000:]}")
     try:
         results = []
         for side, tree in [("B", wt), ("A", REPO), ("B", wt), ("A", REPO)]:
