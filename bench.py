@@ -119,6 +119,12 @@ EXTRA = [
     # lever is balance_media_bytes) and q_c4_line_filter/q_pii_redact
     # are zero-shuffle scans
     "q_c4_pipeline",
+    # round 13: the incremental line-dedup path (corpus-ledger
+    # anti-join — the narrow-digest shuffle story at ingest time) and
+    # the bottom-k quantile sketch (one (group, h) distinct shuffle +
+    # two-phase min-k, readout map-only)
+    "q_dedup_lines_incremental",
+    "q_quantile_sketch",
 ]
 
 

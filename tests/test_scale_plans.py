@@ -1459,3 +1459,17 @@ def test_quantile_sketch_two_phase_min_k_plan(spark):
     assert any("lang" in ln and "_w0" in ln for ln in exchanges), (
         "the min-k window must partition by (lang, fan-in bucket)"
     )
+
+
+def test_incremental_line_dedup_anti_join_plan(spark):
+    """q_dedup_lines_incremental (round 13): the batch is scrubbed by a
+    narrow digest ANTI-join against the ledger — no Python, no
+    cartesian, no single-partition funnel; batch bodies cross exactly
+    one doc-key join for the in-row rebuild."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_dedup_lines_incremental(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
