@@ -618,6 +618,26 @@ def test_streaming_lsh_index_maintenance_with_crash_restarts(spark, tmp_path):
     idx = spark.read.parquet(idx_inc)
     assert idx.filter(F.col("tbl") == 0).count() == emb.count()
 
+    # round 13: the ingest loop's maintenance step — compaction folds
+    # the per-append small files away with the probe row-identical,
+    # the _batches ledger intact (a replayed epoch stays a no-op), and
+    # further appends still landing cleanly
+    from firebolt_spark.operators.similarity import (
+        _applied_batches, compact_ann_index, count_index_files,
+    )
+
+    before = count_index_files(spark, idx_inc)
+    compact_ann_index(spark, idx_inc)
+    assert count_index_files(spark, idx_inc) < before
+    assert rows(ann_lsh_topk_from_index(
+        spark, idx_inc, [0, 350, 460], k=10, probes=2
+    )) == a
+    assert _applied_batches(spark, idx_inc) == {0, 1, 2}
+    append_lsh_index(deltas[-1], idx_inc, batch_id=2)  # replay: no-op
+    assert spark.read.parquet(idx_inc).filter(
+        F.col("tbl") == 0
+    ).count() == emb.count()
+
 
 def test_streaming_winnow_index_maintenance_with_crash_restarts(spark, tmp_path):
     """append_winnow_index inside the streaming ingest loop (the text
