@@ -344,3 +344,59 @@ def test_token_budget_mix_is_monotone_prefix_of_hash_order(
         ]
         kept = [d for d in order if d in hi]
         assert kept == order[: len(kept)], f"stratum {lang} not a prefix"
+
+
+# ---- quantile sketch merge-exactness (round 13) -----------------------------
+
+_sketch_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9999),                       # row id (unique)
+        st.integers(-1000, 1000),                   # value
+        st.integers(0, 2),                          # shard assignment
+        st.sampled_from(["en", "fr"]),              # group
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_sketch_rows, st.integers(2, 12))
+@settings(max_examples=10, deadline=None)
+def test_quantile_sketch_merge_exactness_any_sharding(spark, rows, k):
+    """The sketch's central contract holds for ANY input and ANY
+    sharding, not just the fixture: merging per-shard sketches equals
+    the one-shot sketch BIT-IDENTICALLY (the hash lottery depends only
+    on row ids, so shard boundaries cannot change the winning set).
+    Unlike the DKW accuracy test this is exact for every draw — the
+    property that makes per-batch sketch tables a safe stand-in for
+    the corpus."""
+    from pyspark.sql import functions as F
+
+    from firebolt_spark.functions import quantile_sketch, quantile_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, float(v), s, g) for i, v, s, g in rows],
+        "doc_id BIGINT, v DOUBLE, shard INT, lang STRING",
+    )
+    one_shot = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch(
+            df, "v", "doc_id", k=k, group_cols=["lang"], salt="p"
+        ).collect()
+    }
+    shards = [
+        quantile_sketch(
+            df.filter(F.col("shard") == s), "v", "doc_id",
+            k=k, group_cols=["lang"], salt="p",
+        )
+        for s in range(3)
+    ]
+    stacked = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = {
+        r["lang"]: r["qsk"]
+        for r in quantile_sketch_merge(
+            stacked, "qsk", k=k, group_cols=["lang"]
+        ).collect()
+    }
+    assert merged == one_shot
