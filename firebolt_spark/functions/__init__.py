@@ -466,6 +466,49 @@ def _hash48(col: str, salt: str) -> Column:
     ).cast("bigint")
 
 
+def _min_k_survivors(
+    df: DataFrame, groups: list[str], k: int, fan_in: int,
+    order_col: str = "_h",
+) -> DataFrame:
+    """Two-phase bottom-k: phase 1 keeps each of ``fan_in`` hash
+    buckets' local min-k (rank-limit pushdown applies), so phase 2's
+    per-group collect sees <= k x fan_in survivors instead of a
+    group's whole distinct set on one task. The min-k discipline
+    SHARED by :func:`kmv_sketch` and :func:`quantile_sketch` — one
+    copy, so a fix to the shape lands in both sketches."""
+    local = Window.partitionBy(
+        *groups, F.pmod(F.col(order_col), F.lit(fan_in))
+    ).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _sketch_merge_check(kcol: str, scol: str, k: int, opname: str):
+    """The (salt, k) merge-compatibility assertion SHARED by
+    :func:`kmv_merge` and :func:`quantile_sketch_merge`: all rows must
+    carry one salt and a build k >= the merge k. An aggregate
+    expression — ride it INSIDE the kept column (assert_true is NULL
+    on success); a dropped sidecar column would be optimizer-pruned
+    and never evaluated."""
+    return F.assert_true(
+        (F.count_distinct(F.col(scol)) == 1) & (F.min(kcol) >= F.lit(k)),
+        F.concat(
+            F.lit(
+                f"{opname}: incompatible sketch rows — expected one "
+                f"shared salt and every build k >= "
+            ),
+            F.lit(str(k)),
+            F.lit(", got salts="),
+            F.count_distinct(F.col(scol)).cast("string"),
+            F.lit(" min_k="),
+            F.min(kcol).cast("string"),
+        ),
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     col: str,
@@ -506,14 +549,7 @@ def kmv_sketch(
         raise ValueError(f"fan_in must be >= 1, got {fan_in}")
     groups = list(group_cols or [])
     h = df.select(*groups, _hash48(col, salt).alias("_h")).distinct()
-    local = Window.partitionBy(
-        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
-    ).orderBy("_h")
-    survivors = (
-        h.withColumn("_rn", F.row_number().over(local))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    survivors = _min_k_survivors(h, groups, k, fan_in)
     agg = survivors.groupBy(*groups).agg(
         F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(out_col),
         # build parameters travel WITH the sketch rows (not column
@@ -599,24 +635,7 @@ def kmv_merge(
     sketch = F.slice(F.array_sort(F.collect_set("_h")), 1, k)
     aggs = []
     if has_meta:
-        chk = F.assert_true(
-            (F.count_distinct(F.col(scol)) == 1)
-            & (F.min(kcol) >= F.lit(k)),
-            F.concat(
-                F.lit(
-                    "kmv_merge: incompatible sketch rows — expected "
-                    "one shared salt and every build k >= "
-                ),
-                F.lit(str(k)),
-                F.lit(", got salts="),
-                F.count_distinct(F.col(scol)).cast("string"),
-                F.lit(" min_k="),
-                F.min(kcol).cast("string"),
-            ),
-        )
-        # the check rides INSIDE the kept column (assert_true is NULL
-        # on success) — a dropped sidecar column would be pruned by the
-        # optimizer and the assertion never evaluated
+        chk = _sketch_merge_check(kcol, scol, k, "kmv_merge")
         sketch = F.when(chk.isNull(), sketch)
         # the merged row is itself a valid sketch at THIS k and the
         # shared salt — re-stamp so merge outputs stay re-mergeable
@@ -683,14 +702,7 @@ def quantile_sketch(
         .groupBy(*groups, "_h")
         .agg(F.min("_v").alias("_v"))
     )
-    local = Window.partitionBy(
-        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
-    ).orderBy("_h")
-    survivors = (
-        h.withColumn("_rn", F.row_number().over(local))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    survivors = _min_k_survivors(h, groups, k, fan_in)
     return survivors.groupBy(*groups).agg(
         F.slice(
             F.array_sort(
@@ -734,21 +746,7 @@ def quantile_sketch_merge(
     raw = F.array_sort(F.collect_set("_s"))
     aggs = []
     if has_meta:
-        chk = F.assert_true(
-            (F.count_distinct(F.col(scol)) == 1)
-            & (F.min(kcol) >= F.lit(k)),
-            F.concat(
-                F.lit(
-                    "quantile_sketch_merge: incompatible sketch rows — "
-                    "expected one shared salt and every build k >= "
-                ),
-                F.lit(str(k)),
-                F.lit(", got salts="),
-                F.count_distinct(F.col(scol)).cast("string"),
-                F.lit(" min_k="),
-                F.min(kcol).cast("string"),
-            ),
-        )
+        chk = _sketch_merge_check(kcol, scol, k, "quantile_sketch_merge")
         raw = F.when(chk.isNull(), raw)
         aggs = [F.lit(k).alias(kcol), F.first(scol).alias(scol)]
     merged = exploded.groupBy(*groups).agg(raw.alias("_raw"), *aggs)

@@ -1707,13 +1707,23 @@ def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     already in the ledger and only sub-min_chars structure lines
     survive; the oracle replays ledger → anti-join → within-batch
     keep-first → rebuild byte-for-byte."""
+    from firebolt_spark.functions import track_persisted
+
     docs = _documents(spark, sf_dir)
-    _, ledger = dedup.incremental_dedup_lines(docs)
+    led_deduped, ledger = dedup.incremental_dedup_lines(docs)
     new_docs = docs.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 2000000
     )
     deduped, _new_digests = dedup.incremental_dedup_lines(new_docs, ledger)
-    return deduped.orderBy("doc_id")
+    # re-attach BOTH calls' persisted intermediates to the frame the
+    # caller actually holds (derived frames don't inherit handles, and
+    # the ledger call's result frame is discarded) — release(result)
+    # must be able to free the corpus-sized line-meta cache
+    return track_persisted(
+        deduped.orderBy("doc_id"),
+        *getattr(led_deduped, "_persisted_inputs", ()),
+        *getattr(deduped, "_persisted_inputs", ()),
+    )
 
 
 Q_DEDUP_LINES_INCREMENTAL_SQL = """

@@ -297,8 +297,11 @@ def test_compact_ann_index_crash_and_race(spark, tmp_path, monkeypatch):
     def racing(spark_, path_):
         calls["n"] += 1
         got = real(spark_, path_)
-        # the RE-CHECK (2nd call on the index root) sees a fresh record
-        if calls["n"] == 2:
+        # compact_ann_index reads the ledger three times (staging
+        # triage, snapshot, pre-swap re-check); the RE-CHECK — the 3rd
+        # call — must see the NEW id a concurrent append just recorded
+        # (the real race direction: live ⊃ snapshot)
+        if calls["n"] == 3:
             return got | {999}
         return got
 

@@ -2,8 +2,9 @@
 """Paired A/B of one registered query between two checkouts — the
 measurement discipline PERF.md applies to any cross-round wall-time
 claim (both sides in ONE host window, warm-JVM min-of-N, interleaved
-A B A B so a drifting host shows up as within-side spread instead of
-a phantom regression).
+B A B A — ref side first, so the first-process cold penalty lands on
+the REFERENCE, never inflating HEAD — and a drifting host shows up as
+within-side spread instead of a phantom regression).
 
 Usage:
     python tools/ab_query_bench.py <query> <ref_commit> [sf_dir] [runs]
