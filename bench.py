@@ -125,6 +125,10 @@ EXTRA = [
     # two-phase min-k, readout map-only)
     "q_dedup_lines_incremental",
     "q_quantile_sketch",
+    # round 13: the priority-sampling subset-sum sketch (one (group,
+    # ticket) shuffle + two-phase top-k, sharded build -> merge ->
+    # broadcast-joined readout — the weighted-profile story)
+    "q_priority_sketch",
 ]
 
 

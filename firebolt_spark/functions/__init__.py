@@ -813,6 +813,228 @@ def quantile_sketch_quantiles(
     )
 
 
+def priority_sketch(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    out_col: str = "psk",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Mergeable bounded-state WEIGHTED sample + subset-sum estimator
+    per group — priority sampling (Duffield, Lund & Thorup 2007, JACM
+    54(6): near-optimal variance for arbitrary subset sums).  Each row
+    draws a deterministic uniform ``u = (h+1)/2^48`` from its 48-bit
+    content hash and a priority ``p = w/u``; the sketch keeps the ``k``
+    highest-priority entries as ``array<struct<p, h, w>>`` (descending)
+    plus the threshold ``tau`` = the (k+1)-th priority (0 while the
+    group has <= k rows).  Estimate any group's total weight with
+    :func:`priority_sketch_totals`: ``sum(max(w, tau))`` over the
+    entries is UNBIASED for ``sum(w)`` — exact while tau is 0 — and
+    sums over any UNION of groups estimate that subset's total, so
+    group-level sketch tables answer arbitrary group-subset sums
+    without re-touching the corpus.
+
+    This is :func:`weighted_sample`'s mergeable sibling: A-Res picks a
+    weighted k-sample but cannot merge (its rank keys carry no
+    threshold), while per-shard priority sketches roll up through
+    :func:`priority_sketch_merge` to EXACTLY the one-shot sketch —
+    sample AND tau — because every globally-top-(k+1) priority is
+    either in some shard's sample or IS some shard's tau (an item
+    ranked k+1 within its shard).  Content-hashed (no RNG), so
+    replayed rows re-draw the same ticket, and a SQL oracle replays
+    the lottery bit-for-bit.
+
+    Contract: an id's weight must be stable across shards/replays
+    (the lottery prices the TICKET; a 48-bit ticket collision — or an
+    out-of-contract duplicate id — resolves deterministically to the
+    larger weight).  Rows with NULL, NaN or non-positive weight are
+    excluded (zero inclusion probability — :func:`weighted_sample`'s
+    contract).  ``(k, salt)`` travel with the rows and are enforced at
+    merge, like every sketch here.
+
+    Scale shape: one (group, ticket) shuffle with map-side partials,
+    then the same two-phase ``fan_in``-bucketed top-k as
+    :func:`kmv_sketch` (keeping k+1 locally so tau survives) — no
+    group's candidate set ever funnels through one task."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fan_in < 1:
+        raise ValueError(f"fan_in must be >= 1, got {fan_in}")
+    groups = list(group_cols or [])
+    w = F.col(weight_col).cast("double")
+    base = (
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .select(*groups, _hash48(id_col, salt).alias("_h"), w.alias("_w"))
+        .groupBy(*groups, "_h")
+        .agg(F.max("_w").alias("_w"))
+        # left-to-right (w * 2^48) / (h + 1): the oracle replays the
+        # exact IEEE operation order, so priorities are bit-identical
+        .withColumn(
+            "_p",
+            F.col("_w") * F.lit(_KMV_SPACE)
+            / (F.col("_h").cast("double") + F.lit(1.0)),
+        )
+    )
+    # phase 1: each of fan_in hash buckets keeps its local top-(k+1) by
+    # the canonical total order (p DESC, h DESC — reverse(array_sort)
+    # order below); the global top-(k+1) is a subset of the union
+    local = Window.partitionBy(
+        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
+    ).orderBy(F.col("_p").desc(), F.col("_h").desc())
+    survivors = (
+        base.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn")
+    )
+    agg = survivors.groupBy(*groups).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_p").alias("p"),
+                        F.col("_h").alias("h"),
+                        F.col("_w").alias("w"),
+                    )
+                )
+            )
+        ).alias("_full")
+    )
+    return agg.select(
+        *groups,
+        F.slice("_full", 1, k).alias(out_col),
+        F.coalesce(F.element_at("_full", k + 1)["p"], F.lit(0.0)).alias(
+            f"{out_col}_tau"
+        ),
+        F.lit(k).alias(f"{out_col}_k"),
+        F.lit(salt).alias(f"{out_col}_salt"),
+    )
+
+
+def priority_sketch_merge(
+    df: DataFrame,
+    sketch_col: str = "psk",
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge :func:`priority_sketch` rows (one per shard / ingest
+    batch) into one sketch per group — EXACTLY the one-shot sketch of
+    the union, tau included.  The merged sample is the top-k of the
+    union of samples (a global top-k item ranks <= k in its own
+    shard).  The merged tau is the (k+1)-th highest of the CANDIDATE
+    priorities — union of sample priorities plus every shard's
+    positive tau: the global (k+1)-th item either made some shard's
+    sample or was some shard's own (k+1)-th, i.e. its tau; candidate
+    values above the true tau are exactly the global top-k (an item
+    can only BE a shard tau if >= k shard rows outrank it, so its
+    global rank is >= k+1), hence the (k+1)-th candidate is the true
+    tau even when overlapping/replayed shards duplicate sub-threshold
+    candidates.  Per-group state is bounded by ``(k+1) x shards``.
+
+    Same contract as :func:`kmv_merge`: one salt, every build k >=
+    this ``k`` (a smaller-k shard truncates below this sketch's
+    horizon), enforced when the parameter columns are present — here
+    via a separate one-row aggregate broadcast back over the result
+    (the candidate union makes an in-aggregate assert awkward; ADVICE
+    r12's suggested form).  Cross-shard ticket collisions resolve to
+    the larger weight, matching the build."""
+    groups = list(group_cols or [])
+    kcol, scol = f"{sketch_col}_k", f"{sketch_col}_salt"
+    tcol = f"{sketch_col}_tau"
+    has_meta = kcol in df.columns and scol in df.columns
+    ent = (
+        df.select(*groups, F.explode(sketch_col).alias("_s"))
+        .groupBy(*groups, F.col("_s.h").alias("_h"))
+        # max struct = max (p, h, w) = max p (h equal): the larger-
+        # weight resolution rule for cross-shard ticket collisions
+        .agg(F.max("_s").alias("_s"))
+        .select(*groups, "_s")
+    )
+    taus = df.filter(F.col(tcol) > 0).select(
+        *groups,
+        F.struct(
+            F.col(tcol).alias("p"),
+            F.lit(None).cast("bigint").alias("h"),
+            F.lit(None).cast("double").alias("w"),
+        ).alias("_s"),
+    )
+    merged = (
+        ent.unionByName(taus)
+        .groupBy(*groups)
+        .agg(F.reverse(F.array_sort(F.collect_list("_s"))).alias("_full"))
+    )
+    # the first k candidates are always genuine entries: if any tau
+    # candidate exists, its shard contributed k entries, and every tau
+    # item ranks > k globally (see docstring) — so the slice below
+    # never captures a tau placeholder
+    out = merged.select(
+        *groups,
+        F.slice("_full", 1, k).alias(sketch_col),
+        F.coalesce(F.element_at("_full", k + 1)["p"], F.lit(0.0)).alias(
+            tcol
+        ),
+    )
+    if not has_meta:
+        return out
+    # per-GROUP check, like kmv_merge's in-aggregate form (the
+    # candidate union above cannot carry the meta columns through the
+    # per-ticket dedup); the tiny per-group result broadcasts back
+    chk = df.groupBy(*groups).agg(
+        _sketch_merge_check(kcol, scol, k, "priority_sketch_merge").alias(
+            "_chk"
+        ),
+        F.first(scol).alias("_scol"),
+    )
+    joined = (
+        out.join(F.broadcast(chk), groups)
+        if groups
+        else out.crossJoin(F.broadcast(chk))
+    )
+    # ride the assert inside the kept sketch column (a dropped sidecar
+    # would be optimizer-pruned and never evaluated); re-stamp (k,
+    # salt) so merge outputs stay re-mergeable
+    return joined.select(
+        *groups,
+        F.when(F.col("_chk").isNull(), F.col(sketch_col)).alias(sketch_col),
+        tcol,
+        F.lit(k).alias(kcol),
+        F.col("_scol").alias(scol),
+    )
+
+
+def priority_sketch_totals(
+    df: DataFrame,
+    sketch_col: str = "psk",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Total-weight readout of a :func:`priority_sketch` table: the
+    Duffield-Lund-Thorup estimator ``sum(max(w, tau))`` over the
+    sample — unbiased for the group's true ``sum(w)``, EXACT while the
+    sketch is not full (tau = 0 makes every term its own weight).
+    Pure column expressions over the sketch rows: a corpus profile
+    reads current totals with zero shuffle and zero corpus scan, and
+    sums over any union of groups estimate that subset's total.
+
+    Returns group columns + ``n_sampled`` + ``tau`` +
+    ``est_total_weight`` (both rounded to 6 — the readout is an
+    estimate; full-precision arithmetic stays in the sketch)."""
+    groups = list(group_cols or [])
+    tcol = f"{sketch_col}_tau"
+    est = F.aggregate(
+        F.col(sketch_col),
+        F.lit(0.0),
+        lambda acc, s: acc + F.greatest(s["w"], F.col(tcol)),
+    )
+    return df.select(
+        *groups,
+        F.size(sketch_col).cast("bigint").alias("n_sampled"),
+        F.round(F.col(tcol), 6).alias("tau"),
+        F.round(est, 6).alias("est_total_weight"),
+    )
+
+
 def _payload_digest(payload_cols: list[str]) -> Column:
     """Engine-portable digest of the payload columns: md5 over the
     values joined with ``\\x01``, NULLs as the ``\\x00`` sentinel (a

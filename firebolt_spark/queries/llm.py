@@ -2952,6 +2952,99 @@ Q_QUANTILE_SKETCH_SQL = f"""
 """
 
 
+_PSK_K = 16
+_PSK_SALT = "ps13"
+
+
+def q_priority_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable weighted-sample sketch readout (round 13, beyond the
+    verdict list): per-source total n_chars ESTIMATES off
+    functions.priority_sketch — priority sampling (Duffield, Lund &
+    Thorup 2007), the subset-sum counterpart of the KMV and bottom-k
+    rank sketches. The query drives the MERGE path end-to-end: three
+    doc_id-sharded sketches roll up through priority_sketch_merge
+    (bit-equal to one-shot — pytest-pinned, so the oracle replays the
+    one-shot lottery), then the DLT estimator sum(max(w, tau)) reads
+    totals beside the exact sums it estimates. Content-hashed priority
+    lottery (w·2^48/(h+1), no RNG), so DuckDB replays the priorities,
+    the (k+1)-th-priority tau, and the estimate bit-for-bit; at k=16
+    every fixture source (25 docs) exercises the ESTIMATOR path, not
+    the exact fallback."""
+    from firebolt_spark.functions import (
+        priority_sketch,
+        priority_sketch_merge,
+        priority_sketch_totals,
+    )
+
+    docs = _documents(spark, sf_dir)
+    shards = [
+        priority_sketch(
+            docs.filter(F.col("doc_id") % 3 == s),
+            "n_chars",
+            "doc_id",
+            k=_PSK_K,
+            group_cols=["source"],
+            salt=_PSK_SALT,
+        )
+        for s in range(3)
+    ]
+    merged = priority_sketch_merge(
+        shards[0].unionByName(shards[1]).unionByName(shards[2]),
+        "psk",
+        k=_PSK_K,
+        group_cols=["source"],
+    )
+    totals = priority_sketch_totals(merged, "psk", group_cols=["source"])
+    w = F.col("n_chars").cast("double")
+    exact = (
+        docs.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .groupBy("source")
+        .agg(F.round(F.sum(w), 6).alias("exact_total_weight"))
+    )
+    return totals.join(exact, "source").orderBy("source")
+
+
+Q_PRIORITY_SKETCH_SQL = f"""
+    WITH h AS (
+        SELECT source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || '#{_PSK_SALT}'), 1, 12))::BIGINT AS h,
+               CAST(n_chars AS DOUBLE) AS w
+        FROM documents
+        WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+    hd AS (SELECT source, h, max(w) AS w FROM h GROUP BY source, h),
+    p AS (SELECT source, h, w,
+                 (w * 281474976710656.0) / (CAST(h AS DOUBLE) + 1.0) AS p
+          FROM hd),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY p DESC, h DESC) AS rn
+          FROM p),
+    t AS (SELECT source,
+                 coalesce(max(CASE WHEN rn = {_PSK_K + 1} THEN p END),
+                          0.0) AS tau,
+                 count(*) FILTER (WHERE rn <= {_PSK_K}) AS n_sampled
+          FROM r GROUP BY source),
+    est AS (SELECT r.source,
+                   round(sum(greatest(r.w, t.tau)), 6) AS est_total_weight
+            FROM r JOIN t USING (source)
+            WHERE r.rn <= {_PSK_K}
+            GROUP BY r.source),
+    ex AS (SELECT source,
+                  round(sum(CAST(n_chars AS DOUBLE)), 6)
+                      AS exact_total_weight
+           FROM documents
+           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+           GROUP BY source)
+    SELECT t.source,
+           CAST(t.n_sampled AS BIGINT) AS n_sampled,
+           round(t.tau, 6) AS tau,
+           est.est_total_weight,
+           ex.exact_total_weight
+    FROM t JOIN est USING (source) JOIN ex USING (source)
+    ORDER BY source
+"""
+
+
 # ---- composed quality selection -------------------------------------------
 
 _QSEL_MIN_WORDS = 20
@@ -3173,6 +3266,7 @@ QUERIES = {
     "q_corpus_profile": q_corpus_profile,
     "q_corpus_quantiles": q_corpus_quantiles,
     "q_quantile_sketch": q_quantile_sketch,
+    "q_priority_sketch": q_priority_sketch,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3238,6 +3332,7 @@ ORACLE = {
     "q_corpus_profile": Q_CORPUS_PROFILE_SQL,
     "q_corpus_quantiles": Q_CORPUS_QUANTILES_SQL,
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
+    "q_priority_sketch": Q_PRIORITY_SKETCH_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,

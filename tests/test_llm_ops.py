@@ -3884,3 +3884,177 @@ def test_quantile_sketch_rank_error_within_dkw_bound(spark):
                     f"{name}/{salt}: q={q} estimate {v} has true rank "
                     f"[{lo_rank:.3f}, {hi_rank:.3f}], outside ±{eps:.3f}"
                 )
+
+
+def test_priority_sketch_merge_equals_one_shot(spark):
+    """Priority sampling's mergeability contract (round 13, beyond the
+    verdict list): sketch each shard, merge the shard sketches, and
+    the result is BIT-IDENTICAL to the one-shot sketch — sample AND
+    tau — across fan_in choices and HETEROGENEOUS build k (min build
+    k >= merge k). Tau is the hard part: the one-shot (k+1)-th
+    priority may be an item NO shard sampled, recovered because it was
+    then some shard's own tau."""
+    from firebolt_spark.functions import priority_sketch, priority_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], float(1 + i * 13 % 97)) for i in range(400)],
+        "doc_id BIGINT, lang STRING, w DOUBLE",
+    )
+    whole = {
+        (r["lang"]): (r["psk"], r["psk_tau"])
+        for r in priority_sketch(
+            df, "w", "doc_id", k=16, group_cols=["lang"], salt="m"
+        ).collect()
+    }
+    shards = [
+        priority_sketch(
+            df.filter(F.col("doc_id") % 3 == s),
+            "w", "doc_id", k=16, group_cols=["lang"], salt="m",
+            fan_in=1 + s,
+        )
+        for s in range(3)
+    ]
+    stacked = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = {
+        (r["lang"]): (r["psk"], r["psk_tau"])
+        for r in priority_sketch_merge(
+            stacked, "psk", k=16, group_cols=["lang"]
+        ).collect()
+    }
+    assert merged == whole
+
+    # heterogeneous build k: a k=32 part beside the k=16 shards, merged
+    # at k=16, equals the one-shot k=16 sketch with no duplicate tickets
+    wide = priority_sketch(
+        df, "w", "doc_id", k=32, group_cols=["lang"], salt="m"
+    )
+    het = {
+        (r["lang"]): (r["psk"], r["psk_tau"])
+        for r in priority_sketch_merge(
+            stacked.unionByName(wide), "psk", k=16, group_cols=["lang"]
+        ).collect()
+    }
+    assert het == whole
+    for arr, _tau in het.values():
+        hs = [s["h"] for s in arr]
+        assert len(hs) == len(set(hs))
+        ps = [s["p"] for s in arr]
+        assert ps == sorted(ps, reverse=True)
+
+
+def test_priority_sketch_merge_validates_and_resolves_collisions(spark):
+    """priority_sketch_merge enforces the (salt, k) compatibility
+    contract (mixed salts or a build k below the merge k fail the
+    job), re-stamps merged rows with (merge k, shared salt), merges
+    legacy rows without the parameter columns, and resolves a ticket
+    collision across shards to the LARGER weight — the build rule."""
+    import pytest as _pytest
+
+    from firebolt_spark.functions import priority_sketch, priority_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i)) for i in range(100)], "doc_id BIGINT, w DOUBLE"
+    )
+    a = priority_sketch(df, "w", "doc_id", k=32, salt="x")
+    assert set(a.columns) == {"psk", "psk_tau", "psk_k", "psk_salt"}
+    b = priority_sketch(df, "w", "doc_id", k=32, salt="y")
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        priority_sketch_merge(a.unionByName(b), "psk", k=32).collect()
+    with _pytest.raises(Exception, match="incompatible sketch rows"):
+        priority_sketch_merge(a, "psk", k=64).collect()
+
+    out = priority_sketch_merge(a, "psk", k=16).collect()[0]
+    assert len(out["psk"]) == 16
+    assert out["psk_k"] == 16 and out["psk_salt"] == "x"
+    # a self-merge at the build k is a no-op (sample and tau)
+    noop = priority_sketch_merge(a, "psk", k=32).collect()[0]
+    orig = a.collect()[0]
+    assert noop["psk"] == orig["psk"] and noop["psk_tau"] == orig["psk_tau"]
+    legacy = a.select("psk", "psk_tau")
+    lg = priority_sketch_merge(legacy, "psk", k=16).collect()[0]
+    assert lg["psk"] == out["psk"] and lg["psk_tau"] == out["psk_tau"]
+
+    # forced ticket collision: two shard rows share h=5 with different
+    # weights — the merged sketch keeps the larger weight's entry once
+    ddl = (
+        "psk ARRAY<STRUCT<p: DOUBLE, h: BIGINT, w: DOUBLE>>, "
+        "psk_tau DOUBLE"
+    )
+    s1 = spark.createDataFrame([([(10.0, 5, 1.0), (6.0, 9, 3.0)], 0.0)], ddl)
+    s2 = spark.createDataFrame([([(20.0, 5, 2.0), (7.0, 7, 4.0)], 0.0)], ddl)
+    got = priority_sketch_merge(
+        s1.unionByName(s2), "psk", k=8
+    ).collect()[0]["psk"]
+    assert [(s["p"], s["h"], s["w"]) for s in got] == [
+        (20.0, 5, 2.0), (7.0, 7, 4.0), (6.0, 9, 3.0)
+    ]
+
+
+def test_priority_sketch_totals_exact_and_estimator(spark):
+    """The DLT subset-sum estimator contract: EXACT while the sketch
+    is not full (tau = 0), and within the priority-sampling error band
+    above (deterministic here — content hashes, no RNG, so the draw is
+    fixed per salt and the assertion is stable). NULL / NaN /
+    non-positive weights are excluded like weighted_sample."""
+    from firebolt_spark.functions import priority_sketch, priority_sketch_totals
+
+    small = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(10)]
+        + [(100, None), (101, float("nan")), (102, -3.0), (103, 0.0)],
+        "doc_id BIGINT, w DOUBLE",
+    )
+    row = priority_sketch_totals(
+        priority_sketch(small, "w", "doc_id", k=32, salt="t")
+    ).collect()[0]
+    assert row["n_sampled"] == 10
+    assert row["tau"] == 0.0
+    assert row["est_total_weight"] == 55.0  # exact: sum(1..10)
+
+    big = spark.createDataFrame(
+        [(i, float(1 + (i * 31) % 1000)) for i in range(5000)],
+        "doc_id BIGINT, w DOUBLE",
+    )
+    exact = 5000 * (1 + 1000) / 2.0  # values cycle 1..1000 uniformly-ish
+    est = priority_sketch_totals(
+        priority_sketch(big, "w", "doc_id", k=256, salt="t")
+    ).collect()[0]["est_total_weight"]
+    # DLT: relative error ~ 1/sqrt(k); this salt's draw lands at <2%
+    assert abs(est - exact) / exact < 0.10
+
+
+def test_priority_sketch_tau_and_order_semantics(spark):
+    """Pin the sketch internals against a pure-python replay: the
+    lottery (md5-prefix 48-bit hash), the priority arithmetic, the
+    canonical (p DESC, h DESC) order, tau = the (k+1)-th priority, and
+    the duplicate-id larger-weight rule."""
+    import hashlib
+
+    from firebolt_spark.functions import priority_sketch
+
+    rows = [(i, float(1 + i % 7)) for i in range(40)]
+    k = 8
+
+    def h48(v):
+        return int(hashlib.md5(f"{v}#z".encode()).hexdigest()[:12], 16)
+
+    cand = sorted(
+        (((w * float(1 << 48)) / (h48(i) + 1.0), h48(i), w) for i, w in rows),
+        key=lambda t: (t[0], t[1]),
+        reverse=True,
+    )
+    got = priority_sketch(
+        spark.createDataFrame(rows, "doc_id BIGINT, w DOUBLE"),
+        "w", "doc_id", k=k, salt="z",
+    ).collect()[0]
+    assert [(s["p"], s["h"], s["w"]) for s in got["psk"]] == cand[:k]
+    assert got["psk_tau"] == cand[k][0]
+
+    # duplicate id (out-of-contract weights): larger weight wins its
+    # single ticket — one deterministic fate, never two entries
+    dup = spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (2, 4.0)], "doc_id BIGINT, w DOUBLE"
+    )
+    arr = priority_sketch(dup, "w", "doc_id", k=8, salt="z").collect()[0][
+        "psk"
+    ]
+    assert sorted(s["w"] for s in arr) == [4.0, 9.0]

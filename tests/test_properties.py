@@ -400,3 +400,59 @@ def test_quantile_sketch_merge_exactness_any_sharding(spark, rows, k):
         ).collect()
     }
     assert merged == one_shot
+
+
+# ---- priority sketch merge-exactness (round 13) -----------------------------
+
+_priority_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9999),                       # row id (unique)
+        st.integers(1, 1000),                       # positive weight
+        st.integers(0, 2),                          # shard assignment
+        st.sampled_from(["en", "fr"]),              # group
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_priority_rows, st.integers(1, 12))
+@settings(max_examples=10, deadline=None)
+def test_priority_sketch_merge_exactness_any_sharding(spark, rows, k):
+    """Priority sampling's central contract holds for ANY input and
+    ANY sharding: merging per-shard sketches equals the one-shot
+    sketch BIT-IDENTICALLY — the sample (top-k priorities) and the
+    threshold tau (the one-shot (k+1)-th priority, recoverable even
+    when no shard sampled that item because it was then some shard's
+    own tau). The property that makes per-batch sketch tables answer
+    subset sums for the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from firebolt_spark.functions import priority_sketch, priority_sketch_merge
+
+    df = spark.createDataFrame(
+        [(i, float(w), s, g) for i, w, s, g in rows],
+        "doc_id BIGINT, w DOUBLE, shard INT, lang STRING",
+    )
+    one_shot = {
+        r["lang"]: (r["psk"], r["psk_tau"])
+        for r in priority_sketch(
+            df, "w", "doc_id", k=k, group_cols=["lang"], salt="p"
+        ).collect()
+    }
+    shards = [
+        priority_sketch(
+            df.filter(F.col("shard") == s), "w", "doc_id",
+            k=k, group_cols=["lang"], salt="p",
+        )
+        for s in range(3)
+    ]
+    stacked = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = {
+        r["lang"]: (r["psk"], r["psk_tau"])
+        for r in priority_sketch_merge(
+            stacked, "psk", k=k, group_cols=["lang"]
+        ).collect()
+    }
+    assert merged == one_shot

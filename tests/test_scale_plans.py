@@ -1473,3 +1473,28 @@ def test_incremental_line_dedup_anti_join_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_priority_sketch_two_phase_topk_plan(spark):
+    """priority_sketch (round 13): the weighted top-(k+1) never funnels
+    a group through one task — the (group, ticket) dedup
+    partial-aggregates map-side, the top-k window partitions by (group,
+    hash-bucket) with the rank limit pushed below the shuffle, the
+    merge's per-ticket dedup and per-group meta check stay grouped
+    (never SinglePartition), and the meta check joins back as a
+    BROADCAST — the corpus crosses the wire once."""
+    from firebolt_spark.queries import llm
+
+    plan = _executed_plan(llm.q_priority_sketch(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_max" in plan  # map-side combine on the (g, h) dedup
+    assert "WindowGroupLimit" in plan  # rank limit below the shuffle
+    assert "BroadcastHashJoin" in plan  # meta check + exact-totals join
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("source" in ln and "_w0" in ln for ln in exchanges), (
+        "the top-k window must partition by (source, fan-in bucket)"
+    )

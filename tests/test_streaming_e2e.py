@@ -1475,3 +1475,87 @@ def test_streaming_quantile_sketch_maintenance(spark, tmp_path):
         salt="st",
     ).write.mode("append").parquet(sketch_dir)
     assert {r["lang"]: r["qsk"] for r in rollup().collect()} == one_shot
+
+
+def test_streaming_priority_sketch_maintenance(spark, tmp_path):
+    """priority_sketch inside the streaming ingest loop (round 13 —
+    the weighted subset-sum twin of the quantile drill above): each
+    micro-batch appends its per-language sketch ROWS to a sketch
+    table; priority_sketch_merge over the table equals the one-shot
+    sketch of everything streamed BIT-IDENTICALLY — sample AND tau —
+    and the totals readout runs off the merged sketch without touching
+    the corpus. Replays are mathematical no-ops, asserted by
+    re-appending a batch's sketch."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.functions import (
+        priority_sketch, priority_sketch_merge, priority_sketch_totals,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    delta_dir = tmp_path / "psk-deltas"
+    delta_dir.mkdir()
+    sketch_dir = str(tmp_path / "psk-sketches")
+    ckpt = str(tmp_path / "ckpt-psk")
+
+    def ingest(batch_df, batch_id):
+        priority_sketch(
+            batch_df, "n_chars", "doc_id", k=16, group_cols=["lang"],
+            salt="st",
+        ).write.mode("append").parquet(sketch_dir)
+
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(delta_dir))
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"psk-ingest-{i}")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    def rollup():
+        return priority_sketch_merge(
+            spark.read.parquet(sketch_dir), "psk", k=16,
+            group_cols=["lang"],
+        )
+
+    def snap(df):
+        return {r["lang"]: (r["psk"], r["psk_tau"]) for r in df.collect()}
+
+    one_shot = snap(priority_sketch(
+        docs, "n_chars", "doc_id", k=16, group_cols=["lang"], salt="st"
+    ))
+    assert snap(rollup()) == one_shot and one_shot
+
+    # the totals readout runs off the MERGED sketch rows alone (no
+    # corpus scan) and estimates the true per-language totals; groups
+    # the sketch holds whole (tau = 0) read back EXACT
+    totals = {
+        r["lang"]: r
+        for r in priority_sketch_totals(
+            rollup(), "psk", group_cols=["lang"]
+        ).collect()
+    }
+    exact = {
+        r["lang"]: float(r["s"])
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for lang, row in totals.items():
+        if row["tau"] == 0.0:
+            assert row["est_total_weight"] == exact[lang]
+        else:
+            assert abs(row["est_total_weight"] - exact[lang]) / exact[lang] < 0.5
+
+    # at-least-once is free: replay one batch's sketch append
+    priority_sketch(
+        batches[1], "n_chars", "doc_id", k=16, group_cols=["lang"],
+        salt="st",
+    ).write.mode("append").parquet(sketch_dir)
+    assert snap(rollup()) == one_shot
