@@ -807,6 +807,404 @@ def png_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
+# ---- GIF (round 13): the multi-frame image modality, stdlib-only ----------
+
+# fixed 256-entry palette (r, g, b) = (37i, 59i, 83i) mod 256 — affine
+# in the palette index, so an analytic SQL oracle can recompute channel
+# statistics from the index stream without ever decoding a GIF
+_GIF_PALETTE = bytes(
+    v for i in range(256) for v in ((37 * i) % 256, (59 * i) % 256, (83 * i) % 256)
+)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW compress (GIF89a spec appendix F): variable-width
+    codes LSB-first, clear/EOI codes, width grows when the just-assigned
+    code reaches 2^width (the encoder side of the 'early change'
+    off-by-one — the decoder bumps one code earlier, at 2^width - 1,
+    because it learns each entry one code later), hard reset via a
+    CLEAR code when the table hits 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    if indices:
+        cur = indices[:1]
+        for ch in indices[1:]:
+            nxt = cur + bytes([ch])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur])
+            if next_code < 4096:
+                table[nxt] = next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            else:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = mcs + 1
+            cur = bytes([ch])
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, max_out: int) -> bytes | None:
+    """GIF-flavor LZW decompress: the exact inverse of
+    :func:`_lzw_encode`, plus the KwKwK case (a code equal to the next
+    unassigned entry decodes as prev + prev[0]) any conformant encoder
+    may emit. None on a malformed stream (bad code, no EOI before the
+    bits run out, or more than ``max_out`` bytes — the pixel count from
+    the image descriptor bounds the output, so a corrupt stream cannot
+    balloon memory)."""
+    if not 2 <= mcs <= 8:
+        return None
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    buf = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # bits exhausted before EOI
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                # just-assigned code == 2^width - 1: the decoder bumps
+                # one code EARLIER than the encoder (it learns each
+                # entry one code later), so the next read fits
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > max_out:
+            return None
+        prev = entry
+
+
+def _gif_encode_py(frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal VALID multi-frame GIF89a from per-frame palette-index
+    rows (top-down, w*h bytes per frame): header, logical screen
+    descriptor, the fixed 256-entry global color table
+    (:data:`_GIF_PALETTE`), one graphic-control extension + full-canvas
+    image descriptor + real LZW-compressed data per frame, trailer.
+    Non-interlaced, no transparency, no local color tables — exactly
+    the shape :func:`_gif_decode_py` certifies."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != w * h:
+            raise ValueError(f"need {w * h} index bytes, got {len(f)}")
+    out = bytearray(b"GIF89a")
+    # packed 0xF7: global color table, 8-bit color resolution, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _GIF_PALETTE
+    for f in frames:
+        # GCE: no disposal/user-input/transparency, 4cs delay
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW minimum code size (256-color indices)
+        data = _lzw_encode(f, 8)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_decode_py(payload: bytes) -> dict | None:
+    """Real dependency-free GIF decode (round 13): header + logical
+    screen descriptor parse, global color table, full LZW decompress
+    per frame (variable-width codes, clear/EOI, KwKwK, table-full
+    behavior), palette mapping, and the shared channel statistics —
+    overall AND per frame, so frame-level operators read real frames.
+
+    Scope: non-interlaced, full-canvas frames over a global color
+    table — the shape :func:`gif_encode` emits and the common
+    corpus-thumbnail storage shape. Interlaced frames, sub-canvas
+    frames (animation deltas that composite over a prior canvas),
+    local color tables, and any structural corruption (bad magic,
+    truncated blocks, LZW output != w*h) return None — the codec
+    refuses rather than mis-decodes, like its PNG twin. Transparency
+    indices are treated as opaque palette colors (statistics count
+    the stored color; compositing is out of scope)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if gct is None:
+        return None  # no global palette and we refuse local ones
+    frames: list[bytes] = []
+    while True:
+        if pos >= len(payload):
+            return None  # ran out before the trailer
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(payload):
+                return None
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    return None
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 9 > len(payload):
+            return None
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if fpacked & 0x80:
+            return None  # local color table: out of scope
+        if fpacked & 0x40:
+            return None  # interlaced: refuse, never mis-decode
+        if (left, top, fw, fh) != (0, 0, w, h):
+            return None  # sub-canvas composite frame: out of scope
+        if pos >= len(payload):
+            return None
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                return None
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(payload):
+                return None
+            data += payload[pos : pos + ln]
+            pos += ln
+        idx = _lzw_decode(bytes(data), mcs, w * h)
+        if idx is None or len(idx) != w * h:
+            return None
+        frames.append(idx)
+    if not frames:
+        return None
+    n_colors = len(gct) // 3
+    sums = [0, 0, 0]
+    frame_means = []
+    for idx in frames:
+        fsums = [0, 0, 0]
+        for i in idx:
+            if i >= n_colors:
+                return None  # index past the palette
+            off = 3 * i
+            fsums[0] += gct[off]
+            fsums[1] += gct[off + 1]
+            fsums[2] += gct[off + 2]
+        frame_means.append(
+            [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
+        )
+        for c in range(3):
+            sums[c] += fsums[c]
+    n = w * h * len(frames)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "mean_r": round(sums[0] / n, 6),
+        "mean_g": round(sums[1] / n, 6),
+        "mean_b": round(sums[2] / n, 6),
+        "mean_all": round(sum(sums) / (3 * n), 6),
+        "frame_means": frame_means,
+        "frames": frames,
+        "palette": bytes(gct),
+    }
+
+
+def gif_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic VALID multi-frame GIF payloads from a text fixture
+    — the animated sibling of :func:`png_encode`: same width/height
+    convention (4/8/12/16 × 1..5 from doc_id), 1 + doc_id % 3 frames,
+    frame ``f``'s palette indices = the repeated md5 of ``text + '#f'
+    + f``. The palette is the fixed affine :data:`_GIF_PALETTE`, so an
+    analytic oracle recomputes every channel statistic from the md5
+    byte stream and the palette arithmetic — never decoding a GIF —
+    while the engine runs the REAL decode (LZW and all).
+
+    Arrow-batched ``mapInPandas`` like the PNG encoder (LZW is not
+    expressible in SQL built-ins); map-only, no shuffle."""
+    src = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                w = 4 * (1 + doc_id % 4)
+                h = 1 + doc_id % 5
+                n_frames = 1 + doc_id % 3
+                frames = []
+                for f in range(n_frames):
+                    digest = hashlib.md5(
+                        (rec.ptext + f"#f{f}").encode("utf-8")
+                    ).digest()
+                    frames.append((digest * 5)[: w * h])
+                payload = _gif_encode_py(frames, w, h)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": payload,
+                        "media_meta": {
+                            "kind": "video",
+                            "mime": "image/gif",
+                            "n_bytes": len(payload),
+                            "sha": hashlib.sha256(payload).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>"
+    )
+    return src.mapInPandas(run, schema=schema)
+
+
+def _gif_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resample of EVERY frame of a GIF: real decode
+    (:func:`_gif_decode_py` — LZW and all), the shared source-pixel
+    selection arithmetic (``src = (dst * src_dim) // dst_dim``) over
+    the palette-index planes (palette untouched — NN resampling of an
+    indexed image is index selection), then a real re-encode. None for
+    anything the decoder refuses."""
+    parsed = _gif_decode_py(payload)
+    if parsed is None:
+        return None
+    w, h = parsed["width"], parsed["height"]
+    frames_out = []
+    for idx in parsed["frames"]:
+        out = bytearray(out_w * out_h)
+        for j in range(out_h):
+            src_base = (j * h // out_h) * w
+            dst_base = j * out_w
+            for i in range(out_w):
+                out[dst_base + i] = idx[src_base + i * w // out_w]
+        frames_out.append(bytes(out))
+    return _gif_encode_py(frames_out, out_w, out_h)
+
+
+_GIF_FRAME_SCHEMA = (
+    "doc_id BIGINT, sha STRING, frame_idx INT, width INT, height INT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
+
+
+def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
+    """REAL frame extraction over the multi-frame GIF codec: one row
+    per (kept) frame with its own channel statistics — the
+    frame-sample operation the brief lists, now over genuinely decoded
+    frames rather than :func:`frame_sample`'s index plumbing.
+    ``every_nth`` keeps frames 0, n, 2n, ... (the classic video
+    frame-sampling stride) at DECODE time, so dropped frames never
+    cross the Arrow boundary. Arrow-batched ``mapInPandas``; map-only,
+    no shuffle — parallelism is the partition layout of the media
+    frame (see :func:`balance_media_bytes`)."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.media)
+                parsed = _gif_decode_py(payload)
+                if parsed is None:
+                    raise ValueError(
+                        "unsupported media format (gif_frames needs the "
+                        "dependency-free GIF codec's shape: non-interlaced "
+                        "full-canvas frames over a global color table)"
+                    )
+                for f in range(0, parsed["n_frames"], every_nth):
+                    fm = parsed["frame_means"][f]
+                    rows.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "sha": rec.media_meta["sha"],
+                            "frame_idx": f,
+                            "width": parsed["width"],
+                            "height": parsed["height"],
+                            "mean_r": fm[0],
+                            "mean_g": fm[1],
+                            "mean_b": fm[2],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sha", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media_df.mapInPandas(run, schema=_GIF_FRAME_SCHEMA)
+
+
 def _stub_decode(payload: bytes) -> dict:
     """Deterministic fake decode: dimensions + features from the
     content digest. A real build replaces this body with PIL/ffmpeg."""
@@ -832,14 +1230,16 @@ def extract_features(
     """Decode + featurize media via Arrow-batched mapInPandas.
 
     ``decode_stub=False`` runs the REAL dependency-free codecs,
-    dispatched on the payload magic: 24-bpp BMP (``_bmp_decode_py``)
-    and 8-bit truecolor PNG (``_png_decode_py`` — full chunk/CRC/
-    inflate/unfilter, round 12). Width/height come from the parsed
-    header, n_frames = height (one frame per pixel row in the fixture
-    convention), feature = the four channel/total byte means in the
-    shared [b, g, r, all] slot order. Other formats (JPEG/audio/video)
-    raise ValueError — they need PIL/librosa/ffmpeg, absent in this
-    container.
+    dispatched on the payload magic: 24-bpp BMP (``_bmp_decode_py``),
+    8-bit truecolor PNG (``_png_decode_py`` — full chunk/CRC/
+    inflate/unfilter, round 12), and multi-frame GIF
+    (``_gif_decode_py`` — real LZW, round 13). Width/height come from
+    the parsed header; n_frames is the REAL frame count for GIF and
+    = height (one frame per pixel row, the fixture convention) for the
+    single-frame formats; feature = the four channel/total byte means
+    in the shared [b, g, r, all] slot order. Other formats
+    (JPEG/video containers) raise ValueError — they need PIL/ffmpeg,
+    absent in this container.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -889,18 +1289,25 @@ def extract_features(
                         continue
                     if payload[:8] == _PNG_SIG:
                         parsed = _png_decode_py(payload)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        parsed = _gif_decode_py(payload)
                     else:
                         parsed = _bmp_decode_py(payload)
                     if parsed is None:
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
-                            "truecolor PNG, and 16-bit PCM WAV decode "
-                            "dependency-free; JPEG/video need PIL/ffmpeg)"
+                            "truecolor PNG, multi-frame GIF, and 16-bit "
+                            "PCM WAV decode dependency-free; JPEG/video "
+                            "containers need PIL/ffmpeg)"
                         )
                     decoded = {
                         "width": parsed["width"],
                         "height": parsed["height"],
-                        "n_frames": parsed["height"],
+                        # GIF frames are real; single-frame formats keep
+                        # the one-frame-per-pixel-row fixture convention
+                        "n_frames": parsed.get(
+                            "n_frames", parsed["height"]
+                        ),
                         "feature": [
                             parsed["mean_b"],
                             parsed["mean_g"],
@@ -1088,8 +1495,9 @@ def resize_media(
 
     ``decode_stub=False`` runs the REAL dependency-free
     nearest-neighbor resamplers, dispatched on the payload magic:
-    24-bpp BMP (``_bmp_resize_py``) and 8-bit truecolor PNG
-    (``_png_resize_py`` — real decode, resample, real re-encode).
+    24-bpp BMP (``_bmp_resize_py``), 8-bit truecolor PNG
+    (``_png_resize_py``), and multi-frame GIF (``_gif_resize_py`` —
+    every frame resampled on the palette-index plane, real re-encode).
     Both are bit-exact reference-checked; identity-dimension resizes
     round-trip the pixel array byte-for-byte, and outputs re-parse
     under their decoders. Other formats raise ValueError (PIL /
@@ -1112,14 +1520,18 @@ def resize_media(
                     if payload[:8] == _PNG_SIG:
                         maybe = _png_resize_py(payload, out_w, out_h)
                         mime = "image/png"
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        maybe = _gif_resize_py(payload, out_w, out_h)
+                        mime = "image/gif"
                     else:
                         maybe = _bmp_resize_py(payload, out_w, out_h)
                         mime = "image/bmp"
                     if maybe is None:
                         raise ValueError(
-                            "unsupported media format (only BMP and 8-bit "
-                            "truecolor PNG resize dependency-free; "
-                            "JPEG/audio/video need PIL/librosa/ffmpeg)"
+                            "unsupported media format (only BMP, 8-bit "
+                            "truecolor PNG, and GIF resize "
+                            "dependency-free; JPEG/audio/video need "
+                            "PIL/librosa/ffmpeg)"
                         )
                     resized = maybe
                 rows.append(

@@ -1523,6 +1523,120 @@ Q_MULTIMODAL_PNG_SQL = f"""
 """
 
 
+# shared GIF fixture arithmetic (round 13): per-frame md5 index stream
+# over the affine palette (r, g, b) = (37i, 59i, 83i) mod 256 — the
+# oracle recomputes channel statistics from bytes it never decodes
+_MM_GIF_SQL = """
+    SELECT doc_id,
+           CAST(4 * (1 + doc_id % 4) AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST((4 * (1 + doc_id % 4)) * (1 + doc_id % 5) AS INTEGER)
+               AS npix,
+           CAST(1 + doc_id % 3 AS INTEGER) AS nframes,
+           f,
+           substr(repeat(md5(coalesce(text, '') || '#f' || f), 5), 1,
+                  2 * (4 * (1 + doc_id % 4)) * (1 + doc_id % 5))
+               AS idxhex
+    FROM documents,
+         LATERAL (SELECT unnest(range(1 + doc_id % 3)) AS f) fr
+"""
+
+_MM_GIF_BYTES_SQL = """
+        SELECT doc_id, width, height, npix, nframes, f, i,
+               (16 * (instr('0123456789abcdef',
+                            substr(idxhex, CAST(2 * i + 1 AS INTEGER), 1))
+                      - 1)
+                  + (instr('0123456789abcdef',
+                           substr(idxhex, CAST(2 * i + 2 AS INTEGER), 1))
+                     - 1)) AS idx
+        FROM gdims, LATERAL (SELECT unnest(range(npix)) AS i) r
+"""
+
+
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame GIF decode end-to-end (round 13):
+    multimodal.gif_encode emits valid GIF89a payloads — real LZW
+    compression, 1 + doc_id % 3 frames over the fixed affine palette —
+    and extract_features(decode_stub=False) decodes them for real in
+    the Arrow path (LZW decompress per frame, palette mapping,
+    variable code widths and all). n_frames is the GENUINE frame
+    count, the first real multi-frame modality. The oracle never
+    decodes a GIF — it recomputes the channel statistics analytically
+    from the per-frame md5 index stream and the palette arithmetic
+    (r, g, b) = (37i, 59i, 83i) mod 256, so a decoder that drops a
+    frame, mis-expands one LZW code, or misreads the palette
+    hash-mismatches."""
+    media = multimodal.gif_encode(_documents(spark, sf_dir))
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.element_at("feature", 1).alias("mean_b"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_all"),
+    )
+
+
+Q_MULTIMODAL_GIF_SQL = f"""
+    WITH gdims AS ({_MM_GIF_SQL}),
+    b AS ({_MM_GIF_BYTES_SQL})
+    SELECT doc_id,
+           width,
+           height,
+           nframes AS n_frames,
+           round(sum((83 * idx) % 256)
+                 / CAST(npix * nframes AS DOUBLE), 6) AS mean_b,
+           round(sum((59 * idx) % 256)
+                 / CAST(npix * nframes AS DOUBLE), 6) AS mean_g,
+           round(sum((37 * idx) % 256)
+                 / CAST(npix * nframes AS DOUBLE), 6) AS mean_r,
+           round(sum((37 * idx) % 256 + (59 * idx) % 256 + (83 * idx) % 256)
+                 / CAST(3 * npix * nframes AS DOUBLE), 6) AS mean_all
+    FROM b
+    GROUP BY doc_id, width, height, npix, nframes
+"""
+
+
+_GIF_FRAME_STRIDE = 2
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling (round 13): gif_frames strides every 2nd
+    frame out of the decoded GIF at Arrow-batch time and reports each
+    kept frame's OWN channel means — the video frame-sample operation
+    over genuinely decoded frames (frame_sample's index plumbing was
+    the placeholder). The oracle replays the per-frame md5 index
+    stream + palette arithmetic for exactly the strided frame set, so
+    frame ordering, stride selection, and per-frame statistics are all
+    certified."""
+    media = multimodal.gif_encode(_documents(spark, sf_dir))
+    return multimodal.gif_frames(
+        media, every_nth=_GIF_FRAME_STRIDE
+    ).select(
+        "doc_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+Q_MULTIMODAL_GIF_FRAMES_SQL = f"""
+    WITH gdims AS ({_MM_GIF_SQL}),
+    b AS ({_MM_GIF_BYTES_SQL})
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           width,
+           height,
+           round(sum((37 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mean_r,
+           round(sum((59 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mean_g,
+           round(sum((83 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mean_b
+    FROM b
+    WHERE f % {_GIF_FRAME_STRIDE} = 0
+    GROUP BY doc_id, f, width, height, npix
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 
@@ -3267,6 +3381,8 @@ QUERIES = {
     "q_corpus_quantiles": q_corpus_quantiles,
     "q_quantile_sketch": q_quantile_sketch,
     "q_priority_sketch": q_priority_sketch,
+    "q_multimodal_gif": q_multimodal_gif,
+    "q_multimodal_frames": q_multimodal_frames,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3333,6 +3449,8 @@ ORACLE = {
     "q_corpus_quantiles": Q_CORPUS_QUANTILES_SQL,
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
     "q_priority_sketch": Q_PRIORITY_SKETCH_SQL,
+    "q_multimodal_gif": Q_MULTIMODAL_GIF_SQL,
+    "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,

@@ -4058,3 +4058,220 @@ def test_priority_sketch_tau_and_order_semantics(spark):
         "psk"
     ]
     assert sorted(s["w"] for s in arr) == [4.0, 9.0]
+
+
+def test_lzw_roundtrip_and_kwkwk():
+    """The GIF LZW pair (round 13): encode→decode is identity across
+    code-width boundaries and table-full CLEAR resets, and the decoder
+    handles the KwKwK case (a code equal to the next unassigned entry)
+    that run-heavy inputs make any conformant encoder emit."""
+    import random
+
+    from firebolt_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    cases = [b"", b"\x00", bytes([5] * 10), bytes(range(256)) * 3]
+    for n in (1, 7, 100, 1000, 20000):
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+        cases.append(bytes(rng.randrange(4) for _ in range(n)))
+    cases += [
+        bytes([1] * 30000),          # KwKwK chains
+        bytes([0, 1] * 15000),       # alternation
+        bytes(i % 16 for i in range(40000)),  # forces 4096-entry resets
+    ]
+    for mcs in (2, 3, 4, 8):
+        for c in cases:
+            if mcs < 8 and any(b >= (1 << mcs) for b in c):
+                continue
+            assert _lzw_decode(_lzw_encode(c, mcs), mcs, len(c)) == c
+
+    # the minimal KwKwK stream: [1,1,1] at mcs=2 encodes as
+    # CLEAR, 1, 6 (== next unassigned), EOI — decode must expand 6 to
+    # prev + prev[0] = [1,1]
+    assert _lzw_decode(_lzw_encode(bytes([1, 1, 1]), 2), 2, 3) == bytes(
+        [1, 1, 1]
+    )
+
+    # malformed streams refuse: code past the table, bits exhausted
+    assert _lzw_decode(b"", 2, 10) is None
+    assert _lzw_decode(b"\xff\xff\xff", 2, 2) is None  # output overrun
+
+
+def test_gif_decode_canonical_red_pixel():
+    """INDEPENDENT known-answer check: the classic hand-assembled 1x1
+    red GIF89a (2-entry palette, mcs=2, data codes 44 01) — bytes from
+    the GIF89a spec walkthrough, NOT our encoder — must decode to one
+    pure-red pixel."""
+    from firebolt_spark.operators.multimodal import _gif_decode_py
+
+    red = bytes.fromhex(
+        "474946383961010001008000"
+        "00ff000000000021f90400000000002c"
+        "00000000010001000002024401003b"
+    )
+    d = _gif_decode_py(red)
+    assert d is not None
+    assert (d["width"], d["height"], d["n_frames"]) == (1, 1, 1)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (255.0, 0.0, 0.0)
+    assert d["frame_means"] == [[255.0, 0.0, 0.0]]
+
+
+def test_gif_codec_roundtrip_and_rejections():
+    """Encode→decode recovers every frame's palette-index plane
+    bit-exactly; the decoder refuses (None, never garbage) bad magic,
+    truncation, the interlace flag, sub-canvas frames, local color
+    tables, and a missing trailer."""
+    import hashlib
+    import struct
+
+    from firebolt_spark.operators.multimodal import (
+        _gif_decode_py, _gif_encode_py,
+    )
+
+    w, h = 8, 3
+    frames = [
+        (hashlib.md5(f"frame{f}".encode()).digest() * 2)[: w * h]
+        for f in range(3)
+    ]
+    p = _gif_encode_py(frames, w, h)
+    d = _gif_decode_py(p)
+    assert d is not None and d["frames"] == frames
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 3)
+
+    assert _gif_decode_py(b"BM" + p[2:]) is None        # wrong magic
+    assert _gif_decode_py(p[:-1]) is None               # no trailer
+    assert _gif_decode_py(p[:40]) is None               # truncated
+
+    # image descriptor packed byte: header 13 + GCT 768, then the GCE
+    # (8 bytes), then 0x2C + 8 descriptor bytes -> packed at +9
+    idesc = 13 + 768 + 8
+    assert p[idesc] == 0x2C
+    flip = bytearray(p)
+    flip[idesc + 9] |= 0x40                              # interlace flag
+    assert _gif_decode_py(bytes(flip)) is None
+    flip = bytearray(p)
+    flip[idesc + 9] |= 0x80                              # local color table
+    assert _gif_decode_py(bytes(flip)) is None
+    flip = bytearray(p)
+    flip[idesc + 1 : idesc + 3] = struct.pack("<H", 2)   # left offset
+    assert _gif_decode_py(bytes(flip)) is None
+
+
+def test_gif_features_match_analytic_stats(spark, sf_dir):
+    """The REAL GIF decode path end-to-end: gif_encode emits valid
+    LZW-compressed multi-frame GIFs; extract_features(decode_stub=
+    False) must report exactly the channel statistics computed
+    analytically from the md5 index stream and the affine palette —
+    the same arithmetic the SQL oracle replays."""
+    import hashlib
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = multimodal.gif_encode(docs)
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            media, decode_stub=False
+        ).collect()
+    }
+    for rec in docs.select("doc_id", "text").collect():
+        doc_id = int(rec["doc_id"])
+        w, h = 4 * (1 + doc_id % 4), 1 + doc_id % 5
+        nf = 1 + doc_id % 3
+        sums, n = [0, 0, 0], 0
+        for f in range(nf):
+            digest = hashlib.md5(
+                ((rec["text"] or "") + f"#f{f}").encode()
+            ).digest()
+            for i in (digest * 5)[: w * h]:
+                sums[0] += (37 * i) % 256
+                sums[1] += (59 * i) % 256
+                sums[2] += (83 * i) % 256
+                n += 1
+        row = feats[doc_id]
+        assert (row["width"], row["height"], row["n_frames"]) == (w, h, nf)
+        got = list(row["feature"])  # [b, g, r, all]
+        assert got[0] == round(sums[2] / n, 6)
+        assert got[1] == round(sums[1] / n, 6)
+        assert got[2] == round(sums[0] / n, 6)
+        assert got[3] == round(sum(sums) / (3 * n), 6)
+
+
+def test_gif_resize_reference_and_identity(spark, sf_dir):
+    """GIF resize: identity dims round-trip every frame's index plane
+    byte-for-byte; a real resize NN-selects indices with the shared
+    (dst * src) // dst arithmetic on every frame; resize_media
+    dispatches on the magic and the output re-parses."""
+    import hashlib
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.multimodal import (
+        _gif_decode_py, _gif_encode_py, _gif_resize_py,
+    )
+
+    w, h = 8, 4
+    frames = [
+        (hashlib.md5(f"rz{f}".encode()).digest() * 2)[: w * h]
+        for f in range(2)
+    ]
+    p = _gif_encode_py(frames, w, h)
+    assert _gif_decode_py(_gif_resize_py(p, w, h))["frames"] == frames
+
+    out = _gif_decode_py(_gif_resize_py(p, 3, 2))
+    assert (out["width"], out["height"], out["n_frames"]) == (3, 2, 2)
+    for f in range(2):
+        expect = bytes(
+            frames[f][(j * h // 2) * w + (i * w // 3)]
+            for j in range(2)
+            for i in range(3)
+        )
+        assert out["frames"][f] == expect
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = multimodal.gif_encode(docs)
+    rz = multimodal.resize_media(media, 5, 3, decode_stub=False).collect()
+    assert rz and all(r["media_meta"]["mime"] == "image/gif" for r in rz)
+    for r in rz:
+        d = _gif_decode_py(bytes(r["media"]))
+        assert d is not None and (d["width"], d["height"]) == (5, 3)
+
+
+def test_gif_frames_real_extraction(spark, sf_dir):
+    """gif_frames: one row per decoded frame with that frame's own
+    channel means (REAL frame extraction, not index plumbing);
+    every_nth strides at decode time; non-GIF payloads raise."""
+    import pytest as _pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.gif_encode(docs)
+    nf = {
+        r["doc_id"]: r["n_frames"]
+        for r in multimodal.extract_features(
+            media, decode_stub=False
+        ).collect()
+    }
+    rows = multimodal.gif_frames(media).collect()
+    assert len(rows) == sum(nf.values())
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(
+        sorted(v) == list(range(nf[k])) for k, v in by_doc.items()
+    )
+
+    strided = multimodal.gif_frames(media, every_nth=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in strided)
+    assert len(strided) == sum((v + 1) // 2 for v in nf.values())
+
+    with _pytest.raises(Exception, match="unsupported media format"):
+        multimodal.gif_frames(
+            multimodal.bmp_encode(docs.limit(2))
+        ).collect()
+    with _pytest.raises(ValueError):
+        multimodal.gif_frames(media, every_nth=0)
