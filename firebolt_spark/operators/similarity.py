@@ -711,10 +711,34 @@ def _recover_compact_path(spark, path: str) -> None:
                 fs.delete(leftover, True)
 
 
+def auto_max_records_per_file(spark, path: str) -> int:
+    """Derive a compaction file-size bound from the index's OWN
+    population profile (:func:`index_stats`): 4x the mean partition
+    population, floored at 1. Partitions near the mean stay one file
+    per directory (the compaction ideal); a skewed hot bucket —
+    ``index_stats``' reindex signal — splits into ~count/(4·mean)
+    files so its probes still fan into parallel scan tasks instead of
+    one giant single-file read. Deterministic in the index contents;
+    the stats scan reads partition columns only (no vectors move)."""
+    import math
+
+    row = (
+        index_stats(spark, path)
+        .agg(
+            F.sum("n_vectors").alias("total"),
+            F.count(F.lit(1)).alias("parts"),
+        )
+        .collect()[0]
+    )
+    if not row["parts"]:
+        return 1
+    return max(1, math.ceil(4 * row["total"] / row["parts"]))
+
+
 def compact_ann_index(
     spark,
     path: str,
-    max_records_per_file: int | None = None,
+    max_records_per_file: int | None | str = None,
 ) -> None:
     """Rewrite an on-disk ANN index (IVF or LSH — detected from the
     ``_meta`` sidecar) into ONE data file per partition directory and
@@ -753,11 +777,20 @@ def compact_ann_index(
     mid-write at the swap loses the race entirely.
 
     ``max_records_per_file`` bounds file size under skewed partitions
-    (one hot cluster still splits into parallel scan tasks)."""
+    (one hot cluster still splits into parallel scan tasks); pass
+    ``"auto"`` to derive the bound from the index's own population
+    profile (:func:`auto_max_records_per_file`)."""
     from firebolt_spark.functions import write_partitioned
 
     path = path.rstrip("/")
     _recover_compact_path(spark, path)
+    if max_records_per_file == "auto":
+        max_records_per_file = auto_max_records_per_file(spark, path)
+    elif isinstance(max_records_per_file, str):
+        raise ValueError(
+            f"max_records_per_file must be an int, None, or 'auto'; "
+            f"got {max_records_per_file!r}"
+        )
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(

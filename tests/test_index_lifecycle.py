@@ -359,3 +359,69 @@ def test_compact_ann_index_crash_and_race(spark, tmp_path, monkeypatch):
     assert not os.path.exists(p + "/_staging")
     sim.append_ivf_index(batch3, p, batch_id=3)  # replay: still a no-op
     assert spark.read.parquet(p).count() == rows_with_b3
+
+
+def test_compact_ann_index_auto_file_bound(spark, tmp_path):
+    """max_records_per_file='auto' (ROADMAP r13 candidate): the bound
+    derives from the index's own population profile — 4x the mean
+    partition count — so near-mean partitions compact to ONE file per
+    directory while a skewed hot partition splits into several, and
+    the probe stays bit-identical. Non-'auto' strings are refused."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    p = str(tmp_path / "ivf-auto")
+    # a genuinely skewed build: 100 IDENTICAL vectors MUST share one
+    # cluster, beside 50 organic ones whose LOW ids seed the centroids
+    # (seeding is first-n-by-id — identical seeds would collapse every
+    # centroid) — the hot-bucket shape index_stats flags
+    hot = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).select(
+        "vec_id", F.expr("transform(embedding, x -> 1.0D)").alias(
+            "embedding"
+        ),
+    )
+    rest = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    sim.build_ivf_index(rest.unionByName(hot), p, n_centroids=8)
+
+    stats = {
+        tuple(r)[:-1][0]: r["n_vectors"]
+        for r in sim.index_stats(spark, p).collect()
+    }
+    total, parts = sum(stats.values()), len(stats)
+    assert max(stats.values()) >= 100  # the identical block stayed whole
+    assert max(stats.values()) > 4 * total / parts  # skew is real
+    bound = sim.auto_max_records_per_file(spark, p)
+    assert bound == max(1, math.ceil(4 * total / parts))
+
+    qids = [5, 320]
+    ref = sorted(map(tuple, sim.ann_ivf_topk_from_index(
+        spark, p, query_ids=qids, k=5
+    ).collect()))
+    sim.compact_ann_index(spark, p, max_records_per_file="auto")
+    got = sorted(map(tuple, sim.ann_ivf_topk_from_index(
+        spark, p, query_ids=qids, k=5
+    ).collect()))
+    assert got == ref
+
+    # per-partition file counts: every partition has ceil(count/bound)
+    # files — one for near-mean partitions, several for the hot one
+    for cluster, count in stats.items():
+        d = os.path.join(p, f"cluster={cluster}")
+        n_files = len([
+            f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ])
+        assert n_files == math.ceil(count / bound), (cluster, count, bound)
+    hot_cluster = max(stats, key=stats.get)
+    d = os.path.join(p, f"cluster={hot_cluster}")
+    assert len([
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    ]) > 1  # the hot bucket split into parallel-scannable files
+
+    with _pytest.raises(ValueError, match="'auto'"):
+        sim.compact_ann_index(spark, p, max_records_per_file="always")
