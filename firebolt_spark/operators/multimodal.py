@@ -924,27 +924,82 @@ def _lzw_decode(data: bytes, mcs: int, max_out: int) -> bytes | None:
         prev = entry
 
 
-def _gif_encode_py(frames: list[bytes], w: int, h: int) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix E interlace row order: pass 1 every 8th row from
+    0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 every
+    2nd from 1 — the order interlaced frames STORE their rows in."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_pad_palette(palette: bytes) -> tuple[bytes, int]:
+    """Pad an RGB palette to the next power-of-two entry count (>= 2,
+    the GIF encoding's only legal sizes) and return (padded bytes, the
+    size-field exponent n where entries = 2^(n+1))."""
+    entries = max(2, (len(palette) + 2) // 3)
+    n = max(0, (entries - 1).bit_length() - 1)
+    if (1 << (n + 1)) < entries:
+        n += 1
+    full = 3 * (1 << (n + 1))
+    return palette + bytes(full - len(palette)), n
+
+
+def _gif_encode_py(
+    frames: list[bytes],
+    w: int,
+    h: int,
+    palette: bytes | None = _GIF_PALETTE,
+    frame_palettes: list[bytes | None] | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Minimal VALID multi-frame GIF89a from per-frame palette-index
     rows (top-down, w*h bytes per frame): header, logical screen
-    descriptor, the fixed 256-entry global color table
-    (:data:`_GIF_PALETTE`), one graphic-control extension + full-canvas
-    image descriptor + real LZW-compressed data per frame, trailer.
-    Non-interlaced, no transparency, no local color tables — exactly
-    the shape :func:`_gif_decode_py` certifies."""
+    descriptor, the global color table (default the fixed
+    :data:`_GIF_PALETTE`; padded to a legal power-of-two size; None
+    omits the GCT entirely, in which case every frame needs its own
+    entry in ``frame_palettes``), one graphic-control extension +
+    full-canvas image descriptor + real LZW-compressed data per frame,
+    trailer. A frame whose entry in ``frame_palettes`` differs from
+    the global palette is written with a LOCAL color table;
+    ``interlace=True`` stores rows in the appendix-E pass order with
+    the interlace flag set. No transparency."""
     if not frames:
         raise ValueError("need at least one frame")
     for f in frames:
         if len(f) != w * h:
             raise ValueError(f"need {w * h} index bytes, got {len(f)}")
     out = bytearray(b"GIF89a")
-    # packed 0xF7: global color table, 8-bit color resolution, 256 entries
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
-    out += _GIF_PALETTE
-    for f in frames:
+    if palette is None:
+        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no GCT
+    else:
+        gct, gn = _gif_pad_palette(palette)
+        # packed: global color table present, 8-bit color resolution
+        out += struct.pack("<HHBBB", w, h, 0xF0 | gn, 0, 0)
+        out += gct
+    for fi, f in enumerate(frames):
         # GCE: no disposal/user-input/transparency, 4cs delay
         out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        fpal = frame_palettes[fi] if frame_palettes else None
+        if palette is None and fpal is None:
+            raise ValueError(
+                f"frame {fi} has no palette (no global color table and "
+                f"no frame_palettes entry)"
+            )
+        packed = 0x40 if interlace else 0
+        lct = b""
+        if fpal is not None and (palette is None or fpal != palette):
+            lct, ln = _gif_pad_palette(fpal)
+            packed |= 0x80 | ln
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, packed)
+        out += lct
+        if interlace:
+            f = b"".join(
+                f[r * w : (r + 1) * w] for r in _gif_interlace_order(h)
+            )
         out.append(8)  # LZW minimum code size (256-color indices)
         data = _lzw_encode(f, 8)
         for i in range(0, len(data), 255):
@@ -963,15 +1018,16 @@ def _gif_decode_py(payload: bytes) -> dict | None:
     behavior), palette mapping, and the shared channel statistics —
     overall AND per frame, so frame-level operators read real frames.
 
-    Scope: non-interlaced, full-canvas frames over a global color
-    table — the shape :func:`gif_encode` emits and the common
-    corpus-thumbnail storage shape. Interlaced frames, sub-canvas
-    frames (animation deltas that composite over a prior canvas),
-    local color tables, and any structural corruption (bad magic,
-    truncated blocks, LZW output != w*h) return None — the codec
-    refuses rather than mis-decodes, like its PNG twin. Transparency
-    indices are treated as opaque palette colors (statistics count
-    the stored color; compositing is out of scope)."""
+    Scope: full-canvas frames — the shape :func:`gif_encode` emits and
+    the common corpus-thumbnail storage shape — with interlaced frames
+    de-interlaced (appendix-E pass order) and per-frame LOCAL color
+    tables honored over the global one. Sub-canvas frames (animation
+    deltas that composite over a prior canvas) and any structural
+    corruption (bad magic, truncated blocks, LZW output != w*h, an
+    index past the frame's palette) return None — the codec refuses
+    rather than mis-decodes, like its PNG twin. Transparency indices
+    are treated as opaque palette colors (statistics count the stored
+    color; compositing is out of scope)."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -985,9 +1041,8 @@ def _gif_decode_py(payload: bytes) -> dict | None:
             return None
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
-    if gct is None:
-        return None  # no global palette and we refuse local ones
     frames: list[bytes] = []
+    frame_palettes: list[bytes] = []
     while True:
         if pos >= len(payload):
             return None  # ran out before the trailer
@@ -1013,12 +1068,17 @@ def _gif_decode_py(payload: bytes) -> dict | None:
             return None
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if fpacked & 0x80:
-            return None  # local color table: out of scope
-        if fpacked & 0x40:
-            return None  # interlaced: refuse, never mis-decode
         if (left, top, fw, fh) != (0, 0, w, h):
             return None  # sub-canvas composite frame: out of scope
+        pal = gct
+        if fpacked & 0x80:  # local color table overrides the global
+            n = 2 ** ((fpacked & 0x07) + 1)
+            if pos + 3 * n > len(payload):
+                return None
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            return None  # no palette for this frame at all
         if pos >= len(payload):
             return None
         mcs = payload[pos]
@@ -1038,21 +1098,29 @@ def _gif_decode_py(payload: bytes) -> dict | None:
         idx = _lzw_decode(bytes(data), mcs, w * h)
         if idx is None or len(idx) != w * h:
             return None
+        if fpacked & 0x40:  # interlaced: rows arrive in pass order
+            out = bytearray(w * h)
+            for stored, actual in enumerate(_gif_interlace_order(h)):
+                out[actual * w : (actual + 1) * w] = idx[
+                    stored * w : (stored + 1) * w
+                ]
+            idx = bytes(out)
         frames.append(idx)
+        frame_palettes.append(bytes(pal))
     if not frames:
         return None
-    n_colors = len(gct) // 3
     sums = [0, 0, 0]
     frame_means = []
-    for idx in frames:
+    for idx, pal in zip(frames, frame_palettes):
+        n_colors = len(pal) // 3
         fsums = [0, 0, 0]
         for i in idx:
             if i >= n_colors:
-                return None  # index past the palette
+                return None  # index past the frame's palette
             off = 3 * i
-            fsums[0] += gct[off]
-            fsums[1] += gct[off + 1]
-            fsums[2] += gct[off + 2]
+            fsums[0] += pal[off]
+            fsums[1] += pal[off + 1]
+            fsums[2] += pal[off + 2]
         frame_means.append(
             [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
         )
@@ -1069,7 +1137,8 @@ def _gif_decode_py(payload: bytes) -> dict | None:
         "mean_all": round(sum(sums) / (3 * n), 6),
         "frame_means": frame_means,
         "frames": frames,
-        "palette": bytes(gct),
+        "palette": bytes(gct) if gct is not None else frame_palettes[0],
+        "frame_palettes": frame_palettes,
     }
 
 
@@ -1146,7 +1215,17 @@ def _gif_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
             for i in range(out_w):
                 out[dst_base + i] = idx[src_base + i * w // out_w]
         frames_out.append(bytes(out))
-    return _gif_encode_py(frames_out, out_w, out_h)
+    # re-encode with the SOURCE's palettes (global + any per-frame
+    # locals) — an index plane is only meaningful against its own
+    # color table, so a fixed fixture palette here would recolor any
+    # non-fixture GIF
+    return _gif_encode_py(
+        frames_out,
+        out_w,
+        out_h,
+        palette=parsed["palette"],
+        frame_palettes=parsed["frame_palettes"],
+    )
 
 
 _GIF_FRAME_SCHEMA = (

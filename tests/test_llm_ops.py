@@ -4119,8 +4119,8 @@ def test_gif_decode_canonical_red_pixel():
 def test_gif_codec_roundtrip_and_rejections():
     """Encode→decode recovers every frame's palette-index plane
     bit-exactly; the decoder refuses (None, never garbage) bad magic,
-    truncation, the interlace flag, sub-canvas frames, local color
-    tables, and a missing trailer."""
+    truncation, sub-canvas frames, a missing trailer, and an index
+    past the frame's palette."""
     import hashlib
     import struct
 
@@ -4147,14 +4147,62 @@ def test_gif_codec_roundtrip_and_rejections():
     idesc = 13 + 768 + 8
     assert p[idesc] == 0x2C
     flip = bytearray(p)
-    flip[idesc + 9] |= 0x40                              # interlace flag
-    assert _gif_decode_py(bytes(flip)) is None
-    flip = bytearray(p)
-    flip[idesc + 9] |= 0x80                              # local color table
-    assert _gif_decode_py(bytes(flip)) is None
-    flip = bytearray(p)
     flip[idesc + 1 : idesc + 3] = struct.pack("<H", 2)   # left offset
     assert _gif_decode_py(bytes(flip)) is None
+
+    # an index plane referencing entries past a small palette refuses
+    small = _gif_encode_py(
+        [bytes([0, 1, 5, 1, 0, 1])], 3, 2, palette=bytes(6)
+    )
+    assert _gif_decode_py(small) is None
+
+
+def test_gif_interlace_and_local_palettes():
+    """Interlaced frames de-interlace through the appendix-E pass
+    order (pinned by hand for h=5: stored rows map to 0,4,2,1,3) and
+    a frame's LOCAL color table overrides the global one — both
+    round-trip bit-exactly, and stats follow the per-frame palette."""
+    import hashlib
+
+    from firebolt_spark.operators.multimodal import (
+        _gif_decode_py, _gif_encode_py, _gif_interlace_order,
+    )
+
+    assert _gif_interlace_order(5) == [0, 4, 2, 1, 3]
+    assert _gif_interlace_order(9) == [0, 8, 4, 2, 6, 1, 3, 5, 7]
+
+    w, h = 6, 5
+    frames = [
+        (hashlib.md5(f"il{f}".encode()).digest() * 2)[: w * h]
+        for f in range(2)
+    ]
+    plain = _gif_encode_py(frames, w, h)
+    laced = _gif_encode_py(frames, w, h, interlace=True)
+    assert plain != laced  # rows genuinely stored in pass order
+    d = _gif_decode_py(laced)
+    assert d is not None and d["frames"] == frames
+    assert d["frame_means"] == _gif_decode_py(plain)["frame_means"]
+
+    # local palette: frame 1 maps every index to pure blue — overall
+    # means must mix the global-palette frame with the all-blue one
+    blue = bytes(
+        v for _ in range(256) for v in (0, 0, 255)
+    )
+    mixed = _gif_encode_py(
+        frames, w, h, frame_palettes=[None, blue]
+    )
+    dm = _gif_decode_py(mixed)
+    assert dm is not None and dm["frames"] == frames
+    assert dm["frame_means"][1] == [0.0, 0.0, 255.0]
+    assert dm["frame_means"][0] == d["frame_means"][0]
+    assert dm["frame_palettes"][1] == blue
+
+    # a GIF with NO global palette but a local one on every frame
+    nogct = _gif_encode_py(
+        [frames[0]], w, h, palette=None, frame_palettes=[blue]
+    )
+    dn = _gif_decode_py(nogct)
+    assert dn is not None and dn["frame_means"] == [[0.0, 0.0, 255.0]]
 
 
 def test_gif_features_match_analytic_stats(spark, sf_dir):
@@ -4229,6 +4277,18 @@ def test_gif_resize_reference_and_identity(spark, sf_dir):
             for i in range(3)
         )
         assert out["frames"][f] == expect
+
+    # resize re-encodes with the SOURCE's palette: the canonical red
+    # 1x1 GIF (2-entry palette, nothing like the fixture's) upscaled
+    # must stay pure red — the fixture palette would turn it black
+    red = bytes.fromhex(
+        "474946383961010001008000"
+        "00ff000000000021f90400000000002c"
+        "00000000010001000002024401003b"
+    )
+    up = _gif_decode_py(_gif_resize_py(red, 2, 2))
+    assert up is not None and (up["width"], up["height"]) == (2, 2)
+    assert (up["mean_r"], up["mean_g"], up["mean_b"]) == (255.0, 0.0, 0.0)
 
     docs = load_table(spark, sf_dir, "documents").limit(8)
     media = multimodal.gif_encode(docs)
