@@ -680,16 +680,24 @@ def _png_decode_py(payload: bytes) -> dict | None:
     computes. Returns the raw reconstructed pixel bytes too, so resize
     can reuse the parse.
 
-    Scope: 8-bit truecolor (color type 2), non-interlaced — the format
-    :func:`png_encode` emits and the common ML-corpus storage shape.
-    Palette/alpha/16-bit/Adam7 return None (the codec refuses rather
-    than mis-decodes), as does any CRC or length corruption. Channel
-    order is RGB per the PNG spec (the BMP twin is BGR — the shared
-    feature convention keeps the [b, g, r, all] slot order)."""
+    Scope: 8-bit truecolor (color type 2 — the format
+    :func:`png_encode` emits and the common ML-corpus storage shape),
+    8-bit GRAYSCALE (color type 0, round 13) and 8-bit PALETTE (color
+    type 3 + PLTE, round 13), all non-interlaced; grayscale and
+    palette pixels are expanded to RGB so the statistics, the
+    ``pixels`` buffer, and resize share one shape. Alpha / 16-bit /
+    Adam7 / a palette index past PLTE return None (the codec refuses
+    rather than mis-decodes), as does any CRC or length corruption.
+    Channel order is RGB per the PNG spec (the BMP twin is BGR — the
+    shared feature convention keeps the [b, g, r, all] slot
+    order)."""
+    import numpy as np
+
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         return None
     pos = 8
     idat = bytearray()
+    plte = None
     w = h = None
     bit_depth = color_type = interlace = None
     seen_end = False
@@ -708,6 +716,10 @@ def _png_decode_py(payload: bytes) -> dict | None:
             w, h, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif typ == b"PLTE":
+            if ln == 0 or ln % 3 or ln > 768:
+                return None
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -720,30 +732,47 @@ def _png_decode_py(payload: bytes) -> dict | None:
         or w <= 0
         or h <= 0
         or bit_depth != 8
-        or color_type != 2
+        or color_type not in (0, 2, 3)
         or interlace != 0
+        or (color_type == 3 and plte is None)
     ):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = 3 * w
+    bpp = 3 if color_type == 2 else 1
+    stride = bpp * w
     if len(raw) != (stride + 1) * h:
         return None
-    pixels = bytearray()
+    planes = bytearray()
     prev = bytes(stride)
     for j in range(h):
         off = j * (stride + 1)
-        row = _png_unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev)
+        row = _png_unfilter_row(
+            raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp
+        )
         if row is None:
             return None
-        pixels += row
+        planes += row
         prev = row
-    sums = [0, 0, 0]  # r, g, b — PNG channel order
-    for i, v in enumerate(pixels):
-        sums[i % 3] += v
-    n_ch = len(pixels) / 3
+    if color_type == 2:
+        pixels = bytes(planes)
+    elif color_type == 0:  # grayscale: r = g = b = v
+        pixels = bytes(
+            np.repeat(np.frombuffer(bytes(planes), np.uint8), 3)
+        )
+    else:  # palette lookup, refusing out-of-range indices
+        idx = np.frombuffer(bytes(planes), np.uint8)
+        n_colors = len(plte) // 3
+        if idx.size and int(idx.max()) >= n_colors:
+            return None
+        pixels = bytes(
+            np.frombuffer(plte, np.uint8).reshape(-1, 3)[idx].reshape(-1)
+        )
+    arr = np.frombuffer(pixels, np.uint8).reshape(-1, 3)
+    sums = [int(s) for s in arr.sum(axis=0, dtype=np.int64)]
+    n_ch = arr.shape[0]
     return {
         "width": w,
         "height": h,
@@ -753,7 +782,7 @@ def _png_decode_py(payload: bytes) -> dict | None:
         "mean_g": round(sums[1] / n_ch, 6),
         "mean_b": round(sums[2] / n_ch, 6),
         "mean_all": round(sum(sums) / len(pixels), 6),
-        "pixels": bytes(pixels),
+        "pixels": pixels,
     }
 
 
@@ -1109,18 +1138,16 @@ def _gif_decode_py(payload: bytes) -> dict | None:
         frame_palettes.append(bytes(pal))
     if not frames:
         return None
+    import numpy as np
+
     sums = [0, 0, 0]
     frame_means = []
     for idx, pal in zip(frames, frame_palettes):
-        n_colors = len(pal) // 3
-        fsums = [0, 0, 0]
-        for i in idx:
-            if i >= n_colors:
-                return None  # index past the frame's palette
-            off = 3 * i
-            fsums[0] += pal[off]
-            fsums[1] += pal[off + 1]
-            fsums[2] += pal[off + 2]
+        a = np.frombuffer(idx, np.uint8)
+        if a.size and int(a.max()) >= len(pal) // 3:
+            return None  # index past the frame's palette
+        rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[a]
+        fsums = [int(s) for s in rgb.sum(axis=0, dtype=np.int64)]
         frame_means.append(
             [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
         )

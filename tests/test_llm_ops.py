@@ -4335,3 +4335,61 @@ def test_gif_frames_real_extraction(spark, sf_dir):
         ).collect()
     with _pytest.raises(ValueError):
         multimodal.gif_frames(media, every_nth=0)
+
+
+def test_png_grayscale_and_palette_decode():
+    """PNG color types 0 (grayscale) and 3 (palette + PLTE) decode
+    with RGB expansion (round 13): stats match the hand-computed
+    values, Sub filtering at bpp=1 unfilters correctly, resize rides
+    the expanded pixels, and malformed palette shapes refuse."""
+    import struct
+    import zlib
+
+    from firebolt_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, _png_decode_py, _png_resize_py,
+    )
+
+    def build(color_type, scanlines, w, h, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return (
+            out
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # grayscale 3x2: row0 None-filtered, row1 Sub-filtered at bpp=1
+    # (raw row1 = 40,50,60 -> sub deltas 40,10,10)
+    gray = build(
+        0,
+        b"\x00" + bytes([10, 20, 30]) + b"\x01" + bytes([40, 10, 10]),
+        3,
+        2,
+    )
+    d = _png_decode_py(gray)
+    assert d is not None
+    expect = round((10 + 20 + 30 + 40 + 50 + 60) / 6, 6)
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"] == expect
+    assert d["mean_all"] == expect
+    assert d["pixels"][:6] == bytes([10, 10, 10, 20, 20, 20])
+
+    # palette 2x2: PLTE red/green/blue, indices 0,1,2,0
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal = build(3, b"\x00\x00\x01" + b"\x00\x02\x00", 2, 2, plte)
+    d = _png_decode_py(pal)
+    assert d is not None
+    assert d["mean_r"] == round(510 / 4, 6)
+    assert d["mean_g"] == round(255 / 4, 6)
+    assert d["mean_b"] == round(255 / 4, 6)
+    # identity resize re-encodes the EXPANDED RGB and re-parses
+    rz = _png_decode_py(_png_resize_py(pal, 2, 2))
+    assert rz is not None and rz["pixels"] == d["pixels"]
+
+    # refusals: index past PLTE, type 3 without PLTE, bad PLTE length
+    over = build(3, b"\x00\x00\x07" + b"\x00\x02\x00", 2, 2, plte)
+    assert _png_decode_py(over) is None
+    assert _png_decode_py(build(3, b"\x00\x00\x01", 2, 1)) is None
+    badp = build(3, b"\x00\x00\x01", 2, 1, plte=bytes([1, 2, 3, 4]))
+    assert _png_decode_py(badp) is None
