@@ -469,16 +469,21 @@ def _hash48(col: str, salt: str) -> Column:
 def _min_k_survivors(
     df: DataFrame, groups: list[str], k: int, fan_in: int,
     order_col: str = "_h",
+    order: list[Column] | None = None,
 ) -> DataFrame:
     """Two-phase bottom-k: phase 1 keeps each of ``fan_in`` hash
     buckets' local min-k (rank-limit pushdown applies), so phase 2's
     per-group collect sees <= k x fan_in survivors instead of a
-    group's whole distinct set on one task. The min-k discipline
-    SHARED by :func:`kmv_sketch` and :func:`quantile_sketch` — one
-    copy, so a fix to the shape lands in both sketches."""
+    group's whole distinct set on one task. The rank-limit discipline
+    SHARED by :func:`kmv_sketch`, :func:`quantile_sketch`, and
+    :func:`priority_sketch` — one copy, so a fix to the shape lands in
+    every sketch. ``order_col`` is the integer bucketing column;
+    ``order`` overrides the window order (default: ``order_col``
+    ascending — :func:`priority_sketch` passes its descending
+    (priority, ticket) order instead)."""
     local = Window.partitionBy(
         *groups, F.pmod(F.col(order_col), F.lit(fan_in))
-    ).orderBy(order_col)
+    ).orderBy(*(order if order is not None else [F.col(order_col)]))
     return (
         df.withColumn("_rn", F.row_number().over(local))
         .filter(F.col("_rn") <= k)
@@ -881,13 +886,9 @@ def priority_sketch(
     # phase 1: each of fan_in hash buckets keeps its local top-(k+1) by
     # the canonical total order (p DESC, h DESC — reverse(array_sort)
     # order below); the global top-(k+1) is a subset of the union
-    local = Window.partitionBy(
-        *groups, F.pmod(F.col("_h"), F.lit(fan_in))
-    ).orderBy(F.col("_p").desc(), F.col("_h").desc())
-    survivors = (
-        base.withColumn("_rn", F.row_number().over(local))
-        .filter(F.col("_rn") <= k + 1)
-        .drop("_rn")
+    survivors = _min_k_survivors(
+        base, groups, k + 1, fan_in,
+        order=[F.col("_p").desc(), F.col("_h").desc()],
     )
     agg = survivors.groupBy(*groups).agg(
         F.reverse(

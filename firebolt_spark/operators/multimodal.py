@@ -968,7 +968,15 @@ def _gif_interlace_order(h: int) -> list[int]:
 def _gif_pad_palette(palette: bytes) -> tuple[bytes, int]:
     """Pad an RGB palette to the next power-of-two entry count (>= 2,
     the GIF encoding's only legal sizes) and return (padded bytes, the
-    size-field exponent n where entries = 2^(n+1))."""
+    size-field exponent n where entries = 2^(n+1)). Palettes beyond
+    the format's 256-entry ceiling raise — the 3-bit size field cannot
+    express them, and ORing a larger exponent in would silently emit a
+    corrupt header."""
+    if len(palette) > 768:
+        raise ValueError(
+            f"GIF palettes hold at most 256 entries (768 bytes), got "
+            f"{len(palette)} bytes"
+        )
     entries = max(2, (len(palette) + 2) // 3)
     n = max(0, (entries - 1).bit_length() - 1)
     if (1 << (n + 1)) < entries:
@@ -1040,7 +1048,7 @@ def _gif_encode_py(
     return bytes(out)
 
 
-def _gif_decode_py(payload: bytes) -> dict | None:
+def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
     """Real dependency-free GIF decode (round 13): header + logical
     screen descriptor parse, global color table, full LZW decompress
     per frame (variable-width codes, clear/EOI, KwKwK, table-full
@@ -1056,7 +1064,17 @@ def _gif_decode_py(payload: bytes) -> dict | None:
     index past the frame's palette) return None — the codec refuses
     rather than mis-decodes, like its PNG twin. Transparency indices
     are treated as opaque palette colors (statistics count the stored
-    color; compositing is out of scope)."""
+    color; compositing is out of scope).
+
+    ``frame_stride`` keeps frames 0, n, 2n, ... at PARSE time: dropped
+    frames' descriptors and palettes are still structurally validated
+    and their data sub-blocks walked (block lengths only), but their
+    LZW decompress and channel statistics — the dominant per-frame
+    cost — are skipped entirely. ``n_frames`` always counts every
+    frame; ``frame_idxs`` records which ones the returned planes/means
+    belong to."""
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -1072,6 +1090,8 @@ def _gif_decode_py(payload: bytes) -> dict | None:
         pos += 3 * n
     frames: list[bytes] = []
     frame_palettes: list[bytes] = []
+    frame_idxs: list[int] = []
+    frame_no = 0
     while True:
         if pos >= len(payload):
             return None  # ran out before the trailer
@@ -1124,18 +1144,21 @@ def _gif_decode_py(payload: bytes) -> dict | None:
                 return None
             data += payload[pos : pos + ln]
             pos += ln
-        idx = _lzw_decode(bytes(data), mcs, w * h)
-        if idx is None or len(idx) != w * h:
-            return None
-        if fpacked & 0x40:  # interlaced: rows arrive in pass order
-            out = bytearray(w * h)
-            for stored, actual in enumerate(_gif_interlace_order(h)):
-                out[actual * w : (actual + 1) * w] = idx[
-                    stored * w : (stored + 1) * w
-                ]
-            idx = bytes(out)
-        frames.append(idx)
-        frame_palettes.append(bytes(pal))
+        if frame_no % frame_stride == 0:
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            if idx is None or len(idx) != w * h:
+                return None
+            if fpacked & 0x40:  # interlaced: rows arrive in pass order
+                out = bytearray(w * h)
+                for stored, actual in enumerate(_gif_interlace_order(h)):
+                    out[actual * w : (actual + 1) * w] = idx[
+                        stored * w : (stored + 1) * w
+                    ]
+                idx = bytes(out)
+            frames.append(idx)
+            frame_palettes.append(bytes(pal))
+            frame_idxs.append(frame_no)
+        frame_no += 1
     if not frames:
         return None
     import numpy as np
@@ -1157,13 +1180,14 @@ def _gif_decode_py(payload: bytes) -> dict | None:
     return {
         "width": w,
         "height": h,
-        "n_frames": len(frames),
+        "n_frames": frame_no,
         "mean_r": round(sums[0] / n, 6),
         "mean_g": round(sums[1] / n, 6),
         "mean_b": round(sums[2] / n, 6),
         "mean_all": round(sum(sums) / (3 * n), 6),
         "frame_means": frame_means,
         "frames": frames,
+        "frame_idxs": frame_idxs,
         "palette": bytes(gct) if gct is not None else frame_palettes[0],
         "frame_palettes": frame_palettes,
     }
@@ -1267,10 +1291,12 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
     frame-sample operation the brief lists, now over genuinely decoded
     frames rather than :func:`frame_sample`'s index plumbing.
     ``every_nth`` keeps frames 0, n, 2n, ... (the classic video
-    frame-sampling stride) at DECODE time, so dropped frames never
-    cross the Arrow boundary. Arrow-batched ``mapInPandas``; map-only,
-    no shuffle — parallelism is the partition layout of the media
-    frame (see :func:`balance_media_bytes`)."""
+    frame-sampling stride) at PARSE time — dropped frames are never
+    LZW-decompressed, never featurized, and never cross the Arrow
+    boundary (``_gif_decode_py``'s ``frame_stride``); only their block
+    lengths are walked. Arrow-batched ``mapInPandas``; map-only, no
+    shuffle — parallelism is the partition layout of the media frame
+    (see :func:`balance_media_bytes`)."""
     if every_nth < 1:
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
 
@@ -1279,15 +1305,17 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.media)
-                parsed = _gif_decode_py(payload)
+                parsed = _gif_decode_py(payload, frame_stride=every_nth)
                 if parsed is None:
                     raise ValueError(
-                        "unsupported media format (gif_frames needs the "
-                        "dependency-free GIF codec's shape: non-interlaced "
-                        "full-canvas frames over a global color table)"
+                        "unsupported media format (gif_frames needs a "
+                        "GIF with full-canvas frames — sub-canvas "
+                        "composite frames and structural corruption are "
+                        "refused; interlace and local palettes are fine)"
                     )
-                for f in range(0, parsed["n_frames"], every_nth):
-                    fm = parsed["frame_means"][f]
+                for f, fm in zip(
+                    parsed["frame_idxs"], parsed["frame_means"]
+                ):
                     rows.append(
                         {
                             "doc_id": rec.doc_id,

@@ -4393,3 +4393,63 @@ def test_png_grayscale_and_palette_decode():
     assert _png_decode_py(build(3, b"\x00\x00\x01", 2, 1)) is None
     badp = build(3, b"\x00\x00\x01", 2, 1, plte=bytes([1, 2, 3, 4]))
     assert _png_decode_py(badp) is None
+
+
+def test_gif_frame_stride_skips_decode_work():
+    """_gif_decode_py(frame_stride=n): dropped frames are never
+    LZW-decompressed (pinned by corrupting a dropped frame's LZW data
+    while keeping its block structure — the strided parse must still
+    succeed, the full parse must refuse), n_frames still counts every
+    frame, and frame_idxs names the kept ones. Oversized palettes
+    refuse at encode."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from firebolt_spark.operators.multimodal import (
+        _gif_decode_py, _gif_encode_py,
+    )
+
+    w, h = 8, 3
+    frames = [
+        (hashlib.md5(f"st{f}".encode()).digest() * 2)[: w * h]
+        for f in range(5)
+    ]
+    p = _gif_encode_py(frames, w, h)
+    full = _gif_decode_py(p)
+    d = _gif_decode_py(p, frame_stride=2)
+    assert d is not None
+    assert d["n_frames"] == 5
+    assert d["frame_idxs"] == [0, 2, 4]
+    assert d["frames"] == [frames[0], frames[2], frames[4]]
+    assert d["frame_means"] == [
+        full["frame_means"][i] for i in (0, 2, 4)
+    ]
+
+    # corrupt frame 1's LZW payload IN PLACE (same block lengths):
+    # header 13 + GCT 768, then per frame GCE(8) + desc(10) + blocks
+    pos = 13 + 768
+    spans = []
+    for _ in range(5):
+        pos += 8  # GCE
+        assert p[pos] == 0x2C
+        pos += 11  # 0x2C + 9-byte descriptor + mcs
+        start = pos
+        while p[pos]:
+            pos += 1 + p[pos]
+        pos += 1  # terminator
+        spans.append((start, pos))
+    bad = bytearray(p)
+    s1, e1 = spans[1]
+    for i in range(s1 + 1, e1 - 1):  # flip data bytes, keep lengths
+        bad[i] ^= 0xFF
+    bad = bytes(bad)
+    assert _gif_decode_py(bad) is None            # full parse refuses
+    d2 = _gif_decode_py(bad, frame_stride=2)      # frame 1 never decoded
+    assert d2 is not None and d2["frame_idxs"] == [0, 2, 4]
+    assert d2["frames"][0] == frames[0]
+
+    with _pytest.raises(ValueError, match="frame_stride"):
+        _gif_decode_py(p, frame_stride=0)
+    with _pytest.raises(ValueError, match="256 entries"):
+        _gif_encode_py([frames[0]], w, h, palette=bytes(3 * 300))
