@@ -672,6 +672,56 @@ def _png_encode_py(
     )
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step,
+# y_step) per pass — each pass is filtered as its own sub-image
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(
+    raw: bytes, w: int, h: int, bpp: int
+) -> bytes | None:
+    """Reassemble an Adam7-interlaced IDAT stream: each non-empty pass
+    carries its own filtered scanlines (one filter byte per PASS row,
+    unfiltered against the pass's previous row), whose pixels scatter
+    onto the canvas at (x0 + i*dx, y0 + j*dy). None on a length
+    mismatch or an undefined filter byte."""
+    canvas = bytearray(bpp * w * h)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = bpp * pw
+        prev = bytes(stride)
+        for j in range(ph):
+            if pos + 1 + stride > len(raw):
+                return None
+            row = _png_unfilter_row(
+                raw[pos], raw[pos + 1 : pos + 1 + stride], prev, bpp=bpp
+            )
+            if row is None:
+                return None
+            pos += 1 + stride
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                off = bpp * (y * w + x)
+                canvas[off : off + bpp] = row[bpp * i : bpp * (i + 1)]
+            prev = row
+    if pos != len(raw):
+        return None  # trailing bytes the pass geometry cannot explain
+    return bytes(canvas)
+
+
 def _png_decode_py(payload: bytes) -> dict | None:
     """Real dependency-free PNG decode (round 12 — VERDICT r11 Next
     #3): chunk walk with CRC verification, IHDR parse, IDAT concat,
@@ -683,11 +733,13 @@ def _png_decode_py(payload: bytes) -> dict | None:
     Scope: 8-bit truecolor (color type 2 — the format
     :func:`png_encode` emits and the common ML-corpus storage shape),
     8-bit GRAYSCALE (color type 0, round 13) and 8-bit PALETTE (color
-    type 3 + PLTE, round 13), all non-interlaced; grayscale and
-    palette pixels are expanded to RGB so the statistics, the
-    ``pixels`` buffer, and resize share one shape. Alpha / 16-bit /
-    Adam7 / a palette index past PLTE return None (the codec refuses
-    rather than mis-decodes), as does any CRC or length corruption.
+    type 3 + PLTE, round 13), plain or ADAM7-interlaced (round 13 —
+    each pass unfiltered as its own sub-image, pixels scattered back
+    through the §8.2 geometry); grayscale and palette pixels are
+    expanded to RGB so the statistics, the ``pixels`` buffer, and
+    resize share one shape. Alpha / 16-bit / a palette index past
+    PLTE return None (the codec refuses rather than mis-decodes), as
+    does any CRC or length corruption.
     Channel order is RGB per the PNG spec (the BMP twin is BGR — the
     shared feature convention keeps the [b, g, r, all] slot
     order)."""
@@ -733,7 +785,7 @@ def _png_decode_py(payload: bytes) -> dict | None:
         or h <= 0
         or bit_depth != 8
         or color_type not in (0, 2, 3)
-        or interlace != 0
+        or interlace not in (0, 1)
         or (color_type == 3 and plte is None)
     ):
         return None
@@ -742,20 +794,26 @@ def _png_decode_py(payload: bytes) -> dict | None:
     except zlib.error:
         return None
     bpp = 3 if color_type == 2 else 1
-    stride = bpp * w
-    if len(raw) != (stride + 1) * h:
-        return None
-    planes = bytearray()
-    prev = bytes(stride)
-    for j in range(h):
-        off = j * (stride + 1)
-        row = _png_unfilter_row(
-            raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp
-        )
-        if row is None:
+    if interlace == 1:
+        deinterlaced = _png_deinterlace(raw, w, h, bpp)
+        if deinterlaced is None:
             return None
-        planes += row
-        prev = row
+        planes = bytearray(deinterlaced)
+    else:
+        stride = bpp * w
+        if len(raw) != (stride + 1) * h:
+            return None
+        planes = bytearray()
+        prev = bytes(stride)
+        for j in range(h):
+            off = j * (stride + 1)
+            row = _png_unfilter_row(
+                raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp
+            )
+            if row is None:
+                return None
+            planes += row
+            prev = row
     if color_type == 2:
         pixels = bytes(planes)
     elif color_type == 0:  # grayscale: r = g = b = v

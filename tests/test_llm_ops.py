@@ -4453,3 +4453,84 @@ def test_gif_frame_stride_skips_decode_work():
         _gif_decode_py(p, frame_stride=0)
     with _pytest.raises(ValueError, match="256 entries"):
         _gif_encode_py([frames[0]], w, h, palette=bytes(3 * 300))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7-interlaced PNG decode (round 13): a test-built interlaced
+    encoding of known pixels — pass geometry asserted by hand for 8x8
+    (pass widths/heights 1,1,2,2,4,4,8 rows x the spec steps) — must
+    decode to EXACTLY the same pixels as the plain encoding, across
+    truecolor and grayscale, with Sub filtering inside a pass; a
+    truncated pass stream refuses."""
+    import struct
+    import zlib
+
+    from firebolt_spark.operators.multimodal import (
+        _ADAM7, _PNG_SIG, _png_chunk, _png_decode_py, _png_encode_py,
+        _png_filter_row,
+    )
+
+    def interlaced(pixels, w, h, color_type, bpp, sub=False):
+        scan = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = bytes(bpp * pw)
+            for j in range(ph):
+                y = y0 + j * dy
+                row = b"".join(
+                    pixels[bpp * (y * w + x0 + i * dx):][:bpp]
+                    for i in range(pw)
+                )
+                ft = 1 if sub else 0
+                scan.append(ft)
+                scan += _png_filter_row(ft, row, prev, bpp=bpp)
+                prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # hand-pinned 8x8 pass geometry: (pw, ph) per pass
+    dims = [
+        (((8 - x0 + dx - 1) // dx), ((8 - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+    assert dims == [
+        (1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)
+    ]
+
+    w, h = 8, 8
+    pix = bytes((i * 7 + 3) % 256 for i in range(3 * w * h))
+    plain = _png_decode_py(_png_encode_py(pix, w, h))
+    for sub in (False, True):
+        d = _png_decode_py(interlaced(pix, w, h, 2, 3, sub=sub))
+        assert d is not None and d["pixels"] == pix
+        assert d["mean_all"] == plain["mean_all"]
+
+    # non-multiple-of-8 dims exercise the empty/partial passes
+    w2, h2 = 5, 3
+    pix2 = bytes((i * 11 + 1) % 256 for i in range(3 * w2 * h2))
+    d = _png_decode_py(interlaced(pix2, w2, h2, 2, 3, sub=True))
+    assert d is not None and d["pixels"] == pix2
+
+    # grayscale interlaced, expanded to RGB like the plain path
+    g = bytes((i * 5 + 2) % 256 for i in range(w2 * h2))
+    dg = _png_decode_py(interlaced(g, w2, h2, 0, 1))
+    assert dg is not None
+    assert dg["pixels"] == b"".join(bytes([v, v, v]) for v in g)
+
+    # truncated interlaced stream refuses
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + bytes(3)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _png_decode_py(short) is None
