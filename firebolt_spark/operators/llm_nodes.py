@@ -851,6 +851,132 @@ class InterleaveStrataNode:
         )
 
 
+class KmvSketchNode:
+    """KMV distinct-count sketch table (functions.kmv_sketch): the k
+    smallest content hashes of ``col`` per group — the mergeable
+    cardinality primitive an ingest loop appends per batch. Params:
+    col (REQUIRED), k (256), group_cols ([]), salt (''), out_col
+    ('kmv'), fan_in (32)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("col"):
+            raise ValueError("kmv_sketch node requires col")
+        self.col = params["col"]
+        self.k = int(params.get("k", 256))
+        self.group_cols = list(params.get("group_cols", []) or [])
+        self.salt = params.get("salt", "")
+        self.out_col = params.get("out_col", "kmv")
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import kmv_sketch
+
+        return kmv_sketch(
+            df, self.col, k=self.k, group_cols=self.group_cols,
+            salt=self.salt, out_col=self.out_col, fan_in=self.fan_in,
+        )
+
+
+class QuantileSketchNode:
+    """Bottom-k rank sketch table (functions.quantile_sketch): the
+    mergeable bounded-state quantile sample an ingest loop appends per
+    batch. Params: value_col (REQUIRED), id_col ('doc_id'), k (256),
+    group_cols ([]), salt (''), out_col ('qsk'), fan_in (32)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("value_col"):
+            raise ValueError("quantile_sketch node requires value_col")
+        self.value_col = params["value_col"]
+        self.id_col = params.get("id_col", "doc_id")
+        self.k = int(params.get("k", 256))
+        self.group_cols = list(params.get("group_cols", []) or [])
+        self.salt = params.get("salt", "")
+        self.out_col = params.get("out_col", "qsk")
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import quantile_sketch
+
+        return quantile_sketch(
+            df, self.value_col, self.id_col, k=self.k,
+            group_cols=self.group_cols, salt=self.salt,
+            out_col=self.out_col, fan_in=self.fan_in,
+        )
+
+
+class PrioritySketchNode:
+    """Priority-sampling sketch table (functions.priority_sketch): the
+    mergeable weighted sample + subset-sum estimator an ingest loop
+    appends per batch. Params: weight_col (REQUIRED), id_col
+    ('doc_id'), k (256), group_cols ([]), salt (''), out_col ('psk'),
+    fan_in (32)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("weight_col"):
+            raise ValueError("priority_sketch node requires weight_col")
+        self.weight_col = params["weight_col"]
+        self.id_col = params.get("id_col", "doc_id")
+        self.k = int(params.get("k", 256))
+        self.group_cols = list(params.get("group_cols", []) or [])
+        self.salt = params.get("salt", "")
+        self.out_col = params.get("out_col", "psk")
+        self.fan_in = int(params.get("fan_in", 32))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import priority_sketch
+
+        return priority_sketch(
+            df, self.weight_col, self.id_col, k=self.k,
+            group_cols=self.group_cols, salt=self.salt,
+            out_col=self.out_col, fan_in=self.fan_in,
+        )
+
+
+class FrequentItemsNode:
+    """Exact per-group top-k heavy hitters (functions.frequent_items).
+    Params: col (REQUIRED), k (20), group_cols ([]), count_col
+    ('cnt'), fan_in (32), pre_counted (false — set true when the
+    input is already a (group, value, count) table, e.g. a rolling
+    ledger)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("col"):
+            raise ValueError("frequent_items node requires col")
+        self.col = params["col"]
+        self.k = int(params.get("k", 20))
+        self.group_cols = list(params.get("group_cols", []) or [])
+        self.count_col = params.get("count_col", "cnt")
+        self.fan_in = int(params.get("fan_in", 32))
+        self.pre_counted = bool(params.get("pre_counted", False))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.functions import frequent_items
+
+        return frequent_items(
+            df, self.col, k=self.k, group_cols=self.group_cols,
+            count_col=self.count_col, fan_in=self.fan_in,
+            pre_counted=self.pre_counted,
+        )
+
+
+class GifFramesNode:
+    """Real frame extraction over the GIF codec
+    (multimodal.gif_frames): one row per kept frame with its own
+    channel means, strided at parse time. Params: every_nth (1)."""
+
+    def __init__(self, params: dict[str, Any]):
+        self.every_nth = int(params.get("every_nth", 1))
+        if self.every_nth < 1:
+            raise ValueError(
+                f"gif_frames every_nth must be >= 1, got {self.every_nth}"
+            )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.operators.multimodal import gif_frames
+
+        return gif_frames(df, every_nth=self.every_nth)
+
+
 def register_llm_node_types(registry) -> None:
     registry.register_node_type("dedup_exact", ExactDedupNode, None, None)
     registry.register_node_type("dedup_minhash", MinhashDedupNode, None, None)
@@ -893,3 +1019,14 @@ def register_llm_node_types(registry) -> None:
         "interleave_strata", InterleaveStrataNode, None, None
     )
     registry.register_node_type("semantic_near_dup", SemanticNearDupNode, None, None)
+    registry.register_node_type("kmv_sketch", KmvSketchNode, None, None)
+    registry.register_node_type(
+        "quantile_sketch", QuantileSketchNode, None, None
+    )
+    registry.register_node_type(
+        "priority_sketch", PrioritySketchNode, None, None
+    )
+    registry.register_node_type(
+        "frequent_items", FrequentItemsNode, None, None
+    )
+    registry.register_node_type("gif_frames", GifFramesNode, None, None)

@@ -4534,3 +4534,77 @@ def test_png_adam7_interlaced_decode():
         + _png_chunk(b"IEND", b"")
     )
     assert _png_decode_py(short) is None
+
+
+def test_sketch_and_frame_nodes(spark):
+    """The round-13 YAML nodes (kmv_sketch / quantile_sketch /
+    priority_sketch / frequent_items / gif_frames) wrap their
+    functions faithfully — each node's transform equals the direct
+    call — required params are enforced, and all five resolve through
+    the registry."""
+    import pytest as _pytest
+
+    from firebolt_spark import functions as FX
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.llm_nodes import (
+        FrequentItemsNode, GifFramesNode, KmvSketchNode,
+        PrioritySketchNode, QuantileSketchNode,
+    )
+    from firebolt_spark.registry import get_registry
+
+    reg = get_registry()
+    for name in (
+        "kmv_sketch", "quantile_sketch", "priority_sketch",
+        "frequent_items", "gif_frames",
+    ):
+        assert reg.has(name), name
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], float(1 + i % 7)) for i in range(60)],
+        "doc_id BIGINT, lang STRING, w DOUBLE",
+    )
+    node = KmvSketchNode(
+        {"col": "doc_id", "k": 16, "group_cols": ["lang"], "salt": "n"}
+    ).transform(df).collect()
+    direct = FX.kmv_sketch(
+        df, "doc_id", k=16, group_cols=["lang"], salt="n"
+    ).collect()
+    assert sorted(map(tuple, node)) == sorted(map(tuple, direct))
+
+    qn = QuantileSketchNode(
+        {"value_col": "w", "k": 16, "group_cols": ["lang"], "salt": "n"}
+    ).transform(df).collect()
+    qd = FX.quantile_sketch(
+        df, "w", "doc_id", k=16, group_cols=["lang"], salt="n"
+    ).collect()
+    assert sorted(map(tuple, qn)) == sorted(map(tuple, qd))
+
+    pn = PrioritySketchNode(
+        {"weight_col": "w", "k": 8, "group_cols": ["lang"], "salt": "n"}
+    ).transform(df).collect()
+    pdct = FX.priority_sketch(
+        df, "w", "doc_id", k=8, group_cols=["lang"], salt="n"
+    ).collect()
+    assert sorted(map(tuple, pn)) == sorted(map(tuple, pdct))
+
+    fn = FrequentItemsNode(
+        {"col": "w", "k": 3, "group_cols": ["lang"]}
+    ).transform(df).collect()
+    fd = FX.frequent_items(df, "w", k=3, group_cols=["lang"]).collect()
+    assert sorted(map(tuple, fn)) == sorted(map(tuple, fd))
+
+    docs = df.select("doc_id", F.col("lang").alias("text")).limit(6)
+    media = multimodal.gif_encode(docs)
+    gn = GifFramesNode({"every_nth": 2}).transform(media).collect()
+    gd = multimodal.gif_frames(media, every_nth=2).collect()
+    assert sorted(map(tuple, gn)) == sorted(map(tuple, gd))
+
+    for cls, bad in (
+        (KmvSketchNode, {}),
+        (QuantileSketchNode, {}),
+        (PrioritySketchNode, {}),
+        (FrequentItemsNode, {}),
+        (GifFramesNode, {"every_nth": 0}),
+    ):
+        with _pytest.raises(ValueError):
+            cls(bad)
