@@ -851,109 +851,115 @@ class InterleaveStrataNode:
         )
 
 
-class KmvSketchNode:
+class _SketchParams:
+    """Shared param scaffolding for the sketch-family nodes: one
+    REQUIRED column plus the common (k, group_cols, salt, out_col,
+    fan_in) block — one copy, so a validation change (e.g. a fan_in
+    bound) lands in every sketch node."""
+
+    K_DEFAULT = 256
+
+    def __init__(self, params: dict[str, Any], required: str, out: str):
+        if not params.get(required):
+            raise ValueError(f"{self.NAME} node requires {required}")
+        self.required_col = params[required]
+        self.k = int(params.get("k", self.K_DEFAULT))
+        self.group_cols = list(params.get("group_cols", []) or [])
+        self.salt = params.get("salt", "")
+        self.out_col = params.get("out_col", out)
+        self.fan_in = int(params.get("fan_in", 32))
+        if self.fan_in < 1:
+            raise ValueError(
+                f"{self.NAME} fan_in must be >= 1, got {self.fan_in}"
+            )
+
+
+class KmvSketchNode(_SketchParams):
     """KMV distinct-count sketch table (functions.kmv_sketch): the k
     smallest content hashes of ``col`` per group — the mergeable
     cardinality primitive an ingest loop appends per batch. Params:
     col (REQUIRED), k (256), group_cols ([]), salt (''), out_col
     ('kmv'), fan_in (32)."""
 
+    NAME = "kmv_sketch"
+
     def __init__(self, params: dict[str, Any]):
-        if not params.get("col"):
-            raise ValueError("kmv_sketch node requires col")
-        self.col = params["col"]
-        self.k = int(params.get("k", 256))
-        self.group_cols = list(params.get("group_cols", []) or [])
-        self.salt = params.get("salt", "")
-        self.out_col = params.get("out_col", "kmv")
-        self.fan_in = int(params.get("fan_in", 32))
+        super().__init__(params, "col", "kmv")
 
     def transform(self, df: DataFrame) -> DataFrame:
         from firebolt_spark.functions import kmv_sketch
 
         return kmv_sketch(
-            df, self.col, k=self.k, group_cols=self.group_cols,
+            df, self.required_col, k=self.k, group_cols=self.group_cols,
             salt=self.salt, out_col=self.out_col, fan_in=self.fan_in,
         )
 
 
-class QuantileSketchNode:
+class QuantileSketchNode(_SketchParams):
     """Bottom-k rank sketch table (functions.quantile_sketch): the
     mergeable bounded-state quantile sample an ingest loop appends per
     batch. Params: value_col (REQUIRED), id_col ('doc_id'), k (256),
     group_cols ([]), salt (''), out_col ('qsk'), fan_in (32)."""
 
+    NAME = "quantile_sketch"
+
     def __init__(self, params: dict[str, Any]):
-        if not params.get("value_col"):
-            raise ValueError("quantile_sketch node requires value_col")
-        self.value_col = params["value_col"]
+        super().__init__(params, "value_col", "qsk")
         self.id_col = params.get("id_col", "doc_id")
-        self.k = int(params.get("k", 256))
-        self.group_cols = list(params.get("group_cols", []) or [])
-        self.salt = params.get("salt", "")
-        self.out_col = params.get("out_col", "qsk")
-        self.fan_in = int(params.get("fan_in", 32))
 
     def transform(self, df: DataFrame) -> DataFrame:
         from firebolt_spark.functions import quantile_sketch
 
         return quantile_sketch(
-            df, self.value_col, self.id_col, k=self.k,
+            df, self.required_col, self.id_col, k=self.k,
             group_cols=self.group_cols, salt=self.salt,
             out_col=self.out_col, fan_in=self.fan_in,
         )
 
 
-class PrioritySketchNode:
+class PrioritySketchNode(_SketchParams):
     """Priority-sampling sketch table (functions.priority_sketch): the
     mergeable weighted sample + subset-sum estimator an ingest loop
     appends per batch. Params: weight_col (REQUIRED), id_col
     ('doc_id'), k (256), group_cols ([]), salt (''), out_col ('psk'),
     fan_in (32)."""
 
+    NAME = "priority_sketch"
+
     def __init__(self, params: dict[str, Any]):
-        if not params.get("weight_col"):
-            raise ValueError("priority_sketch node requires weight_col")
-        self.weight_col = params["weight_col"]
+        super().__init__(params, "weight_col", "psk")
         self.id_col = params.get("id_col", "doc_id")
-        self.k = int(params.get("k", 256))
-        self.group_cols = list(params.get("group_cols", []) or [])
-        self.salt = params.get("salt", "")
-        self.out_col = params.get("out_col", "psk")
-        self.fan_in = int(params.get("fan_in", 32))
 
     def transform(self, df: DataFrame) -> DataFrame:
         from firebolt_spark.functions import priority_sketch
 
         return priority_sketch(
-            df, self.weight_col, self.id_col, k=self.k,
+            df, self.required_col, self.id_col, k=self.k,
             group_cols=self.group_cols, salt=self.salt,
             out_col=self.out_col, fan_in=self.fan_in,
         )
 
 
-class FrequentItemsNode:
+class FrequentItemsNode(_SketchParams):
     """Exact per-group top-k heavy hitters (functions.frequent_items).
     Params: col (REQUIRED), k (20), group_cols ([]), count_col
     ('cnt'), fan_in (32), pre_counted (false — set true when the
     input is already a (group, value, count) table, e.g. a rolling
     ledger)."""
 
+    NAME = "frequent_items"
+    K_DEFAULT = 20
+
     def __init__(self, params: dict[str, Any]):
-        if not params.get("col"):
-            raise ValueError("frequent_items node requires col")
-        self.col = params["col"]
-        self.k = int(params.get("k", 20))
-        self.group_cols = list(params.get("group_cols", []) or [])
+        super().__init__(params, "col", "cnt")
         self.count_col = params.get("count_col", "cnt")
-        self.fan_in = int(params.get("fan_in", 32))
         self.pre_counted = bool(params.get("pre_counted", False))
 
     def transform(self, df: DataFrame) -> DataFrame:
         from firebolt_spark.functions import frequent_items
 
         return frequent_items(
-            df, self.col, k=self.k, group_cols=self.group_cols,
+            df, self.required_col, k=self.k, group_cols=self.group_cols,
             count_col=self.count_col, fan_in=self.fan_in,
             pre_counted=self.pre_counted,
         )

@@ -693,7 +693,9 @@ def _png_deinterlace(
     unfiltered against the pass's previous row), whose pixels scatter
     onto the canvas at (x0 + i*dx, y0 + j*dy). None on a length
     mismatch or an undefined filter byte."""
-    canvas = bytearray(bpp * w * h)
+    import numpy as np
+
+    canvas = np.zeros((h, w, bpp), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
@@ -711,15 +713,15 @@ def _png_deinterlace(
             if row is None:
                 return None
             pos += 1 + stride
-            y = y0 + j * dy
-            for i in range(pw):
-                x = x0 + i * dx
-                off = bpp * (y * w + x)
-                canvas[off : off + bpp] = row[bpp * i : bpp * (i + 1)]
+            # one strided numpy assignment per pass row (the unfilter
+            # itself is inherently sequential; the scatter is not)
+            canvas[y0 + j * dy, x0::dx] = np.frombuffer(
+                row, np.uint8
+            ).reshape(pw, bpp)
             prev = row
     if pos != len(raw):
         return None  # trailing bytes the pass geometry cannot explain
-    return bytes(canvas)
+    return canvas.tobytes()
 
 
 def _png_decode_py(payload: bytes) -> dict | None:
@@ -1190,6 +1192,7 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None
         mcs = payload[pos]
         pos += 1
+        keep = frame_no % frame_stride == 0
         data = bytearray()
         while True:
             if pos >= len(payload):
@@ -1200,9 +1203,10 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
                 break
             if pos + ln > len(payload):
                 return None
-            data += payload[pos : pos + ln]
+            if keep:  # dropped frames: walk block lengths only
+                data += payload[pos : pos + ln]
             pos += ln
-        if frame_no % frame_stride == 0:
+        if keep:
             idx = _lzw_decode(bytes(data), mcs, w * h)
             if idx is None or len(idx) != w * h:
                 return None
@@ -1488,8 +1492,9 @@ def extract_features(
                     if parsed is None:
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
-                            "truecolor PNG, multi-frame GIF, and 16-bit "
-                            "PCM WAV decode dependency-free; JPEG/video "
+                            "truecolor/grayscale/palette PNG — plain or "
+                            "Adam7 — multi-frame GIF, and 16-bit PCM WAV "
+                            "decode dependency-free; JPEG/video "
                             "containers need PIL/ffmpeg)"
                         )
                     decoded = {
@@ -1637,7 +1642,9 @@ def _bmp_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
 
 
 def _png_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
-    """Nearest-neighbor resample of an 8-bit truecolor PNG: real decode
+    """Nearest-neighbor resample of any PNG the decoder accepts (8-bit
+    truecolor/grayscale/palette, plain or Adam7 — grayscale/palette
+    arrive RGB-expanded, so the output is truecolor): real decode
     (:func:`_png_decode_py` — CRC check, inflate, unfilter), the SAME
     source-pixel selection arithmetic as :func:`_bmp_resize_py`
     (``src = (dst * src_dim) // dst_dim``), then a real re-encode
@@ -1721,8 +1728,9 @@ def resize_media(
                     if maybe is None:
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
-                            "truecolor PNG, and GIF resize "
-                            "dependency-free; JPEG/audio/video need "
+                            "truecolor/grayscale/palette PNG — plain or "
+                            "Adam7 — and GIF resize dependency-free; "
+                            "16-bit/alpha PNG and JPEG/audio/video need "
                             "PIL/librosa/ffmpeg)"
                         )
                     resized = maybe
