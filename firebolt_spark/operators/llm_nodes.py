@@ -965,6 +965,30 @@ class FrequentItemsNode(_SketchParams):
         )
 
 
+class TranscodeMediaNode:
+    """Cross-codec still-image transcode (multimodal.transcode_media):
+    BMP / PNG / GIF-frame-0 in, 'png' or 'bmp' out, channel-faithful.
+    Params: to (REQUIRED — 'png' | 'bmp'; 'gif' is refused: palette
+    quantization is a modeling choice, not a container rewrite)."""
+
+    def __init__(self, params: dict[str, Any]):
+        if not params.get("to"):
+            raise ValueError("transcode_media node requires to")
+        self.to = str(params["to"]).lower()
+        from firebolt_spark.operators.multimodal import _TRANSCODE_MIMES
+
+        if self.to not in _TRANSCODE_MIMES:
+            raise ValueError(
+                f"transcode_media to must be one of "
+                f"{sorted(_TRANSCODE_MIMES)}, got {self.to!r}"
+            )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from firebolt_spark.operators.multimodal import transcode_media
+
+        return transcode_media(df, to=self.to)
+
+
 class GifFramesNode:
     """Real frame extraction over the GIF codec
     (multimodal.gif_frames): one row per kept frame with its own
@@ -1036,3 +1060,6 @@ def register_llm_node_types(registry) -> None:
         "frequent_items", FrequentItemsNode, None, None
     )
     registry.register_node_type("gif_frames", GifFramesNode, None, None)
+    registry.register_node_type(
+        "transcode_media", TranscodeMediaNode, None, None
+    )

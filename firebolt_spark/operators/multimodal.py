@@ -1756,6 +1756,134 @@ def resize_media(
     return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(width, height, top-down RGB bytes) from any still image the
+    real codecs accept — the common pixel form the transcoder works
+    in. PNG arrives RGB already (grayscale/palette expanded); GIF
+    contributes frame 0 through its palette (single-frame target
+    formats take the first frame); BMP's bottom-up BGR rows (with
+    4-byte padding) flip and channel-swap. None when the respective
+    decoder refuses."""
+    import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        p = _png_decode_py(payload)
+        if p is None:
+            return None
+        return p["width"], p["height"], p["pixels"]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        g = _gif_decode_py(payload)
+        if g is None:
+            return None
+        pal = np.frombuffer(g["frame_palettes"][0], np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(g["frames"][0], np.uint8)
+        return g["width"], g["height"], pal[idx].tobytes()
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or w <= 0 or h <= 0 or not 54 <= data_off <= len(payload):
+        return None
+    src_row = (3 * w + 3) // 4 * 4
+    pix = payload[data_off:]
+    if len(pix) < src_row * h:
+        return None
+    rows = np.frombuffer(pix[: src_row * h], np.uint8).reshape(h, src_row)
+    # drop padding, flip rows bottom-up -> top-down, swap BGR -> RGB
+    rgb = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    return w, h, rgb.tobytes()
+
+
+def _encode_bmp_py(rgb: bytes, w: int, h: int) -> bytes:
+    """Minimal VALID 24-bpp BMP from top-down RGB bytes: the standard
+    54-byte header + bottom-up BGR rows with 4-byte padding — the
+    inverse of :func:`_decode_rgb_py`'s BMP branch."""
+    import numpy as np
+
+    if len(rgb) != 3 * w * h:
+        raise ValueError(f"need {3 * w * h} pixel bytes, got {len(rgb)}")
+    dst_row = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    out = np.zeros((h, dst_row), np.uint8)  # pad bytes stay zero
+    out[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
+    body = out.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+_TRANSCODE_MIMES = {"png": "image/png", "bmp": "image/bmp"}
+
+
+def transcode_media(media_df: DataFrame, to: str) -> DataFrame:
+    """Convert still images between the real dependency-free codecs
+    via Arrow-batched ``mapInPandas``: decode whatever the magic says
+    (BMP / any supported PNG / GIF, whose first frame is taken — the
+    single-frame target cannot hold an animation), re-encode as
+    ``to`` ('png' or 'bmp'), and emit the (media, media_meta)
+    convention back out with refreshed n_bytes/sha so transcodes
+    compose with resize / feature extraction. Channel-faithful: the
+    decoded RGB plane is what gets re-encoded, so statistics survive
+    the format change bit-for-bit (the oracle certifies exactly
+    that).
+
+    ``to='gif'`` is refused by design: encoding arbitrary RGB as GIF
+    needs color QUANTIZATION to a <=256-entry palette (median-cut or
+    similar) — a lossy modeling choice, not a container rewrite — so
+    the operator won't do it silently. Undecodable payloads raise
+    (same contract as resize_media's real path)."""
+    to = to.lower()
+    if to not in _TRANSCODE_MIMES:
+        raise ValueError(
+            f"transcode target must be one of {sorted(_TRANSCODE_MIMES)} "
+            f"(gif needs palette quantization — refused by design), "
+            f"got {to!r}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.media)
+                decoded = _decode_rgb_py(payload)
+                if decoded is None:
+                    raise ValueError(
+                        "unsupported media format (transcode decodes "
+                        "BMP, 8-bit PNG — truecolor/grayscale/palette, "
+                        "plain or Adam7 — and GIF; JPEG/audio/video "
+                        "need PIL/librosa/ffmpeg)"
+                    )
+                w, h, rgb = decoded
+                if to == "png":
+                    out = _png_encode_py(rgb, w, h)
+                else:
+                    out = _encode_bmp_py(rgb, w, h)
+                meta = rec.media_meta
+                rows.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "media": out,
+                        "media_meta": {
+                            "kind": meta["kind"],
+                            "mime": _TRANSCODE_MIMES[to],
+                            "n_bytes": len(out),
+                            "sha": hashlib.sha256(out).hexdigest(),
+                        },
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media", "media_meta", "width", "height"],
+            )
+
+    return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame-sampling plumbing over decoded video features: emit one row
     per sampled frame index (explode of a generated sequence — the real

@@ -1600,6 +1600,59 @@ Q_MULTIMODAL_GIF_SQL = f"""
 """
 
 
+def q_multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec transcode end-to-end (round 13):
+    multimodal.transcode_media converts the BMP fixture to REAL PNGs
+    (decode bottom-up BGR rows -> flip + channel-swap -> zlib
+    re-encode), and extract_features(decode_stub=False) decodes those
+    PNGs back. Channel-faithful by contract: the feature slots must
+    equal the ORIGINAL BMP stream's analytic statistics — the same
+    arithmetic as q_multimodal_features — so a transcoder that drops
+    padding wrong, forgets the BGR swap, or mis-flips rows changes a
+    mean and hash-mismatches. Two real codecs certified against each
+    other through one byte stream."""
+    media = multimodal.transcode_media(
+        multimodal.bmp_encode(_documents(spark, sf_dir)), to="png"
+    )
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 1).alias("mean_b"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_all"),
+    )
+
+
+Q_MULTIMODAL_TRANSCODE_SQL = f"""
+    WITH dims AS ({_MM_DIMS_SQL}),
+    b AS (
+        SELECT doc_id, width, height, npix,
+               i,
+               16 * (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                   AS byteval
+        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
+    )
+    SELECT doc_id,
+           width,
+           height,
+           round(sum(CASE WHEN i % 3 = 0 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_b,
+           round(sum(CASE WHEN i % 3 = 1 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_g,
+           round(sum(CASE WHEN i % 3 = 2 THEN byteval ELSE 0 END)
+                 / (npix / 3.0), 6) AS mean_r,
+           round(sum(byteval) / CAST(npix AS DOUBLE), 6) AS mean_all
+    FROM b
+    GROUP BY doc_id, width, height, npix
+"""
+
+
 _GIF_FRAME_STRIDE = 2
 
 
@@ -3383,6 +3436,7 @@ QUERIES = {
     "q_priority_sketch": q_priority_sketch,
     "q_multimodal_gif": q_multimodal_gif,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_transcode": q_multimodal_transcode,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3451,6 +3505,7 @@ ORACLE = {
     "q_priority_sketch": Q_PRIORITY_SKETCH_SQL,
     "q_multimodal_gif": Q_MULTIMODAL_GIF_SQL,
     "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
+    "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,

@@ -4555,7 +4555,7 @@ def test_sketch_and_frame_nodes(spark):
     reg = get_registry()
     for name in (
         "kmv_sketch", "quantile_sketch", "priority_sketch",
-        "frequent_items", "gif_frames",
+        "frequent_items", "gif_frames", "transcode_media",
     ):
         assert reg.has(name), name
 
@@ -4608,3 +4608,72 @@ def test_sketch_and_frame_nodes(spark):
     ):
         with _pytest.raises(ValueError):
             cls(bad)
+
+
+def test_transcode_media_cross_codec(spark, sf_dir):
+    """transcode_media: BMP -> PNG is channel-faithful (decoded PNG
+    features equal the BMP decoder's on the same payloads), GIF ->
+    BMP takes frame 0 through its palette, round trips are pixel
+    bit-exact, the media_meta refreshes truthfully, and the gif /
+    unknown targets are refused by design."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.multimodal import (
+        _decode_rgb_py, _gif_decode_py, _png_decode_py,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    bmp = multimodal.bmp_encode(docs)
+    png = multimodal.transcode_media(bmp, to="png")
+    rows = png.collect()
+    assert rows and all(
+        r["media_meta"]["mime"] == "image/png"
+        and bytes(r["media"])[:8] == bytes([0x89]) + b"PNG\r\n\x1a\n"
+        and r["media_meta"]["n_bytes"] == len(bytes(r["media"]))
+        and r["media_meta"]["sha"]
+        == hashlib.sha256(bytes(r["media"])).hexdigest()
+        for r in rows
+    )
+
+    # channel-faithful: PNG-decoded features == BMP-decoded features
+    fb = sorted(map(tuple, multimodal.extract_features(
+        bmp, decode_stub=False
+    ).collect()))
+    fp = sorted(map(tuple, multimodal.extract_features(
+        png.select("doc_id", "media", "media_meta"), decode_stub=False
+    ).collect()))
+    assert [t[0:1] + t[4:] for t in fb] == [t[0:1] + t[4:] for t in fp]
+
+    # round trip: BMP -> PNG -> BMP pixels bit-exact
+    back = multimodal.transcode_media(png, to="bmp").collect()
+    orig = {r["doc_id"]: bytes(r["media"]) for r in bmp.collect()}
+    for r in back:
+        assert (
+            _decode_rgb_py(bytes(r["media"]))
+            == _decode_rgb_py(orig[r["doc_id"]])
+        )
+
+    # GIF frame 0 -> PNG through the palette
+    gif = multimodal.gif_encode(docs.limit(4))
+    gp = multimodal.transcode_media(gif, to="png").collect()
+    gsrc = {r["doc_id"]: bytes(r["media"]) for r in gif.collect()}
+    for r in gp:
+        d = _gif_decode_py(gsrc[r["doc_id"]])
+        assert (
+            _png_decode_py(bytes(r["media"]))["pixels"]
+            == _decode_rgb_py(gsrc[r["doc_id"]])[2]
+        )
+        assert r["width"] == d["width"] and r["height"] == d["height"]
+
+    with _pytest.raises(ValueError, match="quantization"):
+        multimodal.transcode_media(bmp, to="gif")
+    with _pytest.raises(ValueError, match="transcode target"):
+        multimodal.transcode_media(bmp, to="jpeg")
+    with _pytest.raises(Exception, match="unsupported media format"):
+        multimodal.transcode_media(
+            multimodal.wav_encode(docs.limit(2)), to="png"
+        ).collect()
