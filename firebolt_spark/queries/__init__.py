@@ -20,24 +20,25 @@ from pyspark.sql import DataFrame, SparkSession
 # Slots 1-31: the THIRTY-ONE queries whose latest driver row is r10 —
 # two rounds stale, the staleness ceiling; VERDICT r12 Next #1 names
 # them and orders them to LEAD. None changed code in r13.
-# Slots 32-37: the round-13 NEW queries (the mergeable bottom-k
+# Slots 32-38: the round-13 NEW queries (the mergeable bottom-k
 # quantile sketch; incremental line-level dedup against the persisted
 # line-digest ledger; the mergeable priority-sampling subset-sum
 # sketch; the real multi-frame GIF codec and its strided frame
-# extraction; the BMP->PNG cross-codec transcode) — zero driver rows.
-# Slots 38-44: the seven queries whose OPERATOR CODE changed in r13
+# extraction; the BMP->PNG cross-codec transcode; the composed media
+# curation pipeline) — zero driver rows.
+# Slots 39-45: the seven queries whose OPERATOR CODE changed in r13
 # (kmv_merge's collect_set dedup fix -> q_distinct_sketch /
 # q_corpus_profile; group_quantiles' explicit ungrouped crossJoin ->
 # q_corpus_quantiles; wav_decode's fmt-magic parity -> q_multimodal_wav
 # / q_multimodal_resample; the dedup append gen-stamp + scratch-table
 # (pid, starttime) naming -> q_dedup_incremental_indexed /
 # q_dedup_ngram_jaccard_indexed).
-# Slots 45-50: six of the 43 r11-latest rows, prioritized by
+# Slots 46-50: five of the 43 r11-latest rows, prioritized by
 # touched-file adjacency (functions/__init__.py sampling + snapshot
-# family, dedup.py line path; q_dedup_semantic, the two
-# span-candidate queries, and q_dedup_ngram_jaccard spilled to make
-# room for the four NEW sketch/GIF/transcode queries).
-# The THIRTY-SEVEN spilled r11 rows — q_anomaly_scores,
+# family; q_dedup_semantic, the two span-candidate queries,
+# q_dedup_ngram_jaccard, and q_dedup_lines spilled to make room for
+# the five NEW sketch/GIF/transcode/curation queries).
+# The THIRTY-EIGHT spilled r11 rows — q_anomaly_scores,
 # q_array_functions, q_asof_join, q_classifier_score,
 # q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,
 # q_importance_weights, q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
@@ -50,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 # q_tpch3_shipping_priority, q_tpch8_market_share,
 # q_tpch9_product_profit, q_x1_fanout, q_x2_tree_fanout,
 # q_dedup_semantic, q_dedup_spans_candidates,
-# q_dedup_spans_candidates_indexed, q_dedup_ngram_jaccard — are
+# q_dedup_spans_candidates_indexed, q_dedup_ngram_jaccard,
+# q_dedup_lines — are
 # relational/parity/llm queries UNCHANGED since r11, were re-verified
 # locally this round by the full-registry sf0.01 sweep (see ROADMAP
 # round 13), and MUST LEAD the r14 rotation.
@@ -95,6 +97,7 @@ _PRIORITY = [
     "q_multimodal_gif",
     "q_multimodal_frames",
     "q_multimodal_transcode",
+    "q_media_curation",
     # operator code changed in round 13
     "q_distinct_sketch",
     "q_corpus_profile",
@@ -109,7 +112,6 @@ _PRIORITY = [
     "q_token_budget_mix",
     "q_interleave_strata",
     "q_weighted_sample",
-    "q_dedup_lines",
 ]
 
 

@@ -1600,6 +1600,78 @@ Q_MULTIMODAL_GIF_SQL = f"""
 """
 
 
+_MCUR_SPREAD = 10.0
+_MCUR_MIN_W = 8
+
+
+def q_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MEDIA curation stage end-to-end (round 13 — the
+    multimodal q_c4_pipeline): encode the corpus as multi-frame GIFs,
+    decode every 2nd frame for REAL at parse time (gif_frames — LZW,
+    palette, stride), reduce frames to per-document luminance spread
+    and average, gate on stability (spread <= 10 across sampled
+    frames) and minimum width, then roll the survivors up per
+    language. One oracle certifies the whole chain: the per-frame
+    codec statistics, the frame stride, the per-doc aggregation, the
+    gate boundary, and the rollup. Scale shape: the codec is map-only
+    Arrow batches; ONE narrow (doc_id, width, luma) aggregate and one
+    broadcast-sized join to the doc table — frames never shuffle."""
+    docs = _documents(spark, sf_dir)
+    fr = multimodal.gif_frames(multimodal.gif_encode(docs), every_nth=2)
+    luma = (
+        F.col("mean_r") + F.col("mean_g") + F.col("mean_b")
+    ) / F.lit(3.0)
+    per_doc = (
+        fr.withColumn("_luma", luma)
+        .groupBy("doc_id", "width")
+        .agg(
+            (F.max("_luma") - F.min("_luma")).alias("spread"),
+            F.avg("_luma").alias("luma"),
+        )
+    )
+    kept = per_doc.filter(
+        (F.col("spread") <= _MCUR_SPREAD)
+        & (F.col("width") >= _MCUR_MIN_W)
+    )
+    return (
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("luma"), 4).alias("avg_luma"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_MEDIA_CURATION_SQL = f"""
+    WITH gdims AS ({_MM_GIF_SQL}),
+    b AS ({_MM_GIF_BYTES_SQL}),
+    fm AS (
+        SELECT doc_id, width,
+               round(sum((37 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mr,
+               round(sum((59 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mg,
+               round(sum((83 * idx) % 256) / CAST(npix AS DOUBLE), 6) AS mb
+        FROM b
+        WHERE f % 2 = 0
+        GROUP BY doc_id, width, npix, f),
+    pd AS (
+        SELECT doc_id, width,
+               max((mr + mg + mb) / 3.0) - min((mr + mg + mb) / 3.0)
+                   AS spread,
+               avg((mr + mg + mb) / 3.0) AS luma
+        FROM fm GROUP BY doc_id, width),
+    kept AS (
+        SELECT d.lang, pd.luma
+        FROM pd JOIN documents d USING (doc_id)
+        WHERE pd.spread <= {_MCUR_SPREAD} AND pd.width >= {_MCUR_MIN_W})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(luma), 4) AS avg_luma
+    FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def q_multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec transcode end-to-end (round 13):
     multimodal.transcode_media converts the BMP fixture to REAL PNGs
@@ -3437,6 +3509,7 @@ QUERIES = {
     "q_multimodal_gif": q_multimodal_gif,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_transcode": q_multimodal_transcode,
+    "q_media_curation": q_media_curation,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3506,6 +3579,7 @@ ORACLE = {
     "q_multimodal_gif": Q_MULTIMODAL_GIF_SQL,
     "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
     "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
+    "q_media_curation": Q_MEDIA_CURATION_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,
