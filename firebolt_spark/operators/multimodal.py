@@ -1604,6 +1604,15 @@ RESIZE_SCHEMA = (
 )
 
 
+def _bmp_header(w: int, h: int, body_len: int) -> bytes:
+    """The standard 54-byte 24-bpp BMP header (file header +
+    BITMAPINFOHEADER) — ONE copy of the header contract, shared by the
+    resize and transcode encoders."""
+    return struct.pack("<2sIHHI", b"BM", 54 + body_len, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_len, 2835, 2835, 0, 0
+    )
+
+
 def _bmp_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """Nearest-neighbor resample of a 24-bpp BMP, pure struct.unpack —
     the dependency-free real-codec path (PIL's ``Image.resize(...,
@@ -1633,12 +1642,7 @@ def _bmp_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
             s = src_base + 3 * (i * width // out_w)
             d = dst_base + 3 * i
             out[d : d + 3] = pix[s : s + 3]
-    header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54)
-    header += struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(out),
-        2835, 2835, 0, 0,
-    )
-    return header + bytes(out)
+    return _bmp_header(out_w, out_h, len(out)) + bytes(out)
 
 
 def _png_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
@@ -1772,7 +1776,9 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
             return None
         return p["width"], p["height"], p["pixels"]
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        g = _gif_decode_py(payload)
+        # only frame 0 is wanted: a huge stride makes the parser
+        # block-walk (never LZW-decode) every later frame
+        g = _gif_decode_py(payload, frame_stride=1 << 30)
         if g is None:
             return None
         pal = np.frombuffer(g["frame_palettes"][0], np.uint8).reshape(-1, 3)
@@ -1808,11 +1814,7 @@ def _encode_bmp_py(rgb: bytes, w: int, h: int) -> bytes:
     out = np.zeros((h, dst_row), np.uint8)  # pad bytes stay zero
     out[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
     body = out.tobytes()
-    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
-    header += struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-    )
-    return header + body
+    return _bmp_header(w, h, len(body)) + body
 
 
 _TRANSCODE_MIMES = {"png": "image/png", "bmp": "image/bmp"}
@@ -1861,13 +1863,17 @@ def transcode_media(media_df: DataFrame, to: str) -> DataFrame:
                     out = _png_encode_py(rgb, w, h)
                 else:
                     out = _encode_bmp_py(rgb, w, h)
-                meta = rec.media_meta
                 rows.append(
                     {
                         "doc_id": rec.doc_id,
                         "media": out,
                         "media_meta": {
-                            "kind": meta["kind"],
+                            # the target formats are stills: a GIF
+                            # animation (kind='video') transcodes to
+                            # its first frame AS an image — carrying
+                            # the source kind would contradict the
+                            # mime and misroute kind-dispatched stages
+                            "kind": "image",
                             "mime": _TRANSCODE_MIMES[to],
                             "n_bytes": len(out),
                             "sha": hashlib.sha256(out).hexdigest(),

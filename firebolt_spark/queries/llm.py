@@ -843,6 +843,20 @@ Q_TEXT_TOKENS_SQL = """
     FROM documents
 """
 
+# shared hex-to-byte expansion over the _MM_DIMS_SQL pixel stream —
+# ONE copy of the oracle-side byte arithmetic (a fix here lands in the
+# features, PNG, and transcode oracles together)
+_MM_BYTES_SQL = """
+        SELECT doc_id, width, height, npix,
+               i,
+               16 * (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                   AS byteval
+        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
+"""
+
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (text.fingerprints): min md5
@@ -1257,16 +1271,7 @@ _MM_DIMS_SQL = """
 
 Q_MULTIMODAL_FEATURES_SQL = f"""
     WITH dims AS ({_MM_DIMS_SQL}),
-    b AS (
-        SELECT doc_id, width, height, npix,
-               i,
-               16 * (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
-                  + (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
-                   AS byteval
-        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
-    )
+    b AS ({_MM_BYTES_SQL})
     SELECT doc_id,
            width,
            height,
@@ -1497,16 +1502,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MULTIMODAL_PNG_SQL = f"""
     WITH dims AS ({_MM_DIMS_SQL}),
-    b AS (
-        SELECT doc_id, width, height, npix,
-               i,
-               16 * (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
-                  + (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
-                   AS byteval
-        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
-    )
+    b AS ({_MM_BYTES_SQL})
     SELECT doc_id,
            width,
            height,
@@ -1700,16 +1696,7 @@ def q_multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MULTIMODAL_TRANSCODE_SQL = f"""
     WITH dims AS ({_MM_DIMS_SQL}),
-    b AS (
-        SELECT doc_id, width, height, npix,
-               i,
-               16 * (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
-                  + (instr('0123456789abcdef',
-                           substr(pixhex, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
-                   AS byteval
-        FROM dims, LATERAL (SELECT unnest(range(npix)) AS i) r
-    )
+    b AS ({_MM_BYTES_SQL})
     SELECT doc_id,
            width,
            height,

@@ -4599,12 +4599,16 @@ def test_sketch_and_frame_nodes(spark):
     gd = multimodal.gif_frames(media, every_nth=2).collect()
     assert sorted(map(tuple, gn)) == sorted(map(tuple, gd))
 
+    from firebolt_spark.operators.llm_nodes import TranscodeMediaNode
+
     for cls, bad in (
         (KmvSketchNode, {}),
         (QuantileSketchNode, {}),
         (PrioritySketchNode, {}),
         (FrequentItemsNode, {}),
         (GifFramesNode, {"every_nth": 0}),
+        (TranscodeMediaNode, {}),
+        (TranscodeMediaNode, {"to": "gif"}),
     ):
         with _pytest.raises(ValueError):
             cls(bad)
@@ -4631,7 +4635,8 @@ def test_transcode_media_cross_codec(spark, sf_dir):
     png = multimodal.transcode_media(bmp, to="png")
     rows = png.collect()
     assert rows and all(
-        r["media_meta"]["mime"] == "image/png"
+        r["media_meta"]["kind"] == "image"
+        and r["media_meta"]["mime"] == "image/png"
         and bytes(r["media"])[:8] == bytes([0x89]) + b"PNG\r\n\x1a\n"
         and r["media_meta"]["n_bytes"] == len(bytes(r["media"]))
         and r["media_meta"]["sha"]
@@ -4660,6 +4665,8 @@ def test_transcode_media_cross_codec(spark, sf_dir):
     # GIF frame 0 -> PNG through the palette
     gif = multimodal.gif_encode(docs.limit(4))
     gp = multimodal.transcode_media(gif, to="png").collect()
+    # a GIF animation (kind='video') transcodes to a STILL: kind=image
+    assert all(r["media_meta"]["kind"] == "image" for r in gp)
     gsrc = {r["doc_id"]: bytes(r["media"]) for r in gif.collect()}
     for r in gp:
         d = _gif_decode_py(gsrc[r["doc_id"]])
