@@ -332,20 +332,23 @@ def wav_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Parse 16-bit PCM WAV headers + sample statistics with pure
+    """Parse PCM WAV headers + sample statistics with pure
     built-ins — the audio twin of :func:`bmp_decode`. Header fields
     are little-endian reads at the fixed canonical-layout offsets
     (RIFF + fmt at 12 + data chunk at 36 — the layout
-    :func:`wav_encode` and most PCM writers emit); signed int16
-    samples are folded in ONE higher-order ``aggregate`` (sum + sum of
-    squares, exact integer arithmetic well under 2^53), so mean and
-    RMS divide exactly the same in any engine. No UDF, no explode, no
-    shuffle.
+    :func:`wav_encode` and most PCM writers emit); samples are folded
+    in ONE higher-order ``aggregate`` (sum + sum of squares, exact
+    integer arithmetic well under 2^53), so mean and RMS divide
+    exactly the same in any engine. Both common PCM widths decode:
+    signed 16-bit, and unsigned 8-bit (round 13 — the legacy width;
+    samples read as ``byte - 128`` per the format's midpoint
+    convention). No UDF, no explode, no shuffle.
 
     Returns doc_id, n_channels, sample_rate, n_samples (per channel),
     mean_pcm (round 6), rms_pcm (round 6). Non-WAV / truncated /
-    non-PCM / non-16-bit payloads yield NULL fields rather than an
-    error."""
+    non-PCM / other-bit-depth payloads yield NULL fields rather than
+    an error — and bit-identically to :func:`_wav_decode_py`, the
+    module's cross-path contract."""
     d = media_df.select(
         "doc_id",
         F.expr(f"lower(hex({media_col}))").alias("hx"),
@@ -375,8 +378,9 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     ).withColumn(
         "is_wav",
         F.expr(
-            "has_magic AND fmt = 1 AND bits = 16 AND n_channels >= 1"
-            " AND data_bytes > 0 AND data_bytes % (2 * n_channels) = 0"
+            "has_magic AND fmt = 1 AND (bits = 16 OR bits = 8)"
+            " AND n_channels >= 1 AND data_bytes > 0"
+            " AND data_bytes % ((bits DIV 8) * n_channels) = 0"
             " AND n_total = 44 + data_bytes"
         ),
     )
@@ -385,7 +389,7 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     hi = _byte(hx, "(45 + 2 * k)")
     sample = f"(({lo}) + 256 * ({hi}))"
     signed = f"(if({sample} >= 32768, {sample} - 65536, {sample}))"
-    sums = F.expr(
+    sums16 = F.expr(
         "aggregate("
         "  sequence(0, cast(data_bytes / 2 as int) - 1),"
         "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
@@ -394,15 +398,34 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
         f"    'q', acc.q + cast({signed} as bigint) * {signed})"
         ")"
     )
-    d = d.withColumn("agg", F.when(F.col("is_wav"), sums))
-    n = F.col("data_bytes") / 2
+    # unsigned 8-bit sample k at data offset k: midpoint-128 signed
+    signed8 = f"(({_byte(hx, '(44 + k)')}) - 128)"
+    sums8 = F.expr(
+        "aggregate("
+        "  sequence(0, data_bytes - 1),"
+        "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
+        f"  (acc, k) -> named_struct("
+        f"    's', acc.s + {signed8},"
+        f"    'q', acc.q + cast({signed8} as bigint) * {signed8})"
+        ")"
+    )
+    d = d.withColumn(
+        "agg",
+        F.when(F.col("is_wav") & (F.col("bits") == 16), sums16).when(
+            F.col("is_wav") & (F.col("bits") == 8), sums8
+        ),
+    )
+    n = F.col("data_bytes") / (F.col("bits") / 8)
     return d.select(
         "doc_id",
         F.when(F.col("is_wav"), F.col("n_channels")).alias("n_channels"),
         F.when(F.col("is_wav"), F.col("sample_rate")).alias("sample_rate"),
         F.when(
             F.col("is_wav"),
-            (F.col("data_bytes") / (2 * F.col("n_channels"))).cast("int"),
+            (
+                F.col("data_bytes")
+                / ((F.col("bits") / 8) * F.col("n_channels"))
+            ).cast("int"),
         ).alias("n_samples"),
         F.round(F.col("agg.s") / n, 6).alias("mean_pcm"),
         F.round(F.sqrt(F.col("agg.q") / n), 6).alias("rms_pcm"),
@@ -423,15 +446,18 @@ def _wav_decode_py(payload: bytes) -> dict | None:
     dsz = struct.unpack_from("<I", payload, 40)[0]
     if (
         fmt != 1
-        or bits != 16
+        or bits not in (8, 16)
         or nch < 1
         or dsz <= 0
-        or dsz % (2 * nch) != 0
+        or dsz % ((bits // 8) * nch) != 0
         or len(payload) != 44 + dsz
     ):
         return None
-    n = dsz // 2
-    samples = struct.unpack_from(f"<{n}h", payload, 44)
+    n = dsz // (bits // 8)
+    if bits == 16:
+        samples = struct.unpack_from(f"<{n}h", payload, 44)
+    else:  # unsigned 8-bit PCM: midpoint-128 signed, like the SQL path
+        samples = tuple(b - 128 for b in payload[44 : 44 + dsz])
     s = sum(samples)
     q = sum(v * v for v in samples)
     import math
@@ -443,6 +469,7 @@ def _wav_decode_py(payload: bytes) -> dict | None:
         "n_channels": nch,
         "sample_rate": rate,
         "n_samples": n // nch,
+        "bits": bits,
         "mean_pcm": round(s / n, 6),
         "rms_pcm": round(math.sqrt(q / n), 6),
         "samples": samples,  # interleaved, for resample_audio
@@ -450,27 +477,35 @@ def _wav_decode_py(payload: bytes) -> dict | None:
 
 
 def _wav_encode_py(
-    samples, nch: int, rate: int
+    samples, nch: int, rate: int, bits: int = 16
 ) -> bytes:
-    """Minimal VALID 16-bit PCM WAV from interleaved int16 samples —
+    """Minimal VALID PCM WAV from interleaved midpoint-signed samples —
     the canonical layout :func:`wav_decode` parses (RIFF + fmt at 12 +
-    data at 36)."""
-    body = struct.pack(f"<{len(samples)}h", *samples)
+    data at 36). ``bits=16`` packs signed int16; ``bits=8`` packs the
+    unsigned legacy width (sample + 128)."""
+    if bits == 16:
+        body = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        body = bytes(v + 128 for v in samples)
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    step = bits // 8
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, nch, rate, rate * nch * 2, nch * 2, 16
+        "<IHHIIHH", 16, 1, nch, rate, rate * nch * step, nch * step, bits
     )
     hdr += b"data" + struct.pack("<I", len(body))
     return hdr + body
 
 
 def _wav_resample_py(payload: bytes, target_rate: int) -> bytes | None:
-    """Nearest-neighbor sample-rate conversion of a 16-bit PCM WAV —
-    the audio analogue of :func:`_bmp_resize_py`'s pixel selection:
-    output frame ``j`` copies input frame ``(j * n_in) // n_out`` whole
-    (all channels), with ``n_out = max(1, n_in * target // source)``.
-    Real decode, deterministic selection, real re-encode; None for
-    anything the decoder refuses."""
+    """Nearest-neighbor sample-rate conversion of a PCM WAV (8- or
+    16-bit, re-encoded at the SOURCE width) — the audio analogue of
+    :func:`_bmp_resize_py`'s pixel selection: output frame ``j``
+    copies input frame ``(j * n_in) // n_out`` whole (all channels),
+    with ``n_out = max(1, n_in * target // source)``. Real decode,
+    deterministic selection, real re-encode; None for anything the
+    decoder refuses."""
     parsed = _wav_decode_py(payload)
     if parsed is None:
         return None
@@ -482,7 +517,7 @@ def _wav_resample_py(payload: bytes, target_rate: int) -> bytes | None:
     for j in range(n_out):
         base = ((j * n_in) // n_out) * nch
         out.extend(src[base : base + nch])
-    return _wav_encode_py(out, nch, target_rate)
+    return _wav_encode_py(out, nch, target_rate, bits=parsed["bits"])
 
 
 def resample_audio(
@@ -527,9 +562,9 @@ def resample_audio(
                     maybe = _wav_resample_py(payload, target_rate)
                     if maybe is None:
                         raise ValueError(
-                            "unsupported media format (only 16-bit PCM "
-                            "WAV resamples dependency-free; MP3/AAC "
-                            "need external codecs)"
+                            "unsupported media format (only 8/16-bit "
+                            "PCM WAV resamples dependency-free; "
+                            "MP3/AAC need external codecs)"
                         )
                     resampled = maybe
                     mime = "audio/wav"

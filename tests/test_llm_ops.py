@@ -2360,7 +2360,9 @@ def test_wav_decode_known_samples_and_rejections():
 
     assert _wav_decode_py(b"RIFX" + wav()[4:]) is None        # magic
     assert _wav_decode_py(wav(fmt=3)) is None                  # non-PCM
-    assert _wav_decode_py(wav(bits=8)) is None                 # bit depth
+    # bits=8 became a SUPPORTED width in round 13 (see
+    # test_wav_8bit_pcm_both_paths); 24-bit still refuses
+    assert _wav_decode_py(wav(bits=24)) is None                # bit depth
     assert _wav_decode_py(wav()[:-2]) is None                  # truncated
     assert _wav_decode_py(wav(body=data[:-1])) is None         # odd size
 
@@ -4684,3 +4686,66 @@ def test_transcode_media_cross_codec(spark, sf_dir):
         multimodal.transcode_media(
             multimodal.wav_encode(docs.limit(2)), to="png"
         ).collect()
+
+
+def test_wav_8bit_pcm_both_paths(spark):
+    """8-bit PCM WAV (round 13 — the legacy width): the builtin-SQL
+    and pandas decoders agree bit-for-bit on valid 8-bit payloads
+    (midpoint-128 samples), both REFUSE other widths identically
+    (NULL fields / None), the stats match hand-computed values, and
+    resampling re-encodes at the source width."""
+    import math
+    import struct
+
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.multimodal import (
+        _wav_decode_py, _wav_encode_py, _wav_resample_py,
+    )
+
+    # mono 8-bit: samples (midpoint-signed) -128..127
+    s8 = [-128, -1, 0, 1, 127, 64, -64, 32]
+    p8 = _wav_encode_py(s8, 1, 8000, bits=8)
+    d = _wav_decode_py(p8)
+    assert d is not None and d["bits"] == 8
+    assert d["n_channels"] == 1 and d["n_samples"] == 8
+    n = len(s8)
+    assert d["mean_pcm"] == round(sum(s8) / n, 6)
+    assert d["rms_pcm"] == round(math.sqrt(sum(v * v for v in s8) / n), 6)
+
+    # stereo 8-bit with an odd total byte count per channel refusal:
+    # 3 bytes over 2 channels violates block alignment in BOTH paths
+    bad_align = _wav_encode_py([0, 1, 2, 3], 2, 8000, bits=8)
+    bad_align = bytearray(bad_align)
+    # shrink data by one byte and fix both size fields
+    bad_align[40:44] = struct.pack("<I", 3)
+    bad_align[4:8] = struct.pack("<I", 36 + 3)
+    bad_align = bytes(bad_align[:47])
+    assert _wav_decode_py(bad_align) is None
+
+    # 24-bit refused by both paths
+    p24 = bytearray(_wav_encode_py([0, 1], 1, 8000, bits=16))
+    p24[34:36] = struct.pack("<H", 24)
+    assert _wav_decode_py(bytes(p24)) is None
+
+    # the builtin-SQL path agrees on all of the above
+    rows = spark.createDataFrame(
+        [(1, p8), (2, bad_align), (3, bytes(p24))],
+        "doc_id BIGINT, media BINARY",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.wav_decode(rows).collect()
+    }
+    assert got[1]["n_channels"] == 1 and got[1]["n_samples"] == 8
+    assert got[1]["mean_pcm"] == d["mean_pcm"]
+    assert got[1]["rms_pcm"] == d["rms_pcm"]
+    for bad_id in (2, 3):
+        assert got[bad_id]["n_channels"] is None
+        assert got[bad_id]["mean_pcm"] is None
+
+    # resample keeps the 8-bit width and the NN selection
+    rz = _wav_resample_py(p8, 4000)
+    dz = _wav_decode_py(rz)
+    assert dz is not None and dz["bits"] == 8 and dz["sample_rate"] == 4000
+    assert dz["n_samples"] == 4
+    assert list(dz["samples"]) == [s8[(j * 8) // 4] for j in range(4)]
