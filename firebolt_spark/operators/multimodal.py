@@ -284,19 +284,26 @@ _WAV_RATE_SQL = "cast(element_at(array(8000, 16000, 44100), cast(doc_id % 3 as i
 _WAV_NSAMP_SQL = "cast(16 + doc_id % 25 as int)"
 
 
-def wav_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic VALID 16-bit PCM WAV payloads from a text fixture
+def wav_encode(
+    docs: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Deterministic VALID PCM WAV payloads from a text fixture
     — the AUDIO modality made real (round 12), same construction idea
     as :func:`bmp_encode`: a RIFF/WAVE container is fixed-offset
     little-endian, so the whole file (12-byte RIFF header, 24-byte fmt
     chunk, 8-byte data chunk header, PCM samples) is hex/string
     expressions + ``unhex`` — no UDF, scan-only. Channels (1/2),
     sample rate (8/16/44.1 kHz) and per-channel sample count derive
-    from doc_id; the interleaved int16 sample bytes are the
+    from doc_id; the interleaved sample bytes are the
     ``repeat(md5(text))`` stream, so a decoder's output is
-    analytically oracle-checkable from the row alone."""
+    analytically oracle-checkable from the row alone. ``bits=8``
+    (round 13) emits the legacy unsigned width — one md5 byte per
+    sample — with the same header arithmetic at width 1."""
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    step = bits // 8
     nch, rate, nsamp = _WAV_NCH_SQL, _WAV_RATE_SQL, _WAV_NSAMP_SQL
-    data_bytes = f"(2 * ({nch}) * ({nsamp}))"
+    data_bytes = f"({step} * ({nch}) * ({nsamp}))"
     pcm_hex = (
         f"substr(repeat(md5(coalesce({text_col}, '')),"
         f" 15), 1, 2 * {data_bytes})"
@@ -311,10 +318,10 @@ def wav_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "'0100'",                              # audio format = PCM
             _le_hex(nch, 2),
             _le_hex(rate, 4),
-            _le_hex(f"({rate}) * ({nch}) * 2", 4),  # byte rate
-            _le_hex(f"({nch}) * 2", 2),             # block align
-            "'1000'",                               # bits per sample
-            "'64617461'",                           # 'data'
+            _le_hex(f"({rate}) * ({nch}) * {step}", 4),  # byte rate
+            _le_hex(f"({nch}) * {step}", 2),             # block align
+            _le_hex(str(bits), 2),                       # bits per sample
+            "'64617461'",                                # 'data'
             _le_hex(data_bytes, 4),
         ]
     ) + ")"

@@ -20,25 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 # Slots 1-31: the THIRTY-ONE queries whose latest driver row is r10 —
 # two rounds stale, the staleness ceiling; VERDICT r12 Next #1 names
 # them and orders them to LEAD. None changed code in r13.
-# Slots 32-38: the round-13 NEW queries (the mergeable bottom-k
+# Slots 32-39: the round-13 NEW queries (the mergeable bottom-k
 # quantile sketch; incremental line-level dedup against the persisted
 # line-digest ledger; the mergeable priority-sampling subset-sum
 # sketch; the real multi-frame GIF codec and its strided frame
 # extraction; the BMP->PNG cross-codec transcode; the composed media
-# curation pipeline) — zero driver rows.
-# Slots 39-45: the seven queries whose OPERATOR CODE changed in r13
+# curation pipeline; the legacy 8-bit PCM WAV width) — zero driver
+# rows.
+# Slots 40-46: the seven queries whose OPERATOR CODE changed in r13
 # (kmv_merge's collect_set dedup fix -> q_distinct_sketch /
 # q_corpus_profile; group_quantiles' explicit ungrouped crossJoin ->
 # q_corpus_quantiles; wav_decode's fmt-magic parity -> q_multimodal_wav
 # / q_multimodal_resample; the dedup append gen-stamp + scratch-table
 # (pid, starttime) naming -> q_dedup_incremental_indexed /
 # q_dedup_ngram_jaccard_indexed).
-# Slots 46-50: five of the 43 r11-latest rows, prioritized by
+# Slots 47-50: four of the 43 r11-latest rows, prioritized by
 # touched-file adjacency (functions/__init__.py sampling + snapshot
 # family; q_dedup_semantic, the two span-candidate queries,
-# q_dedup_ngram_jaccard, and q_dedup_lines spilled to make room for
-# the five NEW sketch/GIF/transcode/curation queries).
-# The THIRTY-EIGHT spilled r11 rows — q_anomaly_scores,
+# q_dedup_ngram_jaccard, q_dedup_lines, and q_weighted_sample
+# spilled to make room for the six NEW
+# sketch/GIF/transcode/curation/WAV queries).
+# The THIRTY-NINE spilled r11 rows — q_anomaly_scores,
 # q_array_functions, q_asof_join, q_classifier_score,
 # q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,
 # q_importance_weights, q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
@@ -52,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 # q_tpch9_product_profit, q_x1_fanout, q_x2_tree_fanout,
 # q_dedup_semantic, q_dedup_spans_candidates,
 # q_dedup_spans_candidates_indexed, q_dedup_ngram_jaccard,
-# q_dedup_lines — are
+# q_dedup_lines, q_weighted_sample — are
 # relational/parity/llm queries UNCHANGED since r11, were re-verified
 # locally this round by the full-registry sf0.01 sweep (see ROADMAP
 # round 13), and MUST LEAD the r14 rotation.
@@ -98,6 +100,7 @@ _PRIORITY = [
     "q_multimodal_frames",
     "q_multimodal_transcode",
     "q_media_curation",
+    "q_multimodal_wav8",
     # operator code changed in round 13
     "q_distinct_sketch",
     "q_corpus_profile",
@@ -111,7 +114,6 @@ _PRIORITY = [
     "q_stratified_sample",
     "q_token_budget_mix",
     "q_interleave_strata",
-    "q_weighted_sample",
 ]
 
 

@@ -1386,6 +1386,47 @@ Q_MULTIMODAL_WAV_SQL = """
 """
 
 
+def q_multimodal_wav8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy 8-bit PCM width end-to-end (round 13):
+    multimodal.wav_encode(bits=8) emits valid unsigned-8-bit WAVs (one
+    md5 byte per sample, same scan-only hex construction) and
+    wav_decode's 8-bit fold reads them back as midpoint-128 signed
+    samples. The oracle recomputes mean/RMS analytically from the md5
+    byte stream minus 128 — certifying the width dispatch, the
+    byte-per-sample geometry, and the unsigned-midpoint convention
+    cross-engine. Scalar-only output."""
+    media = multimodal.wav_encode(_documents(spark, sf_dir), bits=8)
+    return multimodal.wav_decode(media)
+
+
+Q_MULTIMODAL_WAV8_SQL = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+               CAST(([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+                    AS INTEGER) AS sample_rate,
+               CAST(16 + doc_id % 25 AS INTEGER) AS nsamp,
+               CAST((1 + doc_id % 2) * (16 + doc_id % 25) AS INTEGER) AS n,
+               substr(repeat(md5(coalesce(text, '')), 15), 1,
+                      CAST(2 * (1 + doc_id % 2) * (16 + doc_id % 25)
+                           AS INTEGER)) AS pcmhex
+        FROM documents),
+    sv AS (
+        SELECT doc_id, n_channels, sample_rate, nsamp,
+               (16 * (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(2 * k + 1 AS INTEGER), 1)) - 1)
+                   + (instr('0123456789abcdef',
+                            substr(pcmhex, CAST(2 * k + 2 AS INTEGER), 1)) - 1))
+                   - 128 AS s
+        FROM dims, LATERAL (SELECT unnest(range(n)) AS k) r)
+    SELECT doc_id, n_channels, sample_rate, nsamp AS n_samples,
+           round(sum(s) / count(*), 6) AS mean_pcm,
+           round(sqrt(sum(s * s) / count(*)), 6) AS rms_pcm
+    FROM sv
+    GROUP BY doc_id, n_channels, sample_rate, nsamp
+"""
+
+
 _RESAMPLE_RATE = 12000
 
 
@@ -3497,6 +3538,7 @@ QUERIES = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_transcode": q_multimodal_transcode,
     "q_media_curation": q_media_curation,
+    "q_multimodal_wav8": q_multimodal_wav8,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -3567,6 +3609,7 @@ ORACLE = {
     "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
     "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
     "q_media_curation": Q_MEDIA_CURATION_SQL,
+    "q_multimodal_wav8": Q_MULTIMODAL_WAV8_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,
