@@ -311,7 +311,9 @@ def wav_encode(
     header_hex = "concat(" + ", ".join(
         [
             "'52494646'",                          # 'RIFF'
-            _le_hex(f"36 + {data_bytes}", 4),      # riff size
+            # riff size counts the word-alignment pad after an odd
+            # data chunk (reachable only at 8-bit mono)
+            _le_hex(f"36 + {data_bytes} + ({data_bytes} % 2)", 4),
             "'57415645'",                          # 'WAVE'
             "'666d7420'",                          # 'fmt '
             "'10000000'",                          # fmt chunk size = 16
@@ -325,7 +327,10 @@ def wav_encode(
             _le_hex(data_bytes, 4),
         ]
     ) + ")"
-    media = F.unhex(F.expr(f"concat({header_hex}, {pcm_hex})"))
+    pad_hex = f"if(({data_bytes}) % 2 = 1, '00', '')"
+    media = F.unhex(
+        F.expr(f"concat({header_hex}, {pcm_hex}, {pad_hex})")
+    )
     return docs.select(
         "doc_id",
         media.alias("media"),
@@ -388,7 +393,11 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
             "has_magic AND fmt = 1 AND (bits = 16 OR bits = 8)"
             " AND n_channels >= 1 AND data_bytes > 0"
             " AND data_bytes % ((bits DIV 8) * n_channels) = 0"
-            " AND n_total = 44 + data_bytes"
+            # an odd-sized data chunk (reachable only at 8-bit mono)
+            # carries an optional RIFF word-alignment pad byte after it
+            " AND (n_total = 44 + data_bytes"
+            "      OR (data_bytes % 2 = 1"
+            "          AND n_total = 45 + data_bytes))"
         ),
     )
     # signed int16 sample k lives at data offset 2k (file offset 44+2k)
@@ -396,26 +405,23 @@ def wav_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     hi = _byte(hx, "(45 + 2 * k)")
     sample = f"(({lo}) + 256 * ({hi}))"
     signed = f"(if({sample} >= 32768, {sample} - 65536, {sample}))"
-    sums16 = F.expr(
-        "aggregate("
-        "  sequence(0, cast(data_bytes / 2 as int) - 1),"
-        "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
-        f"  (acc, k) -> named_struct("
-        f"    's', acc.s + {signed},"
-        f"    'q', acc.q + cast({signed} as bigint) * {signed})"
-        ")"
-    )
+    def _wav_sums(last_k: str, sample_expr: str):
+        # ONE copy of the exact-integer fold scaffolding — both widths
+        # must keep identical accumulator shape for cross-path parity
+        return F.expr(
+            "aggregate("
+            f"  sequence(0, {last_k}),"
+            "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
+            f"  (acc, k) -> named_struct("
+            f"    's', acc.s + {sample_expr},"
+            f"    'q', acc.q + cast({sample_expr} as bigint) * {sample_expr})"
+            ")"
+        )
+
+    sums16 = _wav_sums("cast(data_bytes / 2 as int) - 1", signed)
     # unsigned 8-bit sample k at data offset k: midpoint-128 signed
     signed8 = f"(({_byte(hx, '(44 + k)')}) - 128)"
-    sums8 = F.expr(
-        "aggregate("
-        "  sequence(0, data_bytes - 1),"
-        "  named_struct('s', cast(0 as bigint), 'q', cast(0 as bigint)),"
-        f"  (acc, k) -> named_struct("
-        f"    's', acc.s + {signed8},"
-        f"    'q', acc.q + cast({signed8} as bigint) * {signed8})"
-        ")"
-    )
+    sums8 = _wav_sums("data_bytes - 1", signed8)
     d = d.withColumn(
         "agg",
         F.when(F.col("is_wav") & (F.col("bits") == 16), sums16).when(
@@ -457,7 +463,12 @@ def _wav_decode_py(payload: bytes) -> dict | None:
         or nch < 1
         or dsz <= 0
         or dsz % ((bits // 8) * nch) != 0
-        or len(payload) != 44 + dsz
+        # spec-compliant writers pad an odd data chunk to a word
+        # boundary; accept both the padded and unpadded forms, exactly
+        # like the SQL path
+        or len(payload) not in (
+            {44 + dsz, 45 + dsz} if dsz % 2 else {44 + dsz}
+        )
     ):
         return None
     n = dsz // (bits // 8)
@@ -497,12 +508,13 @@ def _wav_encode_py(
     else:
         raise ValueError(f"bits must be 8 or 16, got {bits}")
     step = bits // 8
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF word alignment
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body) + len(pad)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
         "<IHHIIHH", 16, 1, nch, rate, rate * nch * step, nch * step, bits
     )
     hdr += b"data" + struct.pack("<I", len(body))
-    return hdr + body
+    return hdr + body + pad
 
 
 def _wav_resample_py(payload: bytes, target_rate: int) -> bytes | None:
@@ -1494,7 +1506,7 @@ def extract_features(
                         if parsed is None:
                             raise ValueError(
                                 "unsupported media format (RIFF payload "
-                                "is not canonical 16-bit PCM WAV)"
+                                "is not canonical 8/16-bit PCM WAV)"
                             )
                         # audio mapping into the shared feature schema:
                         # width = channels, height/n_frames = samples
@@ -1535,7 +1547,7 @@ def extract_features(
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
                             "truecolor/grayscale/palette PNG — plain or "
-                            "Adam7 — multi-frame GIF, and 16-bit PCM WAV "
+                            "Adam7 — multi-frame GIF, and 8/16-bit PCM WAV "
                             "decode dependency-free; JPEG/video "
                             "containers need PIL/ffmpeg)"
                         )

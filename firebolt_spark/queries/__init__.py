@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 # touched-file adjacency (functions/__init__.py sampling + snapshot
 # family; q_dedup_semantic, the two span-candidate queries,
 # q_dedup_ngram_jaccard, q_dedup_lines, and q_weighted_sample
-# spilled to make room for the six NEW
-# sketch/GIF/transcode/curation/WAV queries).
+# spilled to make room for the EIGHT NEW
+# sketch/GIF/transcode/curation/WAV queries (slots 32-39).
 # The THIRTY-NINE spilled r11 rows — q_anomaly_scores,
 # q_array_functions, q_asof_join, q_classifier_score,
 # q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,

@@ -4749,3 +4749,54 @@ def test_wav_8bit_pcm_both_paths(spark):
     assert dz is not None and dz["bits"] == 8 and dz["sample_rate"] == 4000
     assert dz["n_samples"] == 4
     assert list(dz["samples"]) == [s8[(j * 8) // 4] for j in range(4)]
+
+
+def test_wav_odd_chunk_riff_padding(spark):
+    """RIFF word alignment (round 13 review): an odd-sized 8-bit data
+    chunk — reachable only at 8-bit mono — is emitted WITH the spec's
+    pad byte by both encoders, and both decoders accept the padded
+    AND the unpadded legacy form identically (the pad is never read
+    as a sample)."""
+    import struct
+
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.multimodal import (
+        _wav_decode_py, _wav_encode_py,
+    )
+
+    s8 = [10, -20, 30]  # mono, odd byte count
+    p = _wav_encode_py(s8, 1, 8000, bits=8)
+    assert len(p) == 44 + 3 + 1 and p[-1] == 0          # pad emitted
+    assert struct.unpack_from("<I", p, 4)[0] == 36 + 4  # riff size
+    assert struct.unpack_from("<I", p, 40)[0] == 3      # data size
+    d = _wav_decode_py(p)
+    assert d is not None and list(d["samples"]) == s8
+
+    unpadded = p[:-1]  # legacy writers omit the pad
+    ru = bytearray(unpadded)
+    ru[4:8] = struct.pack("<I", 36 + 3)
+    d2 = _wav_decode_py(bytes(ru))
+    assert d2 is not None and list(d2["samples"]) == s8
+
+    # the builtin path accepts both forms with identical stats, and
+    # the hex-expression encoder emits the padded form for odd chunks
+    from firebolt_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    odd = docs.filter(  # nch=1 (even doc_id) and odd nsamp
+        (F.col("doc_id") % 2 == 0) & ((16 + F.col("doc_id") % 25) % 2 == 1)
+    ).limit(4)
+    enc = multimodal.wav_encode(odd, bits=8).collect()
+    assert enc
+    for r in enc:
+        payload = bytes(r["media"])
+        dsz = struct.unpack_from("<I", payload, 40)[0]
+        assert dsz % 2 == 1 and len(payload) == 45 + dsz
+        assert _wav_decode_py(payload) is not None
+
+    rows = spark.createDataFrame(
+        [(1, p), (2, bytes(ru))], "doc_id BIGINT, media BINARY"
+    )
+    got = {r["doc_id"]: r for r in multimodal.wav_decode(rows).collect()}
+    assert got[1]["mean_pcm"] == got[2]["mean_pcm"] == d["mean_pcm"]
+    assert got[1]["n_samples"] == got[2]["n_samples"] == 3
