@@ -1559,3 +1559,68 @@ def test_streaming_priority_sketch_maintenance(spark, tmp_path):
         salt="st",
     ).write.mode("append").parquet(sketch_dir)
     assert snap(rollup()) == one_shot
+
+
+def test_streaming_media_features_with_crash_restart(spark, tmp_path):
+    """The multimodal path inside the streaming ingest loop: each
+    micro-batch encodes its documents as multi-frame GIFs, decodes
+    them for REAL (extract_features, LZW and all), and appends the
+    per-doc features to a feature table keyed by batch. The codec is
+    stateless, so the contract under test is the plumbing: after a
+    mid-run crash-restart the checkpoint replays exactly once per
+    batch id, and the union of per-batch features equals the one-shot
+    features of everything streamed, row for row."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(90)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    delta_dir = tmp_path / "media-deltas"
+    delta_dir.mkdir()
+    feat_dir = str(tmp_path / "media-feats")
+    ckpt = str(tmp_path / "ckpt-media")
+
+    def ingest(batch_df, batch_id):
+        feats = multimodal.extract_features(
+            multimodal.gif_encode(batch_df), decode_stub=False
+        ).withColumn("_batch_id", F.lit(batch_id))
+        feats.write.mode("append").parquet(feat_dir)
+
+    def run_stream(name):
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("media-0")
+    # crash between micro-batches: the second delta lands, the stream
+    # restarts from the checkpoint and must process it exactly once
+    batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("media-1-restarted")
+    batches[2].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("media-2")
+
+    streamed = spark.read.parquet(feat_dir)
+    one_shot = multimodal.extract_features(
+        multimodal.gif_encode(docs), decode_stub=False
+    )
+    got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=lambda t: t[0])
+    exp = sorted(map(tuple, one_shot.collect()), key=lambda t: t[0])
+    assert got == exp and len(got) == 90
+    # each batch ran exactly once (no replay duplicates)
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in streamed.groupBy("_batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(per_batch.values()) == 90 and len(per_batch) == 3
