@@ -951,6 +951,16 @@ class FrequentItemsNode(_SketchParams):
     K_DEFAULT = 20
 
     def __init__(self, params: dict[str, Any]):
+        # frequent_items is an EXACT count, not a salted hash sketch:
+        # it takes neither 'salt' nor 'out_col' (the output column is
+        # count_col).  Accepting-and-ignoring them would let a spec
+        # set out_col and silently get a column named by count_col.
+        for bogus in ("out_col", "salt"):
+            if bogus in params:
+                raise ValueError(
+                    f"{self.NAME} node does not take {bogus!r} "
+                    f"(use count_col to name the count column)"
+                )
         super().__init__(params, "col", "cnt")
         self.count_col = params.get("count_col", "cnt")
         self.pre_counted = bool(params.get("pre_counted", False))

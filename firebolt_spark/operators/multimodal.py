@@ -192,6 +192,7 @@ def bmp_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     height = _le_int(hx, 22, 4)
     bpp = _le_int(hx, 28, 2)
     off = _le_int(hx, 10, 4)
+    comp = _le_int(hx, 30, 4)
     d = d.select(
         "doc_id",
         "hx",
@@ -200,6 +201,7 @@ def bmp_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
         F.expr(height).cast("int").alias("height"),
         F.expr(bpp).cast("int").alias("bpp"),
         F.expr(off).cast("int").alias("data_off"),
+        F.expr(comp).cast("int").alias("compression"),
         F.col("n_total"),
     ).withColumn(
         "n_pixel_bytes", F.expr("cast(n_total - data_off as int)")
@@ -207,9 +209,13 @@ def bmp_decode(media_df: DataFrame, media_col: str = "media") -> DataFrame:
         # Magic alone is not enough: a truncated or header-only payload
         # must NULL out here exactly like _bmp_decode_py rejects it,
         # and an empty pixel array would make sequence(0, -1) descend.
+        # biCompression != 0 (BI_RLE/BI_BITFIELDS) would make the pixel
+        # array something other than raw BGR rows — refuse, don't
+        # mis-decode (same gate in _bmp_decode_py keeps the paths
+        # bit-identical).
         "is_bmp",
         F.expr(
-            "has_magic AND n_total >= 54"
+            "has_magic AND n_total >= 54 AND compression = 0"
             " AND data_off BETWEEN 54 AND n_total AND n_pixel_bytes > 0"
         ),
     )
@@ -255,6 +261,10 @@ def _bmp_decode_py(payload: bytes) -> dict | None:
     bpp = struct.unpack_from("<H", payload, 28)[0]
     # Same guard as the SQL path's is_bmp: pixel data must start after
     # the header and be non-empty, else both decoders return NULL/None.
+    # A non-zero biCompression (BI_RLE8/BI_BITFIELDS/...) means the
+    # pixel array is NOT raw BGR rows — refuse rather than mis-decode.
+    if struct.unpack_from("<I", payload, 30)[0] != 0:
+        return None
     if data_off < 54 or data_off > len(payload):
         return None
     pix = payload[data_off:]
@@ -1421,6 +1431,15 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.media)
+                # media from a non-encode source may carry a NULL or
+                # sha-less media_meta; fall back to hashing the payload
+                # rather than dying with an opaque KeyError/TypeError
+                # inside the Arrow batch (the operator's contract is an
+                # explicit ValueError or a decoded row, never a crash).
+                meta = rec.media_meta
+                sha = (meta or {}).get("sha") or hashlib.sha256(
+                    payload
+                ).hexdigest()
                 parsed = _gif_decode_py(payload, frame_stride=every_nth)
                 if parsed is None:
                     raise ValueError(
@@ -1435,7 +1454,7 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
                     rows.append(
                         {
                             "doc_id": rec.doc_id,
-                            "sha": rec.media_meta["sha"],
+                            "sha": sha,
                             "frame_idx": f,
                             "width": parsed["width"],
                             "height": parsed["height"],
@@ -1681,6 +1700,9 @@ def _bmp_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     bpp = struct.unpack_from("<H", payload, 28)[0]
     if bpp != 24 or width <= 0 or height <= 0:
         return None
+    # compressed pixel arrays (biCompression != 0) are not raw BGR rows
+    if struct.unpack_from("<I", payload, 30)[0] != 0:
+        return None
     if data_off < 54 or data_off > len(payload):
         return None
     src_row = (3 * width + 3) // 4 * 4
@@ -1844,6 +1866,10 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     if bpp != 24 or w <= 0 or h <= 0 or not 54 <= data_off <= len(payload):
+        return None
+    # refuse compressed (BI_RLE/BI_BITFIELDS) pixel arrays: a 24-bpp
+    # header with biCompression != 0 is not raw BGR rows
+    if struct.unpack_from("<I", payload, 30)[0] != 0:
         return None
     src_row = (3 * w + 3) // 4 * 4
     pix = payload[data_off:]

@@ -4800,3 +4800,77 @@ def test_wav_odd_chunk_riff_padding(spark):
     got = {r["doc_id"]: r for r in multimodal.wav_decode(rows).collect()}
     assert got[1]["mean_pcm"] == got[2]["mean_pcm"] == d["mean_pcm"]
     assert got[1]["n_samples"] == got[2]["n_samples"] == 3
+
+
+def test_bmp_compressed_payloads_refused_everywhere(spark):
+    """A 24-bpp BMP header with biCompression != 0 (BI_RLE / 
+    BI_BITFIELDS) does NOT carry raw BGR rows; all four decode paths
+    (SQL bmp_decode, _bmp_decode_py, _bmp_resize_py, _decode_rgb_py)
+    must refuse it rather than mis-decode (ADVICE r13)."""
+    import struct as st
+
+    from firebolt_spark.operators.multimodal import (
+        _bmp_decode_py, _bmp_resize_py, _decode_rgb_py, bmp_encode,
+    )
+    from firebolt_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    good = bytes(bmp_encode(docs.limit(1)).collect()[0]["media"])
+    assert _bmp_decode_py(good) is not None  # sanity: fixture decodes
+
+    bad = bytearray(good)
+    bad[30:34] = st.pack("<I", 3)  # BI_BITFIELDS
+    bad = bytes(bad)
+
+    assert _bmp_decode_py(bad) is None
+    assert _bmp_resize_py(bad, 4, 4) is None
+    assert _decode_rgb_py(bad) is None
+    df = spark.createDataFrame(
+        [(0, good), (1, bad)], "doc_id BIGINT, media BINARY"
+    )
+    from firebolt_spark.operators import multimodal as mm
+
+    rows = {r["doc_id"]: r for r in mm.bmp_decode(df).collect()}
+    assert rows[0]["mean_all"] is not None
+    assert rows[1]["width"] is None and rows[1]["mean_all"] is None
+
+
+def test_frequent_items_node_rejects_inapplicable_params():
+    """FrequentItemsNode takes neither 'out_col' nor 'salt'
+    (frequent_items is an exact count, not a salted sketch); a spec
+    that sets them must fail loudly instead of being silently ignored
+    (ADVICE r13)."""
+    import pytest as _pytest
+
+    from firebolt_spark.operators.llm_nodes import FrequentItemsNode
+
+    FrequentItemsNode({"col": "source", "count_col": "n"})  # fine
+    with _pytest.raises(ValueError, match="out_col"):
+        FrequentItemsNode({"col": "source", "out_col": "n"})
+    with _pytest.raises(ValueError, match="salt"):
+        FrequentItemsNode({"col": "source", "salt": "x"})
+
+
+def test_gif_frames_tolerates_missing_media_meta(spark):
+    """gif_frames over media whose media_meta is NULL or lacks 'sha'
+    (media from a non-encode source) must not die with an opaque
+    KeyError inside the Arrow batch: the sha column falls back to the
+    payload's own sha256 (ADVICE r13)."""
+    import hashlib as _hashlib
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = mm.gif_encode(docs.limit(3))
+    bare = media.select("doc_id", "media").withColumn(
+        "media_meta",
+        F.lit(None).cast(
+            "struct<kind:string,mime:string,n_bytes:bigint,sha:string>"
+        ),
+    )
+    rows = mm.gif_frames(bare).collect()
+    assert rows
+    payloads = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    for r in rows:
+        assert r["sha"] == _hashlib.sha256(payloads[r["doc_id"]]).hexdigest()
