@@ -1116,34 +1116,65 @@ def _gif_encode_py(
     palette: bytes | None = _GIF_PALETTE,
     frame_palettes: list[bytes | None] | None = None,
     interlace: bool = False,
+    frame_rects: list[tuple[int, int, int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_idxs: list[int | None] | None = None,
+    bg: int = 0,
 ) -> bytes:
     """Minimal VALID multi-frame GIF89a from per-frame palette-index
-    rows (top-down, w*h bytes per frame): header, logical screen
-    descriptor, the global color table (default the fixed
-    :data:`_GIF_PALETTE`; padded to a legal power-of-two size; None
-    omits the GCT entirely, in which case every frame needs its own
-    entry in ``frame_palettes``), one graphic-control extension +
-    full-canvas image descriptor + real LZW-compressed data per frame,
-    trailer. A frame whose entry in ``frame_palettes`` differs from
-    the global palette is written with a LOCAL color table;
-    ``interlace=True`` stores rows in the appendix-E pass order with
-    the interlace flag set. No transparency."""
+    rows (top-down, fw*fh bytes per frame): header, logical screen
+    descriptor (background color index ``bg``), the global color table
+    (default the fixed :data:`_GIF_PALETTE`; padded to a legal
+    power-of-two size; None omits the GCT entirely, in which case
+    every frame needs its own entry in ``frame_palettes``), one
+    graphic-control extension + image descriptor + real LZW-compressed
+    data per frame, trailer. A frame whose entry in ``frame_palettes``
+    differs from the global palette is written with a LOCAL color
+    table; ``interlace=True`` stores rows in the appendix-E pass order
+    with the interlace flag set.
+
+    Animation controls (round 14 — the sub-canvas compositing
+    surface): ``frame_rects[fi] = (left, top, fw, fh)`` places frame
+    ``fi`` on the canvas (default full-canvas); ``disposals[fi]``
+    writes the GCE disposal method (0 unspecified / 1 keep / 2 restore
+    to background / 3 restore to previous); ``transparent_idxs[fi]``
+    sets the GCE transparency flag + transparent color index (None =
+    opaque)."""
     if not frames:
         raise ValueError("need at least one frame")
-    for f in frames:
-        if len(f) != w * h:
-            raise ValueError(f"need {w * h} index bytes, got {len(f)}")
     out = bytearray(b"GIF89a")
     if palette is None:
-        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no GCT
+        out += struct.pack("<HHBBB", w, h, 0x70, bg, 0)  # no GCT
     else:
         gct, gn = _gif_pad_palette(palette)
         # packed: global color table present, 8-bit color resolution
-        out += struct.pack("<HHBBB", w, h, 0xF0 | gn, 0, 0)
+        out += struct.pack("<HHBBB", w, h, 0xF0 | gn, bg, 0)
         out += gct
     for fi, f in enumerate(frames):
-        # GCE: no disposal/user-input/transparency, 4cs delay
-        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        left, top, fw, fh = (
+            frame_rects[fi] if frame_rects else (0, 0, w, h)
+        )
+        if not (
+            left >= 0 and top >= 0 and fw >= 1 and fh >= 1
+            and left + fw <= w and top + fh <= h
+        ):
+            raise ValueError(
+                f"frame {fi} rect {(left, top, fw, fh)} exceeds the "
+                f"{w}x{h} canvas"
+            )
+        if len(f) != fw * fh:
+            raise ValueError(
+                f"frame {fi} needs {fw * fh} index bytes, got {len(f)}"
+            )
+        disposal = disposals[fi] if disposals else 0
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"frame {fi} disposal must be 0..3")
+        trans = transparent_idxs[fi] if transparent_idxs else None
+        gpk = ((disposal & 0x07) << 2) | (1 if trans is not None else 0)
+        # GCE: disposal/transparency per the args, 4cs delay
+        out += bytes(
+            [0x21, 0xF9, 0x04, gpk, 0x04, 0x00, trans or 0, 0x00]
+        )
         fpal = frame_palettes[fi] if frame_palettes else None
         if palette is None and fpal is None:
             raise ValueError(
@@ -1155,11 +1186,11 @@ def _gif_encode_py(
         if fpal is not None and (palette is None or fpal != palette):
             lct, ln = _gif_pad_palette(fpal)
             packed |= 0x80 | ln
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, packed)
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, packed)
         out += lct
         if interlace:
             f = b"".join(
-                f[r * w : (r + 1) * w] for r in _gif_interlace_order(h)
+                f[r * fw : (r + 1) * fw] for r in _gif_interlace_order(fh)
             )
         out.append(8)  # LZW minimum code size (256-color indices)
         data = _lzw_encode(f, 8)
@@ -1173,35 +1204,55 @@ def _gif_encode_py(
 
 
 def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
-    """Real dependency-free GIF decode (round 13): header + logical
-    screen descriptor parse, global color table, full LZW decompress
-    per frame (variable-width codes, clear/EOI, KwKwK, table-full
-    behavior), palette mapping, and the shared channel statistics —
-    overall AND per frame, so frame-level operators read real frames.
+    """Real dependency-free GIF decode (round 13; compositing round
+    14): header + logical screen descriptor parse, global color table,
+    full LZW decompress per frame (variable-width codes, clear/EOI,
+    KwKwK, table-full behavior), palette mapping, and the shared
+    channel statistics — overall AND per frame, so frame-level
+    operators read real frames.
 
-    Scope: full-canvas frames — the shape :func:`gif_encode` emits and
-    the common corpus-thumbnail storage shape — with interlaced frames
-    de-interlaced (appendix-E pass order) and per-frame LOCAL color
-    tables honored over the global one. Sub-canvas frames (animation
-    deltas that composite over a prior canvas) and any structural
-    corruption (bad magic, truncated blocks, LZW output != w*h, an
-    index past the frame's palette) return None — the codec refuses
-    rather than mis-decodes, like its PNG twin. Transparency indices
-    are treated as opaque palette colors (statistics count the stored
-    color; compositing is out of scope).
+    Two shapes, detected per payload:
 
-    ``frame_stride`` keeps frames 0, n, 2n, ... at PARSE time: dropped
-    frames' descriptors and palettes are still structurally validated
-    and their data sub-blocks walked (block lengths only), but their
-    LZW decompress and channel statistics — the dominant per-frame
-    cost — are skipped entirely. ``n_frames`` always counts every
-    frame; ``frame_idxs`` records which ones the returned planes/means
-    belong to."""
+    * INDEPENDENT — every frame full-canvas and opaque (the shape
+      :func:`gif_encode` emits and the common corpus-thumbnail storage
+      shape). Returned ``frames`` are palette-index planes with their
+      ``frame_palettes``; ``rgb`` is False. Interlaced frames are
+      de-interlaced (appendix-E pass order) and per-frame LOCAL color
+      tables honored over the global one.
+    * COMPOSITE (round 14 — the real-world animated-GIF shape): any
+      sub-canvas frame or any GCE transparency flag switches to full
+      canvas compositing — each frame is drawn at its (left, top)
+      rect over the persistent canvas, pixels equal to the GCE
+      transparent index show the canvas beneath, and the GCE disposal
+      method (0 unspecified / 1 keep / 2 restore the frame's rect to
+      the background color / 3 restore the canvas to its pre-frame
+      state) runs between frames. The canvas starts as the logical
+      screen's background color, which requires a global color table
+      with a valid background index — refused otherwise (no silent
+      black/transparent guess). Returned ``frames`` are the COMPOSITED
+      w*h RGB planes (what a viewer shows for that frame);
+      ``frame_palettes`` is None and ``rgb`` is True. Statistics are
+      over the composited canvases.
+
+    Any structural corruption (bad magic, truncated blocks, a rect
+    exceeding the canvas, disposal > 3, LZW output != fw*fh, an opaque
+    index past the frame's palette) returns None — the codec refuses
+    rather than mis-decodes, like its PNG twin.
+
+    ``frame_stride`` keeps frames 0, n, 2n, ... at PARSE time.
+    ``n_frames`` always counts every frame; ``frame_idxs`` records
+    which ones the returned planes/means belong to. In the independent
+    shape dropped frames are never LZW-decompressed (their data
+    sub-blocks are walked/buffered only); in the composite shape a
+    dropped frame still has to be decoded IF its pixels persist into a
+    later kept frame (disposal 0/1) — disposal 2/3 dropped frames and
+    everything after the last kept frame are skipped without
+    decompression."""
     if frame_stride < 1:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     if w <= 0 or h <= 0:
         return None
     pos = 13
@@ -1212,10 +1263,10 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
-    frames: list[bytes] = []
-    frame_palettes: list[bytes] = []
-    frame_idxs: list[int] = []
-    frame_no = 0
+    # ---- parse pass: structure + compressed bytes, no LZW yet ----
+    recs: list[dict] = []
+    disposal = 0
+    trans: int | None = None  # pending GCE state for the NEXT image
     while True:
         if pos >= len(payload):
             return None  # ran out before the trailer
@@ -1223,11 +1274,21 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
                 return None
+            label = payload[pos]
+            if (
+                label == 0xF9
+                and pos + 6 <= len(payload)
+                and payload[pos + 1] == 4
+            ):
+                # graphic control: disposal bits 2-4, transparency bit 0
+                gpk = payload[pos + 2]
+                disposal = (gpk >> 2) & 0x07
+                trans = payload[pos + 5] if gpk & 0x01 else None
             pos += 1
-            while True:
+            while True:  # generic sub-block walk (all extensions)
                 if pos >= len(payload):
                     return None
                 ln = payload[pos]
@@ -1241,8 +1302,10 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if (left, top, fw, fh) != (0, 0, w, h):
-            return None  # sub-canvas composite frame: out of scope
+        if fw < 1 or fh < 1 or left + fw > w or top + fh > h:
+            return None  # rect exceeds the canvas
+        if disposal > 3:
+            return None  # undefined disposal method
         pal = gct
         if fpacked & 0x80:  # local color table overrides the global
             n = 2 ** ((fpacked & 0x07) + 1)
@@ -1256,7 +1319,11 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None
         mcs = payload[pos]
         pos += 1
-        keep = frame_no % frame_stride == 0
+        frame_no = len(recs)
+        kept = frame_no % frame_stride == 0
+        # a dropped frame's bytes only ever matter when its pixels can
+        # persist into a later kept canvas (composite, disposal 0/1)
+        collect = kept or disposal in (0, 1)
         data = bytearray()
         while True:
             if pos >= len(payload):
@@ -1267,46 +1334,130 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
                 break
             if pos + ln > len(payload):
                 return None
-            if keep:  # dropped frames: walk block lengths only
+            if collect:  # else: walk block lengths only
                 data += payload[pos : pos + ln]
             pos += ln
-        if keep:
-            idx = _lzw_decode(bytes(data), mcs, w * h)
-            if idx is None or len(idx) != w * h:
-                return None
-            if fpacked & 0x40:  # interlaced: rows arrive in pass order
-                out = bytearray(w * h)
-                for stored, actual in enumerate(_gif_interlace_order(h)):
-                    out[actual * w : (actual + 1) * w] = idx[
-                        stored * w : (stored + 1) * w
-                    ]
-                idx = bytes(out)
-            frames.append(idx)
-            frame_palettes.append(bytes(pal))
-            frame_idxs.append(frame_no)
-        frame_no += 1
-    if not frames:
+        recs.append(
+            {
+                "left": left, "top": top, "fw": fw, "fh": fh,
+                "interlace": bool(fpacked & 0x40), "pal": bytes(pal),
+                "mcs": mcs, "data": bytes(data), "disposal": disposal,
+                "trans": trans,
+            }
+        )
+        disposal = 0
+        trans = None  # a GCE governs exactly one image
+    if not recs:
         return None
     import numpy as np
 
+    n_frames = len(recs)
+    keep_idxs = list(range(0, n_frames, frame_stride))
+
+    def decode_idx(r: dict) -> bytes | None:
+        idx = _lzw_decode(r["data"], r["mcs"], r["fw"] * r["fh"])
+        if idx is None or len(idx) != r["fw"] * r["fh"]:
+            return None
+        if r["interlace"]:  # interlaced: rows arrive in pass order
+            fw = r["fw"]
+            out = bytearray(len(idx))
+            for stored, actual in enumerate(_gif_interlace_order(r["fh"])):
+                out[actual * fw : (actual + 1) * fw] = idx[
+                    stored * fw : (stored + 1) * fw
+                ]
+            idx = bytes(out)
+        return idx
+
+    independent = all(
+        r["left"] == 0 and r["top"] == 0 and r["fw"] == w and r["fh"] == h
+        and r["trans"] is None
+        for r in recs
+    )
     sums = [0, 0, 0]
-    frame_means = []
-    for idx, pal in zip(frames, frame_palettes):
-        a = np.frombuffer(idx, np.uint8)
-        if a.size and int(a.max()) >= len(pal) // 3:
-            return None  # index past the frame's palette
-        rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[a]
-        fsums = [int(s) for s in rgb.sum(axis=0, dtype=np.int64)]
-        frame_means.append(
-            [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
-        )
-        for c in range(3):
-            sums[c] += fsums[c]
+    frame_means: list[list[float]] = []
+    frames: list[bytes] = []
+    frame_idxs: list[int] = []
+    if independent:
+        frame_palettes: list[bytes] | None = []
+        for i in keep_idxs:
+            r = recs[i]
+            idx = decode_idx(r)
+            if idx is None:
+                return None
+            a = np.frombuffer(idx, np.uint8)
+            if a.size and int(a.max()) >= len(r["pal"]) // 3:
+                return None  # index past the frame's palette
+            rgb = np.frombuffer(r["pal"], np.uint8).reshape(-1, 3)[a]
+            fsums = [int(s) for s in rgb.sum(axis=0, dtype=np.int64)]
+            frame_means.append(
+                [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
+            )
+            for c in range(3):
+                sums[c] += fsums[c]
+            frames.append(idx)
+            frame_palettes.append(r["pal"])
+            frame_idxs.append(i)
+        palette = bytes(gct) if gct is not None else frame_palettes[0]
+    else:
+        # composite: the canvas seeds from the background color, which
+        # only the global color table can define
+        frame_palettes = None
+        if gct is None or bg >= len(gct) // 3:
+            return None
+        bg_rgb = np.frombuffer(gct, np.uint8).reshape(-1, 3)[bg]
+        canvas = np.empty((h, w, 3), np.uint8)
+        canvas[:] = bg_rgb
+        for i, r in enumerate(recs):
+            if i > keep_idxs[-1]:
+                break  # nothing after the last kept frame matters
+            kept = i % frame_stride == 0
+            prev = None
+            if kept or r["disposal"] in (0, 1):
+                idx = decode_idx(r)
+                if idx is None:
+                    return None
+                a = np.frombuffer(idx, np.uint8).reshape(r["fh"], r["fw"])
+                pal = np.frombuffer(r["pal"], np.uint8).reshape(-1, 3)
+                mask = (
+                    a != r["trans"] if r["trans"] is not None
+                    else np.ones(a.shape, bool)
+                )
+                opaque = a[mask]
+                if opaque.size and int(opaque.max()) >= len(pal):
+                    return None  # opaque index past the frame's palette
+                if r["disposal"] == 3:
+                    prev = canvas.copy()
+                canvas[
+                    r["top"] : r["top"] + r["fh"],
+                    r["left"] : r["left"] + r["fw"],
+                ][mask] = pal[opaque]
+            # (disposal 2/3 dropped frames: pixels never persist — the
+            # LZW decompress is skipped entirely)
+            if kept:
+                fsums = [
+                    int(s)
+                    for s in canvas.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ]
+                frame_means.append(
+                    [round(s / (w * h), 6) for s in fsums]  # [r, g, b]
+                )
+                for c in range(3):
+                    sums[c] += fsums[c]
+                frames.append(canvas.tobytes())
+                frame_idxs.append(i)
+            if r["disposal"] == 2:  # restore the rect to background
+                canvas[
+                    r["top"] : r["top"] + r["fh"],
+                    r["left"] : r["left"] + r["fw"],
+                ] = bg_rgb
+            elif r["disposal"] == 3 and prev is not None:
+                canvas = prev
+        palette = bytes(gct)
     n = w * h * len(frames)
     return {
         "width": w,
         "height": h,
-        "n_frames": frame_no,
+        "n_frames": n_frames,
         "mean_r": round(sums[0] / n, 6),
         "mean_g": round(sums[1] / n, 6),
         "mean_b": round(sums[2] / n, 6),
@@ -1314,8 +1465,9 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
         "frame_means": frame_means,
         "frames": frames,
         "frame_idxs": frame_idxs,
-        "palette": bytes(gct) if gct is not None else frame_palettes[0],
+        "palette": palette,
         "frame_palettes": frame_palettes,
+        "rgb": not independent,
     }
 
 
@@ -1372,15 +1524,97 @@ def gif_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
+def gif_anim_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic VALID *animated* GIF payloads exercising the
+    real-world sub-canvas shape (round 14): frame 0 is a full-canvas
+    opaque plane; every later frame is a SUB-CANVAS rect with the GCE
+    transparency flag set (transparent index 7) — both with disposal
+    method 2 (restore to background), so before each frame after the
+    first the canvas is exactly the background color and the
+    composited statistics stay analytic:
+
+    * canvas w/h: the :func:`gif_encode` convention
+      (``4 * (1 + doc_id % 4)`` x ``1 + doc_id % 5``)
+    * ``n_frames = 2 + doc_id % 3`` (always at least one sub-canvas
+      frame), background index ``doc_id % 256``
+    * frame f >= 1 rect: ``fw = 1 + (doc_id + 3f) % w``,
+      ``fh = 1 + (doc_id + f) % h``, ``left = (doc_id + 5f) %
+      (w - fw + 1)``, ``top = (doc_id + 7f) % (h - fh + 1)``
+    * frame f's palette indices = repeated md5 of ``text + '#a' + f``
+      over the fixed affine :data:`_GIF_PALETTE`
+
+    so the oracle recomputes each COMPOSITED frame's channel means
+    without decoding a GIF: rect pixels contribute ``pal[idx]`` when
+    ``idx != 7`` and the background color when transparent, and the
+    ``w*h - fw*fh`` pixels outside the rect are all background.
+    Arrow-batched ``mapInPandas``; map-only, no shuffle."""
+    src = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                w = 4 * (1 + doc_id % 4)
+                h = 1 + doc_id % 5
+                n_frames = 2 + doc_id % 3
+                frames, rects, disposals, trans = [], [], [], []
+                for f in range(n_frames):
+                    if f == 0:
+                        fw, fh, left, top = w, h, 0, 0
+                        trans.append(None)
+                    else:
+                        fw = 1 + (doc_id + 3 * f) % w
+                        fh = 1 + (doc_id + f) % h
+                        left = (doc_id + 5 * f) % (w - fw + 1)
+                        top = (doc_id + 7 * f) % (h - fh + 1)
+                        trans.append(7)
+                    digest = hashlib.md5(
+                        (rec.ptext + f"#a{f}").encode("utf-8")
+                    ).digest()
+                    frames.append((digest * 5)[: fw * fh])
+                    rects.append((left, top, fw, fh))
+                    disposals.append(2)
+                payload = _gif_encode_py(
+                    frames, w, h, frame_rects=rects, disposals=disposals,
+                    transparent_idxs=trans, bg=doc_id % 256,
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": payload,
+                        "media_meta": {
+                            "kind": "video",
+                            "mime": "image/gif",
+                            "n_bytes": len(payload),
+                            "sha": hashlib.sha256(payload).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>"
+    )
+    return src.mapInPandas(run, schema=schema)
+
+
 def _gif_resize_py(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """Nearest-neighbor resample of EVERY frame of a GIF: real decode
     (:func:`_gif_decode_py` — LZW and all), the shared source-pixel
     selection arithmetic (``src = (dst * src_dim) // dst_dim``) over
     the palette-index planes (palette untouched — NN resampling of an
     indexed image is index selection), then a real re-encode. None for
-    anything the decoder refuses."""
+    anything the decoder refuses, and for COMPOSITE-shape animations
+    (sub-canvas rects / transparency): their decoded planes are
+    composited RGB, and re-encoding RGB as GIF needs palette
+    quantization — the same modeling choice transcode_media refuses."""
     parsed = _gif_decode_py(payload)
-    if parsed is None:
+    if parsed is None or parsed["rgb"]:
         return None
     w, h = parsed["width"], parsed["height"]
     frames_out = []
@@ -1444,9 +1678,10 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
                 if parsed is None:
                     raise ValueError(
                         "unsupported media format (gif_frames needs a "
-                        "GIF with full-canvas frames — sub-canvas "
-                        "composite frames and structural corruption are "
-                        "refused; interlace and local palettes are fine)"
+                        "structurally valid GIF — sub-canvas animations "
+                        "composite for real as of round 14; corruption, "
+                        "rects past the canvas, and composite shapes "
+                        "with no global color table are refused)"
                     )
                 for f, fm in zip(
                     parsed["frame_idxs"], parsed["frame_means"]
@@ -1852,11 +2087,14 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
             return None
         return p["width"], p["height"], p["pixels"]
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        # only frame 0 is wanted: a huge stride makes the parser
-        # block-walk (never LZW-decode) every later frame
+        # only frame 0 is wanted: a huge stride makes the parser skip
+        # every later frame's LZW decompress (composite shapes decode
+        # only what frame 0's canvas needs — nothing, for frame 0)
         g = _gif_decode_py(payload, frame_stride=1 << 30)
         if g is None:
             return None
+        if g["rgb"]:  # composite shape: frame 0 arrives as RGB already
+            return g["width"], g["height"], g["frames"][0]
         pal = np.frombuffer(g["frame_palettes"][0], np.uint8).reshape(-1, 3)
         idx = np.frombuffer(g["frames"][0], np.uint8)
         return g["width"], g["height"], pal[idx].tobytes()

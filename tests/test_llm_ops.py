@@ -4874,3 +4874,149 @@ def test_gif_frames_tolerates_missing_media_meta(spark):
     payloads = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
     for r in rows:
         assert r["sha"] == _hashlib.sha256(payloads[r["doc_id"]]).hexdigest()
+
+
+def test_gif_composite_disposal_and_transparency():
+    """Sub-canvas compositing (round 14): every disposal method against
+    hand-computed canvases on a 3x2 screen with palette indices whose
+    colors are the affine (37i, 59i, 83i) % 256.
+
+    Layout: frame 0 fills the canvas with index 1; frame 1 paints a
+    1x1 rect of index 2 at (1, 0) with index-7 transparency declared;
+    frame 2 is full-canvas index 3 with a transparent hole (index 7)
+    at every position — what shows through depends on frame 1's
+    disposal."""
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _GIF_PALETTE, _gif_decode_py, _gif_encode_py,
+    )
+
+    pal = np.frombuffer(_GIF_PALETTE, np.uint8).reshape(-1, 3)
+    w, h = 3, 2
+    f0 = bytes([1] * 6)
+    f1 = bytes([2])
+    f2 = bytes([3, 7, 3, 7, 3, 3])  # holes at positions 1 and 3
+
+    def composited(disposal1):
+        payload = _gif_encode_py(
+            [f0, f1, f2], w, h,
+            frame_rects=[(0, 0, 3, 2), (1, 0, 1, 1), (0, 0, 3, 2)],
+            disposals=[1, disposal1, 0],
+            transparent_idxs=[None, 7, 7],
+            bg=5,
+        )
+        parsed = _gif_decode_py(payload)
+        assert parsed is not None and parsed["rgb"]
+        assert parsed["n_frames"] == 3
+        return [
+            np.frombuffer(fr, np.uint8).reshape(h, w, 3)
+            for fr in parsed["frames"]
+        ]
+
+    for disposal1, hole1, hole3 in [
+        (0, 2, 1),  # keep: frame 1's rect pixel persists at pos 1
+        (1, 2, 1),  # explicit do-not-dispose: same
+        (2, 5, 1),  # restore to background: pos 1 shows bg index 5
+        (3, 1, 1),  # restore to previous: pos 1 back to frame 0's 1
+    ]:
+        frames = composited(disposal1)
+        assert (frames[0] == pal[1]).all()
+        expect1 = np.tile(pal[1], (h, w, 1))
+        expect1[0, 1] = pal[2]
+        assert (frames[1] == expect1).all(), disposal1
+        expect2 = np.tile(pal[3], (h, w, 1))
+        expect2[0, 1] = pal[hole1]  # hole over frame 1's rect
+        expect2[1, 0] = pal[hole3]  # hole over untouched canvas
+        assert (frames[2] == expect2).all(), disposal1
+
+    # background seeding: a sub-canvas FIRST frame exposes pal[bg]
+    p = _gif_encode_py(
+        [f1], w, h, frame_rects=[(1, 0, 1, 1)], disposals=[0],
+        transparent_idxs=[None], bg=9,
+    )
+    parsed = _gif_decode_py(p)
+    assert parsed is not None and parsed["rgb"]
+    first = np.frombuffer(parsed["frames"][0], np.uint8).reshape(h, w, 3)
+    expect = np.tile(pal[9], (h, w, 1))
+    expect[0, 1] = pal[2]
+    assert (first == expect).all()
+
+
+def test_gif_composite_refusals_and_stride():
+    """Composite-shape guardrails: rect past the canvas, disposal > 3,
+    no-GCT composite, and bad background index all refuse (None);
+    stride skips the LZW decompress of disposal-2/3 dropped frames but
+    still decodes persisting (disposal 0/1) dropped ones."""
+    import struct as st
+
+    from firebolt_spark.operators import multimodal as mm
+
+    w, h = 4, 3
+    f_full = bytes([1] * 12)
+    f_sub = bytes([2, 3])
+
+    good = mm._gif_encode_py(
+        [f_full, f_sub], w, h,
+        frame_rects=[(0, 0, 4, 3), (2, 1, 2, 1)],
+        disposals=[1, 1], transparent_idxs=[None, None],
+    )
+    assert mm._gif_decode_py(good) is not None
+
+    # rect past the canvas: corrupt frame 2's descriptor left to 3
+    # (3 + fw 2 > w 4). The descriptor is locatable by its 0x2C + the
+    # known (2,1,2,1) rect bytes.
+    needle = b"\x2c" + st.pack("<HHHH", 2, 1, 2, 1)
+    pos = good.index(needle)
+    bad = bytearray(good)
+    bad[pos + 1 : pos + 3] = st.pack("<H", 3)
+    assert mm._gif_decode_py(bytes(bad)) is None
+
+    # disposal > 3 refuses (encoder won't write it; patch the GCE)
+    with pytest.raises(ValueError, match="disposal"):
+        mm._gif_encode_py([f_full], w, h, disposals=[4])
+    gce_payload = bytearray(good)
+    gpos = gce_payload.index(b"\x21\xf9\x04")
+    gce_payload[gpos + 3] = (5 << 2)  # disposal 5
+    assert mm._gif_decode_py(bytes(gce_payload)) is None
+
+    # composite with no global color table: background unresolvable
+    lp = mm._GIF_PALETTE
+    nogct = mm._gif_encode_py(
+        [f_full, f_sub], w, h, palette=None, frame_palettes=[lp, lp],
+        frame_rects=[(0, 0, 4, 3), (2, 1, 2, 1)], disposals=[1, 1],
+    )
+    assert mm._gif_decode_py(nogct) is None
+
+    # background index past the GCT refuses in composite mode
+    small_pal = bytes(range(48))  # 16 entries
+    badbg = mm._gif_encode_py(
+        [bytes([1] * 12), bytes([2, 3])], w, h, palette=small_pal,
+        frame_rects=[(0, 0, 4, 3), (2, 1, 2, 1)],
+        disposals=[1, 1], bg=200,
+    )
+    assert mm._gif_decode_py(badbg) is None
+
+    # stride decode economy: 4 frames, drop odd ones. Frame 1 has
+    # disposal 2 (never persists -> no LZW), frame 3 is past the last
+    # kept frame (no LZW); frame 0/2 kept.
+    payload = mm._gif_encode_py(
+        [f_full, f_sub, f_full, f_sub], w, h,
+        frame_rects=[(0, 0, 4, 3), (2, 1, 2, 1)] * 2,
+        disposals=[1, 2, 1, 1], transparent_idxs=[None, 7, None, None],
+    )
+    calls = []
+    real = mm._lzw_decode
+
+    def spy(data, mcs, max_out):
+        calls.append(max_out)
+        return real(data, mcs, max_out)
+
+    orig = mm._lzw_decode
+    mm._lzw_decode = spy
+    try:
+        parsed = mm._gif_decode_py(payload, frame_stride=2)
+    finally:
+        mm._lzw_decode = orig
+    assert parsed is not None and parsed["frame_idxs"] == [0, 2]
+    assert len(calls) == 2  # only the two kept frames hit LZW
