@@ -1,13 +1,48 @@
 """The declared, oracle-checked query surface of the engine.
 
 Ordering matters: the driver's correctness check walks ``queries()`` in
-declaration order under a bounded budget (round 1 covered exactly the
-first 50 keys).  ``_PRIORITY`` therefore front-loads one-of-every-family
-— all LLM-pipeline queries (unchecked in round 1), all reference-parity
-queries, and the headline relational queries (TPC-H, event-time windows,
-the two array queries that ERRed in round 1) — so every capability
-family lands inside the budget.  The tail queries are relational
-variants that already have green rows in CORRECTNESS_r01.json.
+declaration order under a 50-query budget.  ``_PRIORITY`` front-loads
+the rotation each round per the standing VERDICT discipline: stalest
+rows lead, then the round's new and changed-operator queries.
+
+REGISTRY CAPACITY POLICY (round 14 — VERDICT r13 Next #2).  The
+arithmetic: the driver checks the first 50 keys per round and the
+standing discipline caps staleness at 2 rounds, so every registered
+query must land in a 50-slot window at least once every 3 rounds —
+hard cap 50 * 3 = 150 registered queries.  The policy, in order:
+
+1. CONSOLIDATE FIRST.  When the registry approaches 140, fold
+   redundant relational variants into multi-shape queries whose arms
+   stay individually hash-pinned (a shape/tag column keys each arm's
+   rows).  Round 14 applied this: q_agg_cube + q_agg_rollup +
+   q_agg_grouping_sets + q_agg_distinct -> q_agg_shapes (4 -> 1);
+   q_window_leadlag + q_window_running_total -> q_window_multi
+   (2 -> 1, one Window node, one shuffle); q_scalar_functions +
+   q_regexp_functions -> q_function_parade (2 -> 1, same table and
+   key).  Registry: 132 (r13) + 1 new - 5 = 128.
+2. NEW-QUERY BUDGET.  Net-new queries per round stay within the
+   rotation slack: 50 - (stale backlog + changed-operator re-checks).
+   r14 slack after the 39-query stale backlog and 6 changed: 5.
+3. IF 1-2 EVER FAIL to hold the registry under 150, the relational
+   tail (TPC-H shapes + function parades) drops to a 3-round ceiling,
+   compensated by the full-registry sf0.01 local sweep that ROADMAP
+   already logs every round; parity/LLM/streaming queries keep the
+   2-round ceiling.  Not yet needed.
+
+Round-14 first-50 rotation:
+slots 1-39: the THIRTY-NINE queries whose latest driver row is r11 —
+two rounds stale, the staleness ceiling; VERDICT r13 Next #1 names
+them and orders them to LEAD.  None changed code in r14.
+slots 40-43: the round-14 NEW queries (sub-canvas GIF compositing;
+the three consolidated multi-shape queries, which replace seven
+retired keys and have no driver rows yet).
+slots 44-49: queries whose OPERATOR CODE changed in r14 (the GIF
+decoder compositing rework -> q_multimodal_gif, q_multimodal_frames,
+q_multimodal_transcode, q_media_curation; the BMP biCompression
+refusal gate -> q_multimodal_features, q_multimodal_resize).
+slot 50: q_s6_compaction — the r12 row pre-rotated to smooth the r15
+backlog (43 r12 rows become the next stale cohort).
+Names absent from this list keep their module order after it.
 """
 
 from __future__ import annotations
@@ -16,104 +51,62 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-13 first-50 rotation (standing VERDICT discipline).
-# Slots 1-31: the THIRTY-ONE queries whose latest driver row is r10 —
-# two rounds stale, the staleness ceiling; VERDICT r12 Next #1 names
-# them and orders them to LEAD. None changed code in r13.
-# Slots 32-39: the round-13 NEW queries (the mergeable bottom-k
-# quantile sketch; incremental line-level dedup against the persisted
-# line-digest ledger; the mergeable priority-sampling subset-sum
-# sketch; the real multi-frame GIF codec and its strided frame
-# extraction; the BMP->PNG cross-codec transcode; the composed media
-# curation pipeline; the legacy 8-bit PCM WAV width) — zero driver
-# rows.
-# Slots 40-46: the seven queries whose OPERATOR CODE changed in r13
-# (kmv_merge's collect_set dedup fix -> q_distinct_sketch /
-# q_corpus_profile; group_quantiles' explicit ungrouped crossJoin ->
-# q_corpus_quantiles; wav_decode's fmt-magic parity -> q_multimodal_wav
-# / q_multimodal_resample; the dedup append gen-stamp + scratch-table
-# (pid, starttime) naming -> q_dedup_incremental_indexed /
-# q_dedup_ngram_jaccard_indexed).
-# Slots 47-50: four of the 43 r11-latest rows, prioritized by
-# touched-file adjacency (functions/__init__.py sampling + snapshot
-# family; q_dedup_semantic, the two span-candidate queries,
-# q_dedup_ngram_jaccard, q_dedup_lines, and q_weighted_sample
-# spilled to make room for the EIGHT NEW
-# sketch/GIF/transcode/curation/WAV queries (slots 32-39).
-# The THIRTY-NINE spilled r11 rows — q_anomaly_scores,
-# q_array_functions, q_asof_join, q_classifier_score,
-# q_e1_error_split, q_e2_error_json, q_f1_filter, q_gopher_quality,
-# q_importance_weights, q_k1_produce_request, q_p2_parse, q_p4_json_build, q_p5_conditional,
-# q_quality_selection, q_range_join, q_s2_scan, q_s3_lag_cap,
-# q_s4_recovery_scan, q_s5_interval_merge, q_tpch11_important_parts,
-# q_tpch12_late_priority, q_tpch13_order_distribution,
-# q_tpch16_supplier_variety, q_tpch19_bracket_revenue,
-# q_tpch20_promo_suppliers, q_tpch21_waiting_suppliers,
-# q_tpch22_idle_balance, q_tpch2_min_cost_supplier,
-# q_tpch3_shipping_priority, q_tpch8_market_share,
-# q_tpch9_product_profit, q_x1_fanout, q_x2_tree_fanout,
-# q_dedup_semantic, q_dedup_spans_candidates,
-# q_dedup_spans_candidates_indexed, q_dedup_ngram_jaccard,
-# q_dedup_lines, q_weighted_sample — are
-# relational/parity/llm queries UNCHANGED since r11, were re-verified
-# locally this round by the full-registry sf0.01 sweep (see ROADMAP
-# round 13), and MUST LEAD the r14 rotation.
-# Names absent from this list keep their module order after it.
 _PRIORITY = [
-    # r10-latest (two rounds stale) — VERDICT r12 Next #1 leads
-    "q_tpch10_returned_items",
-    "q_tpch7_nation_volume",
-    "q_tpch5_local_supplier",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_rollup",
-    "q_date_functions",
-    "q_having",
-    "q_join_anti",
-    "q_join_left_counts",
-    "q_join_semi",
-    "q_percentiles",
-    "q_pivot",
-    "q_regexp_functions",
-    "q_sample_by_source",
-    "q_scalar_functions",
-    "q_setops",
-    "q_similarity_ann_ivf",
-    "q_similarity_bruteforce",
-    "q_subquery_above_avg",
-    "q_topk_orders",
-    "q_tpch14_promo_share",
-    "q_tpch15_top_supplier",
-    "q_tpch17_small_qty_revenue",
-    "q_tpch4_order_priority",
-    "q_tpch6_revenue_forecast",
-    "q_window_leadlag",
-    "q_window_rank",
-    "q_window_running_total",
-    "q_window_tumbling",
-    # NEW in round 13 — never driver-checked
-    "q_quantile_sketch",
-    "q_dedup_lines_incremental",
-    "q_priority_sketch",
+    # r11-latest (two rounds stale) — VERDICT r13 Next #1 leads
+    "q_anomaly_scores",
+    "q_array_functions",
+    "q_asof_join",
+    "q_classifier_score",
+    "q_e1_error_split",
+    "q_e2_error_json",
+    "q_f1_filter",
+    "q_gopher_quality",
+    "q_importance_weights",
+    "q_k1_produce_request",
+    "q_p2_parse",
+    "q_p4_json_build",
+    "q_p5_conditional",
+    "q_quality_selection",
+    "q_range_join",
+    "q_s2_scan",
+    "q_s3_lag_cap",
+    "q_s4_recovery_scan",
+    "q_s5_interval_merge",
+    "q_tpch11_important_parts",
+    "q_tpch12_late_priority",
+    "q_tpch13_order_distribution",
+    "q_tpch16_supplier_variety",
+    "q_tpch19_bracket_revenue",
+    "q_tpch20_promo_suppliers",
+    "q_tpch21_waiting_suppliers",
+    "q_tpch22_idle_balance",
+    "q_tpch2_min_cost_supplier",
+    "q_tpch3_shipping_priority",
+    "q_tpch8_market_share",
+    "q_tpch9_product_profit",
+    "q_x1_fanout",
+    "q_x2_tree_fanout",
+    "q_dedup_semantic",
+    "q_dedup_spans_candidates",
+    "q_dedup_spans_candidates_indexed",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_lines",
+    "q_weighted_sample",
+    # NEW in round 14 — never driver-checked
+    "q_multimodal_gif_anim",
+    "q_agg_shapes",
+    "q_window_multi",
+    "q_function_parade",
+    # operator code changed in round 14 (GIF compositing rework; BMP
+    # biCompression gate)
     "q_multimodal_gif",
     "q_multimodal_frames",
     "q_multimodal_transcode",
     "q_media_curation",
-    "q_multimodal_wav8",
-    # operator code changed in round 13
-    "q_distinct_sketch",
-    "q_corpus_profile",
-    "q_corpus_quantiles",
-    "q_multimodal_wav",
-    "q_multimodal_resample",
-    "q_dedup_incremental_indexed",
-    "q_dedup_ngram_jaccard_indexed",
-    # r11-latest, touched-file adjacency
-    "q_snapshot_diff",
-    "q_stratified_sample",
-    "q_token_budget_mix",
-    "q_interleave_strata",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    # r12 row pre-rotated to smooth the r15 stale cohort
+    "q_s6_compaction",
 ]
 
 

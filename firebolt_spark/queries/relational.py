@@ -303,31 +303,6 @@ Q_WINDOW_RANK_SQL = """
 """
 
 
-def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer order-value total (decimal-exact)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
-    )
-
-
-Q_WINDOW_RUNNING_SQL = """
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total
-    FROM orders
-"""
-
-
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with unique tiebreak — executes as TakeOrdered, not a
     full sort."""
@@ -388,56 +363,124 @@ Q_SETOPS_SQL = """
 """
 
 
-def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all grouping-set rollups at once."""
+def q_agg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every grouping-shape capability in ONE multi-arm union (round-14
+    registry consolidation — VERDICT r13 Next #2 option (a); formerly
+    the four queries q_agg_cube / q_agg_rollup / q_agg_grouping_sets /
+    q_agg_distinct, all green since r10): a 'cube' arm (CUBE over
+    orders status x priority), a 'rollup' arm (region -> nation
+    customer-account hierarchy over broadcast dims), a 'gsets' arm
+    (explicit GROUPING SETS incl. the grand total), and an 'ndv' arm
+    (COUNT(DISTINCT) per group: n = distinct customers, total =
+    distinct priorities). Conformed schema (shape, k1, k2, n, total);
+    every arm stays individually hash-pinned because the shape tag
+    keys its rows. Scale shape: four independent partial-agg shuffles,
+    each keyed on low-cardinality group columns — no new hazard at
+    100 TB vs the four separate queries."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    cube = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("cube").alias("shape"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
             "n",
             "total",
         )
     )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    rollup = (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("rollup").alias("shape"),
+            F.coalesce("r_name", F.lit("ALL")).alias("k1"),
+            F.coalesce("n_name", F.lit("ALL")).alias("k2"),
+            "n",
+            "total",
+        )
+    )
+    orders.createOrReplaceTempView("_gs_orders")
+    gsets = spark.sql("""
+        SELECT 'gsets' AS shape,
+               coalesce(o_orderstatus, 'ALL') AS k1,
+               coalesce(o_orderpriority, 'ALL') AS k2,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)
+    ndv = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n"),
+        F.countDistinct("o_orderpriority").cast("double").alias("total"),
+    ).select(
+        F.lit("ndv").alias("shape"),
+        F.col("o_orderstatus").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        "n",
+        "total",
+    )
+    return cube.unionByName(rollup).unionByName(gsets).unionByName(ndv)
 
 
-Q_AGG_CUBE_SQL = """
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
+Q_AGG_SHAPES_SQL = """
+    SELECT 'cube' AS shape,
+           coalesce(o_orderstatus, 'ALL') AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
            count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
-
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) per group + global distinct key counts."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("distinct_customers"),
-        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-Q_AGG_DISTINCT_SQL = """
-    SELECT o_orderstatus,
-           count(DISTINCT o_custkey) AS distinct_customers,
-           count(DISTINCT o_orderpriority) AS distinct_priorities,
-           count(*) AS n
+    UNION ALL
+    SELECT 'rollup' AS shape,
+           coalesce(r_name, 'ALL') AS k1,
+           coalesce(n_name, 'ALL') AS k2,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'gsets' AS shape,
+           coalesce(o_orderstatus, 'ALL') AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    UNION ALL
+    SELECT 'ndv' AS shape,
+           o_orderstatus AS k1,
+           'ALL' AS k2,
+           count(DISTINCT o_custkey) AS n,
+           CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus
 """
 
 
-def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string/math function parity over part."""
+def q_function_parade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math AND regexp function parity over part in one
+    wide projection (round-14 registry consolidation; formerly
+    q_scalar_functions + q_regexp_functions — same table, same key,
+    so the merge is a natural single map-only scan). Every function's
+    column stays individually hash-pinned."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
@@ -449,10 +492,13 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") % 7).alias("size_mod"),
         F.floor(F.col("p_retailprice") / 10).cast("bigint").alias("price_bucket"),
         F.round(F.col("p_retailprice") * 0.5, 2).alias("half_price"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(small|large) ").alias("is_sized"),
     )
 
 
-Q_SCALAR_SQL = """
+Q_FUNCTION_PARADE_SQL = """
     SELECT p_partkey,
            upper(p_name) AS name_upper,
            CAST(length(p_name) AS INTEGER) AS name_len,
@@ -461,7 +507,10 @@ Q_SCALAR_SQL = """
            abs(p_size - 25) AS size_dist,
            p_size % 7 AS size_mod,
            CAST(floor(p_retailprice / 10) AS BIGINT) AS price_bucket,
-           round(p_retailprice * 0.5, 2) AS half_price
+           round(p_retailprice * 0.5, 2) AS half_price,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(small|large) ') AS is_sized
     FROM part
 """
 
@@ -860,41 +909,6 @@ Q_TPCH19_SQL = """
 """
 
 
-def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy: region → nation customer-account totals."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    j = cust.join(
-        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
-    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return (
-        j.rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
-        )
-        .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            "n_customers",
-            "total_acctbal",
-        )
-    )
-
-
-Q_AGG_ROLLUP_SQL = """
-    SELECT coalesce(r_name, 'ALL') AS region,
-           coalesce(n_name, 'ALL') AS nation,
-           count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-"""
-
-
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function parity over embeddings + grouped collect:
     size/slice/contains/sort and a deterministic (sorted) collect_list."""
@@ -1018,38 +1032,27 @@ Q_PIVOT_SQL = """
 """
 
 
-def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp parity: extract / replace-all / match flag over part."""
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
-        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.col("p_name").rlike("^(small|large) ").alias("is_sized"),
-    )
-
-
-Q_REGEXP_SQL = """
-    SELECT p_partkey,
-           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
-           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           regexp_matches(p_name, '^(small|large) ') AS is_sized
-    FROM part
-"""
-
-
 # ---- round-2 TPC-H widening (adapted to the fixture's trimmed schema:
 # no partsupp/commitdate/receiptdate; constants chosen from the fixture
 # domains so every query returns non-trivial rows) ----------------------
 
-def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset window functions: per-customer order sequence with the
-    previous/next order's totalprice and the delta — one shuffle on the
-    partition key, offsets computed within sorted partitions."""
+def q_window_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset AND frame window functions in one pass over one window
+    spec (round-14 registry consolidation; formerly q_window_leadlag +
+    q_window_running_total — same table, same partition key, same
+    ordering, so Catalyst computes lag/lead/delta and the
+    unbounded-preceding running decimal sum inside a single Window
+    node with ONE shuffle on o_custkey). Every function's column stays
+    individually hash-pinned."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_totalprice").over(w)
     nxt = F.lead("o_totalprice").over(w)
+    running = (
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -1059,46 +1062,22 @@ def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") - F.coalesce(prev, F.lit(0.0)), 2).alias(
             "delta_prev"
         ),
+        running.alias("running_total"),
     )
 
 
-Q_WINDOW_LEADLAG_SQL = """
+Q_WINDOW_MULTI_SQL = """
     SELECT o_custkey, o_orderkey, o_totalprice,
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
            round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 2)
-               AS delta_prev
+               AS delta_prev,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-"""
-
-
-def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — (status, priority), (status), (priority),
-    and grand total in one aggregation pass (beyond the rollup/cube
-    variants); null markers coalesced to 'ALL' (source cols non-null)."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_gs_orders")
-    return spark.sql("""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS total
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), (o_orderpriority), ())
-    """)
-
-
-Q_GROUPING_SETS_SQL = """
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderstatus), (o_orderpriority), ())
 """
 
 
@@ -1812,9 +1791,10 @@ Q_SKEW_SALTED_SQL = """
 
 QUERIES = {
     "q_tpch1_pricing_summary": q_tpch1_pricing_summary,
+    "q_agg_shapes": q_agg_shapes,
+    "q_window_multi": q_window_multi,
+    "q_function_parade": q_function_parade,
     "q_skew_salted_join": q_skew_salted_join,
-    "q_window_leadlag": q_window_leadlag,
-    "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_tpch2_min_cost_supplier": q_tpch2_min_cost_supplier,
     "q_tpch8_market_share": q_tpch8_market_share,
     "q_tpch9_product_profit": q_tpch9_product_profit,
@@ -1834,12 +1814,8 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_window_rank": q_window_rank,
-    "q_window_running_total": q_window_running_total,
     "q_topk_orders": q_topk_orders,
     "q_setops": q_setops,
-    "q_agg_cube": q_agg_cube,
-    "q_agg_distinct": q_agg_distinct,
-    "q_scalar_functions": q_scalar_functions,
     "q_date_functions": q_date_functions,
     "q_subquery_above_avg": q_subquery_above_avg,
     "q_having": q_having,
@@ -1847,21 +1823,17 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_tpch6_revenue_forecast": q_tpch6_revenue_forecast,
     "q_pivot": q_pivot,
-    "q_regexp_functions": q_regexp_functions,
     "q_tpch4_order_priority": q_tpch4_order_priority,
     "q_tpch7_nation_volume": q_tpch7_nation_volume,
     "q_tpch14_promo_share": q_tpch14_promo_share,
     "q_tpch18_large_orders": q_tpch18_large_orders,
     "q_tpch19_bracket_revenue": q_tpch19_bracket_revenue,
-    "q_agg_rollup": q_agg_rollup,
     "q_percentiles": q_percentiles,
     "q_array_functions": q_array_functions,
     "q_grouped_collect": q_grouped_collect,
 }
 
 ORACLE = {
-    "q_window_leadlag": Q_WINDOW_LEADLAG_SQL,
-    "q_agg_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_tpch8_market_share": Q_TPCH8_SQL,
     "q_tpch9_product_profit": Q_TPCH9_SQL,
     "q_tpch10_returned_items": Q_TPCH10_SQL,
@@ -1883,25 +1855,22 @@ ORACLE = {
     "q_tpch14_promo_share": Q_TPCH14_SQL,
     "q_tpch18_large_orders": Q_TPCH18_SQL,
     "q_tpch19_bracket_revenue": Q_TPCH19_SQL,
-    "q_agg_rollup": Q_AGG_ROLLUP_SQL,
     "q_window_tumbling": Q_WINDOW_TUMBLING_SQL,
     "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_tpch6_revenue_forecast": Q_TPCH6_SQL,
     "q_pivot": Q_PIVOT_SQL,
-    "q_regexp_functions": Q_REGEXP_SQL,
     "q_tpch1_pricing_summary": Q_TPCH1_SQL,
+    "q_agg_shapes": Q_AGG_SHAPES_SQL,
+    "q_window_multi": Q_WINDOW_MULTI_SQL,
+    "q_function_parade": Q_FUNCTION_PARADE_SQL,
     "q_tpch3_shipping_priority": Q_TPCH3_SQL,
     "q_tpch5_local_supplier": Q_TPCH5_SQL,
     "q_join_left_counts": Q_JOIN_LEFT_SQL,
     "q_join_semi": Q_JOIN_SEMI_SQL,
     "q_join_anti": Q_JOIN_ANTI_SQL,
     "q_window_rank": Q_WINDOW_RANK_SQL,
-    "q_window_running_total": Q_WINDOW_RUNNING_SQL,
     "q_topk_orders": Q_TOPK_SQL,
     "q_setops": Q_SETOPS_SQL,
-    "q_agg_cube": Q_AGG_CUBE_SQL,
-    "q_agg_distinct": Q_AGG_DISTINCT_SQL,
-    "q_scalar_functions": Q_SCALAR_SQL,
     "q_date_functions": Q_DATE_SQL,
     "q_subquery_above_avg": Q_SUBQUERY_SQL,
     "q_having": Q_HAVING_SQL,
