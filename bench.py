@@ -422,6 +422,184 @@ def _ann_compact_demo(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _priority_merge_demo(spark, sf_dir: str) -> dict:
+    """Priority-sketch shard-merge cost vs shard count (VERDICT r13
+    Next #6): the merge's input is the per-shard sketch STATE —
+    (k+1) x shards x groups rows — never the corpus, so re-merging an
+    ingest loop's shards must cost the same whether the corpus behind
+    them was 1 GB or 100 TB. Build per-shard sketches once (persisted;
+    build cost excluded — it's the per-batch ingest cost the
+    q_priority_sketch row already tracks), then time the merge at 3
+    and at 32 shards (min-of-2, noop sink). state_rows reports the
+    actual merged input sizes; the flat(ish) walls are the claim."""
+    from firebolt_spark.functions import priority_sketch, priority_sketch_merge
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("double").alias("w")
+    )
+    out: dict = {}
+    for shards in (3, 32):
+        sk = priority_sketch(
+            # hash-shard: scaled fixtures stride doc_id, so a modulo
+            # would leave most of the 32 shards empty
+            docs.withColumn(
+                "_shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards))
+            ),
+            "w", "doc_id", k=256,
+            group_cols=["source", "_shard"], salt="pmd",
+        ).drop("_shard").persist()
+        state_rows = sk.count()  # force the build outside the timing
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            priority_sketch_merge(
+                sk, k=256, group_cols=["source"]
+            ).write.mode("overwrite").format("noop").save()
+            walls.append(time.perf_counter() - t0)
+        sk.unpersist()
+        out[f"shards_{shards}"] = {
+            "state_rows": state_rows,
+            "merge_s": round(min(walls), 3),
+        }
+    return out
+
+
+def _media_throughput(spark, budget_mb: int | None = None) -> dict:
+    """Per-core codec byte throughput (VERDICT r13 Next #5): the
+    multimodal QUERY rows are fixture-bounded (~300-byte payloads), so
+    no bench row showed the number that IS the 100 TB multimodal cost —
+    the Arrow-batched decoders' MB/s/core. This generates a fixed byte
+    budget of REALISTIC-size payloads per format on the executors
+    (deterministic md5 noise; BMP/PNG 128x128 RGB ~49 KB, GIF 4x96x96
+    index frames through real LZW, WAV 24k-sample 16-bit PCM), routes
+    them through balance_media_bytes exactly like a production decode
+    stage, persists the balanced frame, and times
+    extract_features(decode_stub=False) alone (noop sink, min-of-2).
+    mb_per_s_core divides by local[N]'s N — the per-executor-core
+    number a 1000-core cluster multiplies."""
+    import hashlib
+
+    from firebolt_spark.operators import multimodal
+
+    budget = (budget_mb or int(
+        os.environ.get("SPARK_GRAFT_MEDIA_MB", "32")
+    )) * 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    out: dict = {"cores": cores, "budget_mb_per_format": budget // 2**20}
+
+    def noise(tag: str, i: int, nbytes: int) -> bytes:
+        blocks = []
+        for j in range((nbytes + 15) // 16):
+            blocks.append(
+                hashlib.md5(f"{tag}#{i}#{j}".encode()).digest()
+            )
+        return b"".join(blocks)[:nbytes]
+
+    def build(fmt: str, i: int) -> bytes:
+        if fmt == "bmp":
+            return multimodal._encode_bmp_py(
+                noise("bmp", i, 3 * 128 * 128), 128, 128
+            )
+        if fmt == "png":
+            return multimodal._png_encode_py(
+                noise("png", i, 3 * 128 * 128), 128, 128,
+                filters=[j % 5 for j in range(128)],
+            )
+        if fmt == "gif":
+            return multimodal._gif_encode_py(
+                [noise(f"gif{f}", i, 96 * 96) for f in range(4)], 96, 96
+            )
+        if fmt == "wav":
+            import numpy as np
+
+            samples = np.frombuffer(
+                noise("wav", i, 48_000), "<i2"
+            ).tolist()
+            return multimodal._wav_encode_py(samples, 1, 16_000)
+        raise ValueError(fmt)
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>"
+    )
+    decoders = {
+        "bmp": multimodal._bmp_decode_py,
+        "png": multimodal._png_decode_py,
+        "gif": multimodal._gif_decode_py,
+        "wav": multimodal._wav_decode_py,
+    }
+    approx = {"bmp": 49_206, "png": 49_400, "gif": 42_000, "wav": 48_044}
+    for fmt in ("bmp", "png", "gif", "wav"):
+        # raw single-core codec rate, no Spark plumbing: the number a
+        # 1000-core cluster multiplies. The Spark-path wall below adds
+        # Arrow transfer + task scheduling, which fixed-overhead-
+        # dominates at small budgets — report both, compare honestly.
+        sample = build(fmt, 0)
+        reps = max(1, 4 * 2**20 // len(sample))
+        raw_walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _r in range(reps):
+                decoders[fmt](sample)
+            raw_walls.append(time.perf_counter() - t0)
+        raw_rate = reps * len(sample) / min(raw_walls) / 2**20
+        n_payloads = max(cores, budget // approx[fmt])
+
+        def gen(batches, fmt=fmt):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    payload = build(fmt, int(rec.doc_id))
+                    rows.append(
+                        {
+                            "doc_id": int(rec.doc_id),
+                            "media": payload,
+                            "media_meta": {
+                                "kind": "audio" if fmt == "wav" else "image",
+                                "mime": f"x/{fmt}",
+                                "n_bytes": len(payload),
+                                "sha": hashlib.sha256(payload).hexdigest(),
+                            },
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media", "media_meta"]
+                )
+
+        media = multimodal.balance_media_bytes(
+            spark.range(n_payloads)
+            .select(F.col("id").alias("doc_id"))
+            .repartition(cores)
+            .mapInPandas(gen, schema=schema),
+            cores,
+        ).persist()
+        total_bytes = media.agg(
+            F.sum("media_meta.n_bytes").alias("b")
+        ).collect()[0]["b"]
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            multimodal.extract_features(
+                media, decode_stub=False
+            ).write.mode("overwrite").format("noop").save()
+            walls.append(time.perf_counter() - t0)
+        media.unpersist()
+        wall = min(walls)
+        mb = total_bytes / 2**20
+        out[fmt] = {
+            "n_payloads": n_payloads,
+            "payload_mb": round(mb, 1),
+            "wall_s": round(wall, 3),
+            "mb_per_s": round(mb / wall, 2),
+            "mb_per_s_core": round(mb / wall / cores, 3),
+            "raw_single_core_mb_per_s": round(raw_rate, 2),
+        }
+    return out
+
+
 def _spark_probe(spark) -> float:
     """Fixed-work SPARK-shaped calibration probe (round 13 — VERDICT
     r12 Next #3): a tiny synthetic groupBy shuffle at the suite's own
@@ -794,6 +972,10 @@ def main() -> None:
         payload["winnow_demo"] = _winnow_demo(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never kill the bench
         payload["winnow_demo_error"] = str(exc)[:200]
+    try:
+        payload["media_throughput"] = _media_throughput(spark)
+    except Exception as exc:  # pragma: no cover - never kill the bench
+        payload["media_throughput_error"] = str(exc)[:200]
     # the standing sf1 scale step: on by default for the driver's plain
     # sf0.1 run; SPARK_GRAFT_SF1=0 skips (fast local iteration)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
@@ -818,6 +1000,12 @@ def main() -> None:
                 sf1["ann_compact_demo"] = _ann_compact_demo(spark, sf1_dir)
             except Exception as exc:  # pragma: no cover
                 sf1["ann_compact_demo_error"] = str(exc)[:200]
+            try:
+                sf1["priority_merge_demo"] = _priority_merge_demo(
+                    spark, sf1_dir
+                )
+            except Exception as exc:  # pragma: no cover
+                sf1["priority_merge_demo_error"] = str(exc)[:200]
             if "normalized" in payload:
                 sf1["normalized_value"] = round(
                     sf1["value"] / payload["normalized"]["host_speed_factor"], 3

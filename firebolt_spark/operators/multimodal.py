@@ -270,9 +270,12 @@ def _bmp_decode_py(payload: bytes) -> dict | None:
     pix = payload[data_off:]
     if not pix:
         return None
-    sums = [0, 0, 0]
-    for i, b in enumerate(pix):
-        sums[i % 3] += b
+    import numpy as np
+
+    # exact integer channel sums (stride views, int64 — bit-identical
+    # to the former per-byte loop, ~100x less Python time per MB)
+    a = np.frombuffer(pix, np.uint8)
+    sums = [int(a[c::3].sum(dtype=np.int64)) for c in range(3)]
     n_ch = len(pix) / 3
     return {
         "width": width,
@@ -482,12 +485,22 @@ def _wav_decode_py(payload: bytes) -> dict | None:
     ):
         return None
     n = dsz // (bits // 8)
+    import numpy as np
+
     if bits == 16:
+        arr = np.frombuffer(payload, "<i2", count=n, offset=44)
         samples = struct.unpack_from(f"<{n}h", payload, 44)
     else:  # unsigned 8-bit PCM: midpoint-128 signed, like the SQL path
-        samples = tuple(b - 128 for b in payload[44 : 44 + dsz])
-    s = sum(samples)
-    q = sum(v * v for v in samples)
+        arr = (
+            np.frombuffer(payload, np.uint8, count=dsz, offset=44)
+            .astype(np.int16) - 128
+        )
+        samples = tuple(arr.tolist())
+    # exact int64 sums (|v| <= 32768, v^2 <= 2^30; even 2^32 samples
+    # stay far under 2^63) — bit-identical to the former Python sums
+    a64 = arr.astype(np.int64)
+    s = int(a64.sum())
+    q = int((a64 * a64).sum())
     import math
 
     # math.sqrt is the IEEE correctly-rounded square root — identical

@@ -425,3 +425,61 @@ def test_compact_ann_index_auto_file_bound(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="'auto'"):
         sim.compact_ann_index(spark, p, max_records_per_file="always")
+
+
+def test_warehouse_audit_classifies_tables(spark, wh_table):
+    """tools/warehouse_audit.py (VERDICT r13 Next #7): over a synthetic
+    warehouse population — a plain table, a firebolt-tagged index with
+    a pending append, a live-owner scratch incarnation, and an orphan
+    scratch from a dead (pid, starttime) — the audit reports kind,
+    footprint, firebolt.* props, owner liveness, and the
+    needs-compaction flag without touching any table's data."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import warehouse_audit
+
+    plain = wh_table("aud_plain")
+    spark.sql(f"CREATE TABLE {plain} AS SELECT 1 AS a")
+
+    idx = wh_table("aud_index")
+    spark.sql(f"CREATE TABLE {idx} AS SELECT 2 AS sh, 3 AS doc_id")
+    spark.sql(
+        f"ALTER TABLE {idx} SET TBLPROPERTIES "
+        f"('firebolt.ngram_n' = '5', 'firebolt.appended' = '1')"
+    )
+
+    me = os.getpid()
+    my_st = warehouse_audit._proc_starttime(me)
+    live = f"fb_q_audlive_{me}_{my_st}"
+    spark.sql(f"CREATE TABLE {live} AS SELECT 4 AS h")
+    # a dead incarnation: this pid, but a starttime that can never match
+    orphan = f"fb_q_auddead_{me}_1"
+    spark.sql(f"CREATE TABLE {orphan} AS SELECT 5 AS h")
+    try:
+        rows = {r["table"]: r for r in warehouse_audit.audit(spark)}
+        assert rows[plain.lower()]["kind"] == "table"
+        assert rows[plain.lower()]["bytes"] > 0
+        assert rows[plain.lower()]["files"] > 0
+        assert rows[plain.lower()]["age_h"] is not None
+        assert rows[plain.lower()]["age_h"] < 1.0
+
+        r_idx = rows[idx.lower()]
+        assert r_idx["kind"] == "index"
+        assert r_idx["props"]["firebolt.ngram_n"] == "5"
+        assert r_idx["needs_compaction"] is True
+
+        assert rows[live.lower()]["kind"] == "scratch"
+        assert rows[live.lower()]["owner_alive"] is True
+        assert rows[orphan.lower()]["kind"] == "scratch"
+        assert rows[orphan.lower()]["owner_alive"] is False
+
+        # footprint ordering: rows come back largest-first
+        sizes = [r["bytes"] for r in warehouse_audit.audit(spark)]
+        assert sizes == sorted(sizes, reverse=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {live}")
+        spark.sql(f"DROP TABLE IF EXISTS {orphan}")

@@ -5020,3 +5020,30 @@ def test_gif_composite_refusals_and_stride():
         mm._lzw_decode = orig
     assert parsed is not None and parsed["frame_idxs"] == [0, 2]
     assert len(calls) == 2  # only the two kept frames hit LZW
+
+
+def test_balance_media_bytes_feeds_every_codec_path(spark):
+    """balance_media_bytes composes with the REAL decode for every
+    codec the way it does for BMP (VERDICT r13 Next #5): the byte-
+    balanced repartition changes partitioning only — extract_features
+    (decode_stub=False) over the balanced frame is row-for-row
+    identical to the unbalanced run for BMP, PNG, GIF, and WAV media."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    for enc in (mm.bmp_encode, mm.png_encode, mm.gif_encode, mm.wav_encode):
+        media = enc(docs)
+        plain = {
+            r["doc_id"]: r
+            for r in mm.extract_features(media, decode_stub=False).collect()
+        }
+        balanced = {
+            r["doc_id"]: r
+            for r in mm.extract_features(
+                mm.balance_media_bytes(media, 4), decode_stub=False
+            ).collect()
+        }
+        assert plain.keys() == balanced.keys(), enc.__name__
+        for k in plain:
+            assert plain[k] == balanced[k], (enc.__name__, k)
