@@ -694,26 +694,38 @@ def _png_filter_row(
 def _png_unfilter_row(
     ftype: int, filt: bytes, prev: bytes, bpp: int = 3
 ) -> bytes | None:
-    """Reverse one scanline's filter (decoder side). Reconstruction is
-    inherently sequential within a row for Sub/Average/Paeth (each byte
-    depends on the reconstructed byte ``bpp`` back), so this is a plain
-    loop; the PARALLELISM lives a level up — one Arrow batch of
-    payloads per mapInPandas task. None for an undefined filter type."""
+    """Reverse one scanline's filter (decoder side). None (0) is a
+    copy; Up (2) is a wrapping uint8 add of the prior row; Sub (1) is
+    a per-channel mod-256 prefix sum (``np.add.accumulate`` at uint8
+    wraps exactly the filter's arithmetic) — all three vectorized
+    (round 14, found by the media_throughput bench row). Average (3)
+    and Paeth (4) stay plain loops: each byte needs the RECONSTRUCTED
+    byte ``bpp`` back through a nonlinear step, so reconstruction is
+    inherently sequential within the row; the PARALLELISM for those
+    lives a level up — one Arrow batch of payloads per mapInPandas
+    task. None for an undefined filter type."""
     if ftype > 4:
         return None
+    if ftype == 0:
+        return bytes(filt)
+    import numpy as np
+
+    if ftype == 2:
+        return (
+            np.frombuffer(filt, np.uint8) + np.frombuffer(prev, np.uint8)
+        ).tobytes()
+    if ftype == 1:
+        f = np.frombuffer(filt, np.uint8).copy()
+        for c in range(bpp):
+            np.add.accumulate(f[c::bpp], dtype=np.uint8, out=f[c::bpp])
+        return f.tobytes()
     out = bytearray(len(filt))
     for i in range(len(filt)):
         a = out[i - bpp] if i >= bpp else 0
         b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
         f = filt[i]
-        if ftype == 0:
-            out[i] = f
-        elif ftype == 1:
-            out[i] = (f + a) & 0xFF
-        elif ftype == 2:
-            out[i] = (f + b) & 0xFF
-        elif ftype == 3:
+        if ftype == 3:
             out[i] = (f + (a + b) // 2) & 0xFF
         else:
             out[i] = (f + _paeth(a, b, c)) & 0xFF

@@ -5047,3 +5047,45 @@ def test_balance_media_bytes_feeds_every_codec_path(spark):
         assert plain.keys() == balanced.keys(), enc.__name__
         for k in plain:
             assert plain[k] == balanced[k], (enc.__name__, k)
+
+
+def test_png_unfilter_vectorized_parity():
+    """The round-14 vectorized None/Sub/Up unfilter paths reconstruct
+    byte-identically to the spec's sequential recurrence (reference
+    implementation inline) across random rows, both bpp widths, and
+    every filter type including the undefined ones."""
+    import random
+
+    from firebolt_spark.operators.multimodal import _paeth, _png_unfilter_row
+
+    def reference(ftype, filt, prev, bpp=3):
+        if ftype > 4:
+            return None
+        out = bytearray(len(filt))
+        for i in range(len(filt)):
+            a = out[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            f = filt[i]
+            if ftype == 0:
+                out[i] = f
+            elif ftype == 1:
+                out[i] = (f + a) & 0xFF
+            elif ftype == 2:
+                out[i] = (f + b) & 0xFF
+            elif ftype == 3:
+                out[i] = (f + (a + b) // 2) & 0xFF
+            else:
+                out[i] = (f + _paeth(a, b, c)) & 0xFF
+        return bytes(out)
+
+    rng = random.Random(7)
+    for trial in range(120):
+        bpp = rng.choice([1, 3])
+        n = rng.randint(1, 97) * bpp if rng.random() < 0.9 else rng.randint(1, 50)
+        filt = bytes(rng.randrange(256) for _ in range(n))
+        prev = bytes(rng.randrange(256) for _ in range(n))
+        for ft in range(6):
+            assert _png_unfilter_row(ft, filt, prev, bpp) == reference(
+                ft, filt, prev, bpp
+            ), (trial, ft, bpp, n)
