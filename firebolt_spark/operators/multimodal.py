@@ -1057,47 +1057,58 @@ def _lzw_decode(data: bytes, mcs: int, max_out: int) -> bytes | None:
         return None
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # the base table is immutable bytes objects — a shallow list copy
+    # per CLEAR instead of re-minting 2^mcs bytes objects (the
+    # media_throughput row showed LZW as the GIF floor; this and the
+    # local-variable caching below are allocation-level only, the
+    # code-by-code algorithm is untouched)
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
+    n_table = len(table)
     out = bytearray()
+    out_len = 0
     prev: bytes | None = None
     buf = nbits = pos = 0
+    data_len = len(data)
+    mask = (1 << width) - 1
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= data_len:
                 return None  # bits exhausted before EOI
             buf |= data[pos] << nbits
             pos += 1
             nbits += 8
-        code = buf & ((1 << width) - 1)
+        code = buf & mask
         buf >>= width
         nbits -= width
-        if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
-            width = mcs + 1
-            prev = None
-            continue
-        if code == eoi:
-            return bytes(out)
-        if prev is None:
-            if code >= len(table):
-                return None
-            entry = table[code]
-        else:
-            if code < len(table):
-                entry = table[code]
-            elif code == len(table):
+        if code >= n_table:
+            if code == n_table and prev is not None:
                 entry = prev + prev[:1]  # KwKwK
             else:
                 return None
-            if len(table) < 4096:
-                table.append(prev + entry[:1])
-                # just-assigned code == 2^width - 1: the decoder bumps
-                # one code EARLIER than the encoder (it learns each
-                # entry one code later), so the next read fits
-                if len(table) == (1 << width) and width < 12:
-                    width += 1
+        elif code == clear:
+            table = base.copy()
+            n_table = len(table)
+            width = mcs + 1
+            mask = (1 << width) - 1
+            prev = None
+            continue
+        elif code == eoi:
+            return bytes(out)
+        else:
+            entry = table[code]
+        if prev is not None and n_table < 4096:
+            table.append(prev + entry[:1])
+            n_table += 1
+            # just-assigned code == 2^width - 1: the decoder bumps
+            # one code EARLIER than the encoder (it learns each
+            # entry one code later), so the next read fits
+            if n_table == (1 << width) and width < 12:
+                width += 1
+                mask = (1 << width) - 1
         out += entry
-        if len(out) > max_out:
+        out_len += len(entry)
+        if out_len > max_out:
             return None
         prev = entry
 
