@@ -1624,3 +1624,60 @@ def test_streaming_media_features_with_crash_restart(spark, tmp_path):
         ).collect()
     }
     assert sum(per_batch.values()) == 90 and len(per_batch) == 3
+
+
+def test_streaming_gif_compositing_with_crash_restart(spark, tmp_path):
+    """The round-14 compositing decoder inside the same streaming
+    ingest loop: each micro-batch encodes its documents as SUB-CANVAS
+    animated GIFs (transparency + disposal 2), extracts every
+    COMPOSITED frame's statistics with gif_frames, and appends them
+    per batch. A mid-run crash-restart replays exactly once, and the
+    union of per-batch frame rows equals the one-shot gif_frames of
+    everything streamed — so compositing state (canvas, background,
+    disposal) provably lives inside one payload's decode and never
+    leaks across batch boundaries."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    delta_dir = tmp_path / "anim-deltas"
+    delta_dir.mkdir()
+    frame_dir = str(tmp_path / "anim-frames")
+    ckpt = str(tmp_path / "ckpt-anim")
+
+    def ingest(batch_df, batch_id):
+        frames = multimodal.gif_frames(
+            multimodal.gif_anim_encode(batch_df)
+        ).withColumn("_batch_id", F.lit(batch_id))
+        frames.write.mode("append").parquet(frame_dir)
+
+    def run_stream(name):
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("anim-0")
+    batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("anim-1-restarted")  # checkpoint replay, exactly once
+    batches[2].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("anim-2")
+
+    streamed = spark.read.parquet(frame_dir)
+    one_shot = multimodal.gif_frames(multimodal.gif_anim_encode(docs))
+    key = lambda t: (t[0], t[2])  # (doc_id, frame_idx)
+    got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=key)
+    exp = sorted(map(tuple, one_shot.collect()), key=key)
+    assert got == exp
+    n_frames_expected = sum(2 + int(r["doc_id"]) % 3 for r in docs.collect())
+    assert len(got) == n_frames_expected
