@@ -1498,3 +1498,35 @@ def test_priority_sketch_two_phase_topk_plan(spark):
     assert any("source" in ln and "_w0" in ln for ln in exchanges), (
         "the top-k window must partition by (source, fan-in bucket)"
     )
+
+
+def test_window_multi_single_window_node_single_shuffle(spark):
+    """q_window_multi (round-14 consolidation): lag/lead/delta AND the
+    unbounded-preceding running decimal sum share one partition key
+    and ordering, so Catalyst must compute them in ONE Window node
+    behind ONE exchange — the merged query costs one shuffle, same as
+    either of the two queries it replaced."""
+    import re
+
+    plan = _executed_plan(relational.q_window_multi(spark, SF_DIR))
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_agg_shapes_broadcasts_dims_no_shuffle_join(spark):
+    """q_agg_shapes (round-14 consolidation): the rollup arm's
+    nation/region dims ride broadcast joins; no arm introduces a
+    shuffle join or a cartesian product, and each grouping arm
+    lowers to Expand-based partial aggregation."""
+    plan = _executed_plan(relational.q_agg_shapes(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+    assert "Cartesian" not in plan
+    assert plan.count("Expand") >= 3  # cube, grouping-sets, distinct-agg
+
+
+def test_function_parade_is_scan_only(spark):
+    """q_function_parade (round-14 consolidation): a single map-only
+    projection over part — no exchange anywhere in the plan."""
+    plan = _executed_plan(relational.q_function_parade(spark, SF_DIR))
+    assert "Exchange" not in plan
