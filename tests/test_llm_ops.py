@@ -5089,3 +5089,34 @@ def test_png_unfilter_vectorized_parity():
             assert _png_unfilter_row(ft, filt, prev, bpp) == reference(
                 ft, filt, prev, bpp
             ), (trial, ft, bpp, n)
+
+
+def test_transcode_composite_gif_takes_composited_frame0(spark):
+    """transcode_media over a sub-canvas ANIMATED GIF (round 14): the
+    single-frame target takes frame 0 AS COMPOSITED — background fill
+    under a transparent sub-rect, not the raw index plane — so the
+    emitted PNG's statistics equal gif_frames' frame-0 row."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(8)
+    media = mm.gif_anim_encode(docs)
+    frame0 = {
+        r["doc_id"]: r
+        for r in mm.gif_frames(media).collect()
+        if r["frame_idx"] == 0
+    }
+    png = mm.transcode_media(media, to="png")
+    feats = {
+        r["doc_id"]: r
+        for r in mm.extract_features(png, decode_stub=False).collect()
+    }
+    assert feats.keys() == frame0.keys()
+    for k, f in feats.items():
+        # extract_features feature slots are [b, g, r, all]
+        assert f["feature"][0] == frame0[k]["mean_b"], k
+        assert f["feature"][1] == frame0[k]["mean_g"], k
+        assert f["feature"][2] == frame0[k]["mean_r"], k
+        assert (f["width"], f["height"]) == (
+            frame0[k]["width"], frame0[k]["height"]
+        ), k

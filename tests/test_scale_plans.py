@@ -1530,3 +1530,15 @@ def test_function_parade_is_scan_only(spark):
     projection over part — no exchange anywhere in the plan."""
     plan = _executed_plan(relational.q_function_parade(spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_gif_anim_pipeline_is_map_only(spark):
+    """q_multimodal_gif_anim: encode -> composite-decode is two chained
+    Arrow-batched MapInPandas stages with ZERO exchanges — frames never
+    shuffle, parallelism is the documents scan's partitioning (or
+    balance_media_bytes upstream when payloads skew)."""
+    from firebolt_spark.queries.llm import q_multimodal_gif_anim
+
+    plan = _executed_plan(q_multimodal_gif_anim(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
