@@ -5120,3 +5120,78 @@ def test_transcode_composite_gif_takes_composited_frame0(spark):
         assert (f["width"], f["height"]) == (
             frame0[k]["width"], frame0[k]["height"]
         ), k
+
+
+def test_gif_composite_randomized_reference_parity():
+    """Randomized reference-compositor parity (round 14): random
+    canvases, rects, disposal methods (all four), transparency
+    choices, and strides — the decoder's composited frames must match
+    an independent straight-from-the-spec compositor byte-for-byte,
+    per-frame means included, and strided decodes must agree with the
+    full decode's kept frames. Fixed seed; 120 cases."""
+    import random
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _GIF_PALETTE, _gif_decode_py, _gif_encode_py,
+    )
+
+    pal = np.frombuffer(_GIF_PALETTE, np.uint8).reshape(-1, 3)
+
+    def reference(frames, rects, disposals, trans, w, h, bg):
+        canvas = np.empty((h, w, 3), np.uint8)
+        canvas[:] = pal[bg]
+        outs = []
+        for f, (l, t, fw, fh), d, T in zip(frames, rects, disposals, trans):
+            a = np.frombuffer(f, np.uint8).reshape(fh, fw)
+            mask = np.ones(a.shape, bool) if T is None else (a != T)
+            prev = canvas.copy()
+            canvas[t : t + fh, l : l + fw][mask] = pal[a[mask]]
+            outs.append(canvas.copy())
+            if d == 2:
+                canvas[t : t + fh, l : l + fw] = pal[bg]
+            elif d == 3:
+                canvas = prev
+        return outs
+
+    rng = random.Random(42)
+    for trial in range(120):
+        w, h = rng.randint(1, 12), rng.randint(1, 9)
+        n = rng.randint(1, 5)
+        frames, rects, disps, trans = [], [], [], []
+        for f in range(n):
+            if f == 0 and rng.random() < 0.5:
+                fw, fh, l, t = w, h, 0, 0
+            else:
+                fw = rng.randint(1, w)
+                fh = rng.randint(1, h)
+                l = rng.randint(0, w - fw)
+                t = rng.randint(0, h - fh)
+            frames.append(bytes(rng.randrange(256) for _ in range(fw * fh)))
+            rects.append((l, t, fw, fh))
+            disps.append(rng.choice([0, 1, 2, 3]))
+            trans.append(rng.choice([None, None, 7, frames[-1][0]]))
+        bg = rng.randrange(256)
+        payload = _gif_encode_py(
+            frames, w, h, frame_rects=rects, disposals=disps,
+            transparent_idxs=trans, bg=bg,
+        )
+        got = _gif_decode_py(payload)
+        want = reference(frames, rects, disps, trans, w, h, bg)
+        indep = all(
+            r == (0, 0, w, h) and T is None for r, T in zip(rects, trans)
+        )
+        assert got is not None and got["rgb"] == (not indep), trial
+        if indep:
+            continue
+        assert got["n_frames"] == n
+        for i, (fr, wf) in enumerate(zip(got["frames"], want)):
+            assert fr == wf.tobytes(), (trial, i)
+        for fm, wf in zip(got["frame_means"], want):
+            s = wf.reshape(-1, 3).sum(axis=0)
+            assert fm == [round(int(x) / (w * h), 6) for x in s], trial
+        g2 = _gif_decode_py(payload, frame_stride=2)
+        assert g2["frame_idxs"] == list(range(0, n, 2))
+        for ki, fi in enumerate(g2["frame_idxs"]):
+            assert g2["frames"][ki] == want[fi].tobytes(), (trial, fi)
