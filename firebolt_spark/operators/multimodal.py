@@ -1831,15 +1831,18 @@ def extract_features(
                         parsed = _png_decode_py(payload)
                     elif payload[:6] in (b"GIF87a", b"GIF89a"):
                         parsed = _gif_decode_py(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        parsed = _jpeg_decode_py(payload)
                     else:
                         parsed = _bmp_decode_py(payload)
                     if parsed is None:
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
                             "truecolor/grayscale/palette PNG — plain or "
-                            "Adam7 — multi-frame GIF, and 8/16-bit PCM WAV "
-                            "decode dependency-free; JPEG/video "
-                            "containers need PIL/ffmpeg)"
+                            "Adam7 — multi-frame GIF, baseline grayscale "
+                            "JPEG, and 8/16-bit PCM WAV decode "
+                            "dependency-free; color/progressive JPEG and "
+                            "video containers need PIL/ffmpeg)"
                         )
                     decoded = {
                         "width": parsed["width"],
@@ -2134,6 +2137,14 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
         pal = np.frombuffer(g["frame_palettes"][0], np.uint8).reshape(-1, 3)
         idx = np.frombuffer(g["frames"][0], np.uint8)
         return g["width"], g["height"], pal[idx].tobytes()
+    if payload[:2] == b"\xff\xd8":
+        j = _jpeg_decode_py(payload)
+        if j is None:
+            return None
+        # grayscale: r = g = b = the decoded plane
+        return j["width"], j["height"], np.repeat(
+            np.frombuffer(j["pixels"], np.uint8), 3
+        ).tobytes()
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -2255,3 +2266,405 @@ def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline grayscale JPEG (round 14): the codec boundary narrowed.
+#
+# A full baseline JPEG pipeline IS stdlib-implementable: marker parse,
+# DQT/DHT table load, canonical Huffman entropy decode (DC difference
+# categories + AC run/size with ZRL and EOB), dequantization, zigzag,
+# and the 8x8 type-III DCT — float math, numpy matmul. What is NOT
+# reasonably stdlib-implementable stays documented in README: COLOR
+# JPEG's subsampled-chroma upsampling conventions and progressive
+# scans are where decoder behavior diverges across libraries, so this
+# decoder refuses anything but baseline sequential single-component
+# (grayscale) — refusal, never approximation, like every codec here.
+#
+# The fixture keeps the oracle analytic: flat 8x8 tiles with the
+# all-8s quantization table make every decoded pixel EXACTLY its tile
+# byte (DC = 8*(v-128), quantized by 8 = v-128, IDCT of a DC-only
+# block is flat DC/8 — the float products land within 1 ulp of the
+# integer and round exactly; pinned over all 256 values in tests), so
+# DuckDB recomputes the statistics from the md5 tile stream without
+# ever touching a JPEG. The general paths (AC coefficients, ZRL,
+# multi-category DC diffs) are exercised by hand-assembled bitstreams
+# against a literal-definition IDCT in the tests.
+
+# custom canonical Huffman tables declared in the DHT segment (JPEG
+# permits any valid tables; declaring small ones avoids baking in the
+# Annex-K tables the encoder would never use — it only emits DC
+# categories and EOB/ZRL)
+_JPEG_DC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 3, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00, 0x01, 0x11, 0xF0, 0x02, 0x21, 0x31, 0x12]
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huffman_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """Canonical JPEG code assignment (ITU T.81 C.2): symbols ordered
+    by length; within a length, consecutive codes; (code+1)<<1 when
+    the length grows. Returns [(length, code), ...] in symbol order."""
+    out = []
+    code = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((ln, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with the 0xFF00 byte stuffing the entropy
+    segment requires; flush pads the final byte with 1-bits (T.81
+    F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            self._acc = (self._acc << (8 - self._n)) | ((1 << (8 - self._n)) - 1)
+            self.out.append(self._acc)
+            if self._acc == 0xFF:
+                self.out.append(0x00)
+            self._acc = 0
+            self._n = 0
+        return bytes(self.out)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_encode_py(tiles: bytes, tiles_x: int, tiles_y: int, q: int = 8) -> bytes:
+    """Minimal VALID baseline grayscale JPEG from FLAT 8x8 tiles (one
+    byte per tile, row-major): SOI, DQT (uniform ``q``), SOF0
+    (8-bit, 1 component, 1x1 sampling), two DHT segments (the custom
+    canonical tables above), SOS, real entropy-coded data (DC
+    difference categories + magnitude bits, EOB per block), EOI.
+    Each tile's DC quantizes to round(8*(v-128)/q) — exactly v-128 at
+    the default q=8, which is what keeps the fixture's oracle
+    analytic. Flat tiles only: a general encoder needs the forward
+    DCT + AC run-length coding, which nothing here consumes."""
+    if len(tiles) != tiles_x * tiles_y:
+        raise ValueError(f"need {tiles_x * tiles_y} tile bytes, got {len(tiles)}")
+    if not 1 <= q <= 255:
+        raise ValueError(f"q must be 1..255, got {q}")
+    w, h = 8 * tiles_x, 8 * tiles_y
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))  # DQT Pq=0 Tq=0
+    out += _jpeg_seg(
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )  # SOF0: precision 8, 1 component id=1 H=V=1 Tq=0
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    dc_codes = _jpeg_huffman_codes(_JPEG_DC_BITS)  # symbol i = category i
+    ac_codes = _jpeg_huffman_codes(_JPEG_AC_BITS)
+    eob_ln, eob_code = ac_codes[_JPEG_AC_VALS.index(0x00)]
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for v in tiles:
+        dcq = round(8 * (v - 128) / q)
+        diff = dcq - prev_dc
+        prev_dc = dcq
+        mag = abs(diff)
+        s = mag.bit_length()
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw.put(eob_code, eob_ln)  # all 63 ACs zero
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+_JPEG_IDCT_M = None
+
+
+def _jpeg_idct_matrix():
+    global _JPEG_IDCT_M
+    if _JPEG_IDCT_M is None:
+        import math
+
+        import numpy as np
+
+        _JPEG_IDCT_M = np.array(
+            [
+                [
+                    (math.sqrt(0.5) if u == 0 else 1.0) / 2
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+    return _JPEG_IDCT_M
+
+
+def _jpeg_decode_py(payload: bytes) -> dict | None:
+    """Real dependency-free baseline JPEG decode (round 14): marker
+    walk (APPn/COM skipped), DQT / DHT loads (any number of segments,
+    any valid canonical tables — not just the encoder's), SOF0 frame
+    header, then the full entropy decode per 8x8 block: Huffman DC
+    category + difference bits with the running predictor, Huffman AC
+    run/size symbols (EOB, ZRL, magnitude bits), dequantization,
+    zigzag ordering, and the type-III DCT via one numpy matmul per
+    block, level shift, clamp, edge crop.
+
+    Scope: baseline sequential (SOF0), 8-bit, SINGLE component
+    (grayscale), no restart intervals. Color JPEG (subsampled-chroma
+    upsampling is convention-divergent), progressive scans (SOF2),
+    12-bit precision, and restart markers all return None — refusal,
+    never approximation, like the module's other decoders. Any
+    structural corruption (truncated segment, undefined Huffman code,
+    coefficient index past 63, missing table) also returns None."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = None
+    data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT: one or more tables
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0 or b + 65 > len(body):
+                    return None  # 16-bit tables: not baseline-8
+                qt[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                if len(vals) != n:
+                    return None
+                table = {}
+                for sym, (ln, code) in zip(
+                    vals, _jpeg_huffman_codes(bits)
+                ):
+                    table[(ln, code)] = sym
+                huff[(tc, th)] = table
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 8 or body[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", body, 1)
+            nf = body[5]
+            if nf != 1 or w < 1 or h < 1:
+                return None  # color / multi-component: boundary
+            if body[7] != 0x11:
+                return None  # sampling must be 1x1
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / extended / arithmetic frames
+        elif marker == 0xDD:
+            return None  # restart intervals: out of scope
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if len(body) < 6 or body[0] != 1:
+                return None
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            if body[3] != 0 or body[4] != 63 or body[5] != 0:
+                return None  # not a baseline full scan
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
+                    break
+                end += 1
+            if payload[end : end + 2] != b"\xff\xd9":
+                return None  # RSTn or truncation
+            data = payload[pos:end]
+            break
+        # APPn / COM / others: skipped
+    if (
+        data is None or w is None or comp_q is None
+        or comp_q not in qt or (0, td) not in huff or (1, ta) not in huff
+    ):
+        return None
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    q = qt[comp_q]
+
+    # entropy bit reader over the de-stuffed byte stream
+    stream = data.replace(b"\xff\x00", b"\xff")
+    bitpos = 0
+    nbits_total = 8 * len(stream)
+
+    def read_bit():
+        nonlocal bitpos
+        if bitpos >= nbits_total:
+            return None
+        b = (stream[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_huff(table):
+        ln = 0
+        code = 0
+        while ln < 16:
+            bit = read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        return None
+
+    def read_bits(n):
+        v = 0
+        for _ in range(n):
+            bit = read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def extend(v, s):
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    M = _jpeg_idct_matrix()
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    img = np.empty((by * 8, bx * 8), np.uint8)
+    prev_dc = 0
+    for blk in range(bx * by):
+        coef = np.zeros(64, np.float64)
+        s = read_huff(dc_tab)
+        if s is None or s > 11:
+            return None
+        diff = 0
+        if s:
+            v = read_bits(s)
+            if v is None:
+                return None
+            diff = extend(v, s)
+        prev_dc += diff
+        coef[0] = prev_dc * q[0]
+        k = 1
+        while k <= 63:
+            rs = read_huff(ac_tab)
+            if rs is None:
+                return None
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            r, sz = rs >> 4, rs & 0x0F
+            k += r
+            if k > 63 or sz == 0:
+                return None
+            v = read_bits(sz)
+            if v is None:
+                return None
+            coef[k] = extend(v, sz) * q[k]
+            k += 1
+        F = np.zeros((8, 8), np.float64)
+        F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
+        spatial = M.T @ F @ M + 128.0
+        block = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        r0, c0 = 8 * (blk // bx), 8 * (blk % bx)
+        img[r0 : r0 + 8, c0 : c0 + 8] = block
+    img = img[:h, :w]
+    total = int(img.sum(dtype=np.int64))
+    n = w * h
+    mean = round(total / n, 6)
+    return {
+        "width": w,
+        "height": h,
+        "bpp": 8,
+        "n_pixel_bytes": n,
+        # grayscale: one plane feeds all three channel slots
+        "mean_r": mean,
+        "mean_g": mean,
+        "mean_b": mean,
+        "mean_all": mean,
+        "pixels": img.tobytes(),
+    }
+
+
+def jpeg_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic VALID baseline grayscale JPEG payloads from a
+    text fixture: width ``8 * (1 + doc_id % 3)``, height ``8 * (1 +
+    doc_id % 2)`` (1..6 tiles), tile ``k``'s flat gray value = byte
+    ``k`` of md5(text + '#j'), quantization all-8s — the combination
+    that makes every decoded pixel EXACTLY its tile byte, so the
+    oracle recomputes the statistics from the md5 byte stream and
+    never decodes a JPEG while the engine runs the real entropy
+    decode + IDCT. Arrow-batched ``mapInPandas``; map-only."""
+    src = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                tx = 1 + doc_id % 3
+                ty = 1 + doc_id % 2
+                digest = hashlib.md5(
+                    (rec.ptext + "#j").encode("utf-8")
+                ).digest()
+                payload = _jpeg_encode_py(digest[: tx * ty], tx, ty)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": payload,
+                        "media_meta": {
+                            "kind": "image",
+                            "mime": "image/jpeg",
+                            "n_bytes": len(payload),
+                            "sha": hashlib.sha256(payload).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>"
+    )
+    return src.mapInPandas(run, schema=schema)

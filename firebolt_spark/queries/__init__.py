@@ -19,10 +19,12 @@ hard cap 50 * 3 = 150 registered queries.  The policy, in order:
    q_window_leadlag + q_window_running_total -> q_window_multi
    (2 -> 1, one Window node, one shuffle); q_scalar_functions +
    q_regexp_functions -> q_function_parade (2 -> 1, same table and
-   key).  Registry: 132 (r13) + 1 new - 5 = 128.
+   key).  Registry: 132 (r13) + 2 new - 5 = 129.
 2. NEW-QUERY BUDGET.  Net-new queries per round stay within the
    rotation slack: 50 - (stale backlog + changed-operator re-checks).
-   r14 slack after the 39-query stale backlog and 6 changed: 5.
+   r14 slack after the 39-query stale backlog and 6 changed: 5;
+   r14 added exactly 5 new queries (GIF compositing, baseline JPEG,
+   and the 3 consolidations).
 3. IF 1-2 EVER FAIL to hold the registry under 150, the relational
    tail (TPC-H shapes + function parades) drops to a 3-round ceiling,
    compensated by the full-registry sf0.01 local sweep that ROADMAP
@@ -40,8 +42,10 @@ slots 44-49: queries whose OPERATOR CODE changed in r14 (the GIF
 decoder compositing rework -> q_multimodal_gif, q_multimodal_frames,
 q_multimodal_transcode, q_media_curation; the BMP biCompression
 refusal gate -> q_multimodal_features, q_multimodal_resize).
-slot 50: q_s6_compaction — the r12 row pre-rotated to smooth the r15
-backlog (43 r12 rows become the next stale cohort).
+slot 50: q_multimodal_jpeg — the fifth round-14 NEW query (the real
+baseline grayscale JPEG decode; landed after the first 49 were set,
+taking the slot q_s6_compaction was pre-rotated into — the r12 rows
+rotate in r15 as planned).
 Names absent from this list keep their module order after it.
 """
 
@@ -105,8 +109,8 @@ _PRIORITY = [
     "q_media_curation",
     "q_multimodal_features",
     "q_multimodal_resize",
-    # r12 row pre-rotated to smooth the r15 stale cohort
-    "q_s6_compaction",
+    # the fifth r14 NEW query: real baseline grayscale JPEG decode
+    "q_multimodal_jpeg",
 ]
 
 

@@ -1869,6 +1869,55 @@ Q_MULTIMODAL_GIF_ANIM_SQL = """
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end (round 14 — the codec
+    boundary narrowed): multimodal.jpeg_encode emits valid baseline
+    grayscale JPEGs — real Huffman entropy coding of the DC difference
+    chain, canonical tables declared in DHT — and
+    extract_features(decode_stub=False) runs the genuine decode:
+    marker walk, table loads, Huffman decode, dequantization, zigzag,
+    and the 8x8 type-III DCT per block. The fixture's flat tiles +
+    all-8s quantization make every decoded pixel EXACTLY its md5 tile
+    byte (pinned over all 256 values in tests), so the oracle
+    recomputes the statistics analytically and never decodes a JPEG —
+    a decoder that mispredicts one DC difference, misreads a Huffman
+    code, or mis-scales the IDCT hash-mismatches."""
+    media = multimodal.jpeg_encode(_documents(spark, sf_dir))
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 4).alias("mean_gray"),
+    )
+
+
+Q_MULTIMODAL_JPEG_SQL = """
+    WITH jd AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS INTEGER) AS tx,
+               CAST(1 + doc_id % 2 AS INTEGER) AS ty,
+               md5(coalesce(text, '') || '#j') AS dig
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, tx, ty,
+               (16 * (instr('0123456789abcdef',
+                            substr(dig, CAST(2 * k + 1 AS INTEGER), 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substr(dig, CAST(2 * k + 2 AS INTEGER), 1)) - 1))
+                   AS v
+        FROM jd, LATERAL (SELECT unnest(range(tx * ty)) AS k) r
+    )
+    SELECT doc_id,
+           CAST(8 * tx AS INTEGER) AS width,
+           CAST(8 * ty AS INTEGER) AS height,
+           round(sum(v) / CAST(tx * ty AS DOUBLE), 6) AS mean_gray
+    FROM tb
+    GROUP BY doc_id, tx, ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 
@@ -3616,6 +3665,7 @@ QUERIES = {
     "q_multimodal_gif": q_multimodal_gif,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_gif_anim": q_multimodal_gif_anim,
+    "q_multimodal_jpeg": q_multimodal_jpeg,
     "q_multimodal_transcode": q_multimodal_transcode,
     "q_media_curation": q_media_curation,
     "q_multimodal_wav8": q_multimodal_wav8,
@@ -3688,6 +3738,7 @@ ORACLE = {
     "q_multimodal_gif": Q_MULTIMODAL_GIF_SQL,
     "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
     "q_multimodal_gif_anim": Q_MULTIMODAL_GIF_ANIM_SQL,
+    "q_multimodal_jpeg": Q_MULTIMODAL_JPEG_SQL,
     "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
     "q_media_curation": Q_MEDIA_CURATION_SQL,
     "q_multimodal_wav8": Q_MULTIMODAL_WAV8_SQL,

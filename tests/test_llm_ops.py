@@ -5195,3 +5195,180 @@ def test_gif_composite_randomized_reference_parity():
         assert g2["frame_idxs"] == list(range(0, n, 2))
         for ki, fi in enumerate(g2["frame_idxs"]):
             assert g2["frames"][ki] == want[fi].tobytes(), (trial, fi)
+
+
+def test_jpeg_roundtrip_exact_all_values():
+    """The baseline-JPEG fixture combination (flat tiles, all-8s
+    quantization) must decode EXACTLY — every one of the 256 gray
+    values, through the real Huffman DC-difference chain across 256
+    blocks (exercising every DC category and the byte-stuffing path),
+    lands back bit-for-bit. Also pins the q=16 lossy arithmetic."""
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _jpeg_decode_py, _jpeg_encode_py,
+    )
+
+    p = _jpeg_encode_py(bytes(range(256)), 16, 16)
+    d = _jpeg_decode_py(p)
+    assert d is not None and (d["width"], d["height"]) == (128, 128)
+    img = np.frombuffer(d["pixels"], np.uint8).reshape(128, 128)
+    for r in range(16):
+        for c in range(16):
+            tile = img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8]
+            assert (tile == 16 * r + c).all(), (r, c)
+    assert d["mean_all"] == round(sum(range(256)) / 256, 6)
+
+    d16 = _jpeg_decode_py(_jpeg_encode_py(bytes([100, 201]), 2, 1, q=16))
+    img16 = np.frombuffer(d16["pixels"], np.uint8).reshape(8, 16)
+
+    def expected(v, q=16):
+        dcq = round(8 * (v - 128) / q)
+        return max(0, min(255, round(dcq * q / 8 + 128)))
+
+    assert int(img16[0, 0]) == expected(100)
+    assert int(img16[0, 8]) == expected(201)
+
+
+def test_jpeg_ac_coefficients_against_literal_idct():
+    """The AC path (run/size symbols, ZRL, magnitude bits, zigzag,
+    dequant) verified against a LITERAL definition-formula IDCT: a
+    hand-assembled entropy stream places nonzero coefficients at
+    chosen zigzag positions using the declared canonical codes, and
+    the decoded block must match the double-loop T.81 reconstruction
+    to the same rint/clip."""
+    import math
+    import struct as st
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+        _JPEG_ZIGZAG, _JpegBitWriter, _jpeg_decode_py, _jpeg_huffman_codes,
+        _jpeg_seg,
+    )
+
+    dc_codes = _jpeg_huffman_codes(_JPEG_DC_BITS)
+    ac_codes = _jpeg_huffman_codes(_JPEG_AC_BITS)
+    ac_of = {v: ac_codes[i] for i, v in enumerate(_JPEG_AC_VALS)}
+
+    # one 8x8 block: DC=5, AC at zigzag k=1 -> +1, then 16 zeros (ZRL),
+    # AC at k=18 -> -1 (0x11: run 1, size 1), EOB
+    bw = _JpegBitWriter()
+    ln, code = dc_codes[3]
+    bw.put(code, ln)          # DC category 3
+    bw.put(5, 3)              # diff = +5
+    ln, code = ac_of[0x01]
+    bw.put(code, ln)          # k=1: run 0 size 1
+    bw.put(1, 1)              # +1
+    ln, code = ac_of[0xF0]
+    bw.put(code, ln)          # ZRL: k 2..17 zero
+    ln, code = ac_of[0x11]
+    bw.put(code, ln)          # run 1 size 1 -> k=19... run skips k=18
+    bw.put(0, 1)              # -1
+    ln, code = ac_of[0x00]
+    bw.put(code, ln)          # EOB
+    entropy = bw.flush()
+
+    q = 8
+    payload = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+        + _jpeg_seg(0xC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _jpeg_seg(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        )
+        + _jpeg_seg(
+            0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        )
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+    d = _jpeg_decode_py(payload)
+    assert d is not None and (d["width"], d["height"]) == (8, 8)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(8, 8)
+
+    coef = np.zeros(64)
+    coef[0] = 5 * q
+    coef[1] = 1 * q
+    coef[19] = -1 * q  # ZRL(16) skips zigzag 2..17, run 1 skips 18
+    F = np.zeros((8, 8))
+    F.flat[_JPEG_ZIGZAG] = coef
+
+    def C(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        C(u) * C(v) / 4 * F[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[x, y] = s
+    expect = np.clip(np.rint(ref + 128.0), 0, 255).astype(np.uint8)
+    assert (got == expect).all()
+    assert len(np.unique(got)) > 1  # the ACs genuinely shaped the block
+
+
+def test_jpeg_refusals():
+    """Everything outside baseline sequential grayscale refuses (None/
+    ValueError), never approximates: color SOF, progressive SOF2,
+    restart intervals, 16-bit DQT, truncation, undefined Huffman
+    codes, and non-JPEG bytes under the FFD8 magic."""
+    import struct as st
+
+    from firebolt_spark.operators.multimodal import (
+        _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+        _jpeg_decode_py, _jpeg_encode_py, _jpeg_seg,
+    )
+
+    good = _jpeg_encode_py(bytes([50, 60]), 2, 1)
+    assert _jpeg_decode_py(good) is not None
+
+    # truncated entropy stream
+    assert _jpeg_decode_py(good[:-8]) is None
+    # color frame: patch SOF0's Nf to 3
+    sof_at = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 9] = 3
+    assert _jpeg_decode_py(bytes(bad)) is None
+    # progressive: marker C0 -> C2
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC2
+    assert _jpeg_decode_py(bytes(bad)) is None
+    # restart interval declared
+    head, tail = good[:sof_at], good[sof_at:]
+    assert _jpeg_decode_py(
+        head + _jpeg_seg(0xDD, st.pack(">H", 4)) + tail
+    ) is None
+    # 16-bit quantization table (Pq=1)
+    dqt_at = good.index(b"\xff\xdb")
+    bad = bytearray(good)
+    bad[dqt_at + 4] = 0x10
+    assert _jpeg_decode_py(bytes(bad)) is None
+    # garbage after the magic
+    assert _jpeg_decode_py(b"\xff\xd8" + b"\x00" * 40) is None
+    # missing AC table: drop the second DHT segment entirely
+    parts = good.split(b"\xff\xc4")
+    assert len(parts) == 3
+    sos_tail = parts[2][parts[2].index(b"\xff\xda"):]
+    assert _jpeg_decode_py(parts[0] + b"\xff\xc4" + parts[1] + sos_tail) is None
+    # corrupted entropy bits must refuse or decode to SOMETHING -
+    # never crash; all-ones tails hit the undefined-code guard
+    bad = bytearray(good)
+    bad[-3] ^= 0x55
+    _jpeg_decode_py(bytes(bad))  # must not raise
+
+    # encoder validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tile bytes"):
+        _jpeg_encode_py(bytes([1, 2, 3]), 2, 1)
+    with _pytest.raises(ValueError, match="q must be"):
+        _jpeg_encode_py(bytes([1]), 1, 1, q=0)
