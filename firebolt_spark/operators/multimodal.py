@@ -2188,7 +2188,8 @@ _TRANSCODE_MIMES = {"png": "image/png", "bmp": "image/bmp"}
 def transcode_media(media_df: DataFrame, to: str) -> DataFrame:
     """Convert still images between the real dependency-free codecs
     via Arrow-batched ``mapInPandas``: decode whatever the magic says
-    (BMP / any supported PNG / GIF, whose first frame is taken — the
+    (BMP / any supported PNG / baseline grayscale JPEG, expanded to
+    r = g = b / GIF, whose first frame is taken — the
     single-frame target cannot hold an animation), re-encode as
     ``to`` ('png' or 'bmp'), and emit the (media, media_meta)
     convention back out with refreshed n_bytes/sha so transcodes

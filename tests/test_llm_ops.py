@@ -5372,3 +5372,32 @@ def test_jpeg_refusals():
         _jpeg_encode_py(bytes([1, 2, 3]), 2, 1)
     with _pytest.raises(ValueError, match="q must be"):
         _jpeg_encode_py(bytes([1]), 1, 1, q=0)
+
+
+def test_transcode_jpeg_to_png_is_channel_faithful(spark):
+    """transcode_media over baseline grayscale JPEG (round 14): the
+    decoded gray plane expands to r = g = b and the emitted PNG's
+    statistics reproduce the JPEG fixture's analytic tile means —
+    two real codecs certified against each other through one byte
+    stream, the JPEG twin of the BMP->PNG oracle."""
+    import hashlib
+
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    png = mm.transcode_media(mm.jpeg_encode(docs), to="png")
+    feats = {
+        r["doc_id"]: r
+        for r in mm.extract_features(png, decode_stub=False).collect()
+    }
+    for r in docs.collect():
+        doc_id = int(r["doc_id"])
+        tx, ty = 1 + doc_id % 3, 1 + doc_id % 2
+        dig = hashlib.md5(
+            ((r["text"] or "") + "#j").encode()
+        ).digest()[: tx * ty]
+        mean = round(sum(dig) / len(dig), 6)
+        f = feats[doc_id]
+        assert (f["width"], f["height"]) == (8 * tx, 8 * ty)
+        assert f["feature"][0] == f["feature"][1] == f["feature"][2] == mean
