@@ -2141,6 +2141,8 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
         j = _jpeg_decode_py(payload)
         if j is None:
             return None
+        if j["bpp"] == 24:  # 4:4:4 color arrives as RGB already
+            return j["width"], j["height"], j["pixels"]
         # grayscale: r = g = b = the decoded plane
         return j["width"], j["height"], np.repeat(
             np.frombuffer(j["pixels"], np.uint8), 3
@@ -2360,44 +2362,61 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
 
 
 def _jpeg_encode_py(tiles: bytes, tiles_x: int, tiles_y: int, q: int = 8) -> bytes:
-    """Minimal VALID baseline grayscale JPEG from FLAT 8x8 tiles (one
-    byte per tile, row-major): SOI, DQT (uniform ``q``), SOF0
-    (8-bit, 1 component, 1x1 sampling), two DHT segments (the custom
-    canonical tables above), SOS, real entropy-coded data (DC
-    difference categories + magnitude bits, EOB per block), EOI.
-    Each tile's DC quantizes to round(8*(v-128)/q) — exactly v-128 at
-    the default q=8, which is what keeps the fixture's oracle
-    analytic. Flat tiles only: a general encoder needs the forward
-    DCT + AC run-length coding, which nothing here consumes."""
-    if len(tiles) != tiles_x * tiles_y:
-        raise ValueError(f"need {tiles_x * tiles_y} tile bytes, got {len(tiles)}")
+    """Minimal VALID baseline JPEG from FLAT 8x8 tiles: SOI, DQT
+    (uniform ``q``), SOF0, two DHT segments (the custom canonical
+    tables above), SOS, real entropy-coded data (DC difference
+    categories + magnitude bits, EOB per block), EOI.
+
+    ``tiles`` of length ``tiles_x * tiles_y`` encodes GRAYSCALE (one
+    gray byte per tile); length ``3 * tiles_x * tiles_y`` encodes
+    4:4:4 COLOR ((Y, Cb, Cr) triplet per tile, interleaved MCUs with
+    per-component DC predictors). Each tile's DC quantizes to
+    round(8*(v-128)/q) — exactly v-128 at the default q=8, which is
+    what keeps the fixture's oracle analytic. Flat tiles only: a
+    general encoder needs the forward DCT + AC run-length coding,
+    which nothing here consumes."""
+    n_tiles = tiles_x * tiles_y
+    if len(tiles) == n_tiles:
+        ncomp = 1
+    elif len(tiles) == 3 * n_tiles:
+        ncomp = 3
+    else:
+        raise ValueError(
+            f"need {n_tiles} (gray) or {3 * n_tiles} (YCbCr) tile bytes, "
+            f"got {len(tiles)}"
+        )
     if not 1 <= q <= 255:
         raise ValueError(f"q must be 1..255, got {q}")
     w, h = 8 * tiles_x, 8 * tiles_y
     out = bytearray(b"\xff\xd8")  # SOI
     out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))  # DQT Pq=0 Tq=0
-    out += _jpeg_seg(
-        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    )  # SOF0: precision 8, 1 component id=1 H=V=1 Tq=0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # H=V=1, quant table 0
+    out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    out += _jpeg_seg(0xDA, sos + bytes([0, 63, 0]))
     dc_codes = _jpeg_huffman_codes(_JPEG_DC_BITS)  # symbol i = category i
     ac_codes = _jpeg_huffman_codes(_JPEG_AC_BITS)
     eob_ln, eob_code = ac_codes[_JPEG_AC_VALS.index(0x00)]
     bw = _JpegBitWriter()
-    prev_dc = 0
-    for v in tiles:
-        dcq = round(8 * (v - 128) / q)
-        diff = dcq - prev_dc
-        prev_dc = dcq
-        mag = abs(diff)
-        s = mag.bit_length()
-        ln, code = dc_codes[s]
-        bw.put(code, ln)
-        if s:
-            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        bw.put(eob_code, eob_ln)  # all 63 ACs zero
+    prev_dc = [0] * ncomp
+    for t in range(n_tiles):
+        for ci in range(ncomp):
+            v = tiles[ncomp * t + ci]
+            dcq = round(8 * (v - 128) / q)
+            diff = dcq - prev_dc[ci]
+            prev_dc[ci] = dcq
+            s = abs(diff).bit_length()
+            ln, code = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            bw.put(eob_code, eob_ln)  # all 63 ACs zero
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -2436,13 +2455,19 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     zigzag ordering, and the type-III DCT via one numpy matmul per
     block, level shift, clamp, edge crop.
 
-    Scope: baseline sequential (SOF0), 8-bit, SINGLE component
-    (grayscale), no restart intervals. Color JPEG (subsampled-chroma
-    upsampling is convention-divergent), progressive scans (SOF2),
-    12-bit precision, and restart markers all return None — refusal,
-    never approximation, like the module's other decoders. Any
-    structural corruption (truncated segment, undefined Huffman code,
-    coefficient index past 63, missing table) also returns None."""
+    Scope: baseline sequential (SOF0), 8-bit, grayscale OR 4:4:4
+    color (three components all at 1x1 sampling — no chroma
+    upsampling, so no library-convention divergence; each component
+    carries its own quantization + Huffman table selection and DC
+    predictor through the interleaved MCU scan, and the JFIF
+    YCbCr -> RGB conversion runs as floor(x + 0.5) so an SQL oracle
+    replays the identical IEEE expression). SUBSAMPLED color
+    (upsampling is convention-divergent across libraries),
+    progressive scans (SOF2), 12-bit precision, and restart markers
+    all return None — refusal, never approximation, like the module's
+    other decoders. Any structural corruption (truncated segment,
+    undefined Huffman code, coefficient index past 63, missing table)
+    also returns None."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -2451,7 +2476,7 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = None
+    comps = None
     data = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -2489,25 +2514,41 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                 huff[(tc, th)] = table
                 b += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 8 or body[0] != 8:
+            if len(body) < 6 or body[0] != 8:
                 return None
             h, w = struct.unpack_from(">HH", body, 1)
             nf = body[5]
-            if nf != 1 or w < 1 or h < 1:
-                return None  # color / multi-component: boundary
-            if body[7] != 0x11:
-                return None  # sampling must be 1x1
-            comp_q = body[8]
+            # 1 component (grayscale) or 3 components ALL at 1x1
+            # sampling (4:4:4 color — no chroma upsampling, so no
+            # library-convention divergence); anything else refuses
+            if nf not in (1, 3) or w < 1 or h < 1:
+                return None
+            if len(body) != 6 + 3 * nf:
+                return None
+            comps = []
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                if body[7 + 3 * ci] != 0x11:
+                    return None  # subsampled: out of scope
+                comps.append((cid, body[8 + 3 * ci]))  # (id, quant tbl)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / extended / arithmetic frames
         elif marker == 0xDD:
             return None  # restart intervals: out of scope
         elif marker == 0xDA:  # SOS: entropy data follows
-            if len(body) < 6 or body[0] != 1:
-                return None
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            if body[3] != 0 or body[4] != 63 or body[5] != 0:
+            if comps is None:
+                return None  # scan before frame header
+            ns = body[0] if body else 0
+            if len(body) != 1 + 2 * ns + 3 or ns != len(comps):
+                return None  # interleaved full scan only
+            scan_tabs = {}
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                sel = body[2 + 2 * ci]
+                scan_tabs[cid] = (sel >> 4, sel & 0x0F)  # (Td, Ta)
+            off = 1 + 2 * ns
+            if body[off] != 0 or body[off + 1] != 63 or body[off + 2] != 0:
                 return None  # not a baseline full scan
             end = pos
             while end + 1 < len(payload):
@@ -2519,13 +2560,17 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             data = payload[pos:end]
             break
         # APPn / COM / others: skipped
-    if (
-        data is None or w is None or comp_q is None
-        or comp_q not in qt or (0, td) not in huff or (1, ta) not in huff
-    ):
+    if data is None or w is None or comps is None:
         return None
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-    q = qt[comp_q]
+    # resolve each component's quant + Huffman tables up front
+    plan = []
+    for cid, tq in comps:
+        if cid not in scan_tabs or tq not in qt:
+            return None
+        td, ta = scan_tabs[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            return None
+        plan.append((qt[tq], huff[(0, td)], huff[(1, ta)]))
 
     # entropy bit reader over the de-stuffed byte stream
     stream = data.replace(b"\xff\x00", b"\xff")
@@ -2567,73 +2612,106 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
 
     M = _jpeg_idct_matrix()
     bx, by = (w + 7) // 8, (h + 7) // 8
-    img = np.empty((by * 8, bx * 8), np.uint8)
-    prev_dc = 0
+    planes = [np.empty((by * 8, bx * 8), np.uint8) for _ in plan]
+    prev_dc = [0] * len(plan)
     for blk in range(bx * by):
-        coef = np.zeros(64, np.float64)
-        s = read_huff(dc_tab)
-        if s is None or s > 11:
-            return None
-        diff = 0
-        if s:
-            v = read_bits(s)
-            if v is None:
+        # interleaved MCU: one 8x8 block per component, scan order
+        for ci, (q, dc_tab, ac_tab) in enumerate(plan):
+            coef = np.zeros(64, np.float64)
+            s = read_huff(dc_tab)
+            if s is None or s > 11:
                 return None
-            diff = extend(v, s)
-        prev_dc += diff
-        coef[0] = prev_dc * q[0]
-        k = 1
-        while k <= 63:
-            rs = read_huff(ac_tab)
-            if rs is None:
-                return None
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL: 16 zeros
-                k += 16
-                continue
-            r, sz = rs >> 4, rs & 0x0F
-            k += r
-            if k > 63 or sz == 0:
-                return None
-            v = read_bits(sz)
-            if v is None:
-                return None
-            coef[k] = extend(v, sz) * q[k]
-            k += 1
-        F = np.zeros((8, 8), np.float64)
-        F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
-        spatial = M.T @ F @ M + 128.0
-        block = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-        r0, c0 = 8 * (blk // bx), 8 * (blk % bx)
-        img[r0 : r0 + 8, c0 : c0 + 8] = block
-    img = img[:h, :w]
-    total = int(img.sum(dtype=np.int64))
+            diff = 0
+            if s:
+                v = read_bits(s)
+                if v is None:
+                    return None
+                diff = extend(v, s)
+            prev_dc[ci] += diff
+            coef[0] = prev_dc[ci] * q[0]
+            k = 1
+            while k <= 63:
+                rs = read_huff(ac_tab)
+                if rs is None:
+                    return None
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                r, sz = rs >> 4, rs & 0x0F
+                k += r
+                if k > 63 or sz == 0:
+                    return None
+                v = read_bits(sz)
+                if v is None:
+                    return None
+                coef[k] = extend(v, sz) * q[k]
+                k += 1
+            F = np.zeros((8, 8), np.float64)
+            F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
+            spatial = M.T @ F @ M + 128.0
+            block = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+            r0, c0 = 8 * (blk // bx), 8 * (blk % bx)
+            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    planes = [p[:h, :w] for p in planes]
     n = w * h
-    mean = round(total / n, 6)
+    if len(planes) == 1:
+        img = planes[0]
+        mean = round(int(img.sum(dtype=np.int64)) / n, 6)
+        return {
+            "width": w,
+            "height": h,
+            "bpp": 8,
+            "n_pixel_bytes": n,
+            # grayscale: one plane feeds all three channel slots
+            "mean_r": mean,
+            "mean_g": mean,
+            "mean_b": mean,
+            "mean_all": mean,
+            "pixels": img.tobytes(),
+        }
+    # 4:4:4 color: JFIF YCbCr -> RGB on the integer-exact planes.
+    # floor(x + 0.5) (not rint) so a SQL oracle replays the SAME
+    # IEEE expression — no round-half-even vs half-away divergence.
+    Y = planes[0].astype(np.float64)
+    Cb = planes[1].astype(np.float64) - 128.0
+    Cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            np.floor(Y + 1.402 * Cr + 0.5),
+            np.floor(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5),
+            np.floor(Y + 1.772 * Cb + 0.5),
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    sums = [int(s) for s in rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)]
     return {
         "width": w,
         "height": h,
-        "bpp": 8,
-        "n_pixel_bytes": n,
-        # grayscale: one plane feeds all three channel slots
-        "mean_r": mean,
-        "mean_g": mean,
-        "mean_b": mean,
-        "mean_all": mean,
-        "pixels": img.tobytes(),
+        "bpp": 24,
+        "n_pixel_bytes": 3 * n,
+        "mean_r": round(sums[0] / n, 6),
+        "mean_g": round(sums[1] / n, 6),
+        "mean_b": round(sums[2] / n, 6),
+        "mean_all": round(sum(sums) / (3 * n), 6),
+        "pixels": rgb.tobytes(),
     }
 
 
 def jpeg_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic VALID baseline grayscale JPEG payloads from a
-    text fixture: width ``8 * (1 + doc_id % 3)``, height ``8 * (1 +
-    doc_id % 2)`` (1..6 tiles), tile ``k``'s flat gray value = byte
-    ``k`` of md5(text + '#j'), quantization all-8s — the combination
-    that makes every decoded pixel EXACTLY its tile byte, so the
-    oracle recomputes the statistics from the md5 byte stream and
-    never decodes a JPEG while the engine runs the real entropy
-    decode + IDCT. Arrow-batched ``mapInPandas``; map-only."""
+    """Deterministic VALID baseline JPEG payloads from a text fixture:
+    width ``8 * (1 + doc_id % 3)``, height ``8 * (1 + doc_id % 2)``
+    (1..6 tiles). EVEN doc_ids are grayscale (tile ``k``'s flat gray
+    value = byte ``k`` of md5(text + '#j')); ODD doc_ids are 4:4:4
+    COLOR (tile ``k``'s flat (Y, Cb, Cr) = bytes ``3k..3k+2`` of the
+    repeated digest). Quantization all-8s — the combination that makes
+    every decoded component pixel EXACTLY its tile byte, so the oracle
+    recomputes the statistics (including the floor(x+0.5) JFIF
+    YCbCr -> RGB conversion) from the md5 byte stream and never
+    decodes a JPEG while the engine runs the real entropy decode +
+    IDCT. Arrow-batched ``mapInPandas``; map-only."""
     src = docs.select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
     )
@@ -2648,7 +2726,12 @@ def jpeg_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 digest = hashlib.md5(
                     (rec.ptext + "#j").encode("utf-8")
                 ).digest()
-                payload = _jpeg_encode_py(digest[: tx * ty], tx, ty)
+                if doc_id % 2:  # color: YCbCr triplet per tile
+                    payload = _jpeg_encode_py(
+                        (digest * 2)[: 3 * tx * ty], tx, ty
+                    )
+                else:
+                    payload = _jpeg_encode_py(digest[: tx * ty], tx, ty)
                 rows.append(
                     {
                         "doc_id": doc_id,

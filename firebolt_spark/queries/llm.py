@@ -1872,48 +1872,88 @@ Q_MULTIMODAL_GIF_ANIM_SQL = """
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode end-to-end (round 14 — the codec
     boundary narrowed): multimodal.jpeg_encode emits valid baseline
-    grayscale JPEGs — real Huffman entropy coding of the DC difference
-    chain, canonical tables declared in DHT — and
+    JPEGs — grayscale for even doc_ids, 4:4:4 COLOR for odd (three
+    components, interleaved MCUs, per-component DC predictors) — with
+    real Huffman entropy coding and canonical tables declared in DHT;
     extract_features(decode_stub=False) runs the genuine decode:
     marker walk, table loads, Huffman decode, dequantization, zigzag,
-    and the 8x8 type-III DCT per block. The fixture's flat tiles +
-    all-8s quantization make every decoded pixel EXACTLY its md5 tile
-    byte (pinned over all 256 values in tests), so the oracle
-    recomputes the statistics analytically and never decodes a JPEG —
-    a decoder that mispredicts one DC difference, misreads a Huffman
-    code, or mis-scales the IDCT hash-mismatches."""
+    the 8x8 type-III DCT per block, and the JFIF YCbCr -> RGB
+    conversion as floor(x + 0.5). The fixture's flat tiles + all-8s
+    quantization make every decoded component pixel EXACTLY its md5
+    tile byte (pinned over all 256 values in tests), so the oracle
+    recomputes the statistics analytically — replaying the identical
+    IEEE conversion expression — and never decodes a JPEG. A decoder
+    that mispredicts one DC difference, misreads a Huffman code,
+    mis-scales the IDCT, or drifts the color conversion
+    hash-mismatches."""
     media = multimodal.jpeg_encode(_documents(spark, sf_dir))
     feats = multimodal.extract_features(media, decode_stub=False)
     return feats.select(
         "doc_id",
         "width",
         "height",
-        F.element_at("feature", 4).alias("mean_gray"),
+        F.element_at("feature", 1).alias("mean_b"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_all"),
     )
 
 
-Q_MULTIMODAL_JPEG_SQL = """
+def _jpeg_hx(i: str) -> str:
+    """Byte ``i`` (0-based SQL expression) of the hex string dighex."""
+    return (
+        f"(16 * (instr('0123456789abcdef',"
+        f" substr(dighex, CAST(2 * ({i}) + 1 AS INTEGER), 1)) - 1)"
+        f" + (instr('0123456789abcdef',"
+        f" substr(dighex, CAST(2 * ({i}) + 2 AS INTEGER), 1)) - 1))"
+    )
+
+
+Q_MULTIMODAL_JPEG_SQL = f"""
     WITH jd AS (
         SELECT doc_id,
                CAST(1 + doc_id % 3 AS INTEGER) AS tx,
                CAST(1 + doc_id % 2 AS INTEGER) AS ty,
-               md5(coalesce(text, '') || '#j') AS dig
+               doc_id % 2 = 1 AS is_color,
+               repeat(md5(coalesce(text, '') || '#j'), 2) AS dighex
         FROM documents
     ),
     tb AS (
-        SELECT doc_id, tx, ty,
-               (16 * (instr('0123456789abcdef',
-                            substr(dig, CAST(2 * k + 1 AS INTEGER), 1)) - 1)
-                  + (instr('0123456789abcdef',
-                           substr(dig, CAST(2 * k + 2 AS INTEGER), 1)) - 1))
-                   AS v
+        SELECT doc_id, tx, ty, is_color,
+               {_jpeg_hx("CASE WHEN is_color THEN 3 * k ELSE k END")} AS b0,
+               {_jpeg_hx("3 * k + 1")} AS b1,
+               {_jpeg_hx("3 * k + 2")} AS b2
         FROM jd, LATERAL (SELECT unnest(range(tx * ty)) AS k) r
+    ),
+    px AS (
+        -- the conversion constants are written in e-notation so DuckDB
+        -- types them DOUBLE: a bare 0.344136 parses as DECIMAL and the
+        -- whole expression computes EXACTLY, diverging from the
+        -- decoder's IEEE doubles at half-integer boundaries (found by
+        -- the sf10 sweep: one tile in 500k docs hit x = 107.5 exactly
+        -- in decimal but 107.4999... in binary)
+        SELECT doc_id, tx, ty,
+               CASE WHEN is_color THEN GREATEST(0, LEAST(255,
+                   floor(b0 + 1.402e0 * (b2 - 128) + 0.5e0)))
+                   ELSE b0 END AS r,
+               CASE WHEN is_color THEN GREATEST(0, LEAST(255,
+                   floor(b0 - 3.44136e-1 * (b1 - 128)
+                            - 7.14136e-1 * (b2 - 128) + 0.5e0)))
+                   ELSE b0 END AS g,
+               CASE WHEN is_color THEN GREATEST(0, LEAST(255,
+                   floor(b0 + 1.772e0 * (b1 - 128) + 0.5e0)))
+                   ELSE b0 END AS b
+        FROM tb
     )
     SELECT doc_id,
            CAST(8 * tx AS INTEGER) AS width,
            CAST(8 * ty AS INTEGER) AS height,
-           round(sum(v) / CAST(tx * ty AS DOUBLE), 6) AS mean_gray
-    FROM tb
+           round(sum(b) / CAST(tx * ty AS DOUBLE), 6) AS mean_b,
+           round(sum(g) / CAST(tx * ty AS DOUBLE), 6) AS mean_g,
+           round(sum(r) / CAST(tx * ty AS DOUBLE), 6) AS mean_r,
+           round(sum(r + g + b) / CAST(3 * tx * ty AS DOUBLE), 6)
+               AS mean_all
+    FROM px
     GROUP BY doc_id, tx, ty
 """
 

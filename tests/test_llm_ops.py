@@ -5333,10 +5333,20 @@ def test_jpeg_refusals():
 
     # truncated entropy stream
     assert _jpeg_decode_py(good[:-8]) is None
-    # color frame: patch SOF0's Nf to 3
+    # component count the frame header cannot carry (Nf=2, body sized
+    # for 1) and an unsupported 2-component layout both refuse
     sof_at = good.index(b"\xff\xc0")
     bad = bytearray(good)
-    bad[sof_at + 9] = 3
+    bad[sof_at + 9] = 2
+    assert _jpeg_decode_py(bytes(bad)) is None
+    # SUBSAMPLED color refuses: valid 3-component payload, sampling
+    # patched to 2x2 on the first component (the 4:2:0 shape)
+    color = _jpeg_encode_py(bytes(range(50, 56)), 2, 1)
+    assert _jpeg_decode_py(color) is not None
+    csof = color.index(b"\xff\xc0")
+    bad = bytearray(color)
+    assert bad[csof + 11] == 0x11
+    bad[csof + 11] = 0x22
     assert _jpeg_decode_py(bytes(bad)) is None
     # progressive: marker C0 -> C2
     bad = bytearray(good)
@@ -5375,15 +5385,25 @@ def test_jpeg_refusals():
 
 
 def test_transcode_jpeg_to_png_is_channel_faithful(spark):
-    """transcode_media over baseline grayscale JPEG (round 14): the
-    decoded gray plane expands to r = g = b and the emitted PNG's
-    statistics reproduce the JPEG fixture's analytic tile means —
+    """transcode_media over baseline JPEG (round 14): the decoded gray
+    plane expands to r = g = b, the 4:4:4 color plane passes through as
+    RGB, and the emitted PNG's statistics reproduce the JPEG fixture's
+    analytic tile means (incl. the floor(x+0.5) YCbCr conversion) —
     two real codecs certified against each other through one byte
     stream, the JPEG twin of the BMP->PNG oracle."""
     import hashlib
+    import math
 
     from firebolt_spark.catalog import load_table
     from firebolt_spark.operators import multimodal as mm
+
+    def conv(y, cb, cr):
+        r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g = math.floor(
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+        )
+        b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        return tuple(max(0, min(255, v)) for v in (r, g, b))
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
     png = mm.transcode_media(mm.jpeg_encode(docs), to="png")
@@ -5394,10 +5414,54 @@ def test_transcode_jpeg_to_png_is_channel_faithful(spark):
     for r in docs.collect():
         doc_id = int(r["doc_id"])
         tx, ty = 1 + doc_id % 3, 1 + doc_id % 2
-        dig = hashlib.md5(
-            ((r["text"] or "") + "#j").encode()
-        ).digest()[: tx * ty]
-        mean = round(sum(dig) / len(dig), 6)
+        n = tx * ty
+        dig = hashlib.md5(((r["text"] or "") + "#j").encode()).digest()
         f = feats[doc_id]
         assert (f["width"], f["height"]) == (8 * tx, 8 * ty)
-        assert f["feature"][0] == f["feature"][1] == f["feature"][2] == mean
+        if doc_id % 2:  # color
+            trips = [(dig * 2)[3 * k : 3 * k + 3] for k in range(n)]
+            rgb = [conv(*t) for t in trips]
+            exp_b = round(sum(p[2] for p in rgb) / n, 6)
+            exp_g = round(sum(p[1] for p in rgb) / n, 6)
+            exp_r = round(sum(p[0] for p in rgb) / n, 6)
+            assert f["feature"][:3] == [exp_b, exp_g, exp_r]
+        else:  # gray: r = g = b
+            mean = round(sum(dig[:n]) / n, 6)
+            assert f["feature"][0] == f["feature"][1] == f["feature"][2] == mean
+
+
+def test_jpeg_color_444_randomized_exact():
+    """4:4:4 color decode (round 14): randomized flat (Y, Cb, Cr)
+    tiles through the real interleaved-MCU entropy decode (three DC
+    predictor chains) must land on EXACTLY the floor(x+0.5) JFIF
+    conversion of the tile bytes — the integer-exactness the analytic
+    oracle rests on."""
+    import math
+    import random
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _jpeg_decode_py, _jpeg_encode_py,
+    )
+
+    def conv(y, cb, cr):
+        r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g = math.floor(
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+        )
+        b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        return tuple(max(0, min(255, v)) for v in (r, g, b))
+
+    rng = random.Random(3)
+    for trial in range(60):
+        tx, ty = rng.randint(1, 4), rng.randint(1, 3)
+        tiles = bytes(rng.randrange(256) for _ in range(3 * tx * ty))
+        d = _jpeg_decode_py(_jpeg_encode_py(tiles, tx, ty))
+        assert d is not None and d["bpp"] == 24, trial
+        rgb = np.frombuffer(d["pixels"], np.uint8).reshape(8 * ty, 8 * tx, 3)
+        for t in range(tx * ty):
+            r0, c0 = 8 * (t // tx), 8 * (t % tx)
+            tile = rgb[r0 : r0 + 8, c0 : c0 + 8]
+            exp = conv(tiles[3 * t], tiles[3 * t + 1], tiles[3 * t + 2])
+            assert (tile == exp).all(), (trial, t)
