@@ -2361,7 +2361,13 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _jpeg_encode_py(tiles: bytes, tiles_x: int, tiles_y: int, q: int = 8) -> bytes:
+def _jpeg_encode_py(
+    tiles: bytes,
+    tiles_x: int,
+    tiles_y: int,
+    q: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
     """Minimal VALID baseline JPEG from FLAT 8x8 tiles: SOI, DQT
     (uniform ``q``), SOF0, two DHT segments (the custom canonical
     tables above), SOS, real entropy-coded data (DC difference
@@ -2396,6 +2402,8 @@ def _jpeg_encode_py(tiles: bytes, tiles_x: int, tiles_y: int, q: int = 8) -> byt
     out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
@@ -2406,6 +2414,13 @@ def _jpeg_encode_py(tiles: bytes, tiles_x: int, tiles_y: int, q: int = 8) -> byt
     bw = _JpegBitWriter()
     prev_dc = [0] * ncomp
     for t in range(n_tiles):
+        if restart_interval and t and t % restart_interval == 0:
+            # close the segment (byte-align), emit the cycling RST
+            # marker, reset every component's DC predictor
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + ((t // restart_interval - 1) & 7)])
+            bw = _JpegBitWriter()
+            prev_dc = [0] * ncomp
         for ci in range(ncomp):
             v = tiles[ncomp * t + ci]
             dcq = round(8 * (v - 128) / q)
@@ -2461,13 +2476,16 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     carries its own quantization + Huffman table selection and DC
     predictor through the interleaved MCU scan, and the JFIF
     YCbCr -> RGB conversion runs as floor(x + 0.5) so an SQL oracle
-    replays the identical IEEE expression). SUBSAMPLED color
-    (upsampling is convention-divergent across libraries),
-    progressive scans (SOF2), 12-bit precision, and restart markers
-    all return None — refusal, never approximation, like the module's
-    other decoders. Any structural corruption (truncated segment,
-    undefined Huffman code, coefficient index past 63, missing table)
-    also returns None."""
+    replays the identical IEEE expression). Restart intervals are
+    honored (DRI + cycling RST0-7 markers: per-segment byte-aligned
+    bit reading, DC predictors reset — the error-resilience framing
+    real-world encoders emit). SUBSAMPLED color (upsampling is
+    convention-divergent across libraries), progressive scans (SOF2),
+    and 12-bit precision return None — refusal, never approximation,
+    like the module's other decoders. Any structural corruption
+    (truncated segment, undefined Huffman code, coefficient index past
+    63, missing table, out-of-order or DRI-less restart markers, wrong
+    restart cadence) also returns None."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -2478,6 +2496,7 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     w = h = None
     comps = None
     data = None
+    dri = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
@@ -2534,8 +2553,10 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / extended / arithmetic frames
-        elif marker == 0xDD:
-            return None  # restart intervals: out of scope
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) != 2:
+                return None
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS: entropy data follows
             if comps is None:
                 return None  # scan before frame header
@@ -2550,13 +2571,17 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             off = 1 + 2 * ns
             if body[off] != 0 or body[off + 1] != 63 or body[off + 2] != 0:
                 return None  # not a baseline full scan
+            # entropy data runs to EOI; RST0-7 markers are part of the
+            # stream (segment separators), anything else is truncation
             end = pos
             while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
+                if payload[end] == 0xFF and payload[end + 1] != 0x00 and not (
+                    0xD0 <= payload[end + 1] <= 0xD7
+                ):
                     break
                 end += 1
             if payload[end : end + 2] != b"\xff\xd9":
-                return None  # RSTn or truncation
+                return None
             data = payload[pos:end]
             break
         # APPn / COM / others: skipped
@@ -2572,10 +2597,44 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             return None
         plan.append((qt[tq], huff[(0, td)], huff[(1, ta)]))
 
-    # entropy bit reader over the de-stuffed byte stream
-    stream = data.replace(b"\xff\x00", b"\xff")
+    # split the scan into entropy-coded segments at RST0-7 markers:
+    # the sequence numbers must cycle 0..7 in order, each segment
+    # de-stuffs and bit-reads independently, and each restart resets
+    # the DC predictors (T.81 F.2.1.3.1). A restart marker without a
+    # declared DRI — or vice versa — refuses.
+    segs: list[bytes] = []
+    seg_start = 0
+    i = 0
+    next_rst = 0
+    while i + 1 < len(data):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            if dri == 0 or (data[i + 1] - 0xD0) != (next_rst & 7):
+                return None
+            segs.append(data[seg_start:i])
+            seg_start = i + 2
+            next_rst += 1
+            i += 2
+        else:
+            i += 1
+    segs.append(data[seg_start:])
+    total_mcus = ((w + 7) // 8) * ((h + 7) // 8)
+    if dri and len(segs) != (total_mcus + dri - 1) // dri:
+        return None  # wrong restart cadence for the MCU count
+    if not dri and len(segs) != 1:
+        return None
+
+    # entropy bit reader over the current segment's de-stuffed bytes
+    stream = b""
     bitpos = 0
-    nbits_total = 8 * len(stream)
+    nbits_total = 0
+
+    def use_segment(si):
+        nonlocal stream, bitpos, nbits_total
+        stream = segs[si].replace(b"\xff\x00", b"\xff")
+        bitpos = 0
+        nbits_total = 8 * len(stream)
+
+    use_segment(0)
 
     def read_bit():
         nonlocal bitpos
@@ -2615,6 +2674,10 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     planes = [np.empty((by * 8, bx * 8), np.uint8) for _ in plan]
     prev_dc = [0] * len(plan)
     for blk in range(bx * by):
+        if dri and blk and blk % dri == 0:
+            # restart: next segment, byte-aligned, DC predictors reset
+            use_segment(blk // dri)
+            prev_dc = [0] * len(plan)
         # interleaved MCU: one 8x8 block per component, scan order
         for ci, (q, dc_tab, ac_tab) in enumerate(plan):
             coef = np.zeros(64, np.float64)

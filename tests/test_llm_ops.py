@@ -5352,11 +5352,16 @@ def test_jpeg_refusals():
     bad = bytearray(good)
     bad[sof_at + 1] = 0xC2
     assert _jpeg_decode_py(bytes(bad)) is None
-    # restart interval declared
+    # restart intervals are SUPPORTED (r14) — but the cadence must
+    # match the MCU count: DRI=1 over 2 MCUs with no RST emitted
+    # refuses, and DRI=4 over 2 MCUs (no restart due) decodes fine
     head, tail = good[:sof_at], good[sof_at:]
     assert _jpeg_decode_py(
-        head + _jpeg_seg(0xDD, st.pack(">H", 4)) + tail
+        head + _jpeg_seg(0xDD, st.pack(">H", 1)) + tail
     ) is None
+    assert _jpeg_decode_py(
+        head + _jpeg_seg(0xDD, st.pack(">H", 4)) + tail
+    ) is not None
     # 16-bit quantization table (Pq=1)
     dqt_at = good.index(b"\xff\xdb")
     bad = bytearray(good)
@@ -5465,3 +5470,43 @@ def test_jpeg_color_444_randomized_exact():
             tile = rgb[r0 : r0 + 8, c0 : c0 + 8]
             exp = conv(tiles[3 * t], tiles[3 * t + 1], tiles[3 * t + 2])
             assert (tile == exp).all(), (trial, t)
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RST0-7 support (round 14): a restarted stream decodes
+    bit-identically to its non-restarted twin across sizes, component
+    counts, and intervals (per-segment byte alignment + DC predictor
+    resets), the RST sequence numbers must cycle in order, a marker
+    without a declared DRI refuses, and so does a dropped marker."""
+    import random
+
+    from firebolt_spark.operators.multimodal import (
+        _jpeg_decode_py, _jpeg_encode_py,
+    )
+
+    rng = random.Random(9)
+    for trial in range(25):
+        tx, ty = rng.randint(1, 5), rng.randint(1, 4)
+        ncomp = rng.choice([1, 3])
+        tiles = bytes(rng.randrange(256) for _ in range(ncomp * tx * ty))
+        dri = rng.choice([1, 2, 3, 5, 9])
+        plain = _jpeg_decode_py(_jpeg_encode_py(tiles, tx, ty))
+        rst = _jpeg_decode_py(
+            _jpeg_encode_py(tiles, tx, ty, restart_interval=dri)
+        )
+        assert rst is not None and rst["pixels"] == plain["pixels"], (
+            trial, tx, ty, ncomp, dri,
+        )
+
+    wr = _jpeg_encode_py(bytes(range(40, 52)), 4, 3, restart_interval=2)
+    assert _jpeg_decode_py(wr) is not None
+    # marker without DRI
+    dri_at = wr.index(b"\xff\xdd")
+    assert _jpeg_decode_py(wr[:dri_at] + wr[dri_at + 6 :]) is None
+    # out-of-order sequence number
+    bad = bytearray(wr)
+    bad[bad.index(b"\xff\xd0") + 1] = 0xD3
+    assert _jpeg_decode_py(bytes(bad)) is None
+    # dropped restart marker: wrong cadence
+    r0 = wr.index(b"\xff\xd0")
+    assert _jpeg_decode_py(wr[:r0] + wr[r0 + 2 :]) is None
