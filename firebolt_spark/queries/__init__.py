@@ -47,6 +47,24 @@ baseline grayscale JPEG decode; landed after the first 49 were set,
 taking the slot q_s6_compaction was pre-rotated into — the r12 rows
 rotate in r15 as planned).
 Names absent from this list keep their module order after it.
+
+R15 ROTATION PREP (write-ahead, the way r13 prepped r14): after this
+round's driver check, the FORTY-ONE queries whose latest row is r12 —
+two rounds stale at r15 — are q_c4_line_filter, q_c4_pipeline,
+q_corpus_curation, q_decontaminate, q_dedup_clusters,
+q_dedup_embedding, q_dedup_exact, q_dedup_incremental, q_dedup_minhash,
+q_dedup_simhash, q_dedup_simhash_pairs, q_dedup_spans,
+q_dedup_spans_overlap, q_embedding_quantize, q_frequent_items,
+q_grouped_collect, q_hash_split, q_k2_index_request, q_lm_quality,
+q_multimodal_frame_sample, q_multimodal_png, q_p7_docid, q_pii_redact,
+q_profile_events, q_s6_compaction, q_session_window, q_shard_packing,
+q_similarity_ann_lsh, q_skew_salted_join, q_temperature_mix,
+q_text_chunks, q_text_fingerprint, q_text_langid, q_text_normalize,
+q_text_repetition, q_text_stats, q_text_token_counts, q_topic_clusters,
+q_tpch18_large_orders, q_tpch1_pricing_summary, q_winnow_fingerprints.
+They MUST lead _PRIORITY slots 1-41 in r15, leaving 9 slots for r15's
+new/changed queries (the budget rule above). The 38 r13-latest rows
+rotate in r16.
 """
 
 from __future__ import annotations
