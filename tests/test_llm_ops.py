@@ -5510,3 +5510,59 @@ def test_jpeg_restart_intervals():
     # dropped restart marker: wrong cadence
     r0 = wr.index(b"\xff\xd0")
     assert _jpeg_decode_py(wr[:r0] + wr[r0 + 2 :]) is None
+
+
+def test_jpeg_decodes_foreign_huffman_tables():
+    """The decoder loads ANY valid canonical tables from DHT — not
+    just the ones our encoder declares. Rebuild a payload with a
+    DIFFERENT (Annex-K-style skewed) DC table layout plus a reshuffled
+    AC table, re-encode the entropy stream against them by hand, and
+    the decode must land on the same pixels."""
+    import struct as st
+
+    from firebolt_spark.operators.multimodal import (
+        _JpegBitWriter, _jpeg_decode_py, _jpeg_huffman_codes, _jpeg_seg,
+    )
+
+    # skewed DC table: the standard luminance layout (cat 0 rare-coded)
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # AC table with EOB buried deeper and extra symbols around it
+    ac_bits = [0, 0, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x01, 0x11, 0x00, 0xF0, 0x02, 0x21]  # EOB is 3rd
+
+    dc_codes = {v: c for v, c in zip(dc_vals, _jpeg_huffman_codes(dc_bits))}
+    ac_codes = {v: c for v, c in zip(ac_vals, _jpeg_huffman_codes(ac_bits))}
+
+    tiles = [13, 200, 77, 128]  # 4 MCUs, 2x2 grayscale
+    bw = _JpegBitWriter()
+    prev = 0
+    for v in tiles:
+        dcq = v - 128  # q = 8
+        diff = dcq - prev
+        prev = dcq
+        s = abs(diff).bit_length()
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        ln, code = ac_codes[0x00]
+        bw.put(code, ln)
+    payload = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _jpeg_seg(0xC0, st.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    import numpy as np
+
+    d = _jpeg_decode_py(payload)
+    assert d is not None and (d["width"], d["height"]) == (16, 16)
+    img = np.frombuffer(d["pixels"], np.uint8).reshape(16, 16)
+    for t, v in enumerate(tiles):
+        r0, c0 = 8 * (t // 2), 8 * (t % 2)
+        assert (img[r0 : r0 + 8, c0 : c0 + 8] == v).all(), t
