@@ -529,7 +529,6 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
         "gif": multimodal._gif_decode_py,
         "wav": multimodal._wav_decode_py,
     }
-    approx = {"bmp": 49_206, "png": 49_400, "gif": 42_000, "wav": 48_044}
     for fmt in ("bmp", "png", "gif", "wav"):
         # raw single-core codec rate, no Spark plumbing: the number a
         # 1000-core cluster multiplies. The Spark-path wall below adds
@@ -544,7 +543,10 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
                 decoders[fmt](sample)
             raw_walls.append(time.perf_counter() - t0)
         raw_rate = reps * len(sample) / min(raw_walls) / 2**20
-        n_payloads = max(cores, budget // approx[fmt])
+        # size payload count from the REAL sample size so the byte
+        # budget holds per format (a hardcoded estimate drifted 21%
+        # for GIF — caught by review r14)
+        n_payloads = max(cores, budget // len(sample))
 
         def gen(batches, fmt=fmt):
             import pandas as pd

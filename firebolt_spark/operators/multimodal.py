@@ -489,18 +489,21 @@ def _wav_decode_py(payload: bytes) -> dict | None:
 
     if bits == 16:
         arr = np.frombuffer(payload, "<i2", count=n, offset=44)
-        samples = struct.unpack_from(f"<{n}h", payload, 44)
     else:  # unsigned 8-bit PCM: midpoint-128 signed, like the SQL path
         arr = (
             np.frombuffer(payload, np.uint8, count=dsz, offset=44)
             .astype(np.int16) - 128
         )
-        samples = tuple(arr.tolist())
     # exact int64 sums (|v| <= 32768, v^2 <= 2^30; even 2^32 samples
-    # stay far under 2^63) — bit-identical to the former Python sums
+    # stay far under 2^63) — bit-identical to the former Python sums.
+    # 'samples' stays the numpy int16 array: materializing n Python
+    # ints per payload was the remaining per-byte cost in the decode
+    # hot path (review r14), and the only consumer (_wav_resample_py)
+    # indexes it vectorized.
     a64 = arr.astype(np.int64)
     s = int(a64.sum())
     q = int((a64 * a64).sum())
+    samples = arr
     import math
 
     # math.sqrt is the IEEE correctly-rounded square root — identical
@@ -551,14 +554,16 @@ def _wav_resample_py(payload: bytes, target_rate: int) -> bytes | None:
     parsed = _wav_decode_py(payload)
     if parsed is None:
         return None
+    import numpy as np
+
     nch = parsed["n_channels"]
     n_in = parsed["n_samples"]
-    src = parsed["samples"]
+    src = np.asarray(parsed["samples"], dtype=np.int16)
     n_out = max(1, (n_in * target_rate) // parsed["sample_rate"])
-    out = []
-    for j in range(n_out):
-        base = ((j * n_in) // n_out) * nch
-        out.extend(src[base : base + nch])
+    # vectorized frame selection: output frame j copies input frame
+    # (j * n_in) // n_out whole (all channels)
+    idx = (np.arange(n_out, dtype=np.int64) * n_in) // n_out
+    out = src.reshape(n_in, nch)[idx].reshape(-1)
     return _wav_encode_py(out, nch, target_rate, bits=parsed["bits"])
 
 
@@ -1277,13 +1282,14 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
 
     ``frame_stride`` keeps frames 0, n, 2n, ... at PARSE time.
     ``n_frames`` always counts every frame; ``frame_idxs`` records
-    which ones the returned planes/means belong to. In the independent
-    shape dropped frames are never LZW-decompressed (their data
-    sub-blocks are walked/buffered only); in the composite shape a
-    dropped frame still has to be decoded IF its pixels persist into a
-    later kept frame (disposal 0/1) — disposal 2/3 dropped frames and
-    everything after the last kept frame are skipped without
-    decompression."""
+    which ones the returned planes/means belong to. The parse pass
+    records sub-block (offset, length) ranges only — no frame's bytes
+    are copied unless its LZW decompress actually runs. In the
+    independent shape dropped frames are never decompressed; in the
+    composite shape a dropped frame still has to be decoded IF its
+    pixels persist into a later kept frame (disposal 0/1) — disposal
+    2/3 dropped frames and everything after the last kept frame are
+    skipped entirely."""
     if frame_stride < 1:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1355,12 +1361,11 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None
         mcs = payload[pos]
         pos += 1
-        frame_no = len(recs)
-        kept = frame_no % frame_stride == 0
-        # a dropped frame's bytes only ever matter when its pixels can
-        # persist into a later kept canvas (composite, disposal 0/1)
-        collect = kept or disposal in (0, 1)
-        data = bytearray()
+        # record (offset, length) ranges only — zero byte copying at
+        # parse time; a frame's sub-blocks are joined lazily iff its
+        # LZW decompress is actually needed (review r14: the old
+        # eager copy bought nothing for frames the stride never reads)
+        ranges: list[tuple[int, int]] = []
         while True:
             if pos >= len(payload):
                 return None
@@ -1370,14 +1375,13 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
                 break
             if pos + ln > len(payload):
                 return None
-            if collect:  # else: walk block lengths only
-                data += payload[pos : pos + ln]
+            ranges.append((pos, ln))
             pos += ln
         recs.append(
             {
                 "left": left, "top": top, "fw": fw, "fh": fh,
                 "interlace": bool(fpacked & 0x40), "pal": bytes(pal),
-                "mcs": mcs, "data": bytes(data), "disposal": disposal,
+                "mcs": mcs, "ranges": ranges, "disposal": disposal,
                 "trans": trans,
             }
         )
@@ -1391,7 +1395,8 @@ def _gif_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
     keep_idxs = list(range(0, n_frames, frame_stride))
 
     def decode_idx(r: dict) -> bytes | None:
-        idx = _lzw_decode(r["data"], r["mcs"], r["fw"] * r["fh"])
+        data = b"".join(payload[a : a + ln] for a, ln in r["ranges"])
+        idx = _lzw_decode(data, r["mcs"], r["fw"] * r["fh"])
         if idx is None or len(idx) != r["fw"] * r["fh"]:
             return None
         if r["interlace"]:  # interlaced: rows arrive in pass order
@@ -1777,9 +1782,11 @@ def extract_features(
     the parsed header; n_frames is the REAL frame count for GIF and
     = height (one frame per pixel row, the fixture convention) for the
     single-frame formats; feature = the four channel/total byte means
-    in the shared [b, g, r, all] slot order. Other formats
-    (JPEG/video containers) raise ValueError — they need PIL/ffmpeg,
-    absent in this container.
+    in the shared [b, g, r, all] slot order. Baseline JPEG (grayscale
+    or 4:4:4 color, restart intervals honored) decodes via
+    ``_jpeg_decode_py`` (round 14). Remaining formats — SUBSAMPLED or
+    progressive JPEG, video containers — raise ValueError: they need
+    PIL/ffmpeg, absent in this container.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1840,9 +1847,10 @@ def extract_features(
                             "unsupported media format (only BMP, 8-bit "
                             "truecolor/grayscale/palette PNG — plain or "
                             "Adam7 — multi-frame GIF, baseline grayscale "
-                            "JPEG, and 8/16-bit PCM WAV decode "
-                            "dependency-free; color/progressive JPEG and "
-                            "video containers need PIL/ffmpeg)"
+                            "or 4:4:4-color JPEG, and 8/16-bit PCM WAV "
+                            "decode dependency-free; SUBSAMPLED or "
+                            "progressive JPEG and video containers need "
+                            "PIL/ffmpeg)"
                         )
                     decoded = {
                         "width": parsed["width"],

@@ -454,10 +454,14 @@ def test_warehouse_audit_classifies_tables(spark, wh_table):
 
     me = os.getpid()
     my_st = warehouse_audit._proc_starttime(me)
-    live = f"fb_q_audlive_{me}_{my_st}"
+    # REAL engine scratch names carry underscores in the kind tag
+    # (fb_q_minhash_idx_*, fb_q_shingle_idx_*_sig) — the regex must
+    # parse those, not just artificial single-word tags
+    live = f"fb_q_minhash_idx_{me}_{my_st}"
     spark.sql(f"CREATE TABLE {live} AS SELECT 4 AS h")
-    # a dead incarnation: this pid, but a starttime that can never match
-    orphan = f"fb_q_auddead_{me}_1"
+    # a dead incarnation: this pid, but a starttime that can never
+    # match, on a _sig companion name
+    orphan = f"fb_q_shingle_idx_{me}_1_sig"
     spark.sql(f"CREATE TABLE {orphan} AS SELECT 5 AS h")
     try:
         rows = {r["table"]: r for r in warehouse_audit.audit(spark)}

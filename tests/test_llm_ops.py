@@ -2468,7 +2468,9 @@ def test_wav_resample_reference_and_identity(spark, sf_dir):
     ident = multimodal.resample_audio(
         one, sdec["sample_rate"], decode_stub=False
     ).first()
-    assert _wav_decode_py(bytes(ident["media"]))["samples"] == sdec["samples"]
+    assert list(_wav_decode_py(bytes(ident["media"]))["samples"]) == list(
+        sdec["samples"]
+    )
 
     # builtin decoder parses the resampled output too
     dec = multimodal.wav_decode(out)

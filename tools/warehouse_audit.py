@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_SCRATCH = re.compile(r"^fb_q_([a-z0-9]+?)_(\d+)(?:_(\d+))?(_sig|_bands)?$")
+# the tag itself may contain underscores (fb_q_minhash_idx_<pid>_<st>,
+# fb_q_shingle_idx_<pid>_<st>_sig, ...) — a non-greedy [a-z0-9_] class
+# with the numeric (pid, starttime) anchors still parses unambiguously
+_SCRATCH = re.compile(r"^fb_q_([a-z0-9_]+?)_(\d+)(?:_(\d+))?(_sig|_bands)?$")
 
 
 def _proc_starttime(pid: int) -> int | None:
