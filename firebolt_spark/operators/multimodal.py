@@ -1711,10 +1711,13 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
                 # rather than dying with an opaque KeyError/TypeError
                 # inside the Arrow batch (the operator's contract is an
                 # explicit ValueError or a decoded row, never a crash).
+                # Guard by TYPE, not truthiness: pandas can surface a
+                # null struct as float NaN, which is truthy and has no
+                # .get (round-15 ADVICE).
                 meta = rec.media_meta
-                sha = (meta or {}).get("sha") or hashlib.sha256(
-                    payload
-                ).hexdigest()
+                sha = (
+                    meta.get("sha") if isinstance(meta, dict) else None
+                ) or hashlib.sha256(payload).hexdigest()
                 parsed = _gif_decode_py(payload, frame_stride=every_nth)
                 if parsed is None:
                     raise ValueError(
@@ -2508,7 +2511,16 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes; real-world encoders emit them for alignment.
+        # Skip the run so fill padding is decoded, not refused
+        # (round-15 ADVICE).
+        while payload[pos + 1] == 0xFF and pos + 5 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01:  # TEM: standalone, no length segment
+            pos += 2
+            continue
         if marker == 0xD9:  # EOI before SOS
             return None
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]

@@ -1804,9 +1804,14 @@ def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the background color, so each composited frame's
     statistics are analytic — rect bytes contribute pal[idx] when
     opaque and pal[bg] when transparent (index 7), and the pixels
-    outside the rect all contribute pal[bg]. A compositor that
-    mis-places the rect, paints transparent pixels, skips the
-    disposal, or misreads the background index hash-mismatches."""
+    outside the rect all contribute pal[bg]. A compositor that paints
+    transparent pixels, skips the disposal, or misreads the background
+    index hash-mismatches; rect PLACEMENT is placement-invariant to
+    these per-frame means (the rect contributes the same sum wherever
+    it lands on an all-background canvas), so placement is certified
+    by tests/test_llm_ops.py::
+    test_gif_composite_randomized_reference_parity's brute-force
+    reference compositor, not by this oracle."""
     media = multimodal.gif_anim_encode(_documents(spark, sf_dir))
     return multimodal.gif_frames(media).select(
         "doc_id", "frame_idx", "width", "height",
