@@ -54,7 +54,7 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -1686,7 +1686,11 @@ _GIF_FRAME_SCHEMA = (
 )
 
 
-def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
+def gif_frames(
+    media_df: DataFrame,
+    every_nth: int = 1,
+    decoder_backend: Callable[[bytes, int], dict | None] | None = None,
+) -> DataFrame:
     """REAL frame extraction over the multi-frame GIF codec: one row
     per (kept) frame with its own channel statistics — the
     frame-sample operation the brief lists, now over genuinely decoded
@@ -1697,7 +1701,16 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
     boundary (``_gif_decode_py``'s ``frame_stride``); only their block
     lengths are walked. Arrow-batched ``mapInPandas``; map-only, no
     shuffle — parallelism is the partition layout of the media frame
-    (see :func:`balance_media_bytes`)."""
+    (see :func:`balance_media_bytes`).
+
+    ``decoder_backend`` (round 15 — the codec swap seam made real):
+    an optional ``(payload, frame_stride) -> dict | None`` callable
+    replacing the stdlib GIF decode inside the same seam (a real
+    cluster passes an ffmpeg/PIL-backed frame extractor here). It
+    must return the stdlib decoder's dict shape: width/height/
+    frame_idxs/frame_means (means as (r, g, b) triples); None =
+    unsupported -> ValueError. Schema, batching, and refusal
+    semantics are unchanged."""
     if every_nth < 1:
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
 
@@ -1718,7 +1731,10 @@ def gif_frames(media_df: DataFrame, every_nth: int = 1) -> DataFrame:
                 sha = (
                     meta.get("sha") if isinstance(meta, dict) else None
                 ) or hashlib.sha256(payload).hexdigest()
-                parsed = _gif_decode_py(payload, frame_stride=every_nth)
+                if decoder_backend is not None:
+                    parsed = decoder_backend(payload, every_nth)
+                else:
+                    parsed = _gif_decode_py(payload, frame_stride=every_nth)
                 if parsed is None:
                     raise ValueError(
                         "unsupported media format (gif_frames needs a "
@@ -1773,7 +1789,10 @@ def _stub_decode(payload: bytes) -> dict:
 
 
 def extract_features(
-    media_df: DataFrame, decode_stub: bool = True, batch_hint: int | None = None
+    media_df: DataFrame,
+    decode_stub: bool = True,
+    batch_hint: int | None = None,
+    decoder_backend: Callable[[bytes], dict | None] | None = None,
 ) -> DataFrame:
     """Decode + featurize media via Arrow-batched mapInPandas.
 
@@ -1785,11 +1804,21 @@ def extract_features(
     the parsed header; n_frames is the REAL frame count for GIF and
     = height (one frame per pixel row, the fixture convention) for the
     single-frame formats; feature = the four channel/total byte means
-    in the shared [b, g, r, all] slot order. Baseline JPEG (grayscale
-    or 4:4:4 color, restart intervals honored) decodes via
-    ``_jpeg_decode_py`` (round 14). Remaining formats — SUBSAMPLED or
+    in the shared [b, g, r, all] slot order. Baseline JPEG (grayscale,
+    4:4:4, 4:2:0, or 4:2:2 color — round 15; restart intervals
+    honored) decodes via ``_jpeg_decode_py``. Remaining formats —
     progressive JPEG, video containers — raise ValueError: they need
     PIL/ffmpeg, absent in this container.
+
+    ``decoder_backend`` (round 15 — the codec swap seam made real):
+    an optional ``payload -> dict | None`` callable that REPLACES the
+    stdlib image-codec dispatch inside the same Arrow-batched
+    ``mapInPandas`` seam. A real cluster passes a PIL/ffmpeg-backed
+    callable here; everything around it — schema, batching,
+    partitioning, the WAV dispatch, refusal semantics (return None =
+    unsupported -> ValueError) — is unchanged. The callable must
+    return the stdlib decoders' dict shape: width/height/mean_r/
+    mean_g/mean_b/mean_all and optionally n_frames.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1837,7 +1866,9 @@ def extract_features(
                             }
                         )
                         continue
-                    if payload[:8] == _PNG_SIG:
+                    if decoder_backend is not None:
+                        parsed = decoder_backend(payload)
+                    elif payload[:8] == _PNG_SIG:
                         parsed = _png_decode_py(payload)
                     elif payload[:6] in (b"GIF87a", b"GIF89a"):
                         parsed = _gif_decode_py(payload)
@@ -1849,11 +1880,11 @@ def extract_features(
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
                             "truecolor/grayscale/palette PNG — plain or "
-                            "Adam7 — multi-frame GIF, baseline grayscale "
-                            "or 4:4:4-color JPEG, and 8/16-bit PCM WAV "
-                            "decode dependency-free; SUBSAMPLED or "
+                            "Adam7 — multi-frame GIF, baseline "
+                            "grayscale/4:4:4/4:2:0/4:2:2 JPEG, and "
+                            "8/16-bit PCM WAV decode dependency-free; "
                             "progressive JPEG and video containers need "
-                            "PIL/ffmpeg)"
+                            "PIL/ffmpeg via decoder_backend)"
                         )
                     decoded = {
                         "width": parsed["width"],
@@ -2152,7 +2183,7 @@ def _decode_rgb_py(payload: bytes) -> tuple[int, int, bytes] | None:
         j = _jpeg_decode_py(payload)
         if j is None:
             return None
-        if j["bpp"] == 24:  # 4:4:4 color arrives as RGB already
+        if j["bpp"] == 24:  # color (4:4:4/4:2:0/4:2:2) arrives as RGB
             return j["width"], j["height"], j["pixels"]
         # grayscale: r = g = b = the decoded plane
         return j["width"], j["height"], np.repeat(
@@ -2283,17 +2314,21 @@ def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Baseline grayscale JPEG (round 14): the codec boundary narrowed.
+# Baseline JPEG (round 14: grayscale + 4:4:4; round 15: 4:2:0/4:2:2 —
+# the codec boundary narrowed twice).
 #
 # A full baseline JPEG pipeline IS stdlib-implementable: marker parse,
 # DQT/DHT table load, canonical Huffman entropy decode (DC difference
-# categories + AC run/size with ZRL and EOB), dequantization, zigzag,
-# and the 8x8 type-III DCT — float math, numpy matmul. What is NOT
-# reasonably stdlib-implementable stays documented in README: COLOR
-# JPEG's subsampled-chroma upsampling conventions and progressive
-# scans are where decoder behavior diverges across libraries, so this
-# decoder refuses anything but baseline sequential single-component
-# (grayscale) — refusal, never approximation, like every codec here.
+# categories + AC run/size with ZRL and EOB), MCU interleaving at
+# arbitrary {1,2} sampling factors, dequantization, zigzag, the 8x8
+# type-III DCT (float math, numpy matmul), and sample-replication
+# chroma upsampling. What is NOT reasonably stdlib-implementable stays
+# documented in README: progressive scans (SOF2) and video demuxing.
+# Replication upsampling is itself a convention — libjpeg's triangular
+# "fancy" upsample differs on non-flat chroma — so the oracle fixtures
+# keep chroma flat per block, where every correct convention agrees;
+# non-flat chroma placement is certified by a literal-definition
+# reference in pytest, not by the SQL oracle.
 #
 # The fixture keeps the oracle analytic: flat 8x8 tiles with the
 # all-8s quantization table make every decoded pixel EXACTLY its tile
@@ -2378,38 +2413,64 @@ def _jpeg_encode_py(
     tiles_y: int,
     q: int = 8,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Minimal VALID baseline JPEG from FLAT 8x8 tiles: SOI, DQT
-    (uniform ``q``), SOF0, two DHT segments (the custom canonical
-    tables above), SOS, real entropy-coded data (DC difference
-    categories + magnitude bits, EOB per block), EOI.
+    """Minimal VALID baseline JPEG from FLAT tiles: SOI, DQT (uniform
+    ``q``), SOF0, two DHT segments (the custom canonical tables
+    above), SOS, real entropy-coded data (DC difference categories +
+    magnitude bits, EOB per block), EOI.
 
-    ``tiles`` of length ``tiles_x * tiles_y`` encodes GRAYSCALE (one
-    gray byte per tile); length ``3 * tiles_x * tiles_y`` encodes
-    4:4:4 COLOR ((Y, Cb, Cr) triplet per tile, interleaved MCUs with
-    per-component DC predictors). Each tile's DC quantizes to
-    round(8*(v-128)/q) — exactly v-128 at the default q=8, which is
-    what keeps the fixture's oracle analytic. Flat tiles only: a
+    ``subsampling='444'`` (default): tiles are 8x8 MCUs. ``tiles`` of
+    length ``tiles_x * tiles_y`` encodes GRAYSCALE (one gray byte per
+    tile); length ``3 * tiles_x * tiles_y`` encodes 4:4:4 COLOR
+    ((Y, Cb, Cr) triplet per tile, interleaved MCUs with
+    per-component DC predictors).
+
+    ``subsampling='420'`` (round 15): tiles are 16x16 MCUs — Y at
+    2x2 sampling, Cb/Cr at 1x1. ``tiles`` carries SIX bytes per MCU:
+    four flat 8x8 luma quadrant values in raster order (Y00 Y01 Y10
+    Y11), then Cb, then Cr for the whole MCU. Flat chroma per MCU is
+    what keeps the fixture analytic under the decoder's
+    sample-replication upsampling (ANY correct upsampler is exact on
+    a flat plane).
+
+    Each block's DC quantizes to round(8*(v-128)/q) — exactly v-128
+    at the default q=8, which is what keeps the fixture's oracle
+    analytic. ``restart_interval`` counts MCUs. Flat tiles only: a
     general encoder needs the forward DCT + AC run-length coding,
     which nothing here consumes."""
     n_tiles = tiles_x * tiles_y
-    if len(tiles) == n_tiles:
-        ncomp = 1
-    elif len(tiles) == 3 * n_tiles:
+    if subsampling == "420":
+        if len(tiles) != 6 * n_tiles:
+            raise ValueError(
+                f"4:2:0 needs 6 bytes per MCU tile "
+                f"({6 * n_tiles}), got {len(tiles)}"
+            )
         ncomp = 3
+        # (component, blocks-per-MCU, SOF sampling byte)
+        mcu_blocks = [(0, 4, 0x22), (1, 1, 0x11), (2, 1, 0x11)]
+        w, h = 16 * tiles_x, 16 * tiles_y
+    elif subsampling == "444":
+        if len(tiles) == n_tiles:
+            ncomp = 1
+        elif len(tiles) == 3 * n_tiles:
+            ncomp = 3
+        else:
+            raise ValueError(
+                f"need {n_tiles} (gray) or {3 * n_tiles} (YCbCr) tile "
+                f"bytes, got {len(tiles)}"
+            )
+        mcu_blocks = [(ci, 1, 0x11) for ci in range(ncomp)]
+        w, h = 8 * tiles_x, 8 * tiles_y
     else:
-        raise ValueError(
-            f"need {n_tiles} (gray) or {3 * n_tiles} (YCbCr) tile bytes, "
-            f"got {len(tiles)}"
-        )
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     if not 1 <= q <= 255:
         raise ValueError(f"q must be 1..255, got {q}")
-    w, h = 8 * tiles_x, 8 * tiles_y
     out = bytearray(b"\xff\xd8")  # SOI
     out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))  # DQT Pq=0 Tq=0
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # H=V=1, quant table 0
+    for ci, _, samp in mcu_blocks:
+        sof += bytes([ci + 1, samp, 0])  # quant table 0
     out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
@@ -2422,6 +2483,7 @@ def _jpeg_encode_py(
     dc_codes = _jpeg_huffman_codes(_JPEG_DC_BITS)  # symbol i = category i
     ac_codes = _jpeg_huffman_codes(_JPEG_AC_BITS)
     eob_ln, eob_code = ac_codes[_JPEG_AC_VALS.index(0x00)]
+    bytes_per_tile = sum(nb for _, nb, _ in mcu_blocks)
     bw = _JpegBitWriter()
     prev_dc = [0] * ncomp
     for t in range(n_tiles):
@@ -2432,17 +2494,20 @@ def _jpeg_encode_py(
             out += bytes([0xFF, 0xD0 + ((t // restart_interval - 1) & 7)])
             bw = _JpegBitWriter()
             prev_dc = [0] * ncomp
-        for ci in range(ncomp):
-            v = tiles[ncomp * t + ci]
-            dcq = round(8 * (v - 128) / q)
-            diff = dcq - prev_dc[ci]
-            prev_dc[ci] = dcq
-            s = abs(diff).bit_length()
-            ln, code = dc_codes[s]
-            bw.put(code, ln)
-            if s:
-                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            bw.put(eob_code, eob_ln)  # all 63 ACs zero
+        boff = 0
+        for ci, nblocks, _ in mcu_blocks:
+            for _ in range(nblocks):
+                v = tiles[bytes_per_tile * t + boff]
+                boff += 1
+                dcq = round(8 * (v - 128) / q)
+                diff = dcq - prev_dc[ci]
+                prev_dc[ci] = dcq
+                s = abs(diff).bit_length()
+                ln, code = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                bw.put(eob_code, eob_ln)  # all 63 ACs zero
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -2481,22 +2546,28 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     zigzag ordering, and the type-III DCT via one numpy matmul per
     block, level shift, clamp, edge crop.
 
-    Scope: baseline sequential (SOF0), 8-bit, grayscale OR 4:4:4
-    color (three components all at 1x1 sampling — no chroma
-    upsampling, so no library-convention divergence; each component
-    carries its own quantization + Huffman table selection and DC
-    predictor through the interleaved MCU scan, and the JFIF
+    Scope: baseline sequential (SOF0), 8-bit, grayscale OR color with
+    per-component sampling factors in {1, 2} per axis — 4:4:4 (all
+    1x1), 4:2:0 (Y 2x2, chroma 1x1 — the dominant real-world shape,
+    round 15), and 4:2:2 (Y 2x1). Interleaved MCUs carry Hi x Vi
+    blocks per component in raster order (T.81 A.2.3); each component
+    keeps its own quantization + Huffman table selection and DC
+    predictor across ALL its blocks in the scan. Subsampled chroma
+    upsamples by SAMPLE REPLICATION (each chroma sample covers its
+    Hmax/Hi x Vmax/Vi pixel block — the box/nearest convention;
+    smooth-upsampling decoders diverge only on non-flat chroma, which
+    is why the oracle fixtures keep chroma flat per block). The JFIF
     YCbCr -> RGB conversion runs as floor(x + 0.5) so an SQL oracle
-    replays the identical IEEE expression). Restart intervals are
+    replays the identical IEEE expression. Restart intervals are
     honored (DRI + cycling RST0-7 markers: per-segment byte-aligned
     bit reading, DC predictors reset — the error-resilience framing
-    real-world encoders emit). SUBSAMPLED color (upsampling is
-    convention-divergent across libraries), progressive scans (SOF2),
-    and 12-bit precision return None — refusal, never approximation,
-    like the module's other decoders. Any structural corruption
-    (truncated segment, undefined Huffman code, coefficient index past
-    63, missing table, out-of-order or DRI-less restart markers, wrong
-    restart cadence) also returns None."""
+    real-world encoders emit; DRI counts MCUs). Sampling factors of
+    3/4, progressive scans (SOF2), and 12-bit precision return None —
+    refusal, never approximation, like the module's other decoders.
+    Any structural corruption (truncated segment, undefined Huffman
+    code, coefficient index past 63, missing table, out-of-order or
+    DRI-less restart markers, wrong restart cadence) also returns
+    None."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -2557,9 +2628,16 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                 return None
             h, w = struct.unpack_from(">HH", body, 1)
             nf = body[5]
-            # 1 component (grayscale) or 3 components ALL at 1x1
-            # sampling (4:4:4 color — no chroma upsampling, so no
-            # library-convention divergence); anything else refuses
+            # 1 component (grayscale) or 3 components with sampling
+            # factors in {1, 2} per axis: 4:4:4 (all 1x1), 4:2:0
+            # (Y 2x2, chroma 1x1), 4:2:2 (Y 2x1) — the shapes
+            # real-world encoders emit (round 15). Subsampled chroma
+            # upsamples by SAMPLE REPLICATION (each chroma sample
+            # covers its Hmax/Hi x Vmax/Vi pixel block — the
+            # box/nearest convention, exact for the flat fixtures);
+            # smooth-upsampling decoders differ on non-flat content,
+            # which is why the oracle fixtures stay flat per chroma
+            # block. Sampling factors of 3/4 refuse.
             if nf not in (1, 3) or w < 1 or h < 1:
                 return None
             if len(body) != 6 + 3 * nf:
@@ -2567,9 +2645,16 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             comps = []
             for ci in range(nf):
                 cid = body[6 + 3 * ci]
-                if body[7 + 3 * ci] != 0x11:
-                    return None  # subsampled: out of scope
-                comps.append((cid, body[8 + 3 * ci]))  # (id, quant tbl)
+                hv = body[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if nf == 1:
+                    # single-component frames carry no interleaving;
+                    # any declared factor decodes block-by-block
+                    hi = vi = 1
+                elif not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None
+                # (id, H, V, quant tbl)
+                comps.append((cid, hi, vi, body[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / extended / arithmetic frames
@@ -2609,13 +2694,19 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         return None
     # resolve each component's quant + Huffman tables up front
     plan = []
-    for cid, tq in comps:
+    for cid, hi, vi, tq in comps:
         if cid not in scan_tabs or tq not in qt:
             return None
         td, ta = scan_tabs[cid]
         if (0, td) not in huff or (1, ta) not in huff:
             return None
-        plan.append((qt[tq], huff[(0, td)], huff[(1, ta)]))
+        plan.append((qt[tq], huff[(0, td)], huff[(1, ta)], hi, vi))
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    # every component's upsample factor must be integral (automatic
+    # for factors in {1, 2}, kept explicit for the invariant)
+    if any(hmax % p[3] or vmax % p[4] for p in plan):
+        return None
 
     # split the scan into entropy-coded segments at RST0-7 markers:
     # the sequence numbers must cycle 0..7 in order, each segment
@@ -2637,7 +2728,11 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         else:
             i += 1
     segs.append(data[seg_start:])
-    total_mcus = ((w + 7) // 8) * ((h + 7) // 8)
+    # MCU geometry (T.81 A.2.3): an interleaved MCU spans
+    # 8*Hmax x 8*Vmax pixels and carries Hi x Vi blocks per component
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    total_mcus = mcux * mcuy
     if dri and len(segs) != (total_mcus + dri - 1) // dri:
         return None  # wrong restart cadence for the MCU count
     if not dri and len(segs) != 1:
@@ -2690,54 +2785,77 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
     M = _jpeg_idct_matrix()
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    planes = [np.empty((by * 8, bx * 8), np.uint8) for _ in plan]
+    # each component's plane at its NATIVE resolution: Hi x Vi blocks
+    # per MCU (4:4:4 degenerates to the one-block-per-MCU layout)
+    planes = [
+        np.empty((mcuy * vi * 8, mcux * hi * 8), np.uint8)
+        for (_, _, _, hi, vi) in plan
+    ]
     prev_dc = [0] * len(plan)
-    for blk in range(bx * by):
-        if dri and blk and blk % dri == 0:
+    for mcu in range(total_mcus):
+        if dri and mcu and mcu % dri == 0:
             # restart: next segment, byte-aligned, DC predictors reset
-            use_segment(blk // dri)
+            use_segment(mcu // dri)
             prev_dc = [0] * len(plan)
-        # interleaved MCU: one 8x8 block per component, scan order
-        for ci, (q, dc_tab, ac_tab) in enumerate(plan):
-            coef = np.zeros(64, np.float64)
-            s = read_huff(dc_tab)
-            if s is None or s > 11:
-                return None
-            diff = 0
-            if s:
-                v = read_bits(s)
-                if v is None:
-                    return None
-                diff = extend(v, s)
-            prev_dc[ci] += diff
-            coef[0] = prev_dc[ci] * q[0]
-            k = 1
-            while k <= 63:
-                rs = read_huff(ac_tab)
-                if rs is None:
-                    return None
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                r, sz = rs >> 4, rs & 0x0F
-                k += r
-                if k > 63 or sz == 0:
-                    return None
-                v = read_bits(sz)
-                if v is None:
-                    return None
-                coef[k] = extend(v, sz) * q[k]
-                k += 1
-            F = np.zeros((8, 8), np.float64)
-            F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
-            spatial = M.T @ F @ M + 128.0
-            block = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-            r0, c0 = 8 * (blk // bx), 8 * (blk % bx)
-            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+        mr, mc = mcu // mcux, mcu % mcux
+        # interleaved MCU: Hi x Vi blocks per component in raster
+        # order within the MCU (T.81 A.2.3), components in scan order
+        for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(plan):
+            for byy in range(vi):
+                for bxx in range(hi):
+                    coef = np.zeros(64, np.float64)
+                    s = read_huff(dc_tab)
+                    if s is None or s > 11:
+                        return None
+                    diff = 0
+                    if s:
+                        v = read_bits(s)
+                        if v is None:
+                            return None
+                        diff = extend(v, s)
+                    prev_dc[ci] += diff
+                    coef[0] = prev_dc[ci] * q[0]
+                    k = 1
+                    while k <= 63:
+                        rs = read_huff(ac_tab)
+                        if rs is None:
+                            return None
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        r, sz = rs >> 4, rs & 0x0F
+                        k += r
+                        if k > 63 or sz == 0:
+                            return None
+                        v = read_bits(sz)
+                        if v is None:
+                            return None
+                        coef[k] = extend(v, sz) * q[k]
+                        k += 1
+                    F = np.zeros((8, 8), np.float64)
+                    F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
+                    spatial = M.T @ F @ M + 128.0
+                    block = np.clip(np.rint(spatial), 0, 255).astype(
+                        np.uint8
+                    )
+                    r0 = 8 * (mr * vi + byy)
+                    c0 = 8 * (mc * hi + bxx)
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    # upsample subsampled components by SAMPLE REPLICATION (each
+    # chroma sample covers its Hmax/Hi x Vmax/Vi pixel block), then
+    # crop the MCU padding
+    planes = [
+        (
+            p
+            if hi == hmax and vi == vmax
+            else np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        )[:h, :w]
+        for p, (_, _, _, hi, vi) in zip(planes, plan)
+    ]
     n = w * h
     if len(planes) == 1:
         img = planes[0]
@@ -2754,7 +2872,8 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             "mean_all": mean,
             "pixels": img.tobytes(),
         }
-    # 4:4:4 color: JFIF YCbCr -> RGB on the integer-exact planes.
+    # color: JFIF YCbCr -> RGB on the (upsampled) full-resolution
+    # planes.
     # floor(x + 0.5) (not rint) so a SQL oracle replays the SAME
     # IEEE expression — no round-half-even vs half-away divergence.
     Y = planes[0].astype(np.float64)
@@ -2783,18 +2902,37 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     }
 
 
-def jpeg_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic VALID baseline JPEG payloads from a text fixture:
-    width ``8 * (1 + doc_id % 3)``, height ``8 * (1 + doc_id % 2)``
-    (1..6 tiles). EVEN doc_ids are grayscale (tile ``k``'s flat gray
-    value = byte ``k`` of md5(text + '#j')); ODD doc_ids are 4:4:4
-    COLOR (tile ``k``'s flat (Y, Cb, Cr) = bytes ``3k..3k+2`` of the
-    repeated digest). Quantization all-8s — the combination that makes
-    every decoded component pixel EXACTLY its tile byte, so the oracle
-    recomputes the statistics (including the floor(x+0.5) JFIF
-    YCbCr -> RGB conversion) from the md5 byte stream and never
-    decodes a JPEG while the engine runs the real entropy decode +
-    IDCT. Arrow-batched ``mapInPandas``; map-only."""
+def jpeg_encode(
+    docs: DataFrame, text_col: str = "text", subsampling: str = "mixed"
+) -> DataFrame:
+    """Deterministic VALID baseline JPEG payloads from a text fixture.
+
+    ``subsampling='mixed'`` (default, round 14): width
+    ``8 * (1 + doc_id % 3)``, height ``8 * (1 + doc_id % 2)`` (1..6
+    tiles). EVEN doc_ids are grayscale (tile ``k``'s flat gray value =
+    byte ``k`` of md5(text + '#j')); ODD doc_ids are 4:4:4 COLOR
+    (tile ``k``'s flat (Y, Cb, Cr) = bytes ``3k..3k+2`` of the
+    repeated digest).
+
+    ``subsampling='420'`` (round 15): every doc is a 4:2:0
+    chroma-subsampled color JPEG — width ``16 * (1 + doc_id % 2)``,
+    height ``16 * (1 + doc_id % 3)`` (1..6 MCUs), MCU ``k`` carrying
+    four flat luma quadrants + one (Cb, Cr) pair = bytes
+    ``6k..6k+5`` of md5(text + '#j420') repeated; restart interval
+    ``doc_id % 3`` MCUs (0 = no DRI), so the cycling-RST framing is
+    driver-exercised too.
+
+    Quantization all-8s in both modes — the combination that makes
+    every decoded component sample EXACTLY its tile byte, so the
+    oracle recomputes the statistics (including the floor(x+0.5) JFIF
+    YCbCr -> RGB conversion and, for 4:2:0, the flat-chroma
+    replication upsample) from the md5 byte stream and never decodes
+    a JPEG while the engine runs the real entropy decode + IDCT.
+    Arrow-batched ``mapInPandas``; map-only."""
+    if subsampling not in ("mixed", "420"):
+        raise ValueError(
+            f"subsampling must be 'mixed' or '420', got {subsampling!r}"
+        )
     src = docs.select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
     )
@@ -2804,6 +2942,32 @@ def jpeg_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 doc_id = int(rec.doc_id)
+                if subsampling == "420":
+                    tx = 1 + doc_id % 2
+                    ty = 1 + doc_id % 3
+                    digest = hashlib.md5(
+                        (rec.ptext + "#j420").encode("utf-8")
+                    ).digest()
+                    payload = _jpeg_encode_py(
+                        (digest * 3)[: 6 * tx * ty],
+                        tx,
+                        ty,
+                        restart_interval=doc_id % 3,
+                        subsampling="420",
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media": payload,
+                            "media_meta": {
+                                "kind": "image",
+                                "mime": "image/jpeg",
+                                "n_bytes": len(payload),
+                                "sha": hashlib.sha256(payload).hexdigest(),
+                            },
+                        }
+                    )
+                    continue
                 tx = 1 + doc_id % 3
                 ty = 1 + doc_id % 2
                 digest = hashlib.md5(

@@ -1963,6 +1963,88 @@ Q_MULTIMODAL_JPEG_SQL = f"""
 """
 
 
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 CHROMA-SUBSAMPLED baseline JPEG decode end-to-end (round
+    15 — VERDICT r14 Next #2, the dominant real-world JPEG shape):
+    multimodal.jpeg_encode(subsampling='420') emits valid baseline
+    JPEGs with Y at 2x2 and Cb/Cr at 1x1 sampling — interleaved
+    16x16-pixel MCUs carrying four luma blocks + one chroma block
+    each, restart interval doc_id % 3 MCUs so the cycling-RST framing
+    rides along — and extract_features(decode_stub=False) runs the
+    genuine decode: MCU-interleaved entropy decode with per-component
+    DC predictors across the 4-luma-1-chroma block pattern,
+    dequantization, IDCT, SAMPLE-REPLICATION chroma upsampling, and
+    the floor(x+0.5) JFIF YCbCr -> RGB conversion. The fixture keeps
+    chroma FLAT per MCU, so ANY correct upsampler is exact on it and
+    the oracle recomputes every pixel analytically from the md5 byte
+    stream: quadrant j of MCU k decodes to exactly (Y=byte(6k+j),
+    Cb=byte(6k+4), Cr=byte(6k+5)). A decoder that mis-orders the MCU
+    block pattern, crosses DC predictors between the four luma
+    blocks, misplaces a chroma sample's 2x2 pixel block, or skips a
+    restart reset hash-mismatches."""
+    media = multimodal.jpeg_encode(
+        _documents(spark, sf_dir), subsampling="420"
+    )
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 1).alias("mean_b"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_all"),
+    )
+
+
+# the 4:2:0 fixture arithmetic: MCU k's four 8x8 luma quadrants are
+# bytes 6k..6k+3 of the repeated digest, its flat chroma pair bytes
+# 6k+4 / 6k+5; each quadrant is 64 identical pixels, so per-image
+# means are means over the 4 * tx * ty quadrant values. Conversion
+# constants in e-notation so DuckDB types them DOUBLE (the r14 sf10
+# lesson: bare decimals compute exactly and diverge from IEEE at
+# half-integer floor boundaries).
+Q_MULTIMODAL_JPEG_420_SQL = f"""
+    WITH jd AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INTEGER) AS tx,
+               CAST(1 + doc_id % 3 AS INTEGER) AS ty,
+               repeat(md5(coalesce(text, '') || '#j420'), 3) AS dighex
+        FROM documents
+    ),
+    qd AS (
+        SELECT doc_id, tx, ty,
+               {_jpeg_hx("6 * k + j")} AS yv,
+               {_jpeg_hx("6 * k + 4")} AS cb,
+               {_jpeg_hx("6 * k + 5")} AS cr
+        FROM jd,
+             LATERAL (SELECT unnest(range(tx * ty)) AS k) r,
+             LATERAL (SELECT unnest(range(4)) AS j) s
+    ),
+    px AS (
+        SELECT doc_id, tx, ty,
+               GREATEST(0, LEAST(255,
+                   floor(yv + 1.402e0 * (cr - 128) + 0.5e0))) AS r,
+               GREATEST(0, LEAST(255,
+                   floor(yv - 3.44136e-1 * (cb - 128)
+                            - 7.14136e-1 * (cr - 128) + 0.5e0))) AS g,
+               GREATEST(0, LEAST(255,
+                   floor(yv + 1.772e0 * (cb - 128) + 0.5e0))) AS b
+        FROM qd
+    )
+    SELECT doc_id,
+           CAST(16 * tx AS INTEGER) AS width,
+           CAST(16 * ty AS INTEGER) AS height,
+           round(sum(b) / CAST(4 * tx * ty AS DOUBLE), 6) AS mean_b,
+           round(sum(g) / CAST(4 * tx * ty AS DOUBLE), 6) AS mean_g,
+           round(sum(r) / CAST(4 * tx * ty AS DOUBLE), 6) AS mean_r,
+           round(sum(r + g + b) / CAST(12 * tx * ty AS DOUBLE), 6)
+               AS mean_all
+    FROM px
+    GROUP BY doc_id, tx, ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 
@@ -3711,6 +3793,7 @@ QUERIES = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_gif_anim": q_multimodal_gif_anim,
     "q_multimodal_jpeg": q_multimodal_jpeg,
+    "q_multimodal_jpeg_420": q_multimodal_jpeg_420,
     "q_multimodal_transcode": q_multimodal_transcode,
     "q_media_curation": q_media_curation,
     "q_multimodal_wav8": q_multimodal_wav8,
@@ -3784,6 +3867,7 @@ ORACLE = {
     "q_multimodal_frames": Q_MULTIMODAL_GIF_FRAMES_SQL,
     "q_multimodal_gif_anim": Q_MULTIMODAL_GIF_ANIM_SQL,
     "q_multimodal_jpeg": Q_MULTIMODAL_JPEG_SQL,
+    "q_multimodal_jpeg_420": Q_MULTIMODAL_JPEG_420_SQL,
     "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
     "q_media_curation": Q_MEDIA_CURATION_SQL,
     "q_multimodal_wav8": Q_MULTIMODAL_WAV8_SQL,
