@@ -451,6 +451,14 @@ def test_warehouse_audit_classifies_tables(spark, wh_table):
         f"ALTER TABLE {idx} SET TBLPROPERTIES "
         f"('firebolt.ngram_n' = '5', 'firebolt.appended' = '1')"
     )
+    # a COMPACTED generation: appended reset to '0' — the stale
+    # stuck-at-'1' detection must flag only the pending one
+    idx_ok = wh_table("aud_index_ok")
+    spark.sql(f"CREATE TABLE {idx_ok} AS SELECT 6 AS sh, 7 AS doc_id")
+    spark.sql(
+        f"ALTER TABLE {idx_ok} SET TBLPROPERTIES "
+        f"('firebolt.ngram_n' = '5', 'firebolt.appended' = '0')"
+    )
 
     me = os.getpid()
     my_st = warehouse_audit._proc_starttime(me)
@@ -475,6 +483,10 @@ def test_warehouse_audit_classifies_tables(spark, wh_table):
         assert r_idx["kind"] == "index"
         assert r_idx["props"]["firebolt.ngram_n"] == "5"
         assert r_idx["needs_compaction"] is True
+        # the compacted generation (appended='0') must NOT be flagged
+        r_ok = rows[idx_ok.lower()]
+        assert r_ok["kind"] == "index"
+        assert "needs_compaction" not in r_ok
 
         assert rows[live.lower()]["kind"] == "scratch"
         assert rows[live.lower()]["owner_alive"] is True
@@ -484,6 +496,24 @@ def test_warehouse_audit_classifies_tables(spark, wh_table):
         # footprint ordering: rows come back largest-first
         sizes = [r["bytes"] for r in warehouse_audit.audit(spark)]
         assert sizes == sorted(sizes, reverse=True)
+
+        # --json mode (round 15 — VERDICT r14 Next #7): the CLI's
+        # machine output is one JSON line that round-trips to the
+        # audit rows, stuck-at-'1' flag included; the human mode
+        # carries the ORPHAN and needs-compaction notes
+        import json as _json
+
+        audit_rows = warehouse_audit.audit(spark)
+        machine = warehouse_audit.render(audit_rows, as_json=True)
+        assert "\n" not in machine
+        parsed = _json.loads(machine)
+        assert parsed == audit_rows
+        by_name = {r["table"]: r for r in parsed}
+        assert by_name[idx.lower()]["needs_compaction"] is True
+        human = warehouse_audit.render(audit_rows, as_json=False)
+        assert f"ORPHAN pid={os.getpid()}" in human
+        assert "needs compaction" in human
+        assert "firebolt.ngram_n=5" in human
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {live}")
         spark.sql(f"DROP TABLE IF EXISTS {orphan}")

@@ -1196,6 +1196,25 @@ def test_streaming_frequent_items_rolling_with_crash_restarts(spark, tmp_path):
     ingest(batches[2], 2)
     assert rolling() == one_shot
 
+    # stream-level no-op restart (round 15 — VERDICT r14 Next #6): a
+    # FOURTH availableNow run from the same checkpoint with no new
+    # data must fire no epochs and leave the ledger + readout
+    # untouched — the crash-restart==one-shot claim at the stream
+    # layer, not just the manual-replay layer
+    versions_before = sorted(p.name for p in counts_root.iterdir())
+    q = (
+        spark.readStream.schema(schema).parquet(str(delta_dir))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("hh-ingest-noop")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    assert sorted(p.name for p in counts_root.iterdir()) == versions_before
+    assert rolling() == one_shot
+
 
 def test_streaming_rolling_quantiles_with_crash_restarts(spark, tmp_path):
     """Rolling EXACT quantiles inside the streaming ingest loop (round

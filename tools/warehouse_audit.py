@@ -132,36 +132,44 @@ def audit(spark, now: float | None = None) -> list[dict]:
     return rows
 
 
+def render(rows: list[dict], as_json: bool) -> str:
+    """The audit report as ONE string: machine mode is a single JSON
+    line (the shape scripts and the round artifacts consume), human
+    mode a largest-first table with the liveness/compaction notes.
+    Factored out of main() so tests exercise the exact bytes the CLI
+    prints without paying a second SparkSession."""
+    if as_json:
+        return json.dumps(rows)
+    lines = [
+        f"{'table':42} {'kind':8} {'MB':>9} {'files':>6} "
+        f"{'age_h':>7}  notes"
+    ]
+    for r in rows:
+        notes = []
+        if r["kind"] == "scratch":
+            notes.append(
+                "owner alive" if r["owner_alive"]
+                else f"ORPHAN pid={r['owner_pid']}"
+            )
+        if r.get("needs_compaction"):
+            notes.append("needs compaction")
+        notes.extend(f"{k}={v}" for k, v in r["props"].items())
+        lines.append(
+            f"{r['table']:42} {r['kind']:8} "
+            f"{r['bytes'] / 2**20:9.2f} {r['files']:6d} "
+            f"{(r['age_h'] if r['age_h'] is not None else -1):7.2f}  "
+            + ", ".join(notes)
+        )
+    return "\n".join(lines)
+
+
 def main() -> None:
     as_json = "--json" in sys.argv
     from firebolt_spark import get_spark
 
     spark = get_spark("warehouse-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    rows = audit(spark)
-    if as_json:
-        print(json.dumps(rows))
-    else:
-        print(
-            f"{'table':42} {'kind':8} {'MB':>9} {'files':>6} "
-            f"{'age_h':>7}  notes"
-        )
-        for r in rows:
-            notes = []
-            if r["kind"] == "scratch":
-                notes.append(
-                    "owner alive" if r["owner_alive"]
-                    else f"ORPHAN pid={r['owner_pid']}"
-                )
-            if r.get("needs_compaction"):
-                notes.append("needs compaction")
-            notes.extend(f"{k}={v}" for k, v in r["props"].items())
-            print(
-                f"{r['table']:42} {r['kind']:8} "
-                f"{r['bytes'] / 2**20:9.2f} {r['files']:6d} "
-                f"{(r['age_h'] if r['age_h'] is not None else -1):7.2f}  "
-                + ", ".join(notes)
-            )
+    print(render(audit(spark), as_json))
     spark.stop()
 
 
