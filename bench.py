@@ -471,7 +471,9 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
     the Arrow-batched decoders' MB/s/core. This generates a fixed byte
     budget of REALISTIC-size payloads per format on the executors
     (deterministic md5 noise; BMP/PNG 128x128 RGB ~49 KB, GIF 4x96x96
-    index frames through real LZW, WAV 24k-sample 16-bit PCM), routes
+    index frames through real LZW, WAV 24k-sample 16-bit PCM, JPEG
+    128x128 4:2:0 q=8 photo-like content through the forward-DCT
+    encoder — round 15), routes
     them through balance_media_bytes exactly like a production decode
     stage, persists the balanced frame, and times
     extract_features(decode_stub=False) alone (noop sink, min-of-2).
@@ -496,6 +498,29 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
         return b"".join(blocks)[:nbytes]
 
     def build(fmt: str, i: int) -> bytes:
+        if fmt == "jpeg":
+            # photo-like content for an HONEST entropy-decode cost:
+            # coarse noise upsampled (smooth regions) + low-amplitude
+            # dither (real AC coefficients) — pure md5 noise would be
+            # an adversarial worst case, flat tiles a DC-only best
+            # case; this sits between, 4:2:0 q=8 like real encoders
+            import numpy as np
+
+            base = np.frombuffer(
+                noise("jpgb", i, 3 * 16 * 16), np.uint8
+            ).reshape(16, 16, 3)
+            dither = (
+                np.frombuffer(noise("jpgd", i, 128 * 128), np.uint8)
+                .reshape(128, 128, 1).astype(np.int16) % 13 - 6
+            )
+            img = np.clip(
+                np.repeat(np.repeat(base, 8, 0), 8, 1).astype(np.int16)
+                + dither,
+                0, 255,
+            ).astype(np.uint8)
+            return multimodal._jpeg_encode_dct_py(
+                img.tobytes(), 128, 128, q=8, subsampling="420"
+            )
         if fmt == "bmp":
             return multimodal._encode_bmp_py(
                 noise("bmp", i, 3 * 128 * 128), 128, 128
@@ -528,8 +553,9 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
         "png": multimodal._png_decode_py,
         "gif": multimodal._gif_decode_py,
         "wav": multimodal._wav_decode_py,
+        "jpeg": multimodal._jpeg_decode_py,
     }
-    for fmt in ("bmp", "png", "gif", "wav"):
+    for fmt in ("bmp", "png", "gif", "wav", "jpeg"):
         # raw single-core codec rate, no Spark plumbing: the number a
         # 1000-core cluster multiplies. The Spark-path wall below adds
         # Arrow transfer + task scheduling, which fixed-overhead-

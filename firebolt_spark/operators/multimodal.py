@@ -2371,6 +2371,34 @@ def _jpeg_huffman_codes(bits: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def _jpeg_decoder_table(bits: list[int], vals: bytes):
+    """Decode structures for one canonical table (round 15 — the
+    entropy-hot-path rewrite, PERF.md): an 8-bit direct LUT resolving
+    every code of length <= 8 in one list index, plus the
+    mincode/maxcode/valptr arrays for the T.81 F.2.2.3 compare walk
+    over 9..16-bit codes. maxc16 is left-aligned to 16 bits so the
+    walk compares against a single 16-bit peek with no bit reads."""
+    codes = _jpeg_huffman_codes(bits)
+    lut: list = [None] * 256
+    maxc16 = [-1] * 17
+    minc = [0] * 17
+    valptr = [0] * 17
+    i = 0
+    for ln in range(1, 17):
+        cnt = bits[ln - 1]
+        if cnt:
+            valptr[ln] = i
+            minc[ln] = codes[i][1]
+            maxc16[ln] = ((codes[i + cnt - 1][1] + 1) << (16 - ln)) - 1
+            i += cnt
+    for sym, (ln, code) in zip(vals, codes):
+        if ln <= 8:
+            base = code << (8 - ln)
+            for j in range(1 << (8 - ln)):
+                lut[base + j] = (sym, ln)
+    return lut, maxc16, minc, valptr, list(vals)
+
+
 class _JpegBitWriter:
     """MSB-first bit emitter with the 0xFF00 byte stuffing the entropy
     segment requires; flush pads the final byte with 1-bits (T.81
@@ -2513,6 +2541,190 @@ def _jpeg_encode_py(
     return bytes(out)
 
 
+# Annex-K-style FULL Huffman tables for the general (forward-DCT)
+# encoder below: every DC category 0..11 and every AC (run, size)
+# symbol with size 1..10 plus EOB/ZRL, laid out in the T.81 Table
+# K.3/K.5 shape. Validity does not depend on byte-matching the spec's
+# typical tables — the decoder reads whatever canonical tables the
+# DHT declares — but the layout keeps code lengths realistic.
+_JPEG_FULL_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_FULL_DC_VALS = list(range(12))
+_JPEG_FULL_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_FULL_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_encode_dct_py(
+    rgb: bytes, w: int, h: int, q: int = 8, subsampling: str = "420"
+) -> bytes:
+    """GENERAL baseline JPEG encoder (round 15): real forward DCT +
+    quantization + full run/size AC entropy coding over arbitrary
+    RGB (3 bytes/px) or grayscale (1 byte/px) content — the generator
+    the media_throughput bench row needs for HONEST decode rates
+    (the flat-tile `_jpeg_encode_py` emits DC-only streams, which
+    measure the IDCT, not the entropy decode real-world payloads pay).
+    Lossy like any JPEG: the roundtrip contract is tolerance, not
+    identity, so ORACLE fixtures keep using the flat encoder.
+
+    JFIF RGB -> YCbCr, edge-replicated MCU padding, 2x2 box chroma
+    downsample for 4:2:0 ('444' keeps full chroma; gray input emits a
+    single-component frame), batched forward DCT (the IDCT basis
+    transposed), uniform-q quantization, Annex-K-style full canonical
+    tables declared in DHT."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if not 1 <= q <= 255:
+        raise ValueError(f"q must be 1..255, got {q}")
+    n = w * h
+    if len(rgb) == n:
+        ncomp_in = 1
+        planes = [np.frombuffer(rgb, np.uint8).reshape(h, w).astype(np.float64)]
+    elif len(rgb) == 3 * n:
+        ncomp_in = 3
+        px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        raise ValueError(f"need {n} (gray) or {3 * n} (RGB) bytes, got {len(rgb)}")
+    sub420 = ncomp_in == 3 and subsampling == "420"
+    mcu_px = 16 if sub420 else 8
+    pw = (w + mcu_px - 1) // mcu_px * mcu_px
+    ph = (h + mcu_px - 1) // mcu_px * mcu_px
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    planes = [pad(p) for p in planes]
+    if sub420:
+        # 2x2 box-average chroma downsample (the encode-side twin of
+        # the decoder's replication upsample)
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+
+    M = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+
+    def block_coefs(plane):
+        """Quantized zigzag coefficient rows, blocks in raster order."""
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        F = M @ blocks @ M.T  # forward DCT: the IDCT basis transposed
+        qz = np.rint(F.reshape(-1, 64)[:, zz] / q).astype(np.int64)
+        return qz, bh, bw
+
+    comp_coefs = [block_coefs(p) for p in planes]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0])
+    out += _jpeg_seg(0xC0, sof)
+    out += _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_FULL_DC_BITS) + bytes(_JPEG_FULL_DC_VALS),
+    )
+    out += _jpeg_seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_FULL_AC_BITS) + bytes(_JPEG_FULL_AC_VALS),
+    )
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    out += _jpeg_seg(0xDA, sos + bytes([0, 63, 0]))
+
+    dc_codes = _jpeg_huffman_codes(_JPEG_FULL_DC_BITS)
+    ac_code_of = {
+        v: c
+        for v, c in zip(
+            _JPEG_FULL_AC_VALS, _jpeg_huffman_codes(_JPEG_FULL_AC_BITS)
+        )
+    }
+    bw_ = _JpegBitWriter()
+    prev_dc = [0] * ncomp
+
+    def put_block(row, ci):
+        diff = int(row[0]) - prev_dc[ci]
+        prev_dc[ci] = int(row[0])
+        s = abs(diff).bit_length()
+        ln, code = dc_codes[s]
+        bw_.put(code, ln)
+        if s:
+            bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(row[1:])[0]
+        k = 0  # last written zigzag index
+        for pos in nz:
+            run = int(pos) - k  # zeros since the previous nonzero
+            k = int(pos) + 1
+            while run >= 16:
+                ln, code = ac_code_of[0xF0]
+                bw_.put(code, ln)
+                run -= 16
+            v = int(row[1 + pos])
+            sz = abs(v).bit_length()
+            ln, code = ac_code_of[(run << 4) | sz]
+            bw_.put(code, ln)
+            bw_.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+        if k <= 62:
+            ln, code = ac_code_of[0x00]
+            bw_.put(code, ln)
+
+    if sub420:
+        qy, ybh, ybw = comp_coefs[0]
+        qcb, cbh, cbw = comp_coefs[1]
+        qcr = comp_coefs[2][0]
+        for mr in range(cbh):
+            for mc in range(cbw):
+                for byy in range(2):
+                    for bxx in range(2):
+                        put_block(qy[(2 * mr + byy) * ybw + 2 * mc + bxx], 0)
+                put_block(qcb[mr * cbw + mc], 1)
+                put_block(qcr[mr * cbw + mc], 2)
+    else:
+        qs = [c[0] for c in comp_coefs]
+        nblocks = comp_coefs[0][1] * comp_coefs[0][2]
+        for t in range(nblocks):
+            for ci in range(ncomp):
+                put_block(qs[ci][t], ci)
+    out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 _JPEG_IDCT_M = None
 
 
@@ -2616,12 +2828,7 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                 vals = body[b + 17 : b + 17 + n]
                 if len(vals) != n:
                     return None
-                table = {}
-                for sym, (ln, code) in zip(
-                    vals, _jpeg_huffman_codes(bits)
-                ):
-                    table[(ln, code)] = sym
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _jpeg_decoder_table(bits, vals)
                 b += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             if len(body) < 6 or body[0] != 8:
@@ -2692,7 +2899,10 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         # APPn / COM / others: skipped
     if data is None or w is None or comps is None:
         return None
-    # resolve each component's quant + Huffman tables up front
+    # resolve each component's quant + Huffman tables up front; the
+    # quant vector is pre-permuted into DE-ZIGZAG order so the batched
+    # dequant at the end is one broadcast multiply
+    zz = np.array(_JPEG_ZIGZAG)
     plan = []
     for cid, hi, vi, tq in comps:
         if cid not in scan_tabs or tq not in qt:
@@ -2700,7 +2910,9 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         td, ta = scan_tabs[cid]
         if (0, td) not in huff or (1, ta) not in huff:
             return None
-        plan.append((qt[tq], huff[(0, td)], huff[(1, ta)], hi, vi))
+        qdezz = np.empty(64, np.float64)
+        qdezz[zz] = qt[tq]
+        plan.append((qdezz, huff[(0, td)], huff[(1, ta)], hi, vi))
     hmax = max(p[3] for p in plan)
     vmax = max(p[4] for p in plan)
     # every component's upsample factor must be integral (automatic
@@ -2739,58 +2951,85 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         return None
 
     # entropy bit reader over the current segment's de-stuffed bytes
+    # (round 15 — the hot-path rewrite, PERF.md): a buffered integer
+    # window serves both the 16-bit canonical-Huffman peek and the
+    # multi-bit magnitude reads in O(1) Python ops per symbol, where
+    # the round-14 reader paid a Python call PER BIT. bp tracks real
+    # bits consumed so zero-padded peeks past the segment end refuse
+    # exactly like the old reader.
     stream = b""
-    bitpos = 0
-    nbits_total = 0
+    nb = 0  # total real bits in the segment
+    bp = 0  # bits consumed
+    bi = 0  # next byte to pull into the window
+    win = 0  # lookahead window, wn valid low bits
+    wn = 0
 
     def use_segment(si):
-        nonlocal stream, bitpos, nbits_total
+        nonlocal stream, nb, bp, bi, win, wn
         stream = segs[si].replace(b"\xff\x00", b"\xff")
-        bitpos = 0
-        nbits_total = 8 * len(stream)
+        nb = 8 * len(stream)
+        bp = bi = win = wn = 0
 
     use_segment(0)
 
-    def read_bit():
-        nonlocal bitpos
-        if bitpos >= nbits_total:
-            return None
-        b = (stream[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-        bitpos += 1
-        return b
-
-    def read_huff(table):
-        ln = 0
-        code = 0
-        while ln < 16:
-            bit = read_bit()
-            if bit is None:
-                return None
-            code = (code << 1) | bit
-            ln += 1
-            if (ln, code) in table:
-                return table[(ln, code)]
-        return None
-
     def read_bits(n):
-        v = 0
-        for _ in range(n):
-            bit = read_bit()
-            if bit is None:
-                return None
-            v = (v << 1) | bit
+        """n magnitude bits MSB-first; None on overrun."""
+        nonlocal bp, bi, win, wn
+        if bp + n > nb:
+            return None
+        while wn < n:
+            win = (win << 8) | stream[bi]
+            bi += 1
+            wn += 8
+        wn -= n
+        v = win >> wn
+        win &= (1 << wn) - 1
+        bp += n
         return v
+
+    def read_sym(tab):
+        """One canonical Huffman symbol: 8-bit LUT hit, else the
+        T.81 F.2.2.3 mincode/maxcode walk over 9..16-bit codes
+        against a single left-aligned 16-bit peek."""
+        nonlocal bp, bi, win, wn
+        while wn < 16 and bi < len(stream):
+            win = (win << 8) | stream[bi]
+            bi += 1
+            wn += 8
+        pk = (win << (16 - wn)) if wn < 16 else (win >> (wn - 16))
+        lut, maxc16, minc, valptr, vals = tab
+        e = lut[pk >> 8]
+        if e is not None:
+            sym, ln = e
+        else:
+            ln = 9
+            while ln <= 16 and pk > maxc16[ln]:
+                ln += 1
+            if ln > 16:
+                return None  # undefined code
+            sym = vals[valptr[ln] + (pk >> (16 - ln)) - minc[ln]]
+        if bp + ln > nb:
+            return None  # code ran past the real segment bits
+        wn -= ln
+        win &= (1 << wn) - 1
+        bp += ln
+        return sym
 
     def extend(v, s):
         return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
-    M = _jpeg_idct_matrix()
-    # each component's plane at its NATIVE resolution: Hi x Vi blocks
-    # per MCU (4:4:4 degenerates to the one-block-per-MCU layout)
-    planes = [
-        np.empty((mcuy * vi * 8, mcux * hi * 8), np.uint8)
-        for (_, _, _, hi, vi) in plan
+    zz_list = _JPEG_ZIGZAG
+    # per-component coefficient accumulators in PLANE-RASTER block
+    # order: a flat Python list (fast scalar writes for the sparse
+    # nonzero coefficients) reshaped once for the batched dequant +
+    # IDCT below. bw/bh = the component's block-grid dimensions.
+    comp_bw = [mcux * hi for (_, _, _, hi, _) in plan]
+    comp_bh = [mcuy * vi for (_, _, _, _, vi) in plan]
+    coefs = [
+        [0.0] * (comp_bw[ci] * comp_bh[ci] * 64)
+        for ci in range(len(plan))
     ]
+    any_ac = [False] * len(plan)
     prev_dc = [0] * len(plan)
     for mcu in range(total_mcus):
         if dri and mcu and mcu % dri == 0:
@@ -2801,10 +3040,12 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         # interleaved MCU: Hi x Vi blocks per component in raster
         # order within the MCU (T.81 A.2.3), components in scan order
         for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(plan):
+            cc = coefs[ci]
+            bw_ci = comp_bw[ci]
             for byy in range(vi):
                 for bxx in range(hi):
-                    coef = np.zeros(64, np.float64)
-                    s = read_huff(dc_tab)
+                    base = 64 * ((mr * vi + byy) * bw_ci + (mc * hi + bxx))
+                    s = read_sym(dc_tab)
                     if s is None or s > 11:
                         return None
                     diff = 0
@@ -2814,10 +3055,10 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                             return None
                         diff = extend(v, s)
                     prev_dc[ci] += diff
-                    coef[0] = prev_dc[ci] * q[0]
+                    cc[base] = float(prev_dc[ci])
                     k = 1
                     while k <= 63:
-                        rs = read_huff(ac_tab)
+                        rs = read_sym(ac_tab)
                         if rs is None:
                             return None
                         if rs == 0x00:  # EOB
@@ -2825,37 +3066,51 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                         if rs == 0xF0:  # ZRL: 16 zeros
                             k += 16
                             continue
-                        r, sz = rs >> 4, rs & 0x0F
-                        k += r
+                        k += rs >> 4
+                        sz = rs & 0x0F
                         if k > 63 or sz == 0:
                             return None
                         v = read_bits(sz)
                         if v is None:
                             return None
-                        coef[k] = extend(v, sz) * q[k]
+                        cc[base + zz_list[k]] = float(extend(v, sz))
+                        any_ac[ci] = True
                         k += 1
-                    F = np.zeros((8, 8), np.float64)
-                    F.flat[_JPEG_ZIGZAG] = coef  # de-zigzag
-                    spatial = M.T @ F @ M + 128.0
-                    block = np.clip(np.rint(spatial), 0, 255).astype(
-                        np.uint8
-                    )
-                    r0 = 8 * (mr * vi + byy)
-                    c0 = 8 * (mc * hi + bxx)
-                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-    # upsample subsampled components by SAMPLE REPLICATION (each
-    # chroma sample covers its Hmax/Hi x Vmax/Vi pixel block), then
-    # crop the MCU padding
-    planes = [
-        (
-            p
-            if hi == hmax and vi == vmax
-            else np.repeat(
-                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+    # batched dequant + IDCT per component: ONE broadcast multiply and
+    # ONE stacked matmul pair replace the per-block numpy round trips
+    # (bit-identical results — np.matmul applies the same kernel per
+    # stacked slice). Planes with no AC anywhere (every flat-tile
+    # fixture) skip the matmul: a DC-only block's IDCT is exactly
+    # dc_dequant / 8, flat.
+    M = _jpeg_idct_matrix()
+    MT = M.T.copy()
+    planes = []
+    for ci, (qdezz, _, _, hi, vi) in enumerate(plan):
+        arr = np.asarray(coefs[ci], np.float64).reshape(-1, 64) * qdezz
+        if any_ac[ci]:
+            spatial = MT @ arr.reshape(-1, 8, 8) @ M + 128.0
+            blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        else:
+            flat = np.clip(
+                np.rint(arr[:, 0] / 8.0 + 128.0), 0, 255
+            ).astype(np.uint8)
+            blocks = np.broadcast_to(
+                flat[:, None, None], (flat.shape[0], 8, 8)
             )
-        )[:h, :w]
-        for p, (_, _, _, hi, vi) in zip(planes, plan)
-    ]
+        bh_ci, bw_ci = comp_bh[ci], comp_bw[ci]
+        plane = (
+            blocks.reshape(bh_ci, bw_ci, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ci * 8, bw_ci * 8)
+        )
+        # upsample subsampled components by SAMPLE REPLICATION (each
+        # chroma sample covers its Hmax/Hi x Vmax/Vi pixel block),
+        # then crop the MCU padding
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     n = w * h
     if len(planes) == 1:
         img = planes[0]

@@ -5922,3 +5922,80 @@ def test_decoder_backend_injection_parity(spark):
     )
     with _pytest.raises(Exception, match="unsupported media format"):
         bad.collect()
+
+
+def test_jpeg_dct_encoder_roundtrip_within_quantization():
+    """The general forward-DCT encoder (round 15, the media_throughput
+    generator): encode arbitrary content, decode with the real
+    decoder, and the roundtrip error must stay within the
+    quantization budget — near-lossless at q=1 (|err| <= 3 for 4:4:4,
+    where the only loss is DCT float rounding), bounded at q=8. Also
+    pins stream structure: full Annex-K-style tables decode, 4:2:0
+    emits 2x2-sampled Y, gray emits one component, and the ORACLE
+    encoder's flat output stays bit-exact through the same decoder."""
+    import hashlib
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _jpeg_decode_py, _jpeg_encode_dct_py,
+    )
+
+    # deterministic smooth-ish content: coarse md5 noise upsampled,
+    # plus low-amplitude dither to populate real AC coefficients
+    raw = b"".join(
+        hashlib.md5(f"dct#{i}".encode()).digest() for i in range(48)
+    )
+    base = np.frombuffer(raw[: 16 * 16 * 3], np.uint8).reshape(16, 16, 3)
+    draw = b"".join(
+        hashlib.md5(f"dth#{i}".encode()).digest() for i in range(1024)
+    )
+    dither = (
+        np.frombuffer(draw, np.uint8)
+        .reshape(128, 128, 1)
+        .astype(np.int16)
+        % 13
+        - 6
+    )
+    img = np.clip(
+        np.repeat(np.repeat(base, 8, 0), 8, 1).astype(np.int16) + dither,
+        0,
+        255,
+    ).astype(np.uint8)
+    rgb = img.tobytes()
+
+    p1 = _jpeg_encode_dct_py(rgb, 128, 128, q=1, subsampling="444")
+    d = _jpeg_decode_py(p1)
+    assert d is not None and (d["width"], d["height"], d["bpp"]) == (128, 128, 24)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(128, 128, 3)
+    err = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 3, err.max()
+
+    p8 = _jpeg_encode_dct_py(rgb, 128, 128, q=8, subsampling="420")
+    assert len(p8) < len(p1)  # quantization + subsampling genuinely compress
+    d = _jpeg_decode_py(p8)
+    assert d is not None
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(128, 128, 3)
+    err = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 48 and err.mean() <= 8, (err.max(), err.mean())
+
+    # gray single-component frame
+    pg = _jpeg_encode_dct_py(img[..., 0].tobytes(), 128, 128, q=1)
+    d = _jpeg_decode_py(pg)
+    assert d is not None and d["bpp"] == 8
+    g = np.frombuffer(d["pixels"], np.uint8).reshape(128, 128)
+    assert np.abs(g.astype(np.int32) - img[..., 0].astype(np.int32)).max() <= 2
+
+    # non-MCU-multiple dims: edge padding encodes, decode crops back
+    crop = img[:45, :30]
+    d = _jpeg_decode_py(
+        _jpeg_encode_dct_py(crop.tobytes(), 30, 45, q=1, subsampling="420")
+    )
+    assert d is not None and (d["width"], d["height"]) == (30, 45)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subsampling"):
+        _jpeg_encode_dct_py(rgb, 128, 128, subsampling="422")
+    with _pytest.raises(ValueError, match="bytes"):
+        _jpeg_encode_dct_py(rgb[:-1], 128, 128)
