@@ -499,25 +499,10 @@ def _media_throughput(spark, budget_mb: int | None = None) -> dict:
 
     def build(fmt: str, i: int) -> bytes:
         if fmt == "jpeg":
-            # photo-like content for an HONEST entropy-decode cost:
-            # coarse noise upsampled (smooth regions) + low-amplitude
-            # dither (real AC coefficients) — pure md5 noise would be
-            # an adversarial worst case, flat tiles a DC-only best
-            # case; this sits between, 4:2:0 q=8 like real encoders
-            import numpy as np
-
-            base = np.frombuffer(
-                noise("jpgb", i, 3 * 16 * 16), np.uint8
-            ).reshape(16, 16, 3)
-            dither = (
-                np.frombuffer(noise("jpgd", i, 128 * 128), np.uint8)
-                .reshape(128, 128, 1).astype(np.int16) % 13 - 6
-            )
-            img = np.clip(
-                np.repeat(np.repeat(base, 8, 0), 8, 1).astype(np.int16)
-                + dither,
-                0, 255,
-            ).astype(np.uint8)
+            # photo-like content for an HONEST entropy-decode cost,
+            # 4:2:0 q=8 like real encoders; the recipe is shared with
+            # the roundtrip test via _jpeg_photo_like_py
+            img = multimodal._jpeg_photo_like_py(f"jpg#{i}")
             return multimodal._jpeg_encode_dct_py(
                 img.tobytes(), 128, 128, q=8, subsampling="420"
             )

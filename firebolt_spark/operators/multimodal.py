@@ -1818,8 +1818,15 @@ def extract_features(
     partitioning, the WAV dispatch, refusal semantics (return None =
     unsupported -> ValueError) — is unchanged. The callable must
     return the stdlib decoders' dict shape: width/height/mean_r/
-    mean_g/mean_b/mean_all and optionally n_frames.
+    mean_g/mean_b/mean_all and optionally n_frames. Passing a backend
+    IMPLIES the real-decode path: it overrides ``decode_stub`` (which
+    defaults to True for the digest stub), so
+    ``extract_features(media, decoder_backend=pil)`` does what it
+    reads as — without the override the injected decoder would be
+    silently ignored (round-15 review).
     """
+    if decoder_backend is not None:
+        decode_stub = False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2575,6 +2582,44 @@ _JPEG_FULL_AC_VALS = [
 ]
 
 
+def _jpeg_photo_like_py(seed: str, size: int = 128):
+    """Deterministic photo-LIKE RGB content (uint8 (size, size, 3))
+    for the DCT encoder: coarse md5 noise upsampled (smooth regions)
+    plus low-amplitude dither (real AC coefficients). Pure per-pixel
+    noise would be an adversarial worst case for entropy coding, flat
+    tiles a DC-only best case; this sits between. Shared by the
+    media_throughput bench row and the roundtrip test so the measured
+    content and the certified content stay the same by construction
+    (round-15 review)."""
+    import numpy as np
+
+    if size % 8:
+        raise ValueError(f"size must be a multiple of 8, got {size}")
+    coarse = size // 8
+
+    def noise(tag: str, nbytes: int) -> bytes:
+        blocks = []
+        for j in range((nbytes + 15) // 16):
+            blocks.append(hashlib.md5(f"{seed}#{tag}#{j}".encode()).digest())
+        return b"".join(blocks)[:nbytes]
+
+    base = np.frombuffer(
+        noise("base", 3 * coarse * coarse), np.uint8
+    ).reshape(coarse, coarse, 3)
+    dither = (
+        np.frombuffer(noise("dither", size * size), np.uint8)
+        .reshape(size, size, 1)
+        .astype(np.int16)
+        % 13
+        - 6
+    )
+    return np.clip(
+        np.repeat(np.repeat(base, 8, 0), 8, 1).astype(np.int16) + dither,
+        0,
+        255,
+    ).astype(np.uint8)
+
+
 def _jpeg_encode_dct_py(
     rgb: bytes, w: int, h: int, q: int = 8, subsampling: str = "420"
 ) -> bytes:
@@ -2786,7 +2831,9 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         return None
     pos = 2
     qt: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    # (table class, table id) -> the (lut, maxc16, minc, valptr, vals)
+    # decode structure from _jpeg_decoder_table
+    huff: dict[tuple[int, int], tuple] = {}
     w = h = None
     comps = None
     data = None
@@ -2884,11 +2931,19 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             if body[off] != 0 or body[off + 1] != 63 or body[off + 2] != 0:
                 return None  # not a baseline full scan
             # entropy data runs to EOI; RST0-7 markers are part of the
-            # stream (segment separators), anything else is truncation
+            # stream (segment separators), and 0xFF FILL-BYTE runs
+            # before a marker are spec-legal padding (T.81 B.1.1.2 —
+            # round-15 review: the pre-SOS walk tolerated them but
+            # this walk refused them). An FF followed by FF is fill:
+            # keep walking — trailing fill bytes land at a segment
+            # tail where the bit reader never consumes them, because
+            # the MCU count bounds the read. Anything else ends the
+            # scan and must be EOI.
             end = pos
             while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] != 0x00 and not (
-                    0xD0 <= payload[end + 1] <= 0xD7
+                nxt = payload[end + 1]
+                if payload[end] == 0xFF and nxt not in (0x00, 0xFF) and not (
+                    0xD0 <= nxt <= 0xD7
                 ):
                     break
                 end += 1
@@ -3029,7 +3084,6 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         [0.0] * (comp_bw[ci] * comp_bh[ci] * 64)
         for ci in range(len(plan))
     ]
-    any_ac = [False] * len(plan)
     prev_dc = [0] * len(plan)
     for mcu in range(total_mcus):
         if dri and mcu and mcu % dri == 0:
@@ -3074,29 +3128,24 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                         if v is None:
                             return None
                         cc[base + zz_list[k]] = float(extend(v, sz))
-                        any_ac[ci] = True
                         k += 1
     # batched dequant + IDCT per component: ONE broadcast multiply and
     # ONE stacked matmul pair replace the per-block numpy round trips
     # (bit-identical results — np.matmul applies the same kernel per
-    # stacked slice). Planes with no AC anywhere (every flat-tile
-    # fixture) skip the matmul: a DC-only block's IDCT is exactly
-    # dc_dequant / 8, flat.
+    # stacked slice, verified 0.0 max diff against the per-block
+    # path). NOTE a dc/8 algebraic shortcut for DC-only planes was
+    # tried and REJECTED: at half-integer ties (dc*q = odd multiple
+    # of 4, impossible at the oracle fixtures' q=8 but reachable at
+    # other q) rint(dc/8) rounds half-even while the matmul's 1-ulp
+    # accumulation rounds away — 33 of the 2048 reachable dequantized
+    # DCs diverge by 1. Same floats or nothing.
     M = _jpeg_idct_matrix()
     MT = M.T.copy()
     planes = []
     for ci, (qdezz, _, _, hi, vi) in enumerate(plan):
         arr = np.asarray(coefs[ci], np.float64).reshape(-1, 64) * qdezz
-        if any_ac[ci]:
-            spatial = MT @ arr.reshape(-1, 8, 8) @ M + 128.0
-            blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-        else:
-            flat = np.clip(
-                np.rint(arr[:, 0] / 8.0 + 128.0), 0, 255
-            ).astype(np.uint8)
-            blocks = np.broadcast_to(
-                flat[:, None, None], (flat.shape[0], 8, 8)
-            )
+        spatial = MT @ arr.reshape(-1, 8, 8) @ M + 128.0
+        blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
         bh_ci, bw_ci = comp_bh[ci], comp_bw[ci]
         plane = (
             blocks.reshape(bh_ci, bw_ci, 8, 8)

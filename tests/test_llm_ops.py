@@ -5903,9 +5903,12 @@ def test_decoder_backend_injection_parity(spark):
             "mean_r": 1.0, "mean_g": 2.0, "mean_b": 3.0, "mean_all": 2.0,
         }
 
+    # no decode_stub=False here ON PURPOSE: a non-None backend implies
+    # the real-decode path (round-15 review — the default stub branch
+    # used to silently swallow the injected decoder)
     media = multimodal.bmp_encode(docs)
     rows = multimodal.extract_features(
-        media, decode_stub=False, decoder_backend=canned
+        media, decoder_backend=canned
     ).collect()
     assert all(
         (r.width, r.height, r.n_frames, list(r.feature))
@@ -5941,27 +5944,12 @@ def test_jpeg_dct_encoder_roundtrip_within_quantization():
         _jpeg_decode_py, _jpeg_encode_dct_py,
     )
 
-    # deterministic smooth-ish content: coarse md5 noise upsampled,
-    # plus low-amplitude dither to populate real AC coefficients
-    raw = b"".join(
-        hashlib.md5(f"dct#{i}".encode()).digest() for i in range(48)
-    )
-    base = np.frombuffer(raw[: 16 * 16 * 3], np.uint8).reshape(16, 16, 3)
-    draw = b"".join(
-        hashlib.md5(f"dth#{i}".encode()).digest() for i in range(1024)
-    )
-    dither = (
-        np.frombuffer(draw, np.uint8)
-        .reshape(128, 128, 1)
-        .astype(np.int16)
-        % 13
-        - 6
-    )
-    img = np.clip(
-        np.repeat(np.repeat(base, 8, 0), 8, 1).astype(np.int16) + dither,
-        0,
-        255,
-    ).astype(np.uint8)
+    # the SAME photo-like content the media_throughput bench row
+    # measures — shared recipe, so the certified content and the
+    # measured content cannot drift apart
+    from firebolt_spark.operators.multimodal import _jpeg_photo_like_py
+
+    img = _jpeg_photo_like_py("jpg#0")
     rgb = img.tobytes()
 
     p1 = _jpeg_encode_dct_py(rgb, 128, 128, q=1, subsampling="444")
@@ -5999,3 +5987,40 @@ def test_jpeg_dct_encoder_roundtrip_within_quantization():
         _jpeg_encode_dct_py(rgb, 128, 128, subsampling="422")
     with _pytest.raises(ValueError, match="bytes"):
         _jpeg_encode_dct_py(rgb[:-1], 128, 128)
+
+
+def test_jpeg_dc_tie_rounding_and_fill_bytes_regressions():
+    """Round-15 review regressions pinned. (1) DC-only planes go
+    through the SAME stacked matmul as AC planes: at q=253, v=1 the
+    dequantized DC -1012 puts dc/8 exactly on a half-integer tie
+    where an algebraic dc/8 shortcut (tried and rejected) rounds
+    half-even to 2 while the matmul's accumulation rounds to 1 — the
+    decode must match the matmul/r14 value. (2) 0xFF fill bytes are
+    tolerated INSIDE the scan too: before RST markers and before EOI
+    (T.81 B.1.1.2), not just between header segments."""
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _jpeg_decode_py, _jpeg_encode_py,
+    )
+
+    d = _jpeg_decode_py(_jpeg_encode_py(bytes([1]), 1, 1, q=253))
+    assert d is not None
+    img = np.frombuffer(d["pixels"], np.uint8)
+    assert (img == 1).all(), int(img[0])  # 2 = the rejected fast path
+
+    # fill byte before EOI
+    good = _jpeg_encode_py(bytes([50, 200]), 2, 1)
+    base = _jpeg_decode_py(good)
+    assert good.endswith(b"\xff\xd9")
+    filled = good[:-2] + b"\xff" + good[-2:]
+    d = _jpeg_decode_py(filled)
+    assert d is not None and d["pixels"] == base["pixels"]
+
+    # fill byte before an RST marker
+    rst = _jpeg_encode_py(bytes([50, 200]), 2, 1, restart_interval=1)
+    base = _jpeg_decode_py(rst)
+    assert base is not None
+    at = rst.index(b"\xff\xd0")
+    d = _jpeg_decode_py(rst[:at] + b"\xff" + rst[at:])
+    assert d is not None and d["pixels"] == base["pixels"]
