@@ -1804,11 +1804,12 @@ def extract_features(
     the parsed header; n_frames is the REAL frame count for GIF and
     = height (one frame per pixel row, the fixture convention) for the
     single-frame formats; feature = the four channel/total byte means
-    in the shared [b, g, r, all] slot order. Baseline JPEG (grayscale,
-    4:4:4, 4:2:0, or 4:2:2 color — round 15; restart intervals
-    honored) decodes via ``_jpeg_decode_py``. Remaining formats —
-    progressive JPEG, video containers — raise ValueError: they need
-    PIL/ffmpeg, absent in this container.
+    in the shared [b, g, r, all] slot order. JPEG decodes via
+    ``_jpeg_decode_py``: baseline sequential (grayscale, 4:4:4,
+    4:2:0, 4:2:2; restart intervals honored) AND progressive SOF2
+    (spectral selection + successive approximation — round 15). The
+    remaining format family — video containers — raises ValueError:
+    demuxing needs ffmpeg, absent in this container.
 
     ``decoder_backend`` (round 15 — the codec swap seam made real):
     an optional ``payload -> dict | None`` callable that REPLACES the
@@ -1887,11 +1888,11 @@ def extract_features(
                         raise ValueError(
                             "unsupported media format (only BMP, 8-bit "
                             "truecolor/grayscale/palette PNG — plain or "
-                            "Adam7 — multi-frame GIF, baseline "
-                            "grayscale/4:4:4/4:2:0/4:2:2 JPEG, and "
-                            "8/16-bit PCM WAV decode dependency-free; "
-                            "progressive JPEG and video containers need "
-                            "PIL/ffmpeg via decoder_backend)"
+                            "Adam7 — multi-frame GIF, baseline AND "
+                            "progressive JPEG at sampling factors 1-2, "
+                            "and 8/16-bit PCM WAV decode "
+                            "dependency-free; video containers need "
+                            "ffmpeg via decoder_backend)"
                         )
                     decoded = {
                         "width": parsed["width"],
@@ -2321,8 +2322,9 @@ def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (round 14: grayscale + 4:4:4; round 15: 4:2:0/4:2:2 —
-# the codec boundary narrowed twice).
+# JPEG (round 14: baseline grayscale + 4:4:4; round 15: 4:2:0/4:2:2
+# AND full progressive SOF2 — the codec boundary narrowed to video
+# containers).
 #
 # A full baseline JPEG pipeline IS stdlib-implementable: marker parse,
 # DQT/DHT table load, canonical Huffman entropy decode (DC difference
@@ -2330,7 +2332,8 @@ def frame_sample(features: DataFrame, every_nth: int = 2) -> DataFrame:
 # arbitrary {1,2} sampling factors, dequantization, zigzag, the 8x8
 # type-III DCT (float math, numpy matmul), and sample-replication
 # chroma upsampling. What is NOT reasonably stdlib-implementable stays
-# documented in README: progressive scans (SOF2) and video demuxing.
+# documented in README: video demuxing (progressive SOF2 decodes for
+# real as of round 15 — see _jpeg_decode_prog_py).
 # Replication upsampling is itself a convention — libjpeg's triangular
 # "fancy" upsample differs on non-flat chroma — so the oracle fixtures
 # keep chroma flat per block, where every correct convention agrees;
@@ -2620,23 +2623,29 @@ def _jpeg_photo_like_py(seed: str, size: int = 128):
     ).astype(np.uint8)
 
 
-def _jpeg_encode_dct_py(
-    rgb: bytes, w: int, h: int, q: int = 8, subsampling: str = "420"
-) -> bytes:
-    """GENERAL baseline JPEG encoder (round 15): real forward DCT +
-    quantization + full run/size AC entropy coding over arbitrary
-    RGB (3 bytes/px) or grayscale (1 byte/px) content — the generator
-    the media_throughput bench row needs for HONEST decode rates
-    (the flat-tile `_jpeg_encode_py` emits DC-only streams, which
-    measure the IDCT, not the entropy decode real-world payloads pay).
-    Lossy like any JPEG: the roundtrip contract is tolerance, not
-    identity, so ORACLE fixtures keep using the flat encoder.
+# AC table for the PROGRESSIVE encoder: progressive AC scans need the
+# EOB-run symbols (r<<4 for r 0..14) the sequential Annex-K layout
+# does not define. All 176 symbols (EOB0..EOB14, ZRL, run 0..15 x
+# size 1..10) at a uniform 8 bits is a VALID canonical table
+# (176 <= 256) that the decoder resolves entirely through its 8-bit
+# LUT; compression is secondary to exercising every decode path.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
 
-    JFIF RGB -> YCbCr, edge-replicated MCU padding, 2x2 box chroma
-    downsample for 4:2:0 ('444' keeps full chroma; gray input emits a
-    single-component frame), batched forward DCT (the IDCT basis
-    transposed), uniform-q quantization, Annex-K-style full canonical
-    tables declared in DHT."""
+
+def _jpeg_quantized_coefs(
+    rgb: bytes, w: int, h: int, q: int, subsampling: str
+):
+    """The shared front half of the general encoders: JFIF color
+    conversion, edge-replicated MCU padding, optional 2x2 box chroma
+    downsample, batched forward DCT, uniform-q quantization. Returns
+    ([(qz_int64 (nblocks, 64) in ZIGZAG order, block_h, block_w)] per
+    component, sub420) — the coefficient state both the baseline
+    (sequential) and progressive writers entropy-code."""
     import numpy as np
 
     if subsampling not in ("444", "420"):
@@ -2689,8 +2698,30 @@ def _jpeg_encode_dct_py(
         qz = np.rint(F.reshape(-1, 64)[:, zz] / q).astype(np.int64)
         return qz, bh, bw
 
-    comp_coefs = [block_coefs(p) for p in planes]
-    ncomp = len(planes)
+    return [block_coefs(p) for p in planes], sub420
+
+
+def _jpeg_encode_dct_py(
+    rgb: bytes, w: int, h: int, q: int = 8, subsampling: str = "420"
+) -> bytes:
+    """GENERAL baseline JPEG encoder (round 15): real forward DCT +
+    quantization + full run/size AC entropy coding over arbitrary
+    RGB (3 bytes/px) or grayscale (1 byte/px) content — the generator
+    the media_throughput bench row needs for HONEST decode rates
+    (the flat-tile `_jpeg_encode_py` emits DC-only streams, which
+    measure the IDCT, not the entropy decode real-world payloads pay).
+    Lossy like any JPEG: the roundtrip contract is tolerance, not
+    identity, so ORACLE fixtures keep using the flat encoder.
+
+    JFIF RGB -> YCbCr, edge-replicated MCU padding, 2x2 box chroma
+    downsample for 4:2:0 ('444' keeps full chroma; gray input emits a
+    single-component frame), batched forward DCT (the IDCT basis
+    transposed), uniform-q quantization, Annex-K-style full canonical
+    tables declared in DHT."""
+    import numpy as np
+
+    comp_coefs, sub420 = _jpeg_quantized_coefs(rgb, w, h, q, subsampling)
+    ncomp = len(comp_coefs)
 
     out = bytearray(b"\xff\xd8")
     out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))
@@ -2766,6 +2797,299 @@ def _jpeg_encode_dct_py(
             for ci in range(ncomp):
                 put_block(qs[ci][t], ci)
     out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_encode_prog_py(
+    rgb: bytes,
+    w: int,
+    h: int,
+    q: int = 8,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """PROGRESSIVE JPEG encoder (round 15 — T.81 Annex G, the
+    jcphuff-shaped twin of ``_jpeg_decode_prog_py``): the SAME
+    quantized coefficients as ``_jpeg_encode_dct_py`` (shared
+    `_jpeg_quantized_coefs` front half — so a progressive payload and
+    its baseline twin decode to BIT-IDENTICAL pixels, the cross-check
+    `test_jpeg_progressive_equals_baseline` pins), emitted over a
+    libjpeg-like scan script exercising every progressive decode
+    path: interleaved DC first at Al=1, spectrally-split luma AC first
+    scans at Al=2 (1..5 then 6..63), chroma AC first at Al=1, the AC
+    refinement correction-bit walk down to Al=0 (two passes for
+    luma), and the DC refinement bit plane. EOB runs fold trailing
+    empty bands across blocks (the r<<4 symbols of the dedicated
+    uniform-8-bit AC table above); ``restart_interval`` inserts
+    cycling RST markers per scan with predictor/EOB-run/correction
+    state reset, like the sequential encoder."""
+    comp_coefs, sub420 = _jpeg_quantized_coefs(rgb, w, h, q, subsampling)
+    ncomp = len(comp_coefs)
+    if sub420:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # padded block grids from the coefficient arrays; MCU + real grids
+    pad_bh = [c[1] for c in comp_coefs]
+    pad_bw = [c[2] for c in comp_coefs]
+    mcux, mcuy = pad_bw[0] // samp[0][0], pad_bh[0] // samp[0][1]
+    real = []
+    for hi, vi in samp:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        real.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += _jpeg_seg(0xC2, sof)
+    out += _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_FULL_DC_BITS) + bytes(_JPEG_FULL_DC_VALS),
+    )
+    out += _jpeg_seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+
+    dc_codes = _jpeg_huffman_codes(_JPEG_FULL_DC_BITS)
+    ac_code_of = {
+        v: c
+        for v, c in zip(
+            _JPEG_PROG_AC_VALS, _jpeg_huffman_codes(_JPEG_PROG_AC_BITS)
+        )
+    }
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        return _jpeg_seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_blocks(comp_ids):
+        """Unit -> [(ci, block_index)] for a DC scan (interleaved MCU
+        order when several components, real-raster when one)."""
+        if len(comp_ids) > 1:
+            units = mcux * mcuy
+            def blocks(u):
+                mr, mc = divmod(u, mcux)
+                out = []
+                for ci in comp_ids:
+                    hi, vi = samp[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            out.append(
+                                (ci, (mr * vi + byy) * pad_bw[ci]
+                                 + (mc * hi + bxx))
+                            )
+                return out
+        else:
+            ci = comp_ids[0]
+            bhr, bwr = real[ci]
+            units = bhr * bwr
+            def blocks(u):
+                br, bc = divmod(u, bwr)
+                return [(ci, br * pad_bw[ci] + bc)]
+        return units, blocks
+
+    def dc_first(comp_ids, al):
+        units, blocks = dc_blocks(comp_ids)
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        pred = {ci: 0 for ci in comp_ids}
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                entropy += bw.flush()
+                entropy += bytes(
+                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
+                )
+                bw = _JpegBitWriter()
+                pred = {ci: 0 for ci in comp_ids}
+            for ci, bidx in blocks(u):
+                v = int(comp_coefs[ci][0][bidx, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = abs(diff).bit_length()
+                ln, code = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        entropy += bw.flush()
+        return bytes(entropy)
+
+    def dc_refine(comp_ids, al):
+        units, blocks = dc_blocks(comp_ids)
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                entropy += bw.flush()
+                entropy += bytes(
+                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
+                )
+                bw = _JpegBitWriter()
+            for ci, bidx in blocks(u):
+                bw.put((int(comp_coefs[ci][0][bidx, 0]) >> al) & 1, 1)
+        entropy += bw.flush()
+        return bytes(entropy)
+
+    def ac_first(ci, ss, se, al):
+        qz = comp_coefs[ci][0]
+        bhr, bwr = real[ci]
+        units = bhr * bwr
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ln, code = ac_code_of[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eob()
+                entropy += bw.flush()
+                entropy += bytes(
+                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
+                )
+                bw = _JpegBitWriter()
+            br, bc = divmod(u, bwr)
+            row = qz[br * pad_bw[ci] + bc]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    ln, code = ac_code_of[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                s = t.bit_length()
+                ln, code = ac_code_of[(r << 4) | s]
+                bw.put(code, ln)
+                x = t if v > 0 else -t
+                bw.put(x if x >= 0 else x + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        entropy += bw.flush()
+        return bytes(entropy)
+
+    def ac_refine(ci, ss, se, ah, al):
+        qz = comp_coefs[ci][0]
+        bhr, bwr = real[ci]
+        units = bhr * bwr
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        eobrun = 0
+        # TWO correction-bit buffers (jcphuff's BE vs BR split — the
+        # round-15 desync lesson): `pending` holds bits from COMPLETED
+        # blocks' tails, emitted right after the EOB symbol that
+        # covers them; `cur` holds bits since the last symbol of the
+        # CURRENT block, emitted after that block's next symbol (the
+        # decoder reads them during the advance following the symbol)
+        pending: list[int] = []
+        cur: list[int] = []
+
+        def drain_cur():
+            for b in cur:
+                bw.put(b, 1)
+            cur.clear()
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ln, code = ac_code_of[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+                for b in pending:
+                    bw.put(b, 1)
+                pending.clear()
+
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eob()
+                entropy += bw.flush()
+                entropy += bytes(
+                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
+                )
+                bw = _JpegBitWriter()
+            br, bc = divmod(u, bwr)
+            row = qz[br * pad_bw[ci] + bc]
+            tvals = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            eobpos = ss - 1  # last newly-significant position
+            for k in range(ss, se + 1):
+                if tvals[k - ss] == 1:
+                    eobpos = k
+            r = 0
+            for k in range(ss, se + 1):
+                t = tvals[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs only when a newly-significant coef still
+                # follows; otherwise the zeros fold into the EOB run
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    ln, code = ac_code_of[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                    drain_cur()
+                if t > 1:
+                    # already significant: buffer the correction bit
+                    cur.append(t & 1)
+                    continue
+                flush_eob()
+                ln, code = ac_code_of[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if int(row[k]) > 0 else 0, 1)
+                drain_cur()
+                r = 0
+            if r > 0 or cur:
+                # the block's tail folds into an EOB run; its pending
+                # correction bits ride with the run's flush
+                eobrun += 1
+                pending.extend(cur)
+                cur.clear()
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    flush_eob()
+        flush_eob()
+        entropy += bw.flush()
+        return bytes(entropy)
+
+    all_ids = list(range(ncomp))
+    out += sos_header(all_ids, 0, 0, 0, 1) + dc_first(all_ids, 1)
+    out += sos_header([0], 1, 5, 0, 2) + ac_first(0, 1, 5, 2)
+    out += sos_header([0], 6, 63, 0, 2) + ac_first(0, 6, 63, 2)
+    for ci in range(1, ncomp):
+        out += sos_header([ci], 1, 63, 0, 1) + ac_first(ci, 1, 63, 1)
+    out += sos_header([0], 1, 63, 2, 1) + ac_refine(0, 1, 63, 2, 1)
+    out += sos_header(all_ids, 0, 0, 1, 0) + dc_refine(all_ids, 0)
+    out += sos_header([0], 1, 63, 1, 0) + ac_refine(0, 1, 63, 1, 0)
+    for ci in range(1, ncomp):
+        out += sos_header([ci], 1, 63, 1, 0) + ac_refine(ci, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2909,9 +3233,13 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                     return None
                 # (id, H, V, quant tbl)
                 comps.append((cid, hi, vi, body[8 + 3 * ci]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:
+            # progressive DCT (round 15): its multi-scan structure
+            # gets a dedicated walk — re-dispatch on the full payload
+            return _jpeg_decode_prog_py(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / extended / arithmetic frames
+            return None  # extended / lossless / arithmetic frames
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(body) != 2:
                 return None
@@ -3139,14 +3467,33 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     # other q) rint(dc/8) rounds half-even while the matmul's 1-ulp
     # accumulation rounds away — 33 of the 2048 reachable dequantized
     # DCs diverge by 1. Same floats or nothing.
+    dequant = [
+        np.asarray(coefs[ci], np.float64).reshape(-1, 64) * qdezz
+        for ci, (qdezz, _, _, _, _) in enumerate(plan)
+    ]
+    geom = [
+        (comp_bh[ci], comp_bw[ci], hi, vi)
+        for ci, (_, _, _, hi, vi) in enumerate(plan)
+    ]
+    return _jpeg_render(dequant, geom, hmax, vmax, w, h)
+
+
+def _jpeg_render(dequant, geom, hmax, vmax, w, h) -> dict:
+    """The shared back half of BOTH JPEG decoders (baseline and
+    progressive use the IDENTICAL float path — the round-15 dc/8
+    lesson generalized): stacked-matmul IDCT over dequantized
+    DE-ZIGZAG coefficient rows, block-grid assembly, replication
+    upsample, crop, and the grayscale / floor(x+0.5) JFIF YCbCr->RGB
+    statistics. ``dequant``: per-component float64 (nblocks, 64);
+    ``geom``: per-component (block_h, block_w, Hi, Vi)."""
+    import numpy as np
+
     M = _jpeg_idct_matrix()
     MT = M.T.copy()
     planes = []
-    for ci, (qdezz, _, _, hi, vi) in enumerate(plan):
-        arr = np.asarray(coefs[ci], np.float64).reshape(-1, 64) * qdezz
+    for arr, (bh_ci, bw_ci, hi, vi) in zip(dequant, geom):
         spatial = MT @ arr.reshape(-1, 8, 8) @ M + 128.0
         blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-        bh_ci, bw_ci = comp_bh[ci], comp_bw[ci]
         plane = (
             blocks.reshape(bh_ci, bw_ci, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -3206,6 +3553,487 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     }
 
 
+class _JpegScanReader:
+    """De-stuffed entropy-segment bit reader for the PROGRESSIVE
+    decoder — the baseline reader's buffered-window design in class
+    form (progressive is not the bench hot path; the baseline keeps
+    its closure-local variant). bits()/sym() return None on overrun
+    or undefined codes, like the baseline reader."""
+
+    __slots__ = ("s", "nb", "bp", "bi", "win", "wn")
+
+    def __init__(self, seg: bytes) -> None:
+        self.s = seg.replace(b"\xff\x00", b"\xff")
+        self.nb = 8 * len(self.s)
+        self.bp = 0
+        self.bi = 0
+        self.win = 0
+        self.wn = 0
+
+    def bits(self, n: int):
+        if self.bp + n > self.nb:
+            return None
+        while self.wn < n:
+            self.win = (self.win << 8) | self.s[self.bi]
+            self.bi += 1
+            self.wn += 8
+        self.wn -= n
+        v = self.win >> self.wn
+        self.win &= (1 << self.wn) - 1
+        self.bp += n
+        return v
+
+    def sym(self, tab):
+        while self.wn < 16 and self.bi < len(self.s):
+            self.win = (self.win << 8) | self.s[self.bi]
+            self.bi += 1
+            self.wn += 8
+        pk = (
+            (self.win << (16 - self.wn))
+            if self.wn < 16
+            else (self.win >> (self.wn - 16))
+        )
+        lut, maxc16, minc, valptr, vals = tab
+        e = lut[pk >> 8]
+        if e is not None:
+            sym, ln = e
+        else:
+            ln = 9
+            while ln <= 16 and pk > maxc16[ln]:
+                ln += 1
+            if ln > 16:
+                return None
+            sym = vals[valptr[ln] + (pk >> (16 - ln)) - minc[ln]]
+        if self.bp + ln > self.nb:
+            return None
+        self.wn -= ln
+        self.win &= (1 << self.wn) - 1
+        self.bp += ln
+        return sym
+
+
+def _jpeg_split_restart_segs(data: bytes, dri: int, units: int):
+    """Split one scan's entropy data at RST0-7 markers with the
+    cycling-sequence and cadence checks the baseline decoder applies
+    (T.81 F.2.1.3.1 / G restart semantics). Returns the segment list
+    or None on violation."""
+    segs: list[bytes] = []
+    seg_start = 0
+    i = 0
+    next_rst = 0
+    while i + 1 < len(data):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            if dri == 0 or (data[i + 1] - 0xD0) != (next_rst & 7):
+                return None
+            segs.append(data[seg_start:i])
+            seg_start = i + 2
+            next_rst += 1
+            i += 2
+        else:
+            i += 1
+    segs.append(data[seg_start:])
+    if dri and len(segs) != (units + dri - 1) // dri:
+        return None
+    if not dri and len(segs) != 1:
+        return None
+    return segs
+
+
+def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
+    """PROGRESSIVE JPEG decode (round 15 — T.81 Annex G, the web's
+    other dominant JPEG shape beside 4:2:0): SOF2 frames whose
+    coefficients arrive over MULTIPLE scans — spectral selection
+    (Ss..Se coefficient bands per scan) and successive approximation
+    (Ah/Al bit-plane passes). All four scan kinds decode: DC first
+    (interleaved or single-component, predictors on the Al-shifted
+    values), DC refinement (one raw bit per block ORed at bit Al), AC
+    first (EOB-run coding: symbol r<<4 means a run of 1<<r + extra
+    end-of-band blocks), and AC refinement (the G.1.2.3 correction-bit
+    walk: ±1<<Al insertions whose zero-runs count only zero-history
+    positions, with correction bits appended for every already-nonzero
+    coefficient crossed, including through ZRLs and EOB runs).
+
+    Sampling factors in {1, 2} per axis like the baseline decoder; AC
+    scans are single-component NON-interleaved over the component's
+    REAL block grid (ceil(ceil(w*Hi/Hmax)/8) wide — the MCU-padded
+    dummy blocks of interleaved DC scans are never AC-coded, exactly
+    the T.81 A.2.2 geometry split). DRI/RST honored per scan (DC
+    predictors and EOB run reset per segment; DRI may change between
+    scans). Successive-approximation LEGALITY is enforced per
+    coefficient index: a band's first scan must have Ah=0, refinements
+    must step Al down by exactly 1 from the current precision, and at
+    EOI every coefficient of every component must have reached Al=0 —
+    a partially-transmitted progressive stream REFUSES rather than
+    rendering an approximation (the module contract). Reconstruction
+    (dequant, stacked-matmul IDCT, replication upsample, floor(x+0.5)
+    color) is the SAME code path as the baseline decoder
+    (_jpeg_render), so a stream encoded progressively and its
+    baseline twin decode to bit-identical pixels — pinned by
+    test_jpeg_progressive_equals_baseline."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    w = h = None
+    comps = None  # [(cid, hi, vi, tq)]
+    dri = 0
+    hmax = vmax = mcux = mcuy = 0
+    coefs: list[list[int]] = []  # per comp, padded-grid blocks x 64 (ZIGZAG order)
+    cur_al: list[list] = []  # per comp, per zigzag index: None | int
+    real_grid: list[tuple[int, int]] = []  # (bhr, bwr) non-interleaved grids
+    pad_bw: list[int] = []
+    saw_eoi = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        while payload[pos + 1] == 0xFF and pos + 3 <= len(payload):
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0x01:  # TEM: standalone
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if pos + 4 > len(payload):
+            return None
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        pos += 2 + seglen
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0 or b + 65 > len(body):
+                    return None
+                qt[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = body[b + 17 : b + 17 + nv]
+                if len(vals) != nv:
+                    return None
+                huff[(tc, th)] = _jpeg_decoder_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC2:
+            if comps is not None or len(body) < 6 or body[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", body, 1)
+            nf = body[5]
+            if nf not in (1, 3) or w < 1 or h < 1:
+                return None
+            if len(body) != 6 + 3 * nf:
+                return None
+            comps = []
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if nf == 1:
+                    hi = vi = 1
+                elif not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None
+                comps.append((cid, hi, vi, body[8 + 3 * ci]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _, hi, vi, _tq in comps:
+                bw_c, bh_c = mcux * hi, mcuy * vi
+                coefs.append([0] * (bw_c * bh_c * 64))
+                cur_al.append([None] * 64)
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                real_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+                pad_bw.append(bw_c)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # a second/incompatible frame header
+        elif marker == 0xDD:
+            if len(body) != 2:
+                return None
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ns = body[0] if body else 0
+            if not 1 <= ns <= 4 or len(body) != 1 + 2 * ns + 3:
+                return None
+            cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+            scomps = []
+            seen = set()
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                sel = body[2 + 2 * si]
+                if cid not in cid_to_idx or cid in seen:
+                    return None
+                seen.add(cid)
+                scomps.append((cid_to_idx[cid], sel >> 4, sel & 0x0F))
+            off = 1 + 2 * ns
+            ss, se, a = body[off], body[off + 1], body[off + 2]
+            ah, al = a >> 4, a & 0x0F
+            # locate the scan's entropy data (fill-byte tolerant)
+            end = pos
+            while end + 1 < len(payload):
+                nxt = payload[end + 1]
+                if payload[end] == 0xFF and nxt not in (0x00, 0xFF) and not (
+                    0xD0 <= nxt <= 0xD7
+                ):
+                    break
+                end += 1
+            data = payload[pos:end]
+            pos = end
+            if not _jpeg_prog_scan(
+                coefs, cur_al, comps, scomps, huff, ss, se, ah, al,
+                data, dri, mcux, mcuy, real_grid, pad_bw,
+            ):
+                return None
+        # APPn / COM: skipped
+    if not saw_eoi or comps is None:
+        return None
+    # completeness: every coefficient of every component refined to
+    # full precision — partial progressive streams refuse
+    for ca in cur_al:
+        if any(v != 0 for v in ca):
+            return None
+    zz = np.array(_JPEG_ZIGZAG)
+    dequant = []
+    geom = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            return None
+        arr_zz = np.asarray(coefs[ci], np.float64).reshape(-1, 64)
+        arr_zz *= np.asarray(qt[tq], np.float64)
+        dz = np.empty_like(arr_zz)
+        dz[:, zz] = arr_zz  # zigzag -> natural order
+        dequant.append(dz)
+        geom.append((mcuy * vi, mcux * hi, hi, vi))
+    return _jpeg_render(dequant, geom, hmax, vmax, w, h)
+
+
+def _jpeg_prog_scan(
+    coefs, cur_al, comps, scomps, huff, ss, se, ah, al,
+    data, dri, mcux, mcuy, real_grid, pad_bw,
+) -> bool:
+    """Decode ONE progressive scan into the coefficient state.
+    Returns False on any structural or successive-approximation
+    violation. scomps: [(comp_idx, Td, Ta)]."""
+    if se > 63 or al > 13 or ah > 13:
+        return False
+    is_dc = ss == 0
+    if is_dc:
+        if se != 0:
+            return False
+        # interleaved DC scans must cover the whole frame; single-
+        # component DC scans are non-interleaved (T.81 G.1.1.1.1)
+        if len(scomps) not in (1, len(comps)):
+            return False
+    else:
+        if ss > se or len(scomps) != 1:
+            return False
+    if ah != 0 and al != ah - 1:
+        return False
+    band = range(ss, se + 1) if not is_dc else range(0, 1)
+    # successive-approximation legality per coefficient index, then
+    # record the band's new precision
+    for ci, _td, _ta in scomps:
+        ca = cur_al[ci]
+        for k in band:
+            if ah == 0:
+                if ca[k] is not None:
+                    return False  # band double-coded
+            elif ca[k] != ah:
+                return False  # refinement out of order
+        if not is_dc and ca[0] is None:
+            return False  # AC before the component's DC scan
+        for k in band:
+            ca[k] = al
+    # units + per-unit block lists
+    interleaved = is_dc and len(scomps) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        bhr, bwr = real_grid[ci0]
+        units = bhr * bwr
+    segs = _jpeg_split_restart_segs(data, dri, units)
+    if segs is None:
+        return False
+    tabs = []
+    for ci, td, ta in scomps:
+        if is_dc and ah == 0:
+            if (0, td) not in huff:
+                return False
+            tabs.append(huff[(0, td)])
+        elif not is_dc:
+            if (1, ta) not in huff:
+                return False
+            tabs.append(huff[(1, ta)])
+        else:
+            tabs.append(None)  # DC refinement: raw bits, no table
+    rd = _JpegScanReader(segs[0])
+    pred = [0] * len(scomps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_nonzero(cc, base, k, se):
+        """Append correction bits for already-nonzero coefs in
+        base+k..base+se (G.1.2.3 EOB-run / tail handling)."""
+        while k <= se:
+            c = cc[base + k]
+            if c != 0:
+                b = rd.bits(1)
+                if b is None:
+                    return None
+                if b and (c & p1) == 0:
+                    cc[base + k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        return True
+
+    for u in range(units):
+        if dri and u and u % dri == 0:
+            rd = _JpegScanReader(segs[u // dri])
+            pred = [0] * len(scomps)
+            eobrun = 0
+        # the blocks this unit covers: (comp_idx, tab_idx, base)
+        blocks = []
+        if interleaved:
+            mr, mc = divmod(u, mcux)
+            for ti, (ci, _td, _ta) in enumerate(scomps):
+                _cid, hi, vi, _tq = comps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        base = 64 * (
+                            (mr * vi + byy) * pad_bw[ci] + (mc * hi + bxx)
+                        )
+                        blocks.append((ci, ti, base))
+        else:
+            ci = scomps[0][0]
+            bhr, bwr = real_grid[ci]
+            br, bc = divmod(u, bwr)
+            blocks.append((ci, 0, 64 * (br * pad_bw[ci] + bc)))
+        for ci, ti, base in blocks:
+            cc = coefs[ci]
+            if is_dc and ah == 0:
+                s = rd.sym(tabs[ti])
+                if s is None or s > 11:
+                    return False
+                diff = 0
+                if s:
+                    v = rd.bits(s)
+                    if v is None:
+                        return False
+                    diff = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                pred[ti] += diff
+                cc[base] = pred[ti] << al
+            elif is_dc:
+                b = rd.bits(1)
+                if b is None:
+                    return False
+                if b:
+                    cc[base] |= p1
+            elif ah == 0:
+                # AC first scan (G.1.2.2) with EOB-run coding
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rd.sym(tabs[ti])
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            x = rd.bits(r)
+                            if x is None:
+                                return False
+                            eobrun += x
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    v = rd.bits(s)
+                    if v is None:
+                        return False
+                    v = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                    cc[base + k] = v << al
+                    k += 1
+            else:
+                # AC refinement scan (G.1.2.3, the jdphuff walk)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.sym(tabs[ti])
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    x = rd.bits(r)
+                                    if x is None:
+                                        return False
+                                    eobrun += x
+                                break
+                            val = 0  # r == 15: ZRL, 16 zero-history skips
+                        else:
+                            if s != 1:
+                                return False  # refinement codes only ±1
+                            b = rd.bits(1)
+                            if b is None:
+                                return False
+                            val = p1 if b else -p1
+                        # advance: correction bits over nonzero
+                        # history, run counts only zero positions
+                        placed = False
+                        while k <= se:
+                            c = cc[base + k]
+                            if c != 0:
+                                b = rd.bits(1)
+                                if b is None:
+                                    return False
+                                if b and (c & p1) == 0:
+                                    cc[base + k] = c + (
+                                        p1 if c >= 0 else -p1
+                                    )
+                            else:
+                                if r == 0:
+                                    if val:
+                                        cc[base + k] = val
+                                    placed = True
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                        if not placed and val:
+                            return False  # run overran the band
+                    else:
+                        # band walked to completion without EOB
+                        continue
+                # EOB-run (or post-EOB tail): refine the remaining
+                # nonzero coefficients of the band, then count down
+                if eobrun:
+                    if refine_nonzero(cc, base, k, se) is None:
+                        return False
+                    eobrun -= 1
+    return True
+
+
 def jpeg_encode(
     docs: DataFrame, text_col: str = "text", subsampling: str = "mixed"
 ) -> DataFrame:
@@ -3226,6 +4054,18 @@ def jpeg_encode(
     ``doc_id % 3`` MCUs (0 = no DRI), so the cycling-RST framing is
     driver-exercised too.
 
+    ``subsampling='prog'`` (round 15, registered as a driver query in
+    round 16 per the rotation budget): every doc is a PROGRESSIVE
+    grayscale JPEG — the round-14 flat-tile geometry (``8 * (1 +
+    doc_id % 3)`` x ``8 * (1 + doc_id % 2)``, tile ``k`` = byte ``k``
+    of md5(text + '#jp')) rendered to pixels and pushed through the
+    real multi-scan progressive encoder (spectral selection +
+    successive approximation + EOB runs; restart interval
+    ``doc_id % 3``). A flat tile's forward DCT is DC-only and its DC
+    quantizes exactly at q=8, so the decode reproduces the tile bytes
+    EXACTLY and the grayscale oracle arithmetic carries over
+    unchanged.
+
     Quantization all-8s in both modes — the combination that makes
     every decoded component sample EXACTLY its tile byte, so the
     oracle recomputes the statistics (including the floor(x+0.5) JFIF
@@ -3233,19 +4073,50 @@ def jpeg_encode(
     replication upsample) from the md5 byte stream and never decodes
     a JPEG while the engine runs the real entropy decode + IDCT.
     Arrow-batched ``mapInPandas``; map-only."""
-    if subsampling not in ("mixed", "420"):
+    if subsampling not in ("mixed", "420", "prog"):
         raise ValueError(
-            f"subsampling must be 'mixed' or '420', got {subsampling!r}"
+            f"subsampling must be 'mixed', '420', or 'prog', got {subsampling!r}"
         )
     src = docs.select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
                 doc_id = int(rec.doc_id)
+                if subsampling == "prog":
+                    tx = 1 + doc_id % 3
+                    ty = 1 + doc_id % 2
+                    digest = hashlib.md5(
+                        (rec.ptext + "#jp").encode("utf-8")
+                    ).digest()
+                    tiles = np.frombuffer(
+                        digest[: tx * ty], np.uint8
+                    ).reshape(ty, tx)
+                    pixels = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+                    payload = _jpeg_encode_prog_py(
+                        pixels.tobytes(),
+                        8 * tx,
+                        8 * ty,
+                        restart_interval=doc_id % 3,
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media": payload,
+                            "media_meta": {
+                                "kind": "image",
+                                "mime": "image/jpeg",
+                                "n_bytes": len(payload),
+                                "sha": hashlib.sha256(payload).hexdigest(),
+                            },
+                        }
+                    )
+                    continue
                 if subsampling == "420":
                     tx = 1 + doc_id % 2
                     ty = 1 + doc_id % 3

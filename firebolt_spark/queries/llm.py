@@ -2045,6 +2045,59 @@ Q_MULTIMODAL_JPEG_420_SQL = f"""
 """
 
 
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode end-to-end (round 15 — T.81 Annex G;
+    REGISTERED IN ROUND 16: round 15's nine-slot new/changed budget
+    was already committed when this landed, so per the rotation
+    discipline the operator ships now with its pytest certification
+    — test_jpeg_progressive_equals_baseline pins bit-identical pixels
+    vs the baseline twin across gray/444/420/q/dims/restarts, plus a
+    hand-assembled first-principles refinement vector — and takes its
+    driver slot in the r16 rotation's 14-slot slack):
+    multimodal.jpeg_encode(subsampling='prog') renders the round-14
+    flat-tile grayscale geometry to pixels and pushes them through
+    the REAL multi-scan progressive encoder (interleaved DC first at
+    Al=1, spectral-split AC first scans, successive-approximation
+    refinements down to Al=0, EOB-run coding, restart interval
+    doc_id % 3), and extract_features(decode_stub=False) runs the
+    real multi-scan decode. A flat tile's forward DCT is DC-only and
+    quantizes exactly at q=8, so the decode reproduces the tile bytes
+    exactly and the oracle recomputes the statistics from the md5
+    stream. A decoder that drops a refinement bit plane, misreads an
+    EOB run, or skips a DC refinement hash-mismatches."""
+    media = multimodal.jpeg_encode(
+        _documents(spark, sf_dir), subsampling="prog"
+    )
+    feats = multimodal.extract_features(media, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 4).alias("mean_gray"),
+    )
+
+
+Q_MULTIMODAL_JPEG_PROG_SQL = f"""
+    WITH jd AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS INTEGER) AS tx,
+               CAST(1 + doc_id % 2 AS INTEGER) AS ty,
+               md5(coalesce(text, '') || '#jp') AS dighex
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, tx, ty, {_jpeg_hx("k")} AS b0
+        FROM jd, LATERAL (SELECT unnest(range(tx * ty)) AS k) r
+    )
+    SELECT doc_id,
+           CAST(8 * tx AS INTEGER) AS width,
+           CAST(8 * ty AS INTEGER) AS height,
+           round(sum(b0) / CAST(tx * ty AS DOUBLE), 6) AS mean_gray
+    FROM tb
+    GROUP BY doc_id, tx, ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 
