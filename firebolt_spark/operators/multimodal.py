@@ -2359,6 +2359,15 @@ _JPEG_DC_VALS = list(range(12))
 _JPEG_AC_BITS = [0, 3, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_AC_VALS = [0x00, 0x01, 0x11, 0xF0, 0x02, 0x21, 0x31, 0x12]
 
+# Decode allocation cap (round-15 review): coefficient state is sized
+# from the SOF header BEFORE any entropy data is validated, so an
+# attacker-controlled 65535x65535 header would OOM an executor with a
+# 20-byte payload instead of hitting the refuse-with-None contract.
+# 16.7 MP (4096x4096) bounds the state to ~135 MB of Python ints per
+# component — beyond it, refuse. Real >16 MP corpora use the
+# decoder_backend seam (PIL/libjpeg-turbo) anyway.
+_JPEG_MAX_PIXELS = 1 << 24
+
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -2867,6 +2876,15 @@ def _jpeg_encode_prog_py(
         )
     }
 
+    def rst_marker(entropy, bw, u):
+        """Byte-align, emit the cycling RST marker, hand back a fresh
+        bit writer — the shared restart tail of all four scan
+        emitters (round-15 review dedup; per-scan state resets stay
+        at the call sites that own the state)."""
+        entropy += bw.flush()
+        entropy += bytes([0xFF, 0xD0 + ((u // restart_interval - 1) & 7)])
+        return _JpegBitWriter()
+
     def sos_header(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
         for ci in comp_ids:
@@ -2906,11 +2924,7 @@ def _jpeg_encode_prog_py(
         pred = {ci: 0 for ci in comp_ids}
         for u in range(units):
             if restart_interval and u and u % restart_interval == 0:
-                entropy += bw.flush()
-                entropy += bytes(
-                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
-                )
-                bw = _JpegBitWriter()
+                bw = rst_marker(entropy, bw, u)
                 pred = {ci: 0 for ci in comp_ids}
             for ci, bidx in blocks(u):
                 v = int(comp_coefs[ci][0][bidx, 0]) >> al
@@ -2930,11 +2944,7 @@ def _jpeg_encode_prog_py(
         bw = _JpegBitWriter()
         for u in range(units):
             if restart_interval and u and u % restart_interval == 0:
-                entropy += bw.flush()
-                entropy += bytes(
-                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
-                )
-                bw = _JpegBitWriter()
+                bw = rst_marker(entropy, bw, u)
             for ci, bidx in blocks(u):
                 bw.put((int(comp_coefs[ci][0][bidx, 0]) >> al) & 1, 1)
         entropy += bw.flush()
@@ -2961,11 +2971,7 @@ def _jpeg_encode_prog_py(
         for u in range(units):
             if restart_interval and u and u % restart_interval == 0:
                 flush_eob()
-                entropy += bw.flush()
-                entropy += bytes(
-                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
-                )
-                bw = _JpegBitWriter()
+                bw = rst_marker(entropy, bw, u)
             br, bc = divmod(u, bwr)
             row = qz[br * pad_bw[ci] + bc]
             r = 0
@@ -3031,11 +3037,7 @@ def _jpeg_encode_prog_py(
         for u in range(units):
             if restart_interval and u and u % restart_interval == 0:
                 flush_eob()
-                entropy += bw.flush()
-                entropy += bytes(
-                    [0xFF, 0xD0 + ((u // restart_interval - 1) & 7)]
-                )
-                bw = _JpegBitWriter()
+                bw = rst_marker(entropy, bw, u)
             br, bc = divmod(u, bwr)
             row = qz[br * pad_bw[ci] + bc]
             tvals = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
@@ -3218,6 +3220,8 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             # block. Sampling factors of 3/4 refuse.
             if nf not in (1, 3) or w < 1 or h < 1:
                 return None
+            if w * h > _JPEG_MAX_PIXELS:
+                return None  # allocation cap, see _JPEG_MAX_PIXELS
             if len(body) != 6 + 3 * nf:
                 return None
             comps = []
@@ -3303,34 +3307,15 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     if any(hmax % p[3] or vmax % p[4] for p in plan):
         return None
 
-    # split the scan into entropy-coded segments at RST0-7 markers:
-    # the sequence numbers must cycle 0..7 in order, each segment
-    # de-stuffs and bit-reads independently, and each restart resets
-    # the DC predictors (T.81 F.2.1.3.1). A restart marker without a
-    # declared DRI — or vice versa — refuses.
-    segs: list[bytes] = []
-    seg_start = 0
-    i = 0
-    next_rst = 0
-    while i + 1 < len(data):
-        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
-            if dri == 0 or (data[i + 1] - 0xD0) != (next_rst & 7):
-                return None
-            segs.append(data[seg_start:i])
-            seg_start = i + 2
-            next_rst += 1
-            i += 2
-        else:
-            i += 1
-    segs.append(data[seg_start:])
     # MCU geometry (T.81 A.2.3): an interleaved MCU spans
     # 8*Hmax x 8*Vmax pixels and carries Hi x Vi blocks per component
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     total_mcus = mcux * mcuy
-    if dri and len(segs) != (total_mcus + dri - 1) // dri:
-        return None  # wrong restart cadence for the MCU count
-    if not dri and len(segs) != 1:
+    # split the scan at RST0-7 markers with cycling + cadence checks
+    # (shared with the progressive decoder — round-15 review dedup)
+    segs = _jpeg_split_restart_segs(data, dri, total_mcus)
+    if segs is None:
         return None
 
     # entropy bit reader over the current segment's de-stuffed bytes
@@ -3685,6 +3670,11 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
     cur_al: list[list] = []  # per comp, per zigzag index: None | int
     real_grid: list[tuple[int, int]] = []  # (bhr, bwr) non-interleaved grids
     pad_bw: list[int] = []
+    # quantization tables LATCH at each component's first scan (T.81:
+    # a table must be defined before first use; a mid-stream DQT
+    # redefinition must not retroactively re-dequantize earlier
+    # scans — round-15 review)
+    latched_q: list = []
     saw_eoi = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -3731,6 +3721,8 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
             nf = body[5]
             if nf not in (1, 3) or w < 1 or h < 1:
                 return None
+            if w * h > _JPEG_MAX_PIXELS:
+                return None  # allocation cap, see _JPEG_MAX_PIXELS
             if len(body) != 6 + 3 * nf:
                 return None
             comps = []
@@ -3755,6 +3747,7 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
                 ch = (h * vi + vmax - 1) // vmax
                 real_grid.append(((ch + 7) // 8, (cw + 7) // 8))
                 pad_bw.append(bw_c)
+                latched_q.append(None)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # a second/incompatible frame header
@@ -3792,6 +3785,12 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
                 end += 1
             data = payload[pos:end]
             pos = end
+            for ci, _td, _ta in scomps:
+                if latched_q[ci] is None:
+                    tq = comps[ci][3]
+                    if tq not in qt:
+                        return None  # table undefined at first use
+                    latched_q[ci] = list(qt[tq])
             if not _jpeg_prog_scan(
                 coefs, cur_al, comps, scomps, huff, ss, se, ah, al,
                 data, dri, mcux, mcuy, real_grid, pad_bw,
@@ -3809,10 +3808,10 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
     dequant = []
     geom = []
     for ci, (_cid, hi, vi, tq) in enumerate(comps):
-        if tq not in qt:
-            return None
+        if latched_q[ci] is None:
+            return None  # component never scanned (completeness also catches)
         arr_zz = np.asarray(coefs[ci], np.float64).reshape(-1, 64)
-        arr_zz *= np.asarray(qt[tq], np.float64)
+        arr_zz *= np.asarray(latched_q[ci], np.float64)
         dz = np.empty_like(arr_zz)
         dz[:, zz] = arr_zz  # zigzag -> natural order
         dequant.append(dz)
@@ -3833,10 +3832,11 @@ def _jpeg_prog_scan(
     if is_dc:
         if se != 0:
             return False
-        # interleaved DC scans must cover the whole frame; single-
-        # component DC scans are non-interleaved (T.81 G.1.1.1.1)
-        if len(scomps) not in (1, len(comps)):
-            return False
+        # DC scans may interleave ANY subset of the frame's
+        # components (custom scan scripts emit e.g. chroma-only DC
+        # scans); MCU geometry stays the FRAME grid, only the scan's
+        # components contribute blocks. A single-component DC scan is
+        # non-interleaved over its real block grid (T.81 A.2.2).
     else:
         if ss > se or len(scomps) != 1:
             return False

@@ -6235,3 +6235,90 @@ def test_jpeg_progressive_refusals_and_fuzz():
         for _f in range(rng.randrange(1, 4)):
             bad[rng.randrange(2, len(bad) - 2)] ^= 1 << rng.randrange(8)
         _jpeg_decode_py(bytes(bad))  # must not raise
+
+
+def test_jpeg_prog_review_regressions():
+    """Round-15 progressive-review regressions pinned: (1) the SOF
+    allocation cap — a 20-byte payload declaring 65535x65535 refuses
+    instantly instead of OOMing the executor, for both frame types;
+    (2) DC scans interleaving a SUBSET of the frame's components
+    (custom scan scripts emit chroma-only DC scans) decode; (3) a
+    quantization table must be defined before a component's first
+    scan — DQT-after-the-fact refuses."""
+    import struct as st
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _JPEG_FULL_DC_BITS, _JPEG_FULL_DC_VALS, _JPEG_PROG_AC_BITS,
+        _JPEG_PROG_AC_VALS, _JpegBitWriter, _jpeg_decode_py,
+        _jpeg_huffman_codes, _jpeg_seg,
+    )
+
+    # (1) allocation cap, progressive and baseline frame headers
+    for sofm in (0xC2, 0xC0):
+        huge = (
+            b"\xff\xd8"
+            + _jpeg_seg(sofm, st.pack(">BHHB", 8, 65535, 65535, 1)
+                        + bytes([1, 0x11, 0]))
+        )
+        assert _jpeg_decode_py(huge) is None
+
+    # (2)+(3): hand-build a 3-comp 4:4:4 progressive stream whose DC
+    # arrives via TWO scans — luma alone (non-interleaved), then the
+    # two chroma components interleaved as a subset DC scan — with
+    # flat coefficients so the expectation is analytic.
+    dc_codes = _jpeg_huffman_codes(_JPEG_FULL_DC_BITS)
+    ac_idx = {v: i for i, v in enumerate(_JPEG_PROG_AC_VALS)}
+
+    def dc_bits(bw, diff):
+        s = abs(diff).bit_length()
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _jpeg_seg(
+        0xC2,
+        st.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = (
+        _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_FULL_DC_BITS)
+                  + bytes(_JPEG_FULL_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+                    + bytes(_JPEG_PROG_AC_VALS))
+    )
+    # scan A: luma DC only, Al=0, diff +16
+    bw = _JpegBitWriter()
+    dc_bits(bw, 16)
+    scan_a = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush()
+    # scan B: chroma SUBSET interleaved DC, Al=0, diffs +8 and -8
+    bw = _JpegBitWriter()
+    dc_bits(bw, 8)
+    dc_bits(bw, -8)
+    scan_b = _jpeg_seg(
+        0xDA, bytes([2, 2, 0x00, 3, 0x00, 0, 0, 0x00])
+    ) + bw.flush()
+    # AC scans: every component all-zero band 1..63 at Al=0 (EOB)
+    ac_scans = b""
+    for cid in (1, 2, 3):
+        bw = _JpegBitWriter()
+        bw.put(ac_idx[0x00], 8)
+        ac_scans += _jpeg_seg(
+            0xDA, bytes([1, cid, 0x00, 1, 63, 0x00])
+        ) + bw.flush()
+
+    payload = b"\xff\xd8" + dqt + sof + dht + scan_a + scan_b + ac_scans + b"\xff\xd9"
+    d = _jpeg_decode_py(payload)
+    assert d is not None and d["bpp"] == 24
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(8, 8, 3)
+    # flat Y=130, Cb=129, Cr=127: r = floor(130 + 1.402*(-1) + .5)
+    from tests.test_llm_ops import _jpeg_rgb_ref
+
+    assert (px == _jpeg_rgb_ref(130, 129, 127)).all()
+
+    # (3) the same stream with DQT moved AFTER the scans refuses
+    payload_late_q = b"\xff\xd8" + sof + dht + scan_a + scan_b + ac_scans + dqt + b"\xff\xd9"
+    assert _jpeg_decode_py(payload_late_q) is None
