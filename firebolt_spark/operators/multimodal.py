@@ -1769,6 +1769,368 @@ def gif_frames(
     return media_df.mapInPandas(run, schema=_GIF_FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# AVI video container (round 15): the video boundary narrows to real
+# demuxing. AVI is RIFF — the same chunk grammar the WAV codec already
+# walks — and its two classic video payloads are both exactly
+# decodable dependency-free: '00db' uncompressed DIB frames (bottom-up
+# padded BGR rows, the BMP body layout) and '00dc' MJPG frames (each a
+# complete JPEG, which the round-14/15 decoder handles including
+# 4:2:0 and progressive). Modern codecs (H.264/VP9/AV1) remain the
+# documented ffmpeg boundary — refusal, never approximation.
+
+
+def _le32(v: int) -> bytes:
+    return struct.pack("<I", v)
+
+
+def _avi_encode_py(
+    frames: list, w: int, h: int, codec: str = "DIB ", fps: int = 10
+) -> bytes:
+    """Minimal VALID AVI writer (RIFF 'AVI ': LIST hdrl with
+    avih/strh/strf, LIST movi, idx1). ``codec='DIB '``: each frame is
+    raw RGB bytes (3*w*h) stored as a bottom-up 4-byte-padded BGR DIB
+    ('00db' chunks, biCompression 0). ``codec='MJPG'``: each frame is
+    a complete pre-encoded JPEG payload ('00dc' chunks, biCompression
+    'MJPG'). One video stream; headers carry the real frame count,
+    dims, and rate so the decoder's cross-checks hold."""
+    import numpy as np
+
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"codec must be 'DIB ' or 'MJPG', got {codec!r}")
+    if not frames:
+        raise ValueError("need at least one frame")
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    chunks = []
+    for f in frames:
+        if codec == "DIB ":
+            if len(f) != 3 * w * h:
+                raise ValueError(
+                    f"DIB frame needs {3 * w * h} RGB bytes, got {len(f)}"
+                )
+            px = np.frombuffer(bytes(f), np.uint8).reshape(h, w, 3)
+            body = np.zeros((h, stride), np.uint8)
+            body[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)
+            chunks.append((b"00db", body.tobytes()))
+        else:
+            if bytes(f[:2]) != b"\xff\xd8":
+                raise ValueError("MJPG frame must be a JPEG payload")
+            chunks.append((b"00dc", bytes(f)))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + _le32(len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return b"LIST" + _le32(len(body) + 4) + typ + body
+
+    n = len(frames)
+    biCompression = 0 if codec == "DIB " else struct.unpack("<I", b"MJPG")[0]
+    strf = struct.pack(
+        "<IiihhIIiiII",
+        40, w, h, 1, 24, biCompression,
+        stride * h if codec == "DIB " else 0,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + (b"DIB " if codec == "DIB " else b"MJPG")
+        + _le32(0)               # flags
+        + struct.pack("<HH", 0, 0)  # priority, language
+        + _le32(0)               # initial frames
+        + _le32(1)               # scale
+        + _le32(fps)             # rate (fps = rate/scale)
+        + _le32(0)               # start
+        + _le32(n)               # length in frames
+        + _le32(max(len(b) for _t, b in chunks))
+        + _le32(0xFFFFFFFF)      # quality (default)
+        + _le32(0)               # sample size (varies)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h,
+    ) + b"\x00" * 16
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(t, b) for t, b in chunks)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per chunk, offsets relative to the 'movi' fourcc
+    idx = bytearray()
+    off = 4
+    for t, b in chunks:
+        idx += t + _le32(0x10) + _le32(off) + _le32(len(b))
+        off += 8 + len(b) + (len(b) % 2)
+    payload = hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _le32(len(payload) + 4) + b"AVI " + payload
+
+
+def _avi_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
+    """Real dependency-free AVI demux + frame decode: RIFF walk
+    (hdrl: avih + the video strh/strf, movi chunk scan), then per
+    KEPT frame (``frame_stride`` drops frames at demux time — their
+    chunks are never pixel-decoded, the gif_frames economy) either
+    the bottom-up padded-BGR DIB read or the full JPEG decode for
+    MJPG (baseline AND progressive, any supported sampling). Returns
+    the gif-decoder dict shape: width/height/n_frames (TOTAL),
+    frame_idxs/frame_means (kept), overall channel means over kept
+    frames.
+
+    Refusals (None, never approximation): non-'AVI ' RIFF forms,
+    >1 stream, non-'vids' stream, codecs beyond DIB/MJPG (modern
+    H.264/VP9 need ffmpeg — README boundary), frame-count mismatch
+    between avih/strh and the movi chunks, dim mismatch between strf
+    and an MJPG frame's own SOF header, truncated chunks, frames
+    above the _JPEG_MAX_PIXELS allocation cap."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    if frame_stride < 1:
+        return None
+    riff_len = struct.unpack_from("<I", payload, 4)[0]
+    if riff_len + 8 > len(payload) or riff_len < 4:
+        return None
+    end = 8 + riff_len
+
+    def walk(pos, stop):
+        """Yield (fourcc, body_start, body_len, list_type|None)."""
+        while pos + 8 <= stop:
+            tag = payload[pos : pos + 4]
+            ln = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if body + ln > stop:
+                return
+            if tag == b"LIST" and ln >= 4:
+                yield tag, body + 4, ln - 4, payload[body : body + 4]
+            else:
+                yield tag, body, ln, None
+            pos = body + ln + (ln % 2)
+
+    w = h = None
+    n_declared = None
+    strh_frames = None
+    codec = None
+    movi = None
+    for tag, body, ln, ltyp in walk(12, end):
+        if tag == b"LIST" and ltyp == b"hdrl":
+            for t2, b2, l2, lt2 in walk(body, body + ln):
+                if t2 == b"avih" and l2 >= 40:
+                    (_us, _mb, _pg, _fl, n_declared, _init, streams,
+                     _buf, w, h) = struct.unpack_from("<IIIIIIIIII", payload, b2)
+                    if streams != 1:
+                        return None  # audio/multi-stream: out of scope
+                elif t2 == b"LIST" and lt2 == b"strl":
+                    for t3, b3, l3, _ in walk(b2, b2 + l2):
+                        if t3 == b"strh" and l3 >= 48:
+                            if payload[b3 : b3 + 4] != b"vids":
+                                return None
+                            strh_frames = struct.unpack_from(
+                                "<I", payload, b3 + 32
+                            )[0]
+                        elif t3 == b"strf" and l3 >= 40:
+                            (_sz, bw_, bh_, _pl, bits, comp) = (
+                                struct.unpack_from("<IiihhI", payload, b3)
+                            )
+                            if (bw_, abs(bh_)) != (w, h):
+                                return None  # strf dims contradict avih
+                            if comp == 0:
+                                if bits != 24 or bh_ < 0:
+                                    return None  # top-down DIB: out of scope
+                                codec = "DIB"
+                            elif comp == struct.unpack("<I", b"MJPG")[0]:
+                                codec = "MJPG"
+                            else:
+                                return None  # modern codecs: ffmpeg boundary
+        elif tag == b"LIST" and ltyp == b"movi":
+            movi = (body, ln)
+    if None in (w, h, n_declared, strh_frames, codec) or movi is None:
+        return None
+    if w < 1 or h < 1 or w * h > _JPEG_MAX_PIXELS:
+        return None
+    if n_declared != strh_frames:
+        return None
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    frame_idxs = []
+    frame_means = []
+    sums = np.zeros(3, np.float64)
+    count = 0
+    body, ln = movi
+    idx = 0
+    for tag, b2, l2, _ in walk(body, body + ln):
+        if tag not in (b"00db", b"00dc"):
+            return None  # interleaved audio ('01wb') etc.: out of scope
+        if (tag == b"00db") != (codec == "DIB"):
+            return None  # chunk kind must match the declared codec
+        if idx % frame_stride == 0:
+            if codec == "DIB":
+                if l2 != stride * h:
+                    return None
+                rows = np.frombuffer(
+                    payload, np.uint8, count=stride * h, offset=b2
+                ).reshape(h, stride)
+                px = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+                means = px.reshape(-1, 3).mean(axis=0)
+                fm = tuple(round(float(v), 6) for v in means)
+            else:
+                j = _jpeg_decode_py(payload[b2 : b2 + l2])
+                if j is None or (j["width"], j["height"]) != (w, h):
+                    return None
+                fm = (j["mean_r"], j["mean_g"], j["mean_b"])
+            frame_idxs.append(idx)
+            frame_means.append(fm)
+            sums += np.asarray(fm)
+            count += 1
+        idx += 1
+    if idx != n_declared or count == 0:
+        return None
+    mr, mg, mb = (round(float(v / count), 6) for v in sums)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": idx,
+        "frame_idxs": frame_idxs,
+        "frame_means": frame_means,
+        "mean_r": mr,
+        "mean_g": mg,
+        "mean_b": mb,
+        "mean_all": round((mr + mg + mb) / 3, 6),
+    }
+
+
+def video_frames(
+    media_df: DataFrame,
+    every_nth: int = 1,
+    decoder_backend: Callable[[bytes, int], dict | None] | None = None,
+) -> DataFrame:
+    """Per-frame statistics over REAL demuxed video (round 15): one
+    row per kept frame of each AVI payload — the video twin of
+    :func:`gif_frames`, sharing its schema, its parse-time
+    frame-sampling economy (dropped frames' chunks are never
+    pixel-decoded), and its ``decoder_backend`` injection seam (a
+    real cluster passes an ffmpeg-backed ``(payload, stride) ->
+    dict | None`` here for H.264/VP9; the stdlib demuxer covers
+    DIB and MJPG AVI). Arrow-batched ``mapInPandas``; map-only."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.media)
+                meta = rec.media_meta
+                sha = (
+                    meta.get("sha") if isinstance(meta, dict) else None
+                ) or hashlib.sha256(payload).hexdigest()
+                if decoder_backend is not None:
+                    parsed = decoder_backend(payload, every_nth)
+                else:
+                    parsed = _avi_decode_py(payload, frame_stride=every_nth)
+                if parsed is None:
+                    raise ValueError(
+                        "unsupported media format (video_frames demuxes "
+                        "single-stream DIB/MJPG AVI dependency-free; "
+                        "modern codecs and other containers need ffmpeg "
+                        "via decoder_backend)"
+                    )
+                for f, fm in zip(
+                    parsed["frame_idxs"], parsed["frame_means"]
+                ):
+                    rows.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "sha": sha,
+                            "frame_idx": f,
+                            "width": parsed["width"],
+                            "height": parsed["height"],
+                            "mean_r": fm[0],
+                            "mean_g": fm[1],
+                            "mean_b": fm[2],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sha", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media_df.mapInPandas(run, schema=_GIF_FRAME_SCHEMA)
+
+
+def avi_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic VALID AVI payloads from a text fixture: doc_id
+    alternates the two classic payload kinds. EVEN doc_ids are
+    uncompressed DIB — ``2 + doc_id % 3`` frames of 4x2 RGB whose
+    pixel bytes are the md5(text + '#avN') stream (exact, so the
+    oracle recomputes per-frame means from the digest bytes). ODD
+    doc_ids are MJPG — each frame a baseline grayscale flat-tile JPEG
+    (width ``8 * (1 + doc_id % 2)``, height 8; tile k of frame f =
+    byte k of md5(text + '#avjF') with the all-8s quantization), so
+    every decoded pixel is exactly its digest byte and the oracle
+    stays analytic through the REAL per-frame JPEG decode.
+    Arrow-batched ``mapInPandas``; map-only."""
+    src = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("ptext")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                nf = 2 + doc_id % 3
+                if doc_id % 2 == 0:
+                    frames = [
+                        (hashlib.md5(
+                            (rec.ptext + f"#av{f}").encode("utf-8")
+                        ).digest() * 2)[: 3 * 4 * 2]
+                        for f in range(nf)
+                    ]
+                    payload = _avi_encode_py(frames, 4, 2, codec="DIB ")
+                else:
+                    tx = 1 + doc_id % 2
+                    frames = [
+                        _jpeg_encode_py(
+                            hashlib.md5(
+                                (rec.ptext + f"#avj{f}").encode("utf-8")
+                            ).digest()[: tx * 1],
+                            tx,
+                            1,
+                        )
+                        for f in range(nf)
+                    ]
+                    payload = _avi_encode_py(
+                        frames, 8 * tx, 8, codec="MJPG"
+                    )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": payload,
+                        "media_meta": {
+                            "kind": "video",
+                            "mime": "video/x-msvideo",
+                            "n_bytes": len(payload),
+                            "sha": hashlib.sha256(payload).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    schema = (
+        "doc_id BIGINT, media BINARY, "
+        "media_meta STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT, "
+        "sha: STRING>"
+    )
+    return src.mapInPandas(run, schema=schema)
+
+
 def _stub_decode(payload: bytes) -> dict:
     """Deterministic fake decode: dimensions + features from the
     content digest. A real build replaces this body with PIL/ffmpeg."""
@@ -1807,9 +2169,12 @@ def extract_features(
     in the shared [b, g, r, all] slot order. JPEG decodes via
     ``_jpeg_decode_py``: baseline sequential (grayscale, 4:4:4,
     4:2:0, 4:2:2; restart intervals honored) AND progressive SOF2
-    (spectral selection + successive approximation — round 15). The
-    remaining format family — video containers — raises ValueError:
-    demuxing needs ffmpeg, absent in this container.
+    (spectral selection + successive approximation — round 15).
+    Single-stream DIB/MJPG AVI demuxes for real (round 15,
+    ``_avi_decode_py``; n_frames = the true frame count, means over
+    the decoded frames). What remains — modern video codecs
+    (H.264/VP9/AV1) and other containers — raises ValueError:
+    those need ffmpeg, absent in this container.
 
     ``decoder_backend`` (round 15 — the codec swap seam made real):
     an optional ``payload -> dict | None`` callable that REPLACES the
@@ -1838,7 +2203,10 @@ def extract_features(
                 if decode_stub:
                     decoded = _stub_decode(payload)
                 else:
-                    if payload[:4] == b"RIFF":
+                    is_avi = (
+                        payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+                    )
+                    if payload[:4] == b"RIFF" and not is_avi:
                         parsed = _wav_decode_py(payload)
                         if parsed is None:
                             raise ValueError(
@@ -1876,6 +2244,9 @@ def extract_features(
                         continue
                     if decoder_backend is not None:
                         parsed = decoder_backend(payload)
+                    elif is_avi:
+                        # real video demux (round 15): DIB/MJPG AVI
+                        parsed = _avi_decode_py(payload)
                     elif payload[:8] == _PNG_SIG:
                         parsed = _png_decode_py(payload)
                     elif payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -1890,9 +2261,10 @@ def extract_features(
                             "truecolor/grayscale/palette PNG — plain or "
                             "Adam7 — multi-frame GIF, baseline AND "
                             "progressive JPEG at sampling factors 1-2, "
-                            "and 8/16-bit PCM WAV decode "
-                            "dependency-free; video containers need "
-                            "ffmpeg via decoder_backend)"
+                            "8/16-bit PCM WAV, and single-stream "
+                            "DIB/MJPG AVI decode dependency-free; "
+                            "modern video codecs and other containers "
+                            "need ffmpeg via decoder_backend)"
                         )
                     decoded = {
                         "width": parsed["width"],

@@ -71,11 +71,13 @@ slots for r16's new/changed queries (the budget rule above).  The 50
 r14-latest rows rotate in r17.
 
 R16 REGISTRATION DEBT (round-15 write-ahead): q_multimodal_jpeg_prog
-(progressive JPEG decode) is IMPLEMENTED and sf0.01-verified in
-queries/llm.py but deliberately NOT registered — round 15's
-nine-slot new/changed budget was already committed when it landed.
-Round 16 must add it to llm.QUERIES/ORACLE and give it one of the 14
-slack slots (making the r16 budget 36 stale + 1 new + changed).
+(progressive JPEG decode) and q_multimodal_video (AVI demux +
+per-frame decode over video_frames) are IMPLEMENTED and
+sf0.01-verified in queries/llm.py but deliberately NOT registered —
+round 15's nine-slot new/changed budget was already committed when
+they landed.  Round 16 must add both to llm.QUERIES/ORACLE and give
+them two of the 14 slack slots (making the r16 budget 36 stale + 2
+new + changed).
 """
 
 from __future__ import annotations

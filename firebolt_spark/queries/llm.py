@@ -2098,6 +2098,87 @@ Q_MULTIMODAL_JPEG_PROG_SQL = f"""
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux + per-frame decode end-to-end (round 15 —
+    the video boundary narrows to actual demuxing; REGISTERED IN
+    ROUND 16 with q_multimodal_jpeg_prog per the rotation budget,
+    pytest-certified this round): multimodal.avi_encode emits valid
+    single-stream AVIs — EVEN doc_ids uncompressed DIB (bottom-up
+    padded BGR rows, pixel bytes = the md5 stream), ODD doc_ids MJPG
+    (each frame a complete flat-tile grayscale JPEG through the real
+    entropy decode) — and video_frames runs the RIFF walk
+    (avih/strh/strf cross-checks), per-frame chunk scan, and the
+    per-frame pixel decode, emitting one row per frame with channel
+    means. The oracle recomputes every frame's means from the digest
+    bytes (DIB: BGR triplets of the md5 stream; MJPG: flat tiles
+    decode to exactly their digest byte) — it never parses an AVI. A
+    demuxer that mis-walks chunk padding, flips the bottom-up row
+    order into wrong bytes-per-channel, or desyncs a JPEG frame
+    hash-mismatches."""
+    media = multimodal.avi_encode(_documents(spark, sf_dir))
+    return multimodal.video_frames(media).select(
+        "doc_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+Q_MULTIMODAL_VIDEO_SQL = f"""
+    WITH fr AS (
+        SELECT doc_id, text,
+               f
+        FROM documents,
+             LATERAL (SELECT unnest(range(2 + doc_id % 3)) AS f) u
+    ),
+    dib AS (
+        -- even docs: 4x2 RGB frames, pixel bytes = md5(text#avf)
+        -- repeated; mean_r over bytes 0,3,..,21 etc.
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+               4 AS width, 2 AS height,
+               d.dighex
+        FROM fr, LATERAL (
+            SELECT repeat(md5(coalesce(text, '') || '#av' || f), 2) AS dighex
+        ) d
+        WHERE doc_id % 2 = 0
+    ),
+    dibpx AS (
+        SELECT doc_id, frame_idx, width, height,
+               {_jpeg_hx("3 * k")} AS r,
+               {_jpeg_hx("3 * k + 1")} AS g,
+               {_jpeg_hx("3 * k + 2")} AS b
+        FROM dib, LATERAL (SELECT unnest(range(8)) AS k) px
+    ),
+    dibm AS (
+        SELECT doc_id, frame_idx, width, height,
+               round(avg(r), 6) AS mean_r,
+               round(avg(g), 6) AS mean_g,
+               round(avg(b), 6) AS mean_b
+        FROM dibpx GROUP BY doc_id, frame_idx, width, height
+    ),
+    mj AS (
+        -- odd docs: grayscale flat-tile MJPG, tile k of frame f =
+        -- byte k of md5(text#avjf); gray means r=g=b
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+               CAST(8 * tx AS INTEGER) AS width, 8 AS height,
+               d.dighex, tx
+        FROM fr,
+             LATERAL (SELECT CAST(1 + doc_id % 2 AS INTEGER) AS tx) t,
+             LATERAL (
+                 SELECT md5(coalesce(text, '') || '#avj' || f) AS dighex
+             ) d
+        WHERE doc_id % 2 = 1
+    ),
+    mjm AS (
+        SELECT doc_id, frame_idx, width, height,
+               round(avg({_jpeg_hx("k")}), 6) AS mean_r,
+               round(avg({_jpeg_hx("k")}), 6) AS mean_g,
+               round(avg({_jpeg_hx("k")}), 6) AS mean_b
+        FROM mj, LATERAL (SELECT unnest(range(tx)) AS k) tk
+        GROUP BY doc_id, frame_idx, width, height
+    )
+    SELECT * FROM dibm UNION ALL SELECT * FROM mjm
+"""
+
+
 # ---------------------------------------------------------------------------
 # round 7: training-mix construction + span-level dedup + LM quality
 

@@ -6322,3 +6322,190 @@ def test_jpeg_prog_review_regressions():
     # (3) the same stream with DQT moved AFTER the scans refuses
     payload_late_q = b"\xff\xd8" + sof + dht + scan_a + scan_b + ac_scans + dqt + b"\xff\xd9"
     assert _jpeg_decode_py(payload_late_q) is None
+
+
+def test_avi_roundtrip_and_refusals():
+    """AVI demux (round 15): known-answer DIB and MJPG roundtrips,
+    randomized DIB parity vs a numpy reference, MJPG carrying 4:2:0
+    AND progressive JPEG frames (the whole round-15 JPEG surface
+    rides inside the container), and the refusal matrix — truncation,
+    multi-stream, modern-codec fourcc, frame-count and dim
+    mismatches, top-down DIB, chunk-kind/codec disagreement, and the
+    allocation cap. Plus a 300-flip fuzz: refuse or decode, never
+    crash."""
+    import random
+    import struct as st
+
+    import numpy as np
+
+    from firebolt_spark.operators.multimodal import (
+        _avi_decode_py, _avi_encode_py, _jpeg_decode_py,
+        _jpeg_encode_dct_py, _jpeg_encode_prog_py, _jpeg_encode_py,
+        _jpeg_photo_like_py,
+    )
+
+    # known-answer DIB
+    f0, f1 = bytes(range(24)), bytes(range(100, 124))
+    p = _avi_encode_py([f0, f1], 4, 2, codec="DIB ")
+    d = _avi_decode_py(p)
+    assert d is not None and (d["width"], d["height"], d["n_frames"]) == (4, 2, 2)
+    for i, f in enumerate((f0, f1)):
+        want = tuple(
+            round(float(np.frombuffer(f, np.uint8).reshape(-1, 3)[:, c].mean()), 6)
+            for c in range(3)
+        )
+        assert d["frame_means"][i] == want, i
+
+    # randomized DIB parity (odd widths exercise row padding)
+    rng = random.Random(0xA51)
+    for _ in range(25):
+        w = rng.randrange(1, 9)
+        h = rng.randrange(1, 6)
+        nf = rng.randrange(1, 5)
+        frames = [bytes(rng.randrange(256) for _ in range(3 * w * h)) for _ in range(nf)]
+        d = _avi_decode_py(_avi_encode_py(frames, w, h, codec="DIB "))
+        assert d is not None, (w, h, nf)
+        for i, f in enumerate(frames):
+            px = np.frombuffer(f, np.uint8).reshape(-1, 3)
+            want = tuple(round(float(px[:, c].mean()), 6) for c in range(3))
+            assert d["frame_means"][i] == want, (w, h, i)
+
+    # MJPG: flat-tile baseline, real-content 4:2:0, AND progressive
+    # frames all demux + decode; per-frame means must equal decoding
+    # the same payloads directly
+    img = _jpeg_photo_like_py("avi#x", size=32)
+    jf = [
+        _jpeg_encode_py(bytes([40, 200]), 2, 1),  # gray 16x8 -> wrong dims: refused below
+    ]
+    frames = [
+        _jpeg_encode_dct_py(img.tobytes(), 32, 32, q=8, subsampling="420"),
+        _jpeg_encode_prog_py(img.tobytes(), 32, 32, q=8, subsampling="420"),
+        _jpeg_encode_dct_py(img.tobytes(), 32, 32, q=8, subsampling="444"),
+    ]
+    p = _avi_encode_py(frames, 32, 32, codec="MJPG")
+    d = _avi_decode_py(p)
+    assert d is not None and d["n_frames"] == 3
+    for i, f in enumerate(frames):
+        j = _jpeg_decode_py(f)
+        assert d["frame_means"][i] == (j["mean_r"], j["mean_g"], j["mean_b"]), i
+    # a frame whose own SOF dims contradict the container refuses
+    assert _avi_decode_py(_avi_encode_py(jf, 32, 32, codec="MJPG")) is None
+
+    # refusals
+    assert _avi_decode_py(p[:-20]) is None  # truncated RIFF
+    avih_at = p.index(b"avih") + 8
+    bad = bytearray(p)
+    bad[avih_at + 24] = 2  # dwStreams = 2
+    assert _avi_decode_py(bytes(bad)) is None
+    bad = bytearray(p)
+    bad[avih_at + 16] ^= 1  # dwTotalFrames off by one
+    assert _avi_decode_py(bytes(bad)) is None
+    bad = bytearray(p)
+    bad[avih_at + 32] += 1  # avih width contradicts strf
+    assert _avi_decode_py(bytes(bad)) is None
+    strf_at = p.index(b"strf") + 8
+    bad = bytearray(p)
+    bad[strf_at + 16 : strf_at + 20] = b"H264"  # modern codec fourcc
+    assert _avi_decode_py(bytes(bad)) is None
+    # top-down DIB (negative biHeight) refuses
+    pd_ = _avi_encode_py([f0], 4, 2, codec="DIB ")
+    strf_at = pd_.index(b"strf") + 8
+    bad = bytearray(pd_)
+    bad[strf_at + 8 : strf_at + 12] = st.pack("<i", -2)
+    # keep avih height positive 2: dims cross-check uses abs()
+    assert _avi_decode_py(bytes(bad)) is None
+    # chunk kind vs codec disagreement: relabel 00dc as 00db
+    bad = bytearray(p)
+    at = bad.index(b"00dc")
+    bad[at : at + 4] = b"00db"
+    assert _avi_decode_py(bytes(bad)) is None
+    # allocation cap on header dims
+    huge = _avi_encode_py([f0], 4, 2, codec="DIB ")
+    avih_at = huge.index(b"avih") + 8
+    bad = bytearray(huge)
+    bad[avih_at + 32 : avih_at + 36] = st.pack("<I", 1 << 15)
+    bad[avih_at + 36 : avih_at + 40] = st.pack("<I", 1 << 15)
+    strf_at = huge.index(b"strf") + 8
+    bad[strf_at + 4 : strf_at + 8] = st.pack("<i", 1 << 15)
+    bad[strf_at + 8 : strf_at + 12] = st.pack("<i", 1 << 15)
+    assert _avi_decode_py(bytes(bad)) is None
+
+    # stride economy: dropped MJPG frames are never JPEG-decoded
+    import firebolt_spark.operators.multimodal as mm
+
+    calls = []
+    orig = mm._jpeg_decode_py
+    mm._jpeg_decode_py = lambda pl: calls.append(1) or orig(pl)
+    try:
+        d = _avi_decode_py(p, frame_stride=2)
+    finally:
+        mm._jpeg_decode_py = orig
+    assert d is not None and d["frame_idxs"] == [0, 2]
+    assert len(calls) == 2  # frame 1 skipped at demux time
+
+    # fuzz: refuse or decode, never crash
+    rng = random.Random(0xA52)
+    for _ in range(300):
+        bad = bytearray(p)
+        for _f in range(rng.randrange(1, 4)):
+            bad[rng.randrange(0, len(bad))] ^= 1 << rng.randrange(8)
+        _avi_decode_py(bytes(bad))
+
+    # encoder validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codec"):
+        _avi_encode_py([f0], 4, 2, codec="H264")
+    with _pytest.raises(ValueError, match="RGB bytes"):
+        _avi_encode_py([f0[:-1]], 4, 2, codec="DIB ")
+    with _pytest.raises(ValueError, match="JPEG"):
+        _avi_encode_py([b"nope"], 4, 2, codec="MJPG")
+
+
+def test_video_frames_operator_and_dispatch(spark):
+    """video_frames over the avi_encode fixture: per-frame rows with
+    the gif_frames schema, parse-time stride, decoder_backend
+    injection parity, and the extract_features RIFF dispatch split
+    (WAVE payloads keep the audio mapping, AVI payloads get real
+    video rows with true n_frames)."""
+    from firebolt_spark.operators import multimodal
+    from firebolt_spark.operators.multimodal import _avi_decode_py
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    media = multimodal.avi_encode(docs)
+    rows = multimodal.video_frames(media).collect()
+    # frame counts: 2 + doc_id % 3 per doc
+    import collections
+
+    per_doc = collections.Counter(r.doc_id for r in rows)
+    assert per_doc == {i: 2 + i % 3 for i in range(8)}
+    # stride keeps frames 0, 2, ...
+    strided = multimodal.video_frames(media, every_nth=2).collect()
+    assert {(r.doc_id, r.frame_idx) for r in strided} == {
+        (r.doc_id, r.frame_idx) for r in rows if r.frame_idx % 2 == 0
+    }
+    # backend injection parity (delegating backend == default path)
+    injected = multimodal.video_frames(
+        media,
+        decoder_backend=lambda p, stride: _avi_decode_py(
+            p, frame_stride=stride
+        ),
+    ).collect()
+    assert sorted(map(tuple, injected)) == sorted(map(tuple, rows))
+
+    # extract_features: AVI rows are real video (n_frames = true
+    # count), WAV keeps the audio mapping
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_features(
+            media, decode_stub=False
+        ).collect()
+    }
+    for i in range(8):
+        assert feats[i].n_frames == 2 + i % 3, i
+        assert feats[i].kind == "video"
+    wav = multimodal.wav_encode(docs)
+    wf = multimodal.extract_features(wav, decode_stub=False).collect()
+    assert all(r.feature[2] > 0 for r in wf)  # sample-rate slot intact
