@@ -1713,36 +1713,45 @@ def gif_frames(
     semantics are unchanged."""
     if every_nth < 1:
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if decoder_backend is not None:
+        decode = lambda p: decoder_backend(p, every_nth)  # noqa: E731
+    else:
+        decode = lambda p: _gif_decode_py(p, frame_stride=every_nth)  # noqa: E731
+    return _frames_runner(
+        media_df,
+        decode,
+        "unsupported media format (gif_frames needs a "
+        "structurally valid GIF — sub-canvas animations "
+        "composite for real as of round 14; corruption, "
+        "rects past the canvas, and composite shapes "
+        "with no global color table are refused)",
+    )
+
+
+def _frames_runner(media_df: DataFrame, decode, err_msg: str) -> DataFrame:
+    """The shared per-frame-row emitter behind :func:`gif_frames` and
+    :func:`video_frames` (round-15 review dedup): Arrow-batched
+    ``mapInPandas`` turning ``decode(payload) -> {width, height,
+    frame_idxs, frame_means}`` into one row per kept frame. media
+    from a non-encode source may carry a NULL or sha-less media_meta;
+    fall back to hashing the payload rather than dying with an opaque
+    error inside the Arrow batch — and guard by TYPE, not truthiness:
+    pandas can surface a null struct as float NaN, which is truthy
+    and has no .get (round-15 ADVICE). None from ``decode`` raises
+    ``err_msg`` (the refusal contract); map-only, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.media)
-                # media from a non-encode source may carry a NULL or
-                # sha-less media_meta; fall back to hashing the payload
-                # rather than dying with an opaque KeyError/TypeError
-                # inside the Arrow batch (the operator's contract is an
-                # explicit ValueError or a decoded row, never a crash).
-                # Guard by TYPE, not truthiness: pandas can surface a
-                # null struct as float NaN, which is truthy and has no
-                # .get (round-15 ADVICE).
                 meta = rec.media_meta
                 sha = (
                     meta.get("sha") if isinstance(meta, dict) else None
                 ) or hashlib.sha256(payload).hexdigest()
-                if decoder_backend is not None:
-                    parsed = decoder_backend(payload, every_nth)
-                else:
-                    parsed = _gif_decode_py(payload, frame_stride=every_nth)
+                parsed = decode(payload)
                 if parsed is None:
-                    raise ValueError(
-                        "unsupported media format (gif_frames needs a "
-                        "structurally valid GIF — sub-canvas animations "
-                        "composite for real as of round 14; corruption, "
-                        "rects past the canvas, and composite shapes "
-                        "with no global color table are refused)"
-                    )
+                    raise ValueError(err_msg)
                 for f, fm in zip(
                     parsed["frame_idxs"], parsed["frame_means"]
                 ):
@@ -1800,6 +1809,8 @@ def _avi_encode_py(
         raise ValueError(f"codec must be 'DIB ' or 'MJPG', got {codec!r}")
     if not frames:
         raise ValueError("need at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
     pad = (-3 * w) % 4
     stride = 3 * w + pad
     chunks = []
@@ -1917,6 +1928,8 @@ def _avi_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
     movi = None
     for tag, body, ln, ltyp in walk(12, end):
         if tag == b"LIST" and ltyp == b"hdrl":
+            if n_declared is not None:
+                return None  # duplicate hdrl: refuse, not last-wins
             for t2, b2, l2, lt2 in walk(body, body + ln):
                 if t2 == b"avih" and l2 >= 40:
                     (_us, _mb, _pg, _fl, n_declared, _init, streams,
@@ -1928,6 +1941,8 @@ def _avi_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
                         if t3 == b"strh" and l3 >= 48:
                             if payload[b3 : b3 + 4] != b"vids":
                                 return None
+                            if strh_frames is not None:
+                                return None  # second stream header
                             strh_frames = struct.unpack_from(
                                 "<I", payload, b3 + 32
                             )[0]
@@ -1946,6 +1961,8 @@ def _avi_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
                             else:
                                 return None  # modern codecs: ffmpeg boundary
         elif tag == b"LIST" and ltyp == b"movi":
+            if movi is not None:
+                return None  # duplicate movi: refuse, not last-wins
             movi = (body, ln)
     if None in (w, h, n_declared, strh_frames, codec) or movi is None:
         return None
@@ -1966,10 +1983,16 @@ def _avi_decode_py(payload: bytes, frame_stride: int = 1) -> dict | None:
             return None  # interleaved audio ('01wb') etc.: out of scope
         if (tag == b"00db") != (codec == "DIB"):
             return None  # chunk kind must match the declared codec
+        # O(1) structural validation runs for EVERY frame, kept or
+        # dropped — refusal must not depend on the sampling stride
+        # (round-15 review); only the PIXEL decode is stride-skipped
+        if codec == "DIB":
+            if l2 != stride * h:
+                return None
+        elif payload[b2 : b2 + 2] != b"\xff\xd8":
+            return None  # MJPG chunk without a JPEG magic
         if idx % frame_stride == 0:
             if codec == "DIB":
-                if l2 != stride * h:
-                    return None
                 rows = np.frombuffer(
                     payload, np.uint8, count=stride * h, offset=b2
                 ).reshape(h, stride)
@@ -2017,51 +2040,18 @@ def video_frames(
     DIB and MJPG AVI). Arrow-batched ``mapInPandas``; map-only."""
     if every_nth < 1:
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                payload = bytes(rec.media)
-                meta = rec.media_meta
-                sha = (
-                    meta.get("sha") if isinstance(meta, dict) else None
-                ) or hashlib.sha256(payload).hexdigest()
-                if decoder_backend is not None:
-                    parsed = decoder_backend(payload, every_nth)
-                else:
-                    parsed = _avi_decode_py(payload, frame_stride=every_nth)
-                if parsed is None:
-                    raise ValueError(
-                        "unsupported media format (video_frames demuxes "
-                        "single-stream DIB/MJPG AVI dependency-free; "
-                        "modern codecs and other containers need ffmpeg "
-                        "via decoder_backend)"
-                    )
-                for f, fm in zip(
-                    parsed["frame_idxs"], parsed["frame_means"]
-                ):
-                    rows.append(
-                        {
-                            "doc_id": rec.doc_id,
-                            "sha": sha,
-                            "frame_idx": f,
-                            "width": parsed["width"],
-                            "height": parsed["height"],
-                            "mean_r": fm[0],
-                            "mean_g": fm[1],
-                            "mean_b": fm[2],
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "sha", "frame_idx", "width", "height",
-                    "mean_r", "mean_g", "mean_b",
-                ],
-            )
-
-    return media_df.mapInPandas(run, schema=_GIF_FRAME_SCHEMA)
+    if decoder_backend is not None:
+        decode = lambda p: decoder_backend(p, every_nth)  # noqa: E731
+    else:
+        decode = lambda p: _avi_decode_py(p, frame_stride=every_nth)  # noqa: E731
+    return _frames_runner(
+        media_df,
+        decode,
+        "unsupported media format (video_frames demuxes "
+        "single-stream DIB/MJPG AVI dependency-free; "
+        "modern codecs and other containers need ffmpeg "
+        "via decoder_backend)",
+    )
 
 
 def avi_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -2095,7 +2085,10 @@ def avi_encode(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     ]
                     payload = _avi_encode_py(frames, 4, 2, codec="DIB ")
                 else:
-                    tx = 1 + doc_id % 2
+                    # doc_id is odd here, so vary width on doc_id//2
+                    # (a bare doc_id % 2 would be constant — round-15
+                    # review), covering both 1- and 2-tile-wide frames
+                    tx = 1 + (doc_id // 2) % 2
                     frames = [
                         _jpeg_encode_py(
                             hashlib.md5(

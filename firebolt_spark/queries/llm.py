@@ -2104,9 +2104,9 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND 16 with q_multimodal_jpeg_prog per the rotation budget,
     pytest-certified this round): multimodal.avi_encode emits valid
     single-stream AVIs — EVEN doc_ids uncompressed DIB (bottom-up
-    padded BGR rows, pixel bytes = the md5 stream), ODD doc_ids MJPG
-    (each frame a complete flat-tile grayscale JPEG through the real
-    entropy decode) — and video_frames runs the RIFF walk
+    padded BGR rows, pixel bytes = the md5 stream), ODD doc_ids MJPG — width varying on doc_id // 2 so both 1- and
+    2-tile-wide frames occur — (each frame a complete flat-tile
+    grayscale JPEG through the real entropy decode) — and video_frames runs the RIFF walk
     (avih/strh/strf cross-checks), per-frame chunk scan, and the
     per-frame pixel decode, emitting one row per frame with channel
     means. The oracle recomputes every frame's means from the digest
@@ -2161,7 +2161,7 @@ Q_MULTIMODAL_VIDEO_SQL = f"""
                CAST(8 * tx AS INTEGER) AS width, 8 AS height,
                d.dighex, tx
         FROM fr,
-             LATERAL (SELECT CAST(1 + doc_id % 2 AS INTEGER) AS tx) t,
+             LATERAL (SELECT CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS tx) t,
              LATERAL (
                  SELECT md5(coalesce(text, '') || '#avj' || f) AS dighex
              ) d
