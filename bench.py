@@ -897,6 +897,46 @@ def _sf1_section(spark, suite_names: list[str]) -> dict:
     return out
 
 
+def _compact_summary(payload: dict) -> dict:
+    """The machine-readable LAST stdout line (VERDICT r15 Next #3):
+    suite totals, normalized values, per-query walls (2-dp), total
+    shuffle bytes — everything a round-over-round comparison needs,
+    in well under the driver's ~2 KB stdout-tail window.  Per-query
+    shuffle bytes and the demo sections stay in the full payload
+    (stdout line 1 and docs/bench_last_full.json)."""
+    out: dict = {
+        "metric": "bench-summary",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "runs": payload["runs"],
+        "subtotal_r1_suite": payload["subtotal_r1_suite"],
+        "loadavg_start": payload.get("loadavg_start"),
+        "queries": {
+            n: round(t, 2) for n, t in payload["queries"].items()
+        },
+    }
+    norm = payload.get("normalized")
+    if norm:
+        out["normalized_suite_s"] = norm["suite_s"]
+        spark_probe = norm.get("by_probe", {}).get("spark_shuffle_s")
+        if spark_probe:
+            out["spark_probe_norm_s"] = spark_probe["suite_s"]
+            out["spark_probe_factor"] = spark_probe["host_speed_factor"]
+    sh = payload.get("shuffle_write_bytes")
+    if sh:
+        out["shuffle_total_bytes"] = sum(sh.values())
+    sf1 = payload.get("sf1")
+    if sf1:
+        out["sf1_value"] = sf1["value"]
+        out["sf1_ratio_vs_sf01"] = sf1.get("ratio_vs_sf01")
+        if "normalized_value" in sf1:
+            out["sf1_normalized_value"] = sf1["normalized_value"]
+    if payload.get("errors"):
+        out["n_errors"] = len(payload["errors"])
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1029,6 +1069,20 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # The driver stores only a ~2 KB stdout TAIL; the full payload
+    # above front-truncates there, which is why BENCH_r14/r15.json
+    # carry "parsed": null and every round-over-round comparison
+    # needed forensic reconstruction (VERDICT r15 Next #3).  Emit a
+    # compact, self-contained summary as the LAST stdout line — small
+    # enough to survive the tail intact — and persist the full payload
+    # to docs/bench_last_full.json for the close artifacts.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "docs", "bench_last_full.json"), "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass
+    print(json.dumps(_compact_summary(payload), separators=(",", ":")))
     spark.stop()
 
 

@@ -31,53 +31,46 @@ hard cap 50 * 3 = 150 registered queries.  The policy, in order:
    already logs every round; parity/LLM/streaming queries keep the
    2-round ceiling.  Not yet needed.
 
-Round-15 first-50 rotation:
-slots 1-41: the FORTY-ONE queries whose latest driver row is r12 —
-two rounds stale, the staleness ceiling; VERDICT r14 Next #1 names
-them (they were written ahead in r14's prep block) and orders them
-to LEAD.  None changed code in r15.
-slot 42: the round-15 NEW query q_multimodal_jpeg_420 (4:2:0
-chroma-subsampled baseline JPEG decode — VERDICT r14 Next #2).
-slots 43-48: queries whose OPERATOR CODE changed in r15 (the JPEG
-decoder's sampling-factor generalization + fill-byte marker walk ->
-q_multimodal_jpeg, q_multimodal_transcode; the extract_features /
-gif_frames decoder_backend injection seam (Next #3) + the gif_frames
-NaN-meta guard -> q_multimodal_gif, q_multimodal_frames,
-q_multimodal_gif_anim, q_media_curation).
-slots 49-50: q_multimodal_wav, q_multimodal_wav8 pre-rotated from the
-r13-latest cohort (extract_features carries the WAV dispatch, so the
-seam change brushes them too; pre-rotating trims the r16 backlog to
-36).  New/changed budget used: 1 new + 6 changed = 7 of the 9 slots.
-Names absent from this list keep their module order after it.
+Round-16 first-50 rotation:
+slots 1-36: the THIRTY-SIX queries whose latest driver row is r13 —
+two rounds stale, the staleness ceiling; VERDICT r15 Next #1 names
+them (written ahead in r15's prep block) and orders them to LEAD.
+None changed code in r16.
+slots 37-38: the round-15 REGISTRATION DEBT paid (VERDICT r15 Next
+#1): q_multimodal_jpeg_prog (progressive JPEG decode, T.81 Annex G)
+and q_multimodal_video (real AVI demux + per-frame decode) — both
+implemented and sf0.01-verified in r15, registered now, first driver
+rows this round.
+slots 39-41: queries whose OPERATOR CODE changed in r16 (the
+baseline-JPEG entropy walk's shared-path overhead recovery — VERDICT
+r15 Next #5 — touches _jpeg_decode_py, so every baseline-jpeg query
+re-earns its row: q_multimodal_jpeg, q_multimodal_jpeg_420,
+q_multimodal_transcode).
+slots 42-50: the TPC-H tail pre-rotated from the r14-latest cohort
+(q_tpch2/11/12/13/16/19/20/21/22 — none changed code since r14;
+pre-rotating trims the r17 backlog from 44 to 35, the same move
+r15 made with wav/wav8).  New/changed budget used: 2 new + 3
+changed = 5 of the 14 slack slots.  Names absent from this list
+keep their module order after it.
 
-R16 ROTATION PREP (write-ahead, the standing discipline): after this
-round's driver check, the queries whose latest row is r13 — two
-rounds stale at r16 — are the THIRTY-SIX of q_corpus_profile,
-q_corpus_quantiles, q_date_functions, q_dedup_incremental_indexed,
-q_dedup_lines_incremental, q_dedup_ngram_jaccard_indexed,
-q_distinct_sketch, q_having, q_interleave_strata, q_join_anti,
-q_join_left_counts, q_join_semi, q_multimodal_resample,
-q_percentiles, q_pivot, q_priority_sketch, q_quantile_sketch,
-q_sample_by_source, q_setops, q_similarity_ann_ivf,
-q_similarity_bruteforce, q_snapshot_diff, q_stratified_sample,
-q_subquery_above_avg, q_token_budget_mix, q_topk_orders,
-q_tpch10_returned_items, q_tpch14_promo_share, q_tpch15_top_supplier,
-q_tpch17_small_qty_revenue, q_tpch4_order_priority,
-q_tpch5_local_supplier, q_tpch6_revenue_forecast,
-q_tpch7_nation_volume, q_window_rank, q_window_tumbling
-(q_multimodal_wav and q_multimodal_wav8 were pre-rotated into r15
-slots 49-50).  They MUST lead _PRIORITY slots 1-36 in r16, leaving 14
-slots for r16's new/changed queries (the budget rule above).  The 50
-r14-latest rows rotate in r17.
-
-R16 REGISTRATION DEBT (round-15 write-ahead): q_multimodal_jpeg_prog
-(progressive JPEG decode) and q_multimodal_video (AVI demux +
-per-frame decode over video_frames) are IMPLEMENTED and
-sf0.01-verified in queries/llm.py but deliberately NOT registered —
-round 15's nine-slot new/changed budget was already committed when
-they landed.  Round 16 must add both to llm.QUERIES/ORACLE and give
-them two of the 14 slack slots (making the r16 budget 36 stale + 2
-new + changed).
+R17 ROTATION PREP (write-ahead, the standing discipline): after this
+round's driver check, the queries whose latest row is r14 — two
+rounds stale at r17 — are the THIRTY-FIVE (the 44 CORRECTNESS_r14
+keys not re-checked in r15, minus the 9 TPC-H rows pre-rotated into
+r16 slots 42-50): q_agg_shapes, q_anomaly_scores,
+q_array_functions, q_asof_join, q_classifier_score, q_dedup_lines,
+q_dedup_ngram_jaccard, q_dedup_semantic, q_dedup_spans_candidates,
+q_dedup_spans_candidates_indexed, q_e1_error_split,
+q_e2_error_json, q_f1_filter, q_function_parade, q_gopher_quality,
+q_importance_weights, q_k1_produce_request, q_multimodal_features,
+q_multimodal_resize, q_p2_parse, q_p4_json_build, q_p5_conditional,
+q_quality_selection, q_range_join, q_s2_scan, q_s3_lag_cap,
+q_s4_recovery_scan, q_s5_interval_merge, q_tpch3_shipping_priority,
+q_tpch8_market_share, q_tpch9_product_profit, q_weighted_sample,
+q_window_multi, q_x1_fanout, q_x2_tree_fanout.  They MUST lead
+_PRIORITY slots 1-35 in r17, leaving 15 slots for r17's new/changed
+queries (the budget rule above).  The 50 r15-latest rows rotate in
+r18.
 """
 
 from __future__ import annotations
@@ -87,63 +80,63 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _PRIORITY = [
-    # r12-latest (two rounds stale) — VERDICT r14 Next #1 leads
-    "q_c4_line_filter",
-    "q_c4_pipeline",
-    "q_corpus_curation",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_spans",
-    "q_dedup_spans_overlap",
-    "q_embedding_quantize",
-    "q_frequent_items",
-    "q_grouped_collect",
-    "q_hash_split",
-    "q_k2_index_request",
-    "q_lm_quality",
-    "q_multimodal_frame_sample",
-    "q_multimodal_png",
-    "q_p7_docid",
-    "q_pii_redact",
-    "q_profile_events",
-    "q_s6_compaction",
-    "q_session_window",
-    "q_shard_packing",
-    "q_similarity_ann_lsh",
-    "q_skew_salted_join",
-    "q_temperature_mix",
-    "q_text_chunks",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_normalize",
-    "q_text_repetition",
-    "q_text_stats",
-    "q_text_token_counts",
-    "q_topic_clusters",
-    "q_tpch18_large_orders",
-    "q_tpch1_pricing_summary",
-    "q_winnow_fingerprints",
-    # NEW in round 15 — 4:2:0 chroma-subsampled baseline JPEG decode
-    "q_multimodal_jpeg_420",
-    # operator code changed in round 15 (JPEG sampling-factor
-    # generalization + fill-byte marker walk; decoder_backend seam +
-    # gif_frames NaN-meta guard)
+    # r13-latest (two rounds stale) — VERDICT r15 Next #1 leads
+    "q_corpus_profile",
+    "q_corpus_quantiles",
+    "q_date_functions",
+    "q_dedup_incremental_indexed",
+    "q_dedup_lines_incremental",
+    "q_dedup_ngram_jaccard_indexed",
+    "q_distinct_sketch",
+    "q_having",
+    "q_interleave_strata",
+    "q_join_anti",
+    "q_join_left_counts",
+    "q_join_semi",
+    "q_multimodal_resample",
+    "q_percentiles",
+    "q_pivot",
+    "q_priority_sketch",
+    "q_quantile_sketch",
+    "q_sample_by_source",
+    "q_setops",
+    "q_similarity_ann_ivf",
+    "q_similarity_bruteforce",
+    "q_snapshot_diff",
+    "q_stratified_sample",
+    "q_subquery_above_avg",
+    "q_token_budget_mix",
+    "q_topk_orders",
+    "q_tpch10_returned_items",
+    "q_tpch14_promo_share",
+    "q_tpch15_top_supplier",
+    "q_tpch17_small_qty_revenue",
+    "q_tpch4_order_priority",
+    "q_tpch5_local_supplier",
+    "q_tpch6_revenue_forecast",
+    "q_tpch7_nation_volume",
+    "q_window_rank",
+    "q_window_tumbling",
+    # NEW in round 16 — the r15 registration debt paid: progressive
+    # JPEG decode (T.81 Annex G) and real AVI demux + per-frame decode
+    "q_multimodal_jpeg_prog",
+    "q_multimodal_video",
+    # operator code changed in round 16 (baseline-JPEG entropy walk
+    # shared-path overhead recovery — VERDICT r15 Next #5)
     "q_multimodal_jpeg",
+    "q_multimodal_jpeg_420",
     "q_multimodal_transcode",
-    "q_multimodal_gif",
-    "q_multimodal_frames",
-    "q_multimodal_gif_anim",
-    "q_media_curation",
-    # pre-rotated from the r13-latest cohort (extract_features carries
-    # the WAV dispatch; trims the r16 backlog to 36)
-    "q_multimodal_wav",
-    "q_multimodal_wav8",
+    # TPC-H tail pre-rotated from the r14-latest cohort (no code
+    # change since r14; trims the r17 backlog to 35)
+    "q_tpch2_min_cost_supplier",
+    "q_tpch11_important_parts",
+    "q_tpch12_late_priority",
+    "q_tpch13_order_distribution",
+    "q_tpch16_supplier_variety",
+    "q_tpch19_bracket_revenue",
+    "q_tpch20_promo_suppliers",
+    "q_tpch21_waiting_suppliers",
+    "q_tpch22_idle_balance",
 ]
 
 

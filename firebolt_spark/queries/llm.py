@@ -3931,6 +3931,8 @@ QUERIES = {
     "q_multimodal_transcode": q_multimodal_transcode,
     "q_media_curation": q_media_curation,
     "q_multimodal_wav8": q_multimodal_wav8,
+    "q_multimodal_jpeg_prog": q_multimodal_jpeg_prog,
+    "q_multimodal_video": q_multimodal_video,
     "q_c4_line_filter": q_c4_line_filter,
     "q_c4_pipeline": q_c4_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -4005,6 +4007,8 @@ ORACLE = {
     "q_multimodal_transcode": Q_MULTIMODAL_TRANSCODE_SQL,
     "q_media_curation": Q_MEDIA_CURATION_SQL,
     "q_multimodal_wav8": Q_MULTIMODAL_WAV8_SQL,
+    "q_multimodal_jpeg_prog": Q_MULTIMODAL_JPEG_PROG_SQL,
+    "q_multimodal_video": Q_MULTIMODAL_VIDEO_SQL,
     "q_c4_line_filter": Q_C4_LINE_FILTER_SQL,
     "q_c4_pipeline": Q_C4_PIPELINE_SQL,
     "q_pii_redact": Q_PII_REDACT_SQL,
