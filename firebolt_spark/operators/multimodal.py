@@ -2783,6 +2783,28 @@ def _jpeg_decoder_table(bits: list[int], vals: bytes):
     return lut, maxc16, minc, valptr, list(vals)
 
 
+# (bits bytes, vals bytes) -> decode structures.  Real corpora reuse a
+# handful of table sets per encoder (most emit the T.81 Annex K tables
+# verbatim), so across an Arrow batch of payloads the same DHT bytes
+# recur thousands of times — and building the 256-entry LUT costs
+# ~18 us/table, ~1/3 of a small payload's whole decode (round 16,
+# PERF.md).  The cache is per-worker module state, read-only after
+# build (callers never mutate the tuple), and bounded: a pathological
+# corpus of all-distinct tables just clears and rebuilds.
+_JPEG_TABLE_CACHE: dict[tuple[bytes, bytes], tuple] = {}
+
+
+def _jpeg_decoder_table_cached(bits: bytes, vals: bytes):
+    key = (bits, vals)
+    tab = _JPEG_TABLE_CACHE.get(key)
+    if tab is None:
+        if len(_JPEG_TABLE_CACHE) >= 256:
+            _JPEG_TABLE_CACHE.clear()
+        tab = _jpeg_decoder_table(list(bits), vals)
+        _JPEG_TABLE_CACHE[key] = tab
+    return tab
+
+
 class _JpegBitWriter:
     """MSB-first bit emitter with the 0xFF00 byte stuffing the entropy
     segment requires; flush pads the final byte with 1-bits (T.81
@@ -3561,12 +3583,12 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
             b = 0
             while b + 17 <= len(body):
                 tc, th = body[b] >> 4, body[b] & 0x0F
-                bits = list(body[b + 1 : b + 17])
+                bits = body[b + 1 : b + 17]
                 n = sum(bits)
                 vals = body[b + 17 : b + 17 + n]
                 if len(vals) != n:
                     return None
-                huff[(tc, th)] = _jpeg_decoder_table(bits, vals)
+                huff[(tc, th)] = _jpeg_decoder_table_cached(bits, vals)
                 b += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             if len(body) < 6 or body[0] != 8:
@@ -3692,15 +3714,17 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     # exactly like the old reader.
     stream = b""
     nb = 0  # total real bits in the segment
+    sl = 0  # len(stream), hoisted out of the per-symbol refill loop
     bp = 0  # bits consumed
     bi = 0  # next byte to pull into the window
     win = 0  # lookahead window, wn valid low bits
     wn = 0
 
     def use_segment(si):
-        nonlocal stream, nb, bp, bi, win, wn
+        nonlocal stream, nb, sl, bp, bi, win, wn
         stream = segs[si].replace(b"\xff\x00", b"\xff")
-        nb = 8 * len(stream)
+        sl = len(stream)
+        nb = 8 * sl
         bp = bi = win = wn = 0
 
     use_segment(0)
@@ -3725,7 +3749,7 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         T.81 F.2.2.3 mincode/maxcode walk over 9..16-bit codes
         against a single left-aligned 16-bit peek."""
         nonlocal bp, bi, win, wn
-        while wn < 16 and bi < len(stream):
+        while wn < 16 and bi < sl:
             win = (win << 8) | stream[bi]
             bi += 1
             wn += 8
@@ -4072,12 +4096,12 @@ def _jpeg_decode_prog_py(payload: bytes) -> dict | None:
             b = 0
             while b + 17 <= len(body):
                 tc, th = body[b] >> 4, body[b] & 0x0F
-                bits = list(body[b + 1 : b + 17])
+                bits = body[b + 1 : b + 17]
                 nv = sum(bits)
                 vals = body[b + 17 : b + 17 + nv]
                 if len(vals) != nv:
                     return None
-                huff[(tc, th)] = _jpeg_decoder_table(bits, vals)
+                huff[(tc, th)] = _jpeg_decoder_table_cached(bits, vals)
                 b += 17 + nv
         elif marker == 0xC2:
             if comps is not None or len(body) < 6 or body[0] != 8:

@@ -1700,3 +1700,77 @@ def test_streaming_gif_compositing_with_crash_restart(spark, tmp_path):
     assert got == exp
     n_frames_expected = sum(2 + int(r["doc_id"]) % 3 for r in docs.collect())
     assert len(got) == n_frames_expected
+
+
+def test_streaming_video_frames_with_crash_restart(spark, tmp_path):
+    """The round-15 AVI demuxer inside the streaming ingest loop
+    (VERDICT r15 Next #6 — the one media operator the crash drills
+    did not cover): each micro-batch encodes its documents as
+    single-stream AVIs (even doc_ids uncompressed DIB, odd MJPG),
+    demuxes and decodes every frame with video_frames, and appends
+    the per-frame statistics keyed by batch. A mid-run crash-restart
+    replays exactly once, a NO-OP restart (checkpoint caught up, no
+    new delta) must process zero batches and append zero rows, and
+    the union of per-batch frame rows equals the one-shot
+    video_frames of everything streamed — demux state (RIFF walk,
+    frame chunk scan) provably lives inside one payload's decode."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators import multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    delta_dir = tmp_path / "video-deltas"
+    delta_dir.mkdir()
+    frame_dir = str(tmp_path / "video-frames")
+    ckpt = str(tmp_path / "ckpt-video")
+
+    def ingest(batch_df, batch_id):
+        frames = multimodal.video_frames(
+            multimodal.avi_encode(batch_df)
+        ).withColumn("_batch_id", F.lit(batch_id))
+        frames.write.mode("append").parquet(frame_dir)
+
+    def run_stream(name):
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("video-0")
+    batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("video-1-restarted")  # checkpoint replay, exactly once
+    # NO-OP restart: nothing new landed; the checkpoint must show the
+    # source caught up and the feature table must not grow
+    n_before = spark.read.parquet(frame_dir).count()
+    run_stream("video-noop-restart")
+    assert spark.read.parquet(frame_dir).count() == n_before
+    batches[2].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("video-2")
+
+    streamed = spark.read.parquet(frame_dir)
+    one_shot = multimodal.video_frames(multimodal.avi_encode(docs))
+    key = lambda t: (t[0], t[1])  # (doc_id, frame_idx)
+    got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=key)
+    exp = sorted(map(tuple, one_shot.collect()), key=key)
+    assert got == exp
+    # frame count: every doc carries 2 + doc_id % 3 frames
+    n_frames_expected = sum(2 + int(r["doc_id"]) % 3 for r in docs.collect())
+    assert len(got) == n_frames_expected
+    # each processed batch appended exactly once; the no-op restart
+    # contributed no batch id
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in streamed.groupBy("_batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(per_batch) == 3 and sum(per_batch.values()) == len(exp)
