@@ -167,6 +167,16 @@ def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
         "lsh_tables8@10": similarity.ann_lsh_topk(
             emb, qids, k=10, planes=4, tables=8, probes=1
         ),
+        # round 16 (VERDICT r15 Next #7): the two levers COMBINED at
+        # the same planes=4 — the documented high-recall multi-table
+        # config that the tables-only (0.74) and probes-only (0.52)
+        # rows bracket. Cost model: candidates ~= tables x probes x
+        # bucket-size, so this row pays 8x2 bucket probes for its
+        # recall — the knob a 100 TB deployment tunes against the
+        # ann_compact_demo probe walls.
+        "lsh_tables8_probes2@10": similarity.ann_lsh_topk(
+            emb, qids, k=10, planes=4, tables=8, probes=2
+        ),
         "ivf_probe4@10": similarity.ann_ivf_topk(emb, qids, k=10, n_probe=4),
     }
     for label, df in variants.items():

@@ -3705,75 +3705,25 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     if segs is None:
         return None
 
-    # entropy bit reader over the current segment's de-stuffed bytes
-    # (round 15 — the hot-path rewrite, PERF.md): a buffered integer
-    # window serves both the 16-bit canonical-Huffman peek and the
-    # multi-bit magnitude reads in O(1) Python ops per symbol, where
-    # the round-14 reader paid a Python call PER BIT. bp tracks real
-    # bits consumed so zero-padded peeks past the segment end refuse
-    # exactly like the old reader.
-    stream = b""
-    nb = 0  # total real bits in the segment
-    sl = 0  # len(stream), hoisted out of the per-symbol refill loop
+    # entropy decode over each segment's de-stuffed bytes. Round 15
+    # replaced the per-BIT reader with a buffered integer window (one
+    # 16-bit canonical-Huffman peek + O(1) magnitude reads); round 16
+    # INLINES those reader closures into the MCU loop — at ~2 closure
+    # calls per symbol the call overhead was ~30% of a coefficient-
+    # dense entropy pass (PERF.md). The inlined bodies are the
+    # identical expression sequence (refill, left-aligned peek, 8-bit
+    # LUT hit or T.81 F.2.2.3 mincode/maxcode walk, overrun refusal,
+    # T.81 F.2.2.1 EXTEND), so results are bit-identical — pinned by
+    # the randomized parity tests against the literal-definition
+    # reference decoder. bp tracks real bits consumed so zero-padded
+    # peeks past the segment end refuse exactly like the old reader.
+    stream = segs[0].replace(b"\xff\x00", b"\xff")
+    sl = len(stream)  # hoisted out of the refill loops
+    nb = 8 * sl  # total real bits in the segment
     bp = 0  # bits consumed
     bi = 0  # next byte to pull into the window
     win = 0  # lookahead window, wn valid low bits
     wn = 0
-
-    def use_segment(si):
-        nonlocal stream, nb, sl, bp, bi, win, wn
-        stream = segs[si].replace(b"\xff\x00", b"\xff")
-        sl = len(stream)
-        nb = 8 * sl
-        bp = bi = win = wn = 0
-
-    use_segment(0)
-
-    def read_bits(n):
-        """n magnitude bits MSB-first; None on overrun."""
-        nonlocal bp, bi, win, wn
-        if bp + n > nb:
-            return None
-        while wn < n:
-            win = (win << 8) | stream[bi]
-            bi += 1
-            wn += 8
-        wn -= n
-        v = win >> wn
-        win &= (1 << wn) - 1
-        bp += n
-        return v
-
-    def read_sym(tab):
-        """One canonical Huffman symbol: 8-bit LUT hit, else the
-        T.81 F.2.2.3 mincode/maxcode walk over 9..16-bit codes
-        against a single left-aligned 16-bit peek."""
-        nonlocal bp, bi, win, wn
-        while wn < 16 and bi < sl:
-            win = (win << 8) | stream[bi]
-            bi += 1
-            wn += 8
-        pk = (win << (16 - wn)) if wn < 16 else (win >> (wn - 16))
-        lut, maxc16, minc, valptr, vals = tab
-        e = lut[pk >> 8]
-        if e is not None:
-            sym, ln = e
-        else:
-            ln = 9
-            while ln <= 16 and pk > maxc16[ln]:
-                ln += 1
-            if ln > 16:
-                return None  # undefined code
-            sym = vals[valptr[ln] + (pk >> (16 - ln)) - minc[ln]]
-        if bp + ln > nb:
-            return None  # code ran past the real segment bits
-        wn -= ln
-        win &= (1 << wn) - 1
-        bp += ln
-        return sym
-
-    def extend(v, s):
-        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
     zz_list = _JPEG_ZIGZAG
     # per-component coefficient accumulators in PLANE-RASTER block
@@ -3790,7 +3740,10 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
     for mcu in range(total_mcus):
         if dri and mcu and mcu % dri == 0:
             # restart: next segment, byte-aligned, DC predictors reset
-            use_segment(mcu // dri)
+            stream = segs[mcu // dri].replace(b"\xff\x00", b"\xff")
+            sl = len(stream)
+            nb = 8 * sl
+            bp = bi = win = wn = 0
             prev_dc = [0] * len(plan)
         mr, mc = mcu // mcux, mcu % mcux
         # interleaved MCU: Hi x Vi blocks per component in raster
@@ -3798,25 +3751,79 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
         for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(plan):
             cc = coefs[ci]
             bw_ci = comp_bw[ci]
+            dlut, dmaxc, dminc, dvalptr, dvals = dc_tab
+            alut, amaxc, aminc, avalptr, avals = ac_tab
             for byy in range(vi):
                 for bxx in range(hi):
                     base = 64 * ((mr * vi + byy) * bw_ci + (mc * hi + bxx))
-                    s = read_sym(dc_tab)
-                    if s is None or s > 11:
+                    # DC category symbol (inlined read_sym)
+                    while wn < 16 and bi < sl:
+                        win = (win << 8) | stream[bi]
+                        bi += 1
+                        wn += 8
+                    pk = (win << (16 - wn)) if wn < 16 else (win >> (wn - 16))
+                    e = dlut[pk >> 8]
+                    if e is not None:
+                        s, ln = e
+                    else:
+                        ln = 9
+                        while ln <= 16 and pk > dmaxc[ln]:
+                            ln += 1
+                        if ln > 16:
+                            return None  # undefined code
+                        s = dvals[dvalptr[ln] + (pk >> (16 - ln)) - dminc[ln]]
+                    if bp + ln > nb:
+                        return None  # code ran past the real bits
+                    wn -= ln
+                    win &= (1 << wn) - 1
+                    bp += ln
+                    if s > 11:
                         return None
-                    diff = 0
                     if s:
-                        v = read_bits(s)
-                        if v is None:
+                        # DC difference bits + EXTEND (inlined)
+                        if bp + s > nb:
                             return None
-                        diff = extend(v, s)
-                    prev_dc[ci] += diff
+                        while wn < s:
+                            win = (win << 8) | stream[bi]
+                            bi += 1
+                            wn += 8
+                        wn -= s
+                        v = win >> wn
+                        win &= (1 << wn) - 1
+                        bp += s
+                        prev_dc[ci] += (
+                            v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        )
                     cc[base] = float(prev_dc[ci])
                     k = 1
                     while k <= 63:
-                        rs = read_sym(ac_tab)
-                        if rs is None:
-                            return None
+                        # AC run/size symbol (inlined read_sym)
+                        while wn < 16 and bi < sl:
+                            win = (win << 8) | stream[bi]
+                            bi += 1
+                            wn += 8
+                        pk = (
+                            (win << (16 - wn))
+                            if wn < 16
+                            else (win >> (wn - 16))
+                        )
+                        e = alut[pk >> 8]
+                        if e is not None:
+                            rs, ln = e
+                        else:
+                            ln = 9
+                            while ln <= 16 and pk > amaxc[ln]:
+                                ln += 1
+                            if ln > 16:
+                                return None  # undefined code
+                            rs = avals[
+                                avalptr[ln] + (pk >> (16 - ln)) - aminc[ln]
+                            ]
+                        if bp + ln > nb:
+                            return None  # code ran past the real bits
+                        wn -= ln
+                        win &= (1 << wn) - 1
+                        bp += ln
                         if rs == 0x00:  # EOB
                             break
                         if rs == 0xF0:  # ZRL: 16 zeros
@@ -3826,10 +3833,20 @@ def _jpeg_decode_py(payload: bytes) -> dict | None:
                         sz = rs & 0x0F
                         if k > 63 or sz == 0:
                             return None
-                        v = read_bits(sz)
-                        if v is None:
+                        # magnitude bits + EXTEND (inlined read_bits)
+                        if bp + sz > nb:
                             return None
-                        cc[base + zz_list[k]] = float(extend(v, sz))
+                        while wn < sz:
+                            win = (win << 8) | stream[bi]
+                            bi += 1
+                            wn += 8
+                        wn -= sz
+                        v = win >> wn
+                        win &= (1 << wn) - 1
+                        bp += sz
+                        cc[base + zz_list[k]] = float(
+                            v - (1 << sz) + 1 if v < (1 << (sz - 1)) else v
+                        )
                         k += 1
     # batched dequant + IDCT per component: ONE broadcast multiply and
     # ONE stacked matmul pair replace the per-block numpy round trips
