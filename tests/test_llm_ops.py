@@ -5950,7 +5950,6 @@ def test_ffmpeg_backend_video_frames_parity(spark):
     is absent; on a real cluster image
     this is the proof the README's H.264/VP9 guidance rests on."""
     import json as _json
-    import subprocess
 
     from firebolt_spark.operators import multimodal
 

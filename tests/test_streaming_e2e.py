@@ -1758,7 +1758,7 @@ def test_streaming_video_frames_with_crash_restart(spark, tmp_path):
 
     streamed = spark.read.parquet(frame_dir)
     one_shot = multimodal.video_frames(multimodal.avi_encode(docs))
-    key = lambda t: (t[0], t[1])  # (doc_id, frame_idx)
+    key = lambda t: (t[0], t[2])  # (doc_id, frame_idx) — t[1] is sha
     got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=key)
     exp = sorted(map(tuple, one_shot.collect()), key=key)
     assert got == exp
