@@ -63,3 +63,57 @@ def test_explain_example(spark, capsys):
     assert main(["explain", "/root/repo/examples/logging.yaml", "--node", "docs"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_bench_compact_summary_fits_driver_tail():
+    """The bench harness's LAST stdout line must survive the driver's
+    ~2 KB stdout-tail capture intact (round 16 — the "parsed": null
+    fix): build the summary from a worst-case payload over the REAL
+    suite query lists and pin the serialized size with headroom, so a
+    future suite addition that silently pushes the line past the tail
+    window fails here instead of in the next round's BENCH artifact."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    names = bench.HEADLINE + bench.EXTRA
+    payload = {
+        "value": 9999.999,
+        "sf": 0.1,
+        "runs": 3,
+        "subtotal_r1_suite": 9999.999,
+        "loadavg_start": [99.99, 99.99, 99.99],
+        "queries": {n: 9999.99 for n in names},
+        "normalized": {
+            "suite_s": 9999.999,
+            "by_probe": {
+                "spark_shuffle_s": {
+                    "suite_s": 9999.999, "host_speed_factor": 99.999
+                }
+            },
+        },
+        "shuffle_write_bytes": {n: 10**12 for n in names},
+        "sf1": {
+            "value": 9999.999,
+            "ratio_vs_sf01": 99.99,
+            "normalized_value": 9999.999,
+        },
+        "errors": {n: "x" for n in names},
+    }
+    summary = bench._compact_summary(payload)
+    line = json.dumps(summary, separators=(",", ":"))
+    assert json.loads(line) == summary  # self-contained valid JSON
+    assert len(line) < 1900, (
+        f"compact bench summary is {len(line)} bytes — too close to the "
+        "driver's ~2 KB stdout tail; trim per-query precision or move "
+        "fields to the full payload"
+    )
+    # the fields a round-over-round comparison needs are all present
+    for key in ("value", "subtotal_r1_suite", "normalized_suite_s",
+                "spark_probe_norm_s", "queries", "shuffle_total_bytes",
+                "sf1_value", "sf1_normalized_value", "n_errors"):
+        assert key in summary, key
