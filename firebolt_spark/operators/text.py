@@ -348,6 +348,74 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream
+    in doc_id order and SPLIT it at fixed ``seq_len`` boundaries,
+    emitting one row per (document, training sequence) span — the op
+    that turns a cleaned corpus into the exact training examples an
+    autoregressive run consumes (GPT-2/3 pack-and-split; T5's "pack
+    to max_seq_len"). Unlike :func:`pack_shards` (whole-document
+    shard assignment, may overrun), every sequence here is exactly
+    full: a document crossing a boundary is cut, and the row carries
+    where each cut lands.
+
+    Output: doc_id, n_tokens (whole doc), seq_id (training example
+    index), off_in_seq (the span's start offset inside the sequence),
+    n_toks (tokens of this doc in this sequence). A doc spans
+    sequences floor(start/L) .. floor((end-1)/L) of the global
+    stream; off/len are pure integer arithmetic off the global
+    running total — deterministic, so the whole table is
+    SQL-replayable (oracle q_sequence_pack).
+
+    Scale shape: token counting is in-row; the ONLY shuffle is
+    :func:`~firebolt_spark.functions.global_cumsum`'s range
+    partition (+ its small driver totals job); the boundary explode
+    is map-side with ~(n_tokens/L + 1) rows per doc. Integer
+    division uses SQL ``div`` on BIGINT throughout — no double
+    rounding at 100 TB token-stream offsets. Token = whitespace
+    split, consistent with :func:`pack_shards`.
+    """
+    from firebolt_spark.functions import global_cumsum
+
+    ln = int(seq_len)
+    if ln < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cend")
+    spans = cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_cend") - F.col("n_tokens")).alias("_cstart"),
+        "_cend",
+        F.explode(
+            F.sequence(
+                F.expr(f"(_cend - n_tokens) div {ln}"),
+                F.expr(f"(_cend - 1) div {ln}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * F.lit(ln)
+    span_start = F.greatest(F.col("_cstart"), seq_start)
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "seq_id",
+        (span_start - seq_start).cast("bigint").alias("off_in_seq"),
+        (
+            F.least(F.col("_cend"), seq_start + F.lit(ln)) - span_start
+        ).cast("bigint").alias("n_toks"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Content fingerprint: the minimum md5 over word n-gram shingles
     (a 1-permutation minhash — winnowing-style document signature).

@@ -1202,6 +1202,51 @@ Q_SHARD_PACKING_SQL = f"""
     FROM c
 """
 
+_SEQ_LEN = 64  # fixture docs run ~20-60 whitespace tokens, so a 64-token
+#               sequence forces both packings the op must get right:
+#               multiple docs packed into one sequence AND single docs
+#               split across 2+ sequence boundaries
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing (round 16 —
+    text.pack_sequences): the corpus token stream in doc_id order cut
+    into exactly-full 64-token training sequences, one row per
+    (document, sequence) span with the in-sequence offset and length.
+    The whole table is integer arithmetic off the two-phase global
+    running total (SQL div on BIGINT, no double rounding), so the
+    oracle replays it with a window cumsum + range() explode. A
+    packing that drops a boundary cut, misplaces an offset, or skews
+    the running total by one token hash-mismatches."""
+    return text.pack_sequences(_documents(spark, sf_dir), _SEQ_LEN)
+
+
+Q_SEQUENCE_PACK_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(coalesce(text, ''), ' '))
+                           AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cend
+          FROM t),
+    spans AS (
+        SELECT doc_id, n_tokens, cend - n_tokens AS cstart, cend,
+               CAST(s.seq_id AS BIGINT) AS seq_id
+        FROM c, LATERAL (
+            SELECT unnest(range((cend - n_tokens) // {_SEQ_LEN},
+                                (cend - 1) // {_SEQ_LEN} + 1)) AS seq_id
+        ) s
+    )
+    SELECT doc_id, n_tokens, seq_id,
+           CAST(greatest(cstart, seq_id * {_SEQ_LEN})
+                - seq_id * {_SEQ_LEN} AS BIGINT) AS off_in_seq,
+           CAST(least(cend, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(cstart, seq_id * {_SEQ_LEN}) AS BIGINT) AS n_toks
+    FROM spans
+"""
+
 
 # ---- benchmark decontamination --------------------------------------------
 
@@ -3875,6 +3920,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_corpus_curation": q_corpus_curation,
     "q_shard_packing": q_shard_packing,
+    "q_sequence_pack": q_sequence_pack,
     "q_text_normalize": q_text_normalize,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_indexed": q_dedup_incremental_indexed,
@@ -3951,6 +3997,7 @@ ORACLE = {
     "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "q_corpus_curation": Q_CORPUS_CURATION_SQL,
     "q_shard_packing": Q_SHARD_PACKING_SQL,
+    "q_sequence_pack": Q_SEQUENCE_PACK_SQL,
     "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "q_dedup_incremental_indexed": Q_DEDUP_INCREMENTAL_SQL,

@@ -505,6 +505,68 @@ def test_pack_shards_budget_property(spark):
         prev_max = rows[-1]["doc_id"]
 
 
+def test_pack_sequences_exact_split(spark):
+    """GPT-style concat-and-split packing (round 16): a hand-computed
+    micro corpus pins every cut, and fixture-scale invariants pin the
+    packing laws — every sequence except the last is exactly full,
+    each doc's spans partition its tokens, spans tile each sequence
+    gaplessly in doc_id order, and the plan keeps the two-phase
+    cumsum shape (no single-partition global window)."""
+    from firebolt_spark.operators.text import pack_sequences
+
+    micro = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 3, 9])],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["off_in_seq"], r["n_toks"])
+        for r in pack_sequences(micro, 4).collect()
+    )
+    assert got == [
+        (0, 0, 0, 4), (0, 1, 0, 1),
+        (1, 1, 1, 3),
+        (2, 2, 0, 4), (2, 3, 0, 4), (2, 4, 0, 1),
+    ]
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_sequences(docs, 64)
+    rows = out.collect()
+    # per-doc partition: spans cover each doc's tokens exactly
+    per_doc: dict[int, int] = {}
+    n_tok: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_toks"]
+        n_tok[r["doc_id"]] = r["n_tokens"]
+    assert per_doc == n_tok
+    # per-sequence: exactly full except the last; spans tile in order
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    assert sorted(by_seq) == list(range(len(by_seq)))
+    last = max(by_seq)
+    for sid, srows in by_seq.items():
+        srows.sort(key=lambda r: r["off_in_seq"])
+        off = 0
+        prev_doc = -1
+        for r in srows:
+            assert r["off_in_seq"] == off  # gapless tiling
+            assert r["doc_id"] > prev_doc  # stream order preserved
+            off += r["n_toks"]
+            prev_doc = r["doc_id"]
+        if sid != last:
+            assert off == 64
+        else:
+            assert 0 < off <= 64
+    # scale shape: no global single-partition window anywhere — the
+    # cumsum's range exchange happens before global_cumsum's eager
+    # localCheckpoint, so the executed plan here starts from the
+    # checkpointed RDD scan (same visibility as the
+    # global_helpers plan test above)
+    plan = _executed_plan(out)
+    assert "SinglePartition" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed cumsum input
+
+
 def test_ivf_assignment_is_in_row_no_corpus_shuffle(spark):
     """Lloyd assignment is an in-row argmax over a broadcast centroid
     array (VERDICT r8 'Next #4'): no Window, no Sort over the corpus,
