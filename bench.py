@@ -129,6 +129,10 @@ EXTRA = [
     # ticket) shuffle + two-phase top-k, sharded build -> merge ->
     # broadcast-joined readout — the weighted-profile story)
     "q_priority_sketch",
+    # round 16: GPT-style concat-and-split sequence packing (two-phase
+    # global cumsum + map-side boundary explode — the exact-training-
+    # example twin of q_shard_packing, with a real shuffle story)
+    "q_sequence_pack",
 ]
 
 

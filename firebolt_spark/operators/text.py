@@ -352,6 +352,7 @@ def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,
     text_col: str = "text",
+    stream_offset: int = 0,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate the corpus token stream
     in doc_id order and SPLIT it at fixed ``seq_len`` boundaries,
@@ -378,12 +379,23 @@ def pack_sequences(
     division uses SQL ``div`` on BIGINT throughout — no double
     rounding at 100 TB token-stream offsets. Token = whitespace
     split, consistent with :func:`pack_shards`.
+
+    ``stream_offset`` makes packing INCREMENTAL at ingest time: new
+    documents append at the stream tail, so a batch packed at the
+    previous batch's final token total continues the same global
+    stream — batch-by-batch packing with a carried offset equals the
+    one-shot packing of the concatenation, row for row (drilled with
+    crash restarts in tests/test_streaming_e2e.py). Earlier examples
+    never move; only the boundary sequence gains spans.
     """
     from firebolt_spark.functions import global_cumsum
 
     ln = int(seq_len)
     if ln < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    off = int(stream_offset)
+    if off < 0:
+        raise ValueError(f"stream_offset must be >= 0, got {stream_offset}")
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
@@ -391,6 +403,8 @@ def pack_sequences(
         .alias("n_tokens"),
     )
     cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cend")
+    if off:
+        cum = cum.withColumn("_cend", F.col("_cend") + F.lit(off))
     spans = cum.select(
         "doc_id",
         "n_tokens",

@@ -1702,6 +1702,96 @@ def test_streaming_gif_compositing_with_crash_restart(spark, tmp_path):
     assert len(got) == n_frames_expected
 
 
+def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
+    """Incremental GPT-style sequence packing at ingest time (round
+    16): new documents append at the stream tail, so a micro-batch
+    packed at the previous batch's final token total continues the
+    same global stream. Each foreachBatch run reads the carried
+    offset from a tiny ledger, packs its docs with
+    pack_sequences(stream_offset=...), appends the spans, and
+    records the new total keyed by batch id. Across a mid-run crash
+    restart and a NO-OP restart, the union of per-batch spans must
+    equal the ONE-SHOT packing of the whole corpus row for row —
+    batch boundaries and restarts leave no seam in the training
+    stream."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 90)
+    # contiguous doc_id ranges so arrival order == doc_id order and
+    # the one-shot reference is pack_sequences over the whole corpus
+    batches = [
+        docs.filter((F.col("doc_id") >= 30 * i) & (F.col("doc_id") < 30 * (i + 1)))
+        for i in range(3)
+    ]
+    delta_dir = tmp_path / "pack-deltas"
+    delta_dir.mkdir()
+    span_dir = str(tmp_path / "pack-spans")
+    ledger_dir = str(tmp_path / "pack-ledger")
+    ckpt = str(tmp_path / "ckpt-pack")
+    seq_len = 64
+
+    def ingest(batch_df, batch_id):
+        try:
+            ledger = spark.read.parquet(ledger_dir)
+            prev = (
+                ledger.filter(F.col("batch_id") < batch_id)
+                .agg(F.max_by("end_total", "batch_id").alias("t"))
+                .collect()[0]["t"]
+            ) or 0
+        except Exception:  # noqa: BLE001 - first batch: no ledger yet
+            prev = 0
+        spans = pack_sequences(
+            batch_df, seq_len, stream_offset=prev
+        ).withColumn("_batch_id", F.lit(batch_id))
+        spans.write.mode("append").parquet(span_dir)
+        batch_total = (
+            spans.groupBy("doc_id").agg(F.first("n_tokens").alias("n"))
+            .agg(F.sum("n").alias("s")).collect()[0]["s"]
+        ) or 0
+        spark.createDataFrame(
+            [(batch_id, prev + batch_total)], "batch_id LONG, end_total LONG"
+        ).write.mode("append").parquet(ledger_dir)
+
+    def run_stream(name):
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("pack-0")
+    batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("pack-1-restarted")  # crash between batches: replay once
+    n_before = spark.read.parquet(span_dir).count()
+    run_stream("pack-noop-restart")  # nothing new: zero rows appended
+    assert spark.read.parquet(span_dir).count() == n_before
+    batches[2].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("pack-2")
+
+    streamed = spark.read.parquet(span_dir)
+    one_shot = pack_sequences(docs, seq_len)
+    key = lambda t: (t[0], t[2])  # (doc_id, seq_id)
+    got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=key)
+    exp = sorted(map(tuple, one_shot.collect()), key=key)
+    assert got == exp  # no seam at batch boundaries or restarts
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in streamed.groupBy("_batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(per_batch) == 3 and sum(per_batch.values()) == len(exp)
+
+
 def test_streaming_video_frames_with_crash_restart(spark, tmp_path):
     """The round-15 AVI demuxer inside the streaming ingest loop
     (VERDICT r15 Next #6 — the one media operator the crash drills
