@@ -378,7 +378,10 @@ def pack_sequences(
     is map-side with ~(n_tokens/L + 1) rows per doc. Integer
     division uses SQL ``div`` on BIGINT throughout — no double
     rounding at 100 TB token-stream offsets. Token = whitespace
-    split, consistent with :func:`pack_shards`.
+    split (as in :func:`pack_shards`), except that NULL/empty
+    documents contribute ZERO tokens and emit NO span — a packed
+    training stream must not carry phantom tokens for contentless
+    docs (round-16 review).
 
     ``stream_offset`` makes packing INCREMENTAL at ingest time: new
     documents append at the stream tail, so a batch packed at the
@@ -396,12 +399,14 @@ def pack_sequences(
     off = int(stream_offset)
     if off < 0:
         raise ValueError(f"stream_offset must be >= 0, got {stream_offset}")
+    col = F.col(text_col)
     toks = docs.select(
         "doc_id",
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        F.when(col.isNull() | (col == ""), F.lit(0))
+        .otherwise(F.size(F.split(col, " ")))
         .cast("bigint")
         .alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cend")
     if off:
         cum = cum.withColumn("_cend", F.col("_cend") + F.lit(off))

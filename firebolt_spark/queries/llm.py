@@ -1223,14 +1223,16 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SEQUENCE_PACK_SQL = f"""
     WITH t AS (SELECT doc_id,
-                      CAST(len(string_split(coalesce(text, ''), ' '))
-                           AS BIGINT) AS n_tokens
+                      CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+                           ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+                      END AS n_tokens
                FROM documents),
+    tnz AS (SELECT * FROM t WHERE n_tokens > 0),
     c AS (SELECT doc_id, n_tokens,
                  CAST(sum(n_tokens) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS cend
-          FROM t),
+          FROM tnz),
     spans AS (
         SELECT doc_id, n_tokens, cend - n_tokens AS cstart, cend,
                CAST(s.seq_id AS BIGINT) AS seq_id

@@ -515,17 +515,20 @@ def test_pack_sequences_exact_split(spark):
     from firebolt_spark.operators.text import pack_sequences
 
     micro = spark.createDataFrame(
-        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 3, 9])],
+        [(0, " ".join(["w"] * 5)), (1, " ".join(["w"] * 3)),
+         (2, None), (3, ""), (4, " ".join(["w"] * 9))],
         "doc_id LONG, text STRING",
     )
     got = sorted(
         (r["doc_id"], r["seq_id"], r["off_in_seq"], r["n_toks"])
         for r in pack_sequences(micro, 4).collect()
     )
+    # NULL (doc 2) and empty (doc 3) docs contribute zero tokens and
+    # emit no span — no phantom tokens in the training stream
     assert got == [
         (0, 0, 0, 4), (0, 1, 0, 1),
         (1, 1, 1, 3),
-        (2, 2, 0, 4), (2, 3, 0, 4), (2, 4, 0, 1),
+        (4, 2, 0, 4), (4, 3, 0, 4), (4, 4, 0, 1),
     ]
 
     docs = load_table(spark, SF_DIR, "documents")
