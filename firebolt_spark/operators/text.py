@@ -365,11 +365,13 @@ def pack_sequences(
     where each cut lands.
 
     Output: doc_id, n_tokens (whole doc), seq_id (training example
-    index), off_in_seq (the span's start offset inside the sequence),
-    n_toks (tokens of this doc in this sequence). A doc spans
+    index), off_in_seq (the span's start offset inside the
+    sequence), off_in_doc (the span's start offset inside the
+    DOCUMENT — what a materializer slices the doc's token array
+    with), n_toks (tokens of this doc in this sequence). A doc spans
     sequences floor(start/L) .. floor((end-1)/L) of the global
-    stream; off/len are pure integer arithmetic off the global
-    running total — deterministic, so the whole table is
+    stream; offsets/lengths are pure integer arithmetic off the
+    global running total — deterministic, so the whole table is
     SQL-replayable (oracle q_sequence_pack).
 
     Scale shape: token counting is in-row; the ONLY shuffle is
@@ -429,6 +431,7 @@ def pack_sequences(
         "n_tokens",
         "seq_id",
         (span_start - seq_start).cast("bigint").alias("off_in_seq"),
+        (span_start - F.col("_cstart")).cast("bigint").alias("off_in_doc"),
         (
             F.least(F.col("_cend"), seq_start + F.lit(ln)) - span_start
         ).cast("bigint").alias("n_toks"),

@@ -1244,6 +1244,8 @@ Q_SEQUENCE_PACK_SQL = f"""
     SELECT doc_id, n_tokens, seq_id,
            CAST(greatest(cstart, seq_id * {_SEQ_LEN})
                 - seq_id * {_SEQ_LEN} AS BIGINT) AS off_in_seq,
+           CAST(greatest(cstart, seq_id * {_SEQ_LEN})
+                - cstart AS BIGINT) AS off_in_doc,
            CAST(least(cend, (seq_id + 1) * {_SEQ_LEN})
                 - greatest(cstart, seq_id * {_SEQ_LEN}) AS BIGINT) AS n_toks
     FROM spans

@@ -520,27 +520,37 @@ def test_pack_sequences_exact_split(spark):
         "doc_id LONG, text STRING",
     )
     got = sorted(
-        (r["doc_id"], r["seq_id"], r["off_in_seq"], r["n_toks"])
+        (r["doc_id"], r["seq_id"], r["off_in_seq"], r["off_in_doc"],
+         r["n_toks"])
         for r in pack_sequences(micro, 4).collect()
     )
     # NULL (doc 2) and empty (doc 3) docs contribute zero tokens and
     # emit no span — no phantom tokens in the training stream
     assert got == [
-        (0, 0, 0, 4), (0, 1, 0, 1),
-        (1, 1, 1, 3),
-        (4, 2, 0, 4), (4, 3, 0, 4), (4, 4, 0, 1),
+        (0, 0, 0, 0, 4), (0, 1, 0, 4, 1),
+        (1, 1, 1, 0, 3),
+        (4, 2, 0, 0, 4), (4, 3, 0, 4, 4), (4, 4, 0, 8, 1),
     ]
 
     docs = load_table(spark, SF_DIR, "documents")
     out = pack_sequences(docs, 64)
     rows = out.collect()
-    # per-doc partition: spans cover each doc's tokens exactly
+    # per-doc partition: spans cover each doc's tokens exactly, and
+    # off_in_doc tiles [0, n_tokens) in sequence order
     per_doc: dict[int, int] = {}
     n_tok: dict[int, int] = {}
+    doc_spans: dict[int, list] = {}
     for r in rows:
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_toks"]
         n_tok[r["doc_id"]] = r["n_tokens"]
+        doc_spans.setdefault(r["doc_id"], []).append(r)
     assert per_doc == n_tok
+    for spans_d in doc_spans.values():
+        spans_d.sort(key=lambda r: r["seq_id"])
+        off = 0
+        for r in spans_d:
+            assert r["off_in_doc"] == off
+            off += r["n_toks"]
     # per-sequence: exactly full except the last; spans tile in order
     by_seq: dict[int, list] = {}
     for r in rows:
