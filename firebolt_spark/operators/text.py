@@ -438,6 +438,62 @@ def pack_sequences(
     )
 
 
+def pack_sequence_texts(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    stream_offset: int = 0,
+) -> DataFrame:
+    """Materialize the packed training examples: compose
+    :func:`pack_sequences`' span table back onto the documents and
+    emit one row per training sequence with its ACTUAL text — each
+    document's contribution sliced by ``off_in_doc``/``n_toks`` and
+    stitched in ``off_in_seq`` order. This is the table a shard
+    writer persists; every sequence except the last carries exactly
+    ``seq_len`` tokens.
+
+    Output: seq_id, text (space-joined packed tokens), n_docs
+    (documents contributing), n_toks (token fill — == seq_len except
+    the final sequence).
+
+    Scale shape: the span table is narrow; the doc join ships each
+    document's text once per span it appears in (bounded by
+    ``n_tokens/seq_len + 1`` copies — the honest materialization
+    cost), the slice is in-row (``slice`` over the token array), and
+    the stitch is one groupBy(seq_id) whose in-group order comes from
+    ``array_sort`` over (off_in_seq, piece) structs — deterministic,
+    no Window, SQL-replayable (oracle q_sequence_texts)."""
+    spans = pack_sequences(docs, seq_len, text_col, stream_offset)
+    toks = F.split(F.col(text_col), " ")
+    piece = F.concat_ws(
+        " ",
+        F.slice(
+            toks,
+            (F.col("off_in_doc") + 1).cast("int"),
+            F.col("n_toks").cast("int"),
+        ),
+    )
+    joined = spans.join(
+        docs.select("doc_id", text_col), "doc_id"
+    ).select("seq_id", "off_in_seq", "n_toks", piece.alias("_piece"))
+    return (
+        joined.groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("off_in_seq", "_piece"))
+                    ),
+                    lambda x: x["_piece"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Content fingerprint: the minimum md5 over word n-gram shingles
     (a 1-permutation minhash — winnowing-style document signature).

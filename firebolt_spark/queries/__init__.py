@@ -46,23 +46,27 @@ baseline-JPEG entropy walk's shared-path overhead recovery — VERDICT
 r15 Next #5 — touches _jpeg_decode_py, so every baseline-jpeg query
 re-earns its row: q_multimodal_jpeg, q_multimodal_jpeg_420,
 q_multimodal_transcode).
-slot 42: the round-16 NEW query q_sequence_pack (GPT-style
+slots 42-43: the round-16 NEW queries q_sequence_pack (GPT-style
 concat-and-split sequence packing over the two-phase global cumsum —
-engine-side slack per VERDICT r15 Next #7).
-slots 43-50: the TPC-H tail pre-rotated from the r14-latest cohort
-(q_tpch2/11/12/13/16/19/20/21 — none changed code since r14;
-pre-rotating trims the r17 backlog from 44 to 36, the same move
-r15 made with wav/wav8).  New/changed budget used: 3 new + 3
-changed = 6 of the 14 slack slots.  Names absent from this list
+engine-side slack per VERDICT r15 Next #7) and q_sequence_texts
+(the materialized packed-text readout — every training sequence's
+actual stitched string, oracle-compared on the text itself).
+slots 44-50: the TPC-H tail pre-rotated from the r14-latest cohort
+(q_tpch2/11/12/13/16/19/20 — none changed code since r14;
+pre-rotating trims the r17 backlog from 44 to 37, the same move
+r15 made with wav/wav8).  New/changed budget used: 4 new + 3
+changed = 7 of the 14 slack slots.  Names absent from this list
 keep their module order after it.
 
 R17 ROTATION PREP (write-ahead, the standing discipline): after this
 round's driver check, the queries whose latest row is r14 — two
-rounds stale at r17 — are the THIRTY-SIX (the 44 CORRECTNESS_r14
-keys not re-checked in r15, minus the 8 TPC-H rows pre-rotated into
-r16 slots 43-50; q_tpch22_idle_balance stays in the backlog, bumped
-from slot 50 when q_sequence_pack took slot 42):
-q_tpch22_idle_balance, q_agg_shapes, q_anomaly_scores,
+rounds stale at r17 — are the THIRTY-SEVEN (the 44 CORRECTNESS_r14
+keys not re-checked in r15, minus the 7 TPC-H rows pre-rotated into
+r16 slots 44-50; q_tpch21_waiting_suppliers and
+q_tpch22_idle_balance stay in the backlog, bumped when
+q_sequence_pack and q_sequence_texts took slots 42-43):
+q_tpch21_waiting_suppliers, q_tpch22_idle_balance, q_agg_shapes,
+q_anomaly_scores,
 q_array_functions, q_asof_join, q_classifier_score, q_dedup_lines,
 q_dedup_ngram_jaccard, q_dedup_semantic, q_dedup_spans_candidates,
 q_dedup_spans_candidates_indexed, q_e1_error_split,
@@ -73,7 +77,7 @@ q_quality_selection, q_range_join, q_s2_scan, q_s3_lag_cap,
 q_s4_recovery_scan, q_s5_interval_merge, q_tpch3_shipping_priority,
 q_tpch8_market_share, q_tpch9_product_profit, q_weighted_sample,
 q_window_multi, q_x1_fanout, q_x2_tree_fanout.  They MUST lead
-_PRIORITY slots 1-36 in r17, leaving 14 slots for r17's new/changed
+_PRIORITY slots 1-37 in r17, leaving 13 slots for r17's new/changed
 queries (the budget rule above).  The 50 r16-checked rows rotate in
 r18.
 """
@@ -132,10 +136,12 @@ _PRIORITY = [
     "q_multimodal_jpeg_420",
     "q_multimodal_transcode",
     # NEW in round 16 (engine-side slack, VERDICT r15 Next #7):
-    # GPT-style concat-and-split sequence packing
+    # GPT-style concat-and-split sequence packing + the materialized
+    # packed-text readout
     "q_sequence_pack",
+    "q_sequence_texts",
     # TPC-H tail pre-rotated from the r14-latest cohort (no code
-    # change since r14; trims the r17 backlog to 36)
+    # change since r14; trims the r17 backlog to 37)
     "q_tpch2_min_cost_supplier",
     "q_tpch11_important_parts",
     "q_tpch12_late_priority",
@@ -143,7 +149,6 @@ _PRIORITY = [
     "q_tpch16_supplier_variety",
     "q_tpch19_bracket_revenue",
     "q_tpch20_promo_suppliers",
-    "q_tpch21_waiting_suppliers",
 ]
 
 

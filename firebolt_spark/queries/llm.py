@@ -1252,6 +1252,62 @@ Q_SEQUENCE_PACK_SQL = f"""
 """
 
 
+def q_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training examples MATERIALIZED (round 16 —
+    text.pack_sequence_texts): each 64-token sequence's actual text,
+    stitched from the documents' token slices in stream order via
+    off_in_doc/off_in_seq. The oracle rebuilds every sequence with
+    array_slice + ordered string_agg, so a misplacced cut, a
+    mis-sliced piece, or out-of-order stitching mismatches on the
+    string itself — the strongest check the packing family has."""
+    return text.pack_sequence_texts(_documents(spark, sf_dir), _SEQ_LEN)
+
+
+Q_SEQUENCE_TEXTS_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+                           ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+                      END AS n_tokens
+               FROM documents),
+    tnz AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cend
+          FROM tnz),
+    spans AS (
+        SELECT doc_id, n_tokens, cend - n_tokens AS cstart, cend,
+               CAST(s.seq_id AS BIGINT) AS seq_id
+        FROM c, LATERAL (
+            SELECT unnest(range((cend - n_tokens) // {_SEQ_LEN},
+                                (cend - 1) // {_SEQ_LEN} + 1)) AS seq_id
+        ) s
+    ),
+    cuts AS (
+        SELECT doc_id, seq_id,
+               greatest(cstart, seq_id * {_SEQ_LEN})
+                   - seq_id * {_SEQ_LEN} AS off_in_seq,
+               greatest(cstart, seq_id * {_SEQ_LEN}) - cstart AS off_in_doc,
+               least(cend, (seq_id + 1) * {_SEQ_LEN})
+                   - greatest(cstart, seq_id * {_SEQ_LEN}) AS n_toks
+        FROM spans
+    ),
+    pieces AS (
+        SELECT seq_id, off_in_seq, n_toks,
+               array_to_string(
+                   string_split(d.text, ' ')[off_in_doc + 1 : off_in_doc + n_toks],
+                   ' ') AS piece
+        FROM cuts JOIN documents d USING (doc_id)
+    )
+    SELECT seq_id,
+           string_agg(piece, ' ' ORDER BY off_in_seq) AS text,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks
+    FROM pieces
+    GROUP BY seq_id
+"""
+
+
 # ---- benchmark decontamination --------------------------------------------
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3925,6 +3981,7 @@ QUERIES = {
     "q_corpus_curation": q_corpus_curation,
     "q_shard_packing": q_shard_packing,
     "q_sequence_pack": q_sequence_pack,
+    "q_sequence_texts": q_sequence_texts,
     "q_text_normalize": q_text_normalize,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_indexed": q_dedup_incremental_indexed,
@@ -4002,6 +4059,7 @@ ORACLE = {
     "q_corpus_curation": Q_CORPUS_CURATION_SQL,
     "q_shard_packing": Q_SHARD_PACKING_SQL,
     "q_sequence_pack": Q_SEQUENCE_PACK_SQL,
+    "q_sequence_texts": Q_SEQUENCE_TEXTS_SQL,
     "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "q_dedup_incremental_indexed": Q_DEDUP_INCREMENTAL_SQL,

@@ -580,6 +580,31 @@ def test_pack_sequences_exact_split(spark):
     assert "Scan ExistingRDD" in plan  # the checkpointed cumsum input
 
 
+def test_pack_sequence_texts_roundtrip_law(spark):
+    """The materializer's defining law: concatenating the packed
+    sequences (in seq_id order) reproduces the corpus token stream —
+    the concatenation of every non-empty document (in doc_id order)
+    — EXACTLY. Any dropped token, duplicated boundary word, or
+    out-of-order stitch breaks the equality. Plus the fill law:
+    every sequence except the last carries exactly seq_len tokens."""
+    from firebolt_spark.operators.text import pack_sequence_texts
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    seqs = sorted(
+        (r["seq_id"], r["text"], r["n_toks"])
+        for r in pack_sequence_texts(docs, 64).collect()
+    )
+    packed_stream = " ".join(t for _, t, _ in seqs)
+    corpus_stream = " ".join(
+        r["text"]
+        for r in docs.orderBy("doc_id").collect()
+        if r["text"] not in (None, "")
+    )
+    assert packed_stream == corpus_stream
+    assert all(n == 64 for _, _, n in seqs[:-1])
+    assert 0 < seqs[-1][2] <= 64
+
+
 def test_ivf_assignment_is_in_row_no_corpus_shuffle(spark):
     """Lloyd assignment is an in-row argmax over a broadcast centroid
     array (VERDICT r8 'Next #4'): no Window, no Sort over the corpus,
