@@ -348,6 +348,23 @@ def pack_shards(
     )
 
 
+def token_count(text_col: str):
+    """The packing family's token-count expression — whitespace split,
+    NULL/empty counts ZERO (no phantom tokens for contentless docs).
+    ONE definition shared by :func:`pack_sequences` and every caller
+    that must agree with its running total (the streaming ledger
+    drill carries offsets computed with this same expression); the
+    oracle SQLs mirror it as a CASE (round-16 review: three inline
+    copies of this rule were one refactor away from silent offset
+    drift)."""
+    col = F.col(text_col)
+    return (
+        F.when(col.isNull() | (col == ""), F.lit(0))
+        .otherwise(F.size(F.split(col, " ")))
+        .cast("bigint")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,
@@ -401,13 +418,8 @@ def pack_sequences(
     off = int(stream_offset)
     if off < 0:
         raise ValueError(f"stream_offset must be >= 0, got {stream_offset}")
-    col = F.col(text_col)
     toks = docs.select(
-        "doc_id",
-        F.when(col.isNull() | (col == ""), F.lit(0))
-        .otherwise(F.size(F.split(col, " ")))
-        .cast("bigint")
-        .alias("n_tokens"),
+        "doc_id", token_count(text_col).alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cend")
     if off:
@@ -442,7 +454,6 @@ def pack_sequence_texts(
     docs: DataFrame,
     seq_len: int = 2048,
     text_col: str = "text",
-    stream_offset: int = 0,
 ) -> DataFrame:
     """Materialize the packed training examples: compose
     :func:`pack_sequences`' span table back onto the documents and
@@ -451,6 +462,14 @@ def pack_sequence_texts(
     stitched in ``off_in_seq`` order. This is the table a shard
     writer persists; every sequence except the last carries exactly
     ``seq_len`` tokens.
+
+    Deliberately a BATCH materializer (no ``stream_offset``): a
+    sequence straddling an ingest-batch boundary would be emitted as
+    two partial rows under the same seq_id, and appending those to a
+    shard table would persist corrupt short examples at every seam
+    (round-16 review). Incremental ingest should accumulate
+    :func:`pack_sequences` spans with a carried offset and
+    materialize a sequence only once the stream has moved past it.
 
     Output: seq_id, text (space-joined packed tokens), n_docs
     (documents contributing), n_toks (token fill — == seq_len except
@@ -463,7 +482,7 @@ def pack_sequence_texts(
     the stitch is one groupBy(seq_id) whose in-group order comes from
     ``array_sort`` over (off_in_seq, piece) structs — deterministic,
     no Window, SQL-replayable (oracle q_sequence_texts)."""
-    spans = pack_sequences(docs, seq_len, text_col, stream_offset)
+    spans = pack_sequences(docs, seq_len, text_col)
     toks = F.split(F.col(text_col), " ")
     piece = F.concat_ws(
         " ",

@@ -1207,22 +1207,12 @@ _SEQ_LEN = 64  # fixture docs run ~20-60 whitespace tokens, so a 64-token
 #               multiple docs packed into one sequence AND single docs
 #               split across 2+ sequence boundaries
 
-
-def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style concat-and-split sequence packing (round 16 —
-    text.pack_sequences): the corpus token stream in doc_id order cut
-    into exactly-full 64-token training sequences, one row per
-    (document, sequence) span with the in-sequence offset and length.
-    The whole table is integer arithmetic off the two-phase global
-    running total (SQL div on BIGINT, no double rounding), so the
-    oracle replays it with a window cumsum + range() explode. A
-    packing that drops a boundary cut, misplaces an offset, or skews
-    the running total by one token hash-mismatches."""
-    return text.pack_sequences(_documents(spark, sf_dir), _SEQ_LEN)
-
-
-Q_SEQUENCE_PACK_SQL = f"""
-    WITH t AS (SELECT doc_id,
+# ONE span-derivation fragment shared by BOTH packing oracles
+# (round-16 review: a verbatim duplicate meant the span oracle and the
+# string-compared oracle could silently diverge on what "correct"
+# packing is). Mirrors text.token_count (NULL/empty -> 0, filtered)
+# and text.pack_sequences' cumsum + boundary arithmetic.
+_SEQ_SPAN_CTES = f"""t AS (SELECT doc_id,
                       CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
                            ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
                       END AS n_tokens
@@ -1240,7 +1230,24 @@ Q_SEQUENCE_PACK_SQL = f"""
             SELECT unnest(range((cend - n_tokens) // {_SEQ_LEN},
                                 (cend - 1) // {_SEQ_LEN} + 1)) AS seq_id
         ) s
-    )
+    )"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing (round 16 —
+    text.pack_sequences): the corpus token stream in doc_id order cut
+    into exactly-full 64-token training sequences, one row per
+    (document, sequence) span with the in-sequence offset and length.
+    The whole table is integer arithmetic off the two-phase global
+    running total (SQL div on BIGINT, no double rounding), so the
+    oracle replays it with a window cumsum + range() explode. A
+    packing that drops a boundary cut, misplaces an offset, or skews
+    the running total by one token hash-mismatches."""
+    return text.pack_sequences(_documents(spark, sf_dir), _SEQ_LEN)
+
+
+Q_SEQUENCE_PACK_SQL = f"""
+    WITH {_SEQ_SPAN_CTES}
     SELECT doc_id, n_tokens, seq_id,
            CAST(greatest(cstart, seq_id * {_SEQ_LEN})
                 - seq_id * {_SEQ_LEN} AS BIGINT) AS off_in_seq,
@@ -1264,25 +1271,7 @@ def q_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_SEQUENCE_TEXTS_SQL = f"""
-    WITH t AS (SELECT doc_id,
-                      CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
-                           ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
-                      END AS n_tokens
-               FROM documents),
-    tnz AS (SELECT * FROM t WHERE n_tokens > 0),
-    c AS (SELECT doc_id, n_tokens,
-                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cend
-          FROM tnz),
-    spans AS (
-        SELECT doc_id, n_tokens, cend - n_tokens AS cstart, cend,
-               CAST(s.seq_id AS BIGINT) AS seq_id
-        FROM c, LATERAL (
-            SELECT unnest(range((cend - n_tokens) // {_SEQ_LEN},
-                                (cend - 1) // {_SEQ_LEN} + 1)) AS seq_id
-        ) s
-    ),
+    WITH {_SEQ_SPAN_CTES},
     cuts AS (
         SELECT doc_id, seq_id,
                greatest(cstart, seq_id * {_SEQ_LEN})

@@ -1753,15 +1753,13 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
         ).withColumn("_batch_id", F.lit(batch_id))
         spans.write.mode("append").parquet(span_dir)
         # token total off the RAW batch in one narrow pass — not by
-        # re-running the span pipeline (round-16 review); empty/NULL
-        # docs contribute zero, matching the operator
-        t = F.col("text")
+        # re-running the span pipeline, and via the operator's OWN
+        # token_count expression so the carried offset can never
+        # drift from the cumsum's rule (round-16 review)
+        from firebolt_spark.operators.text import token_count
+
         batch_total = batch_df.agg(
-            F.sum(
-                F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(
-                    F.size(F.split(t, " "))
-                )
-            ).alias("s")
+            F.sum(token_count("text")).alias("s")
         ).collect()[0]["s"] or 0
         spark.createDataFrame(
             [(batch_id, prev + batch_total)], "batch_id LONG, end_total LONG"
