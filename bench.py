@@ -1094,8 +1094,11 @@ def main() -> None:
     try:
         with open(os.path.join(here, "docs", "bench_last_full.json"), "w") as f:
             json.dump(payload, f)
-    except OSError:
-        pass
+    except OSError as exc:
+        # stdout must stay clean for the driver's tail parser, but a
+        # lost close artifact must not be silent (ADVICE r16 #3 —
+        # the same failure class as the "parsed": null stdout loss).
+        print(f"WARN: bench_last_full.json persist failed: {exc}", file=sys.stderr)
     print(json.dumps(_compact_summary(payload), separators=(",", ":")))
     spark.stop()
 

@@ -2789,8 +2789,13 @@ def _jpeg_decoder_table(bits: list[int], vals: bytes):
 # recur thousands of times — and building the 256-entry LUT costs
 # ~18 us/table, ~1/3 of a small payload's whole decode (round 16,
 # PERF.md).  The cache is per-worker module state, read-only after
-# build (callers never mutate the tuple), and bounded: a pathological
-# corpus of all-distinct tables just clears and rebuilds.
+# build (callers never mutate the tuple), and bounded: overflow
+# evicts the NEWEST insertion (popitem) rather than clearing, so the
+# common table sets — which appear within the first payloads of any
+# real corpus and thus insert early — stay resident even when a
+# pathological corpus interleaves >256 distinct one-off table sets
+# (ADVICE r16 #4 — clear() periodically rebuilt even the hottest
+# entries; the one-off churn now lands on the single newest slot).
 _JPEG_TABLE_CACHE: dict[tuple[bytes, bytes], tuple] = {}
 
 
@@ -2799,7 +2804,7 @@ def _jpeg_decoder_table_cached(bits: bytes, vals: bytes):
     tab = _JPEG_TABLE_CACHE.get(key)
     if tab is None:
         if len(_JPEG_TABLE_CACHE) >= 256:
-            _JPEG_TABLE_CACHE.clear()
+            _JPEG_TABLE_CACHE.popitem()
         tab = _jpeg_decoder_table(list(bits), vals)
         _JPEG_TABLE_CACHE[key] = tab
     return tab

@@ -370,6 +370,8 @@ def pack_sequences(
     seq_len: int = 2048,
     text_col: str = "text",
     stream_offset: int = 0,
+    min_doc_id: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate the corpus token stream
     in doc_id order and SPLIT it at fixed ``seq_len`` boundaries,
@@ -408,7 +410,24 @@ def pack_sequences(
     stream — batch-by-batch packing with a carried offset equals the
     one-shot packing of the concatenation, row for row (drilled with
     crash restarts in tests/test_streaming_e2e.py). Earlier examples
-    never move; only the boundary sequence gains spans.
+    never move; only the boundary sequence gains spans.  That holds
+    ONLY under the append-at-tail invariant: every doc in the batch
+    must sort after every doc already packed.  ``min_doc_id`` (the
+    ledger's high-water doc_id) ENFORCES it (ADVICE r16 #2): any row
+    with ``doc_id <= min_doc_id`` raises at execution time — a
+    late/out-of-order arrival would otherwise silently corrupt the
+    global stream (the per-batch cumsum would place it after the
+    carried offset while one-shot packing places it earlier).  The
+    guard lives inside the count expression's data path (JVM-side
+    ``raise_error``, no extra action, can't be pruned); callers
+    persist MAX(doc_id) alongside the token total in their ledger.
+
+    ``count_col`` (VERDICT r16 Next #6) substitutes a PRECOMPUTED
+    per-document token count — :func:`token_counts`' BPE-ish counts,
+    or a real tokenizer's — for the whitespace default; the span
+    arithmetic is identical (the operator never looks at the text
+    when counts are supplied).  NULL counts pack as zero (no span);
+    negative counts raise at execution time.
     """
     from firebolt_spark.functions import global_cumsum
 
@@ -418,8 +437,39 @@ def pack_sequences(
     off = int(stream_offset)
     if off < 0:
         raise ValueError(f"stream_offset must be >= 0, got {stream_offset}")
+    if count_col is not None:
+        n_raw = F.coalesce(F.col(count_col).cast("bigint"), F.lit(0))
+        count_expr = F.when(
+            n_raw < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_sequences: negative {count_col}="),
+                    n_raw.cast("string"),
+                    F.lit(" at doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(n_raw)
+    else:
+        count_expr = token_count(text_col)
+    if min_doc_id is not None:
+        # Guard INSIDE the value expression so Catalyst cannot prune
+        # it: the count is only produced for rows that satisfy the
+        # append-at-tail invariant.
+        count_expr = F.when(
+            F.col("doc_id") <= F.lit(int(min_doc_id)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_sequences: append-at-tail violated — doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" <= min_doc_id={int(min_doc_id)}"),
+                )
+            ).cast("bigint"),
+        ).otherwise(count_expr)
     toks = docs.select(
-        "doc_id", token_count(text_col).alias("n_tokens")
+        "doc_id", count_expr.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     cum = global_cumsum(toks, "n_tokens", ["doc_id"], out_col="_cend")
     if off:
@@ -450,10 +500,67 @@ def pack_sequences(
     )
 
 
+def _stitch_spans(
+    spans: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Compose a :func:`pack_sequences` span table back onto the
+    documents: slice each doc's token array by ``off_in_doc`` /
+    ``n_toks`` and stitch the pieces per sequence in ``off_in_seq``
+    order.  The ONE stitch shared by the batch materializer
+    (:func:`pack_sequence_texts`) and the incremental one
+    (:func:`materialize_sequences`) — two copies of the slice
+    arithmetic would be one edit away from emitting different
+    training examples for the same span table.
+
+    ``tokens_col`` names a precomputed token-array column (a real
+    tokenizer's output); default is the whitespace split of
+    ``text_col`` — the same rule as :func:`token_count`, so spans
+    and slices agree.  Output text is the space-join of the packed
+    tokens in either case."""
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+        doc_cols = docs.select("doc_id", tokens_col)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        doc_cols = docs.select("doc_id", text_col)
+    piece = F.concat_ws(
+        " ",
+        F.slice(
+            toks,
+            (F.col("off_in_doc") + 1).cast("int"),
+            F.col("n_toks").cast("int"),
+        ),
+    )
+    joined = spans.join(doc_cols, "doc_id").select(
+        "seq_id", "off_in_seq", "n_toks", piece.alias("_piece")
+    )
+    return (
+        joined.groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("off_in_seq", "_piece"))
+                    ),
+                    lambda x: x["_piece"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+        )
+    )
+
+
 def pack_sequence_texts(
     docs: DataFrame,
     seq_len: int = 2048,
     text_col: str = "text",
+    count_col: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training examples: compose
     :func:`pack_sequences`' span table back onto the documents and
@@ -481,36 +588,71 @@ def pack_sequence_texts(
     cost), the slice is in-row (``slice`` over the token array), and
     the stitch is one groupBy(seq_id) whose in-group order comes from
     ``array_sort`` over (off_in_seq, piece) structs — deterministic,
-    no Window, SQL-replayable (oracle q_sequence_texts)."""
-    spans = pack_sequences(docs, seq_len, text_col)
-    toks = F.split(F.col(text_col), " ")
-    piece = F.concat_ws(
-        " ",
-        F.slice(
-            toks,
-            (F.col("off_in_doc") + 1).cast("int"),
-            F.col("n_toks").cast("int"),
-        ),
-    )
-    joined = spans.join(
-        docs.select("doc_id", text_col), "doc_id"
-    ).select("seq_id", "off_in_seq", "n_toks", piece.alias("_piece"))
-    return (
-        joined.groupBy("seq_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("off_in_seq", "_piece"))
-                    ),
-                    lambda x: x["_piece"],
-                ),
-                " ",
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("n_toks"),
+    no Window, SQL-replayable (oracle q_sequence_texts).
+
+    ``tokens_col`` (VERDICT r16 Next #6) supplies a precomputed
+    token-array column (a real tokenizer's output) to slice instead
+    of the whitespace split; the span arithmetic then runs on the
+    array's sizes (or ``count_col`` when given) so counts and slices
+    cannot disagree."""
+    if tokens_col is not None and count_col is None:
+        docs = docs.withColumn(
+            "_fb_tok_n", F.coalesce(F.size(tokens_col), F.lit(0)).cast("bigint")
         )
-    )
+        count_col = "_fb_tok_n"
+    spans = pack_sequences(docs, seq_len, text_col, count_col=count_col)
+    return _stitch_spans(spans, docs, text_col, tokens_col)
+
+
+def materialize_sequences(
+    spans: DataFrame,
+    docs: DataFrame,
+    seq_len: int,
+    below_total: int | None = None,
+    min_seq_id: int = 0,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Incremental sequence materialization (VERDICT r16 Next #3):
+    stitch training-example texts from an ACCUMULATED span table —
+    the one an ingest loop builds batch-by-batch with
+    :func:`pack_sequences(stream_offset=...)` — emitting only the
+    sequences the stream has moved PAST.  This is the streaming
+    complement of :func:`pack_sequence_texts`, which must see the
+    whole corpus at once; here the span table may keep growing while
+    completed sequences ship.
+
+    The watermark cut: a sequence is COMPLETE once the packed-token
+    total reaches its end, i.e. ``(seq_id + 1) * seq_len <=
+    below_total`` — equivalently ``seq_id < below_total div
+    seq_len``.  ``below_total`` is the ingest ledger's high-water
+    token total; the boundary sequence (partially filled at the
+    watermark) is NOT emitted, because later batches will append
+    spans under the same seq_id and an early emission would persist
+    a corrupt short example (the round-16 batch-boundary hazard).
+    ``below_total=None`` is FINALIZATION: the stream is closed, so
+    the tail sequence (the only legitimately short one) is stitched
+    too.  ``min_seq_id`` excludes sequences already materialized by
+    prior runs; successive calls with ``[prev_cut, new_cut)`` emit
+    every sequence exactly once (drilled with a mid-batch crash in
+    tests/test_streaming_e2e.py).
+
+    Scale shape: both cuts are narrow filters on the span table
+    applied BEFORE the doc join — a run materializes only the new
+    window's spans, not the history; the stitch itself is
+    :func:`_stitch_spans` (slice in-row, one groupBy(seq_id)).
+    Deterministic given (spans, docs, cut), so the whole readout is
+    SQL-replayable (oracle q_sequence_materialize)."""
+    ln = int(seq_len)
+    if ln < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    window = spans
+    if min_seq_id:
+        window = window.filter(F.col("seq_id") >= F.lit(int(min_seq_id)))
+    if below_total is not None:
+        cut = int(below_total) // ln
+        window = window.filter(F.col("seq_id") < F.lit(cut))
+    return _stitch_spans(window, docs, text_col, tokens_col)
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -1297,6 +1297,75 @@ Q_SEQUENCE_TEXTS_SQL = f"""
 """
 
 
+def q_sequence_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence materialization, batch-replayed (round 17
+    — text.materialize_sequences, VERDICT r16 Next #3): an ingest
+    stream paused mid-corpus ships only the training sequences it
+    has moved PAST. The watermark is deterministic — the token
+    total after the first half of the stream (doc_id < max//2) —
+    and the cut is ``seq_id < watermark div 64``: the boundary
+    sequence, partially filled at the pause, is withheld (emitting
+    it would persist a corrupt short example — the round-16
+    batch-boundary hazard). The two scalar aggregates that
+    parameterize the cut are one-row driver lookups (the ledger
+    read of the streaming recipe, drilled with mid-batch crashes in
+    tests/test_streaming_e2e.py); the materialization itself is the
+    shared span-stitch. The oracle recomputes watermark, cut, and
+    every stitched string analytically — a boundary sequence leaked,
+    a span double-counted after a simulated replay, or one token
+    shifted across the pause mismatches on the text itself."""
+    docs = _documents(spark, sf_dir)
+    spans = text.pack_sequences(docs, _SEQ_LEN)
+    # the "ledger read": two one-row aggregates standing in for the
+    # streaming recipe's carried end_total (see the e2e drill)
+    half = docs.agg((F.max("doc_id") / 2).cast("long").alias("k")).collect()[
+        0
+    ]["k"]
+    watermark = (
+        docs.filter(F.col("doc_id") < half)
+        .agg(F.sum(text.token_count("text")).alias("w"))
+        .collect()[0]["w"]
+    ) or 0
+    return text.materialize_sequences(
+        spans, docs, _SEQ_LEN, below_total=watermark
+    )
+
+
+Q_SEQUENCE_MATERIALIZE_SQL = f"""
+    WITH {_SEQ_SPAN_CTES},
+    wm AS (
+        SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // {_SEQ_LEN} AS BIGINT)
+                   AS cut
+        FROM t
+        WHERE doc_id < (SELECT CAST(max(doc_id) // 2 AS BIGINT)
+                        FROM documents)
+    ),
+    cuts AS (
+        SELECT doc_id, seq_id,
+               greatest(cstart, seq_id * {_SEQ_LEN})
+                   - seq_id * {_SEQ_LEN} AS off_in_seq,
+               greatest(cstart, seq_id * {_SEQ_LEN}) - cstart AS off_in_doc,
+               least(cend, (seq_id + 1) * {_SEQ_LEN})
+                   - greatest(cstart, seq_id * {_SEQ_LEN}) AS n_toks
+        FROM spans
+        WHERE seq_id < (SELECT cut FROM wm)
+    ),
+    pieces AS (
+        SELECT seq_id, off_in_seq, n_toks,
+               array_to_string(
+                   string_split(d.text, ' ')[off_in_doc + 1 : off_in_doc + n_toks],
+                   ' ') AS piece
+        FROM cuts JOIN documents d USING (doc_id)
+    )
+    SELECT seq_id,
+           string_agg(piece, ' ' ORDER BY off_in_seq) AS text,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks
+    FROM pieces
+    GROUP BY seq_id
+"""
+
+
 # ---- benchmark decontamination --------------------------------------------
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3971,6 +4040,7 @@ QUERIES = {
     "q_shard_packing": q_shard_packing,
     "q_sequence_pack": q_sequence_pack,
     "q_sequence_texts": q_sequence_texts,
+    "q_sequence_materialize": q_sequence_materialize,
     "q_text_normalize": q_text_normalize,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_indexed": q_dedup_incremental_indexed,
@@ -4049,6 +4119,7 @@ ORACLE = {
     "q_shard_packing": Q_SHARD_PACKING_SQL,
     "q_sequence_pack": Q_SEQUENCE_PACK_SQL,
     "q_sequence_texts": Q_SEQUENCE_TEXTS_SQL,
+    "q_sequence_materialize": Q_SEQUENCE_MATERIALIZE_SQL,
     "q_text_normalize": Q_TEXT_NORMALIZE_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "q_dedup_incremental_indexed": Q_DEDUP_INCREMENTAL_SQL,

@@ -5201,6 +5201,32 @@ def test_gif_composite_randomized_reference_parity():
             assert g2["frames"][ki] == want[fi].tobytes(), (trial, fi)
 
 
+def test_jpeg_table_cache_overflow_keeps_early_entries():
+    """Overflow eviction (ADVICE r16 #4): pushing >256 distinct DHT
+    byte-strings through the decoder-table cache must NOT wipe the
+    early-inserted (hot, Annex-K-style) entries — only the newest
+    slot churns, and the bound holds.  Correctness is eviction-proof
+    (entries rebuild on miss); this pins the retention policy."""
+    from firebolt_spark.operators import multimodal as mm
+
+    mm._JPEG_TABLE_CACHE.clear()
+    # 2 "hot" tables first (standard DC luma bits; distinct vals).
+    bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    hot = [(bits, bytes([v, v >> 8]) + bytes(10)) for v in (0, 1)]
+    for b, v in hot:
+        mm._jpeg_decoder_table_cached(b, v)
+    built = {k: id(t) for k, t in mm._JPEG_TABLE_CACHE.items()}
+    # 300 one-off tables, re-touching the hot pair throughout.
+    for i in range(2, 302):
+        mm._jpeg_decoder_table_cached(bits, bytes([i % 256, i >> 8]) + bytes(10))
+        for b, v in hot:
+            assert id(mm._jpeg_decoder_table_cached(b, v)) == built[(b, v)]
+    assert len(mm._JPEG_TABLE_CACHE) <= 256
+    for k in built:
+        assert k in mm._JPEG_TABLE_CACHE
+    mm._JPEG_TABLE_CACHE.clear()
+
+
 def test_jpeg_roundtrip_exact_all_values():
     """The baseline-JPEG fixture combination (flat tiles, all-8s
     quantization) must decode EXACTLY — every one of the 256 gray

@@ -605,6 +605,186 @@ def test_pack_sequence_texts_roundtrip_law(spark):
     assert 0 < seqs[-1][2] <= 64
 
 
+def test_pack_sequences_count_col_whitespace_default_unchanged(spark):
+    """VERDICT r16 Next #6 regression pin: supplying the whitespace
+    count as a PRECOMPUTED column must reproduce the default packing
+    row for row — the parameter adds a path, it must not move the
+    default one (the oracle rows depend on it)."""
+    from firebolt_spark.operators.text import pack_sequences, token_count
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pre = docs.withColumn("wc", token_count("text"))
+    base = sorted(map(tuple, pack_sequences(docs, 64).collect()))
+    via_col = sorted(
+        map(tuple, pack_sequences(pre, 64, count_col="wc").collect())
+    )
+    assert via_col == base
+
+
+def test_pack_sequences_on_bpe_ish_counts(spark):
+    """The point of count_col: pack on :func:`token_counts`'
+    BPE-ish segmentation instead of whitespace. The packing laws must
+    hold against THOSE counts — per-doc spans partition the supplied
+    count, every sequence except the last is exactly full, and the
+    stream total equals the sum of the supplied counts. NULL counts
+    pack as zero (no span); negative counts raise in the executor."""
+    import pytest
+
+    from firebolt_spark.operators.text import pack_sequences, token_counts
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    counted = docs.join(
+        token_counts(docs).select("doc_id", "bpe_ish_tokens"), "doc_id"
+    )
+    rows = pack_sequences(counted, 64, count_col="bpe_ish_tokens").collect()
+    want = {
+        r["doc_id"]: r["bpe_ish_tokens"]
+        for r in counted.collect()
+        if r["bpe_ish_tokens"] and r["bpe_ish_tokens"] > 0
+    }
+    per_doc: dict[int, int] = {}
+    by_seq: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_toks"]
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["n_toks"]
+        assert r["n_tokens"] == want[r["doc_id"]]
+    assert per_doc == want
+    last = max(by_seq)
+    assert sorted(by_seq) == list(range(last + 1))
+    assert all(by_seq[s] == 64 for s in range(last))
+    assert sum(per_doc.values()) == sum(want.values())
+
+    micro = spark.createDataFrame(
+        [(0, "x", 5), (1, "y", None), (2, "z", 3)],
+        "doc_id LONG, text STRING, cnt LONG",
+    )
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["n_toks"])
+        for r in pack_sequences(micro, 4, count_col="cnt").collect()
+    )
+    assert got == [(0, 0, 4), (0, 1, 1), (2, 1, 3)]
+    bad = spark.createDataFrame(
+        [(0, "x", 5), (1, "y", -2)], "doc_id LONG, text STRING, cnt LONG"
+    )
+    with pytest.raises(Exception, match="negative cnt=-2 at doc_id=1"):
+        pack_sequences(bad, 4, count_col="cnt").collect()
+
+
+def test_pack_sequences_min_doc_id_guard(spark):
+    """ADVICE r16 #2: the append-at-tail invariant is ENFORCED, not
+    assumed — a batch containing a doc_id at or below the ledger's
+    high-water mark raises in the executor instead of silently
+    packing a stream that disagrees with the one-shot order. A
+    conforming batch is bit-unchanged by the guard."""
+    import pytest
+
+    from firebolt_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tail = docs.filter(F.col("doc_id") >= 100)
+    guarded = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                tail, 64, stream_offset=1000, min_doc_id=99
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(tuple, pack_sequences(tail, 64, stream_offset=1000).collect())
+    )
+    assert guarded == plain
+    with pytest.raises(Exception, match="append-at-tail violated"):
+        pack_sequences(docs, 64, stream_offset=1000, min_doc_id=99).collect()
+
+
+def test_pack_sequence_texts_tokens_col(spark):
+    """The materializer over a PRECOMPUTED token array: (a) supplying
+    the whitespace split as the array reproduces the default output
+    exactly; (b) a genuinely different tokenizer (the BPE-ish
+    pre-tokenizer) still satisfies the round-trip law ON ITS OWN
+    TOKENS — the space-joined sequences concatenate back to the
+    space-joined token stream of the corpus."""
+    from firebolt_spark.operators.text import pack_sequence_texts
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = sorted(map(tuple, pack_sequence_texts(docs, 64).collect()))
+    ws = docs.withColumn("toks", F.split(F.col("text"), " "))
+    via_arr = sorted(
+        map(tuple, pack_sequence_texts(ws, 64, tokens_col="toks").collect())
+    )
+    assert via_arr == base
+
+    bpe = docs.withColumn(
+        "toks",
+        F.filter(
+            F.split(F.col("text"), "[^0-9A-Za-z]+"), lambda x: x != F.lit("")
+        ),
+    )
+    seqs = sorted(
+        (r["seq_id"], r["text"], r["n_toks"])
+        for r in pack_sequence_texts(bpe, 64, tokens_col="toks").collect()
+    )
+    corpus = " ".join(
+        " ".join(r["toks"])
+        for r in bpe.orderBy("doc_id").collect()
+        if r["toks"]
+    )
+    assert " ".join(t for _, t, _ in seqs) == corpus
+    assert all(n == 64 for _, _, n in seqs[:-1])
+
+
+def test_materialize_sequences_watermark_cut(spark):
+    """VERDICT r16 Next #3: the incremental materializer emits
+    exactly the sequences the stream has moved past. Against the
+    one-shot packing: (a) below_total at the ledger's final total
+    emits every FULL sequence and withholds the partial tail; (b)
+    successive [prev_cut, new_cut) windows partition the full set
+    with no duplicate and no gap; (c) finalization (below_total=None)
+    ships the tail; (d) a mid-sequence watermark withholds the
+    boundary sequence — the round-16 corrupt-short-example hazard."""
+    from firebolt_spark.operators.text import (
+        materialize_sequences, pack_sequence_texts, pack_sequences,
+        token_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    spans = pack_sequences(docs, 64)
+    total = docs.agg(F.sum(token_count("text")).alias("s")).collect()[0]["s"]
+    one_shot = {
+        r["seq_id"]: (r["text"], r["n_docs"], r["n_toks"])
+        for r in pack_sequence_texts(docs, 64).collect()
+    }
+    n_full = total // 64
+
+    at_total = {
+        r["seq_id"]: (r["text"], r["n_docs"], r["n_toks"])
+        for r in materialize_sequences(
+            spans, docs, 64, below_total=total
+        ).collect()
+    }
+    assert sorted(at_total) == list(range(n_full))
+    assert all(at_total[s] == one_shot[s] for s in at_total)
+
+    mid_total = total // 2
+    mid_cut = mid_total // 64
+    first = materialize_sequences(spans, docs, 64, below_total=mid_total)
+    second = materialize_sequences(
+        spans, docs, 64, min_seq_id=mid_cut
+    )
+    got = {}
+    for df in (first, second):
+        for r in df.collect():
+            assert r["seq_id"] not in got  # no duplicate across windows
+            got[r["seq_id"]] = (r["text"], r["n_docs"], r["n_toks"])
+    assert got == one_shot  # no gap, tail included at finalization
+
+    # the boundary sequence at a mid-sequence watermark is withheld
+    odd_total = mid_cut * 64 + 7
+    held = materialize_sequences(spans, docs, 64, below_total=odd_total)
+    assert held.agg(F.max("seq_id")).collect()[0][0] == mid_cut - 1
+
+
 def test_ivf_assignment_is_in_row_no_corpus_shuffle(spark):
     """Lloyd assignment is an in-row argmax over a broadcast centroid
     array (VERDICT r8 'Next #4'): no Window, no Sort over the corpus,

@@ -1704,16 +1704,22 @@ def test_streaming_gif_compositing_with_crash_restart(spark, tmp_path):
 
 def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
     """Incremental GPT-style sequence packing at ingest time (round
-    16): new documents append at the stream tail, so a micro-batch
-    packed at the previous batch's final token total continues the
-    same global stream. Each foreachBatch run reads the carried
-    offset from a tiny ledger, packs its docs with
-    pack_sequences(stream_offset=...), appends the spans, and
-    records the new total keyed by batch id. Across a mid-run crash
-    restart and a NO-OP restart, the union of per-batch spans must
-    equal the ONE-SHOT packing of the whole corpus row for row —
-    batch boundaries and restarts leave no seam in the training
-    stream."""
+    16; hardened per ADVICE r16 #1+#2): new documents append at the
+    stream tail, so a micro-batch packed at the previous batch's
+    final token total continues the same global stream. Each
+    foreachBatch run reads the carried offset AND the high-water
+    doc_id from a tiny ledger, packs its docs with
+    pack_sequences(stream_offset=..., min_doc_id=...) — the
+    append-at-tail invariant is enforced, not assumed — and commits
+    spans and ledger row IDEMPOTENTLY: both tables are partitioned
+    by batch id and written with dynamic partition OVERWRITE, so a
+    replay rewrites its own partition instead of double-appending.
+    This drill injects a GENUINE mid-batch crash (batch 1 dies after
+    the span write, before the ledger write — the worst seam: data
+    landed, bookkeeping didn't) plus a NO-OP restart; the union of
+    per-batch spans must equal the ONE-SHOT packing of the whole
+    corpus row for row. This is the incremental-ingest recipe the
+    operator docstring points at."""
     from firebolt_spark.catalog import load_table
     from firebolt_spark.operators.text import pack_sequences
 
@@ -1731,6 +1737,7 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
     span_dir = str(tmp_path / "pack-spans")
     ledger_dir = str(tmp_path / "pack-ledger")
     ckpt = str(tmp_path / "ckpt-pack")
+    crash_flag = tmp_path / "crash-once"
     seq_len = 64
 
     def ingest(batch_df, batch_id):
@@ -1740,32 +1747,50 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
         # error must propagate, only the genuine first-batch case
         # starts at offset 0 (round-16 review)
         if os.path.isdir(ledger_dir):
-            prev = (
+            prev_row = (
                 spark.read.parquet(ledger_dir)
                 .filter(F.col("batch_id") < batch_id)
-                .agg(F.max_by("end_total", "batch_id").alias("t"))
-                .collect()[0]["t"]
-            ) or 0
+                .agg(
+                    F.max_by("end_total", "batch_id").alias("t"),
+                    F.max("max_doc_id").alias("hw"),
+                )
+                .collect()[0]
+            )
+            prev, high_water = prev_row["t"] or 0, prev_row["hw"]
         else:
-            prev = 0
+            prev, high_water = 0, None
         spans = pack_sequences(
-            batch_df, seq_len, stream_offset=prev
+            batch_df, seq_len, stream_offset=prev, min_doc_id=high_water
         ).withColumn("_batch_id", F.lit(batch_id))
-        spans.write.mode("append").parquet(span_dir)
+        # idempotent commit: a replayed batch OVERWRITES its own
+        # partition — append here would double the spans on the
+        # mid-batch replay below (ADVICE r16 #1)
+        spans.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(span_dir)
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError(
+                "injected mid-batch crash: spans written, ledger not"
+            )
         # token total off the RAW batch in one narrow pass — not by
         # re-running the span pipeline, and via the operator's OWN
         # token_count expression so the carried offset can never
         # drift from the cumsum's rule (round-16 review)
         from firebolt_spark.operators.text import token_count
 
-        batch_total = batch_df.agg(
-            F.sum(token_count("text")).alias("s")
-        ).collect()[0]["s"] or 0
+        agg = batch_df.agg(
+            F.sum(token_count("text")).alias("s"),
+            F.max("doc_id").alias("m"),
+        ).collect()[0]
         spark.createDataFrame(
-            [(batch_id, prev + batch_total)], "batch_id LONG, end_total LONG"
-        ).write.mode("append").parquet(ledger_dir)
+            [(batch_id, prev + (agg["s"] or 0), agg["m"])],
+            "batch_id LONG, end_total LONG, max_doc_id LONG",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(ledger_dir)
 
-    def run_stream(name):
+    def run_stream(name, expect_crash=False):
         q = (
             spark.readStream.schema(docs.schema).parquet(str(delta_dir))
             .writeStream.foreachBatch(ingest)
@@ -1774,13 +1799,25 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
             .queryName(name)
             .start()
         )
-        assert q.awaitTermination(120)
+        if expect_crash:
+            import pytest
+
+            with pytest.raises(Exception, match="injected mid-batch crash"):
+                q.awaitTermination(120)
+        else:
+            assert q.awaitTermination(120)
         q.stop()
 
     batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
     run_stream("pack-0")
     batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
-    run_stream("pack-1-restarted")  # crash between batches: replay once
+    # GENUINE mid-batch crash: batch 1's spans land, its ledger row
+    # and checkpoint commit don't — the restart must replay batch 1
+    # under the SAME batch id and converge (partition overwrite), not
+    # double-append
+    run_stream("pack-1-crash", expect_crash=True)
+    assert crash_flag.exists()
+    run_stream("pack-1-replay")
     n_before = spark.read.parquet(span_dir).count()
     run_stream("pack-noop-restart")  # nothing new: zero rows appended
     assert spark.read.parquet(span_dir).count() == n_before
@@ -1789,10 +1826,13 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
 
     streamed = spark.read.parquet(span_dir)
     one_shot = pack_sequences(docs, seq_len)
+    cols = one_shot.columns
     key = lambda t: (t[0], t[2])  # (doc_id, seq_id)
-    got = sorted(map(tuple, streamed.drop("_batch_id").collect()), key=key)
+    got = sorted(
+        map(tuple, streamed.select(cols).collect()), key=key
+    )
     exp = sorted(map(tuple, one_shot.collect()), key=key)
-    assert got == exp  # no seam at batch boundaries or restarts
+    assert got == exp  # no seam at batch boundaries, crash, or restarts
     per_batch = {
         r["_batch_id"]: r["n"]
         for r in streamed.groupBy("_batch_id").agg(
@@ -1800,6 +1840,155 @@ def test_streaming_sequence_packing_with_carried_offset(spark, tmp_path):
         ).collect()
     }
     assert len(per_batch) == 3 and sum(per_batch.values()) == len(exp)
+
+
+def test_streaming_sequence_materialization_incremental(spark, tmp_path):
+    """VERDICT r16 Next #3 end-to-end: the streaming shard writer.
+    Each micro-batch (1) packs its docs at the carried offset and
+    commits the spans, (2) MATERIALIZES exactly the training
+    sequences the stream has now moved past — the window
+    [prev_total div L, end_total div L) via
+    materialize_sequences(below_total=..., min_seq_id=...) over the
+    ACCUMULATED span and doc tables — and (3) advances the ledger.
+    The boundary sequence (straddling the batch seam, partially
+    filled) is withheld until a later batch completes it; a
+    finalization pass after the stream closes stitches the tail.
+    Every write is an idempotent per-batch partition overwrite.
+    Across a genuine MID-BATCH crash (die between the sequence write
+    and the ledger write) and a no-op restart, the union of
+    materialized shards must equal the ONE-SHOT
+    pack_sequence_texts row for row — each sequence emitted exactly
+    once, none short."""
+    from firebolt_spark.catalog import load_table
+    from firebolt_spark.operators.text import (
+        materialize_sequences, pack_sequence_texts, pack_sequences,
+        token_count,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 90)
+    batches = [
+        docs.filter((F.col("doc_id") >= 30 * i) & (F.col("doc_id") < 30 * (i + 1)))
+        for i in range(3)
+    ]
+    delta_dir = tmp_path / "mat-deltas"
+    delta_dir.mkdir()
+    span_dir = str(tmp_path / "mat-spans")
+    seq_dir = str(tmp_path / "mat-seqs")
+    ledger_dir = str(tmp_path / "mat-ledger")
+    ckpt = str(tmp_path / "ckpt-mat")
+    crash_flag = tmp_path / "mat-crash-once"
+    seq_len = 64
+
+    def dyn_overwrite(df, path, part_col):
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(path)
+
+    def ingest(batch_df, batch_id):
+        import os
+
+        if os.path.isdir(ledger_dir):
+            prev_row = (
+                spark.read.parquet(ledger_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .agg(
+                    F.max_by("end_total", "batch_id").alias("t"),
+                    F.max("max_doc_id").alias("hw"),
+                )
+                .collect()[0]
+            )
+            prev, high_water = prev_row["t"] or 0, prev_row["hw"]
+        else:
+            prev, high_water = 0, None
+        spans = pack_sequences(
+            batch_df, seq_len, stream_offset=prev, min_doc_id=high_water
+        ).withColumn("_batch_id", F.lit(batch_id))
+        dyn_overwrite(spans, span_dir, "_batch_id")
+        agg = batch_df.agg(
+            F.sum(token_count("text")).alias("s"),
+            F.max("doc_id").alias("m"),
+        ).collect()[0]
+        end_total = prev + (agg["s"] or 0)
+        # materialize the newly-completed window off the ACCUMULATED
+        # tables: spans from every committed batch plus this one,
+        # docs from everything that has arrived (a boundary sequence
+        # reaches back into earlier batches' documents)
+        all_spans = spark.read.parquet(span_dir)
+        all_docs = spark.read.schema(docs.schema).parquet(str(delta_dir))
+        seqs = materialize_sequences(
+            all_spans, all_docs, seq_len,
+            below_total=end_total, min_seq_id=prev // seq_len,
+        ).withColumn("_batch_id", F.lit(batch_id))
+        dyn_overwrite(seqs, seq_dir, "_batch_id")
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError(
+                "injected mid-batch crash: sequences written, ledger not"
+            )
+        spark.createDataFrame(
+            [(batch_id, end_total, agg["m"])],
+            "batch_id LONG, end_total LONG, max_doc_id LONG",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(ledger_dir)
+
+    def run_stream(name, expect_crash=False):
+        q = (
+            spark.readStream.schema(docs.schema).parquet(str(delta_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        if expect_crash:
+            import pytest
+
+            with pytest.raises(Exception, match="injected mid-batch crash"):
+                q.awaitTermination(120)
+        else:
+            assert q.awaitTermination(120)
+        q.stop()
+
+    batches[0].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("mat-0")
+    batches[1].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("mat-1-crash", expect_crash=True)
+    assert crash_flag.exists()
+    run_stream("mat-1-replay")
+    n_before = spark.read.parquet(seq_dir).count()
+    run_stream("mat-noop-restart")
+    assert spark.read.parquet(seq_dir).count() == n_before
+    batches[2].coalesce(1).write.mode("append").parquet(str(delta_dir))
+    run_stream("mat-2")
+
+    # FINALIZATION: the stream is closed — stitch the tail sequence
+    # (everything at or past the last cut) into its own partition
+    final = spark.read.parquet(ledger_dir).agg(
+        F.max_by("end_total", "batch_id").alias("t")
+    ).collect()[0]["t"]
+    all_spans = spark.read.parquet(span_dir)
+    all_docs = spark.read.schema(docs.schema).parquet(str(delta_dir))
+    tail = materialize_sequences(
+        all_spans, all_docs, seq_len, min_seq_id=final // seq_len
+    ).withColumn("_batch_id", F.lit(-1))
+    dyn_overwrite(tail, seq_dir, "_batch_id")
+
+    streamed = spark.read.parquet(seq_dir)
+    one_shot = pack_sequence_texts(docs, seq_len)
+    cols = one_shot.columns
+    got = sorted(map(tuple, streamed.select(cols).collect()))
+    exp = sorted(map(tuple, one_shot.collect()))
+    assert got == exp  # every sequence exactly once, none short
+    # each seq_id came from exactly one window (no straddle emission)
+    n_ids = streamed.select("seq_id").distinct().count()
+    assert n_ids == streamed.count() == len(exp)
+    # all full except the finalization tail
+    for r in streamed.collect():
+        if r["_batch_id"] != -1:
+            assert r["n_toks"] == seq_len
 
 
 def test_streaming_video_frames_with_crash_restart(spark, tmp_path):
