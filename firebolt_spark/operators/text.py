@@ -856,6 +856,8 @@ def hashed_ngram_counts(
     n_buckets: int = 4096,
     bigrams: bool = True,
     salt: str = "feat",
+    *,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed bag-of-ngrams: ``(id, bucket int, cnt bigint)`` — the
     fixed-width feature representation linear quality classifiers
@@ -869,19 +871,30 @@ def hashed_ngram_counts(
     NULL-text documents produce no feature rows and are OMITTED (same
     contract as ``lm_cross_entropy``).  Scale shape: one scan, one
     map-side-combined groupBy on (id, bucket); document bodies are
-    never shuffled."""
+    never shuffled.
+
+    ``carry_cols`` names extra per-document columns (functionally
+    dependent on the id — e.g. ``lang``) carried through the groupBy
+    unchanged.  The (id, bucket, cnt) rows are identical either way;
+    carrying the column lets ONE persisted feature table serve
+    consumers that slice by it (e.g. a DSIR target model over the
+    English slice) instead of re-scanning and re-hashing the corpus
+    per consumer."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    carry = [F.col(c) for c in carry_cols]
     feats = docs.select(
         F.col(id_col),
+        *carry,
         F.explode(_ngram_features(text_col, bigrams)).alias("_f"),
     )
     return (
         feats.select(
             id_col,
+            *carry_cols,
             _feature_bucket(F.col("_f"), n_buckets, salt).alias("bucket"),
         )
-        .groupBy(id_col, "bucket")
+        .groupBy(id_col, *carry_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -897,6 +910,7 @@ def classifier_score(
     salt: str = "feat",
     bias: float = 0.0,
     broadcast_weights: bool = True,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Linear classifier inference over hashed n-gram features — the
     distributed form of fastText-style quality-classifier scoring
@@ -920,10 +934,20 @@ def classifier_score(
     ``n_buckets`` — a constructor constant, hence ``broadcast_weights``
     defaults True; pass False to force a shuffled join for a
     pathologically large bucket count) and one narrow groupBy on the
-    doc key.  No per-row Python; whole-stage codegen throughout."""
-    feats = hashed_ngram_counts(
-        docs, text_col, id_col, n_buckets, bigrams, salt
-    )
+    doc key.  No per-row Python; whole-stage codegen throughout.
+
+    ``feats`` short-circuits the feature pass with a precomputed
+    :func:`hashed_ngram_counts` table (columns ``(id_col, bucket,
+    cnt)``; MUST have been built with this call's ``n_buckets`` /
+    ``bigrams`` / ``salt``): a composed pipeline that also feeds a
+    DSIR model from the same features (``q_quality_selection``) then
+    hashes the corpus ONCE instead of once per consumer.  ``docs`` is
+    not touched when ``feats`` is given.  The decimal dot product is
+    order-independent, so the scores are bit-identical either way."""
+    if feats is None:
+        feats = hashed_ngram_counts(
+            docs, text_col, id_col, n_buckets, bigrams, salt
+        )
     w = weights.select(
         F.col("bucket").cast("int").alias("bucket"),
         F.col("weight").cast("double").cast("decimal(20,15)").alias("_w"),
@@ -976,6 +1000,22 @@ def hashed_bucket_model(
     return counts.crossJoin(F.broadcast(total))
 
 
+def bucket_model_from_counts(feats: DataFrame) -> DataFrame:
+    """:func:`hashed_bucket_model` built from an ALREADY-COMPUTED
+    per-document feature table (:func:`hashed_ngram_counts` output —
+    any slice of it) instead of re-scanning and re-hashing the corpus:
+    summing the per-doc ``cnt`` per bucket IS the corpus occurrence
+    count, so the ``(bucket, cnt, total)`` rows are identical by
+    integer-sum associativity.  This is how a composed pipeline derives
+    e.g. its DSIR target model from the English slice of the ONE
+    persisted feature table it already pays for (the same derivation
+    :func:`importance_weights` uses internally for its default raw
+    model)."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
 def importance_weights(
     docs: DataFrame,
     target_model: DataFrame,
@@ -986,6 +1026,7 @@ def importance_weights(
     n_buckets: int = 4096,
     bigrams: bool = True,
     salt: str = "feat",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every
@@ -1024,10 +1065,22 @@ def importance_weights(
     re-read a bounded cache instead of re-executing a possibly
     corpus-sized upstream.  The corpus-side llr/oov joins are
     broadcast; the only shuffles a 100 TB run pays are the map-side
-    (id, bucket) feature agg and the narrow doc-key agg."""
-    feats = hashed_ngram_counts(
-        docs, text_col, id_col, n_buckets, bigrams, salt
-    ).persist()
+    (id, bucket) feature agg and the narrow doc-key agg.
+
+    ``feats`` short-circuits the feature pass with a precomputed
+    :func:`hashed_ngram_counts` table over ``docs`` (columns
+    ``(id_col, bucket, cnt)``; same ``n_buckets``/``bigrams``/``salt``
+    contract as :func:`classifier_score`'s seam).  The caller owns its
+    lifecycle: pass a PERSISTED frame (it feeds the doc-key aggregate
+    and, when ``raw_model`` is None, the raw-model derivation) and
+    release it after materialization; it is not added to this result's
+    release handles.  ``docs`` is not touched when ``feats`` is given.
+    Decimal sums make the weights bit-identical either way."""
+    own_feats = feats is None
+    if own_feats:
+        feats = hashed_ngram_counts(
+            docs, text_col, id_col, n_buckets, bigrams, salt
+        ).persist()
     if raw_model is None:
         # derive from the persisted per-doc feature table: summing the
         # per-doc counts per bucket IS the corpus model — no second
@@ -1108,7 +1161,9 @@ def importance_weights(
             ).alias("log_weight"),
         )
     )
-    return track_persisted(result, feats, target_model, raw_model)
+    if own_feats:
+        return track_persisted(result, feats, target_model, raw_model)
+    return track_persisted(result, target_model, raw_model)
 
 
 def gopher_quality(

@@ -3002,23 +3002,32 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target distribution"; downstream selection is a threshold, top-k,
     or weighted_sample over exp(log_weight). Both model tables are
     bucket-bounded constants — broadcast joins only; the corpus pays
-    one scan and two narrow aggregations."""
+    one scan and two narrow aggregations (r17: ONE feature pass with
+    ``lang`` carried serves the per-doc table AND the English-slice
+    target model via ``bucket_model_from_counts`` — the corpus was
+    previously tokenized+hashed a second time for the target)."""
     from firebolt_spark.functions import track_persisted
 
     docs = _documents(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    res = text.importance_weights(
+    feats = text.hashed_ngram_counts(
         docs,
-        text.hashed_bucket_model(
-            target, n_buckets=_FEAT_BUCKETS, salt=_FEAT_SALT
-        ),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
+        carry_cols=("lang",),
+    ).persist()
+    res = text.importance_weights(
+        docs,
+        text.bucket_model_from_counts(feats.filter(F.col("lang") == "en")),
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+        feats=feats.drop("lang"),
     )
     # re-attach the operator's release handles: deriving (orderBy)
     # strips _persisted_inputs (see q_dedup_semantic's no-orderBy note)
     return track_persisted(
-        res.orderBy("doc_id"), *getattr(res, "_persisted_inputs", [])
+        res.orderBy("doc_id"),
+        feats,
+        *getattr(res, "_persisted_inputs", []),
     )
 
 
@@ -3881,12 +3890,13 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gated set (target = its English slice) → deterministic A-Res
     sample of k docs ∝ exp(log_weight). One oracle certifies the whole
     chain: gate signals, both models, the decimal sums, the score
-    filter, and the exact sample membership. The gated set is derived
-    by map-only recompute (predicate-pushed scans), not persisted —
-    at 100 TB a corpus-sized cache is the wrong trade while the gate
-    is a single cheap scan; the two narrow (doc, score/weight) tables
-    join on the doc key. Gate thresholds are the fixture-adapted ones
-    (min_words=20, dup ≤ 0.6 — see q_gopher_quality's rationale)."""
+    filter, and the exact sample membership. The gate + feature-hash
+    chain runs ONCE (r17): its narrow (doc, lang, bucket, cnt) output
+    — features, never text, so NOT corpus-sized — is persisted and
+    serves the classifier, the DSIR per-doc sum, and the DSIR target
+    model; the two narrow (doc, score/weight) tables join on the doc
+    key. Gate thresholds are the fixture-adapted ones (min_words=20,
+    dup ≤ 0.6 — see q_gopher_quality's rationale)."""
     from firebolt_spark.functions import weighted_sample
 
     docs = _documents(spark, sf_dir)
@@ -3902,21 +3912,32 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from firebolt_spark.functions import track_persisted
 
+    # ONE gate execution + ONE feature pass serve all three consumers
+    # (classifier dot product, DSIR per-doc sum, DSIR target model):
+    # the narrow (doc, lang, bucket, cnt) table is persisted; before
+    # r17 the gopher gate + tokenize + md5-hash chain ran once PER
+    # consumer (3 full corpus passes). Decimal sums keep every output
+    # bit-identical.
+    feats = text.hashed_ngram_counts(
+        gated,
+        n_buckets=_FEAT_BUCKETS,
+        salt=_FEAT_SALT,
+        carry_cols=("lang",),
+    ).persist()
+    fcore = feats.drop("lang")
     scores = text.classifier_score(
         gated,
         _pseudo_weights(spark, _FEAT_BUCKETS),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
+        feats=fcore,
     ).select("doc_id", "score")
     iw = text.importance_weights(
         gated,
-        text.hashed_bucket_model(
-            gated.filter(F.col("lang") == "en"),
-            n_buckets=_FEAT_BUCKETS,
-            salt=_FEAT_SALT,
-        ),
+        text.bucket_model_from_counts(feats.filter(F.col("lang") == "en")),
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
+        feats=fcore,
     )
     pool = (
         scores.join(iw.select("doc_id", "log_weight"), "doc_id")
@@ -3929,6 +3950,7 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_sample(pool, "w", _QSEL_K, "doc_id", salt=_QSEL_SALT)
         .select("doc_id", "score", "log_weight")
         .orderBy("doc_id"),
+        feats,
         *getattr(iw, "_persisted_inputs", []),
     )
 

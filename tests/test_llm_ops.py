@@ -2942,6 +2942,89 @@ def test_importance_weights_target_affinity(spark):
     assert got[3] < min(got[1], got[2], got[4])
 
 
+def test_hashed_feats_reuse_seam_bit_identical(spark):
+    """r17 optimization seam: carry_cols leaves the (id, bucket, cnt)
+    rows untouched; bucket_model_from_counts over a feature slice ==
+    hashed_bucket_model over the matching doc slice; classifier_score
+    and importance_weights fed the ONE precomputed feature table are
+    bit-identical to their own internal recompute — the equivalence
+    q_quality_selection / q_importance_weights now rely on to hash the
+    corpus once instead of once per consumer."""
+    from firebolt_spark.operators.text import (
+        bucket_model_from_counts, classifier_score, hashed_bucket_model,
+        hashed_ngram_counts, importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good clean prose good", "en"),
+            (2, "rauschen und klang", "de"),
+            (3, "good spam noise", "en"),
+            (4, None, "en"),
+            (5, "solo", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    base = hashed_ngram_counts(df, n_buckets=128)
+    carried = hashed_ngram_counts(df, n_buckets=128, carry_cols=("lang",))
+    assert sorted(
+        (r["doc_id"], r["bucket"], r["cnt"]) for r in base.collect()
+    ) == sorted(
+        (r["doc_id"], r["bucket"], r["cnt"]) for r in carried.collect()
+    )
+
+    feats = carried.persist()
+    try:
+        # target model from the feature slice == model from the doc slice
+        en_model = sorted(
+            (r["bucket"], r["cnt"], r["total"])
+            for r in bucket_model_from_counts(
+                feats.filter(feats.lang == "en")
+            ).collect()
+        )
+        ref_model = sorted(
+            (r["bucket"], r["cnt"], r["total"])
+            for r in hashed_bucket_model(
+                df.filter(df.lang == "en"), n_buckets=128
+            ).collect()
+        )
+        assert en_model == ref_model
+
+        weights = spark.createDataFrame(
+            [(b, ((b * 7) % 5 - 2) / 2.0) for b in range(128)],
+            ["bucket", "weight"],
+        )
+        direct = sorted(
+            tuple(r) for r in classifier_score(
+                df, weights, n_buckets=128
+            ).collect()
+        )
+        seamed = sorted(
+            tuple(r) for r in classifier_score(
+                df, weights, n_buckets=128, feats=feats.drop("lang")
+            ).collect()
+        )
+        assert direct == seamed
+
+        tgt = hashed_bucket_model(df.filter(df.lang == "en"), n_buckets=128)
+        direct_iw = sorted(
+            tuple(r) for r in importance_weights(
+                df, tgt, n_buckets=128
+            ).collect()
+        )
+        seamed_iw = sorted(
+            tuple(r) for r in importance_weights(
+                df,
+                bucket_model_from_counts(feats.filter(feats.lang == "en")),
+                n_buckets=128,
+                feats=feats.drop("lang"),
+            ).collect()
+        )
+        assert direct_iw == seamed_iw
+    finally:
+        feats.unpersist()
+
+
 def test_weighted_sample_deterministic_and_guarded(spark):
     """weighted_sample (A-Res): the selected set is identical across
     repartitionings; NULL / non-positive weights are excluded; k >=

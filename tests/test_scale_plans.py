@@ -1550,9 +1550,11 @@ def test_gopher_quality_is_single_scan_no_exchange(spark):
 def test_quality_selection_composition_plan(spark):
     """The composed selection pipeline: no cartesian product, no
     Python eval, the weighted top-k as TakeOrdered, and every
-    model-table join broadcast. The gate recompute (multiple document
-    scans) is the intended trade — a corpus-sized cache is wrong at
-    100 TB while the gate is a single map-only scan."""
+    model-table join broadcast. Since r17 the gate + feature-hash
+    chain runs ONCE into a persisted narrow (doc, lang, bucket, cnt)
+    table that serves the classifier, the DSIR per-doc sum, and the
+    DSIR target model — features are never corpus-sized (no text
+    column), so the cache is the right trade at 100 TB too."""
     from firebolt_spark.queries import llm
 
     plan = _executed_plan(llm.q_quality_selection(spark, SF_DIR))
