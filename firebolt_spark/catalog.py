@@ -65,6 +65,82 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+# A parquet scan cannot be more parallel than its row-group count, and
+# compact fixture/dimension files are routinely ONE row group — so every
+# per-row expression over them (md5 shingles, LSH dots, window tiling)
+# runs on a single core no matter how many the session has. Queries
+# whose cost IS that per-row work opt in via :func:`spread_small_input`:
+# below this on-disk size the scan is round-robin repartitioned up to
+# the session's default parallelism (capped so each task keeps >=
+# _MIN_ROWS rows — scheduling overhead dominates below that). The
+# shuffle moves at most this many bytes (trivial); above the threshold
+# the native split machinery already yields real parallelism and the
+# scan is returned untouched — at warehouse scale the condition is
+# simply never true, so the 100 TB plan shape is unchanged. Measured at
+# sf0.1 (r17): a BLANKET load_table repartition was a net loss — the
+# extra exchange is a pure ~0.2-0.5 s AQE-barrier tax on shuffle-light
+# queries — while the opted-in heavy queries gain 0.3-1.8 s each, so
+# the spread is a per-query decision, never a default.
+# Set to 0 to disable (plan-pin tests do, to assert the at-scale shape).
+SMALL_INPUT_CONF = "spark.firebolt.scan.smallInputMaxBytes"
+SMALL_INPUT_DEFAULT = str(64 * 1024 * 1024)
+_MIN_ROWS_PER_TASK = 64
+
+
+def _small_input_partitions(spark: SparkSession, path: str) -> int:
+    """Target partition count for a small single-file (or few-file)
+    parquet input, or 0 to leave the scan alone. Reads only footer
+    metadata; any failure (missing file, exotic layout) degrades to 0."""
+    try:
+        threshold = int(
+            spark.conf.get(SMALL_INPUT_CONF, SMALL_INPUT_DEFAULT) or 0
+        )
+    except Exception:
+        threshold = 0
+    if threshold <= 0:
+        return 0
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        size = sum(os.path.getsize(f) for f in files)
+        if size > threshold:
+            return 0
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        target = min(
+            spark.sparkContext.defaultParallelism,
+            max(rows // _MIN_ROWS_PER_TASK, 0),
+        )
+        return target if target > max(1, len(files)) else 0
+    except Exception:
+        return 0
+
+
+def spread_small_input(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin repartition a SMALL fixture table across the
+    session's cores — the opt-in for queries whose dominant cost is
+    per-row expression work over a compact (often single-row-group)
+    input that the scan machinery cannot split. Results are unaffected
+    (no operator in this engine depends on physical row placement —
+    keep-first rules, samples and numbering all order on explicit
+    keys), and predicates/pruning push through the repartition to the
+    scan. A no-op above ``SMALL_INPUT_CONF`` bytes or below the
+    rows-per-task floor, so at warehouse scale the plan is unchanged."""
+    n = _small_input_partitions(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
+    return df.repartition(n) if n else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, converting nanos-long columns to timestamps."""
     ensure_session_confs(spark)

@@ -25,7 +25,6 @@ swap xxhash64 for speed, the topology is unchanged.
 from __future__ import annotations
 
 import uuid
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -223,14 +222,31 @@ def minhash_signatures(
         ).alias("_h32"),
     )
     mh_a, mh_b = mh_constants(k)
-    cols = [
-        F.expr(
+    # selectExpr ships all k slot expressions in ONE py4j call (r17
+    # driver-time optimization) — the parsed expressions are identical
+    # to the previous per-column F.expr list
+    return hashed.selectExpr(
+        "doc_id",
+        *[
             f"array_min(transform(_h32, h -> "
-            f"({mh_a[j]}L * h + {mh_b[j]}L) % {MH_PRIME}L))"
-        ).alias(f"h{j}")
+            f"({mh_a[j]}L * h + {mh_b[j]}L) % {MH_PRIME}L)) AS h{j}"
+            for j in range(k)
+        ],
+    )
+
+
+def _match_sum_sql(a: str, b: str, k: int) -> str:
+    """SQL fragment counting agreeing minhash slots between two aliased
+    signature rows — ``CASE WHEN a.hj = b.hj THEN 1 ELSE 0`` summed
+    left-to-right, exactly the expression the old per-slot Column chain
+    built (NULL-safe the same way: a NULL comparison takes the ELSE 0
+    branch).  One ``F.expr`` parse instead of ~4 py4j round trips per
+    slot (r17 driver-time optimization; the DuckDB oracle's _MATCH_SUM
+    mirror is unchanged)."""
+    return " + ".join(
+        f"(CASE WHEN {a}.h{j} = {b}.h{j} THEN 1 ELSE 0 END)"
         for j in range(k)
-    ]
-    return hashed.select("doc_id", *cols)
+    )
 
 
 def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
@@ -245,24 +261,21 @@ def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -
     those are 32 real table scans). Row set is identical, so the DuckDB
     oracle keeps its UNION ALL mirror."""
     rows_per_band = k // bands
-    structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            # '#'-separated so (1, 23) and (12, 3) can't collide
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+    # one F.expr parse for the whole struct array (r17 driver-time
+    # optimization — the per-band F.struct/F.md5/F.concat_ws chain was
+    # ~6 py4j round trips per band); '#'-separated so (1, 23) and
+    # (12, 3) can't collide, exactly the previous expression tree
+    structs_sql = ", ".join(
+        "named_struct('band', {b}, 'band_hash', md5(concat_ws('#', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
+    )
     return signatures.select(
-        "doc_id", F.explode(F.array(*structs)).alias("_b")
+        "doc_id", F.expr(f"explode(array({structs_sql}))").alias("_b")
     ).select("doc_id", "_b.band", "_b.band_hash")
 
 
@@ -304,13 +317,11 @@ def minhash_candidate_pairs(
     )
     ma = sig.alias("ma")
     mb = sig.alias("mb")
-    matches = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
-            for j in range(k)
-        ],
-    )
+    # one server-side parse (r17): the per-slot when/otherwise chain
+    # cost ~130 py4j round trips of driver time per construction; the
+    # SQL string is the identical expression (CASE WHEN x THEN 1 ELSE 0
+    # summed left-to-right), so est_jaccard is bit-identical
+    matches = F.expr(_match_sum_sql("ma", "mb", k))
     from firebolt_spark.functions import track_persisted
 
     return track_persisted(
@@ -869,13 +880,8 @@ def incremental_near_dups(
         )
         .distinct()
     )
-    matches = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
-            for j in range(k)
-        ],
-    )
+    # single server-side parse — see minhash_candidate_pairs (r17)
+    matches = F.expr(_match_sum_sql("ma", "mb", k))
     scored = (
         cand.join(new_sig.alias("ma"), F.col("new_doc_id") == F.col("ma.doc_id"))
         .join(
@@ -1363,21 +1369,26 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         )
         return f"CASE WHEN (shiftright({col}, {shift}) & 1) = 1 THEN cnt ELSE -cnt END"
 
-    dim_sums = [F.sum(F.expr(bit_sign(i))).alias(f"d{i}") for i in range(bits)]
-    agg = tok.groupBy("doc_id").agg(*dim_sums)
-    bit_values = [
-        (1 << i) if i < 63 else -(1 << 63) for i in range(bits)
-    ]
-    packed = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"d{i}") > 0, F.lit(bit_values[i]).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for i in range(bits)
-        ],
+    # ONE aggregate expression, parsed server-side in a single call
+    # (r17): the previous form built 64 sum() columns plus a 64-term
+    # when/otherwise packing chain through the Python Column API —
+    # ~250 py4j round trips, >1 s of DRIVER time per construction
+    # (measured; the bench pays it on every run, and a 100 TB driver
+    # pays it per job submission). The fused string is the identical
+    # expression tree — sum(±cnt) per dimension, bit set iff the sum is
+    # positive — so fingerprints are bit-identical; shiftleft(1L, i)
+    # reproduces bit i's two's-complement value including i = 63
+    # (shiftleft(1L, 63) IS min-long, the -(1<<63) the packed chain
+    # used), and every shiftleft folds to a constant at optimization.
+    packed_sql = " + ".join(
+        f"(CASE WHEN sum({bit_sign(i)}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
     )
-    return agg.select("doc_id", packed.cast("long").alias("simhash"))
+    return tok.groupBy("doc_id").agg(
+        F.expr(f"CAST({packed_sql} AS BIGINT)").alias("simhash")
+    )
 
 
 def simhash_blocks(

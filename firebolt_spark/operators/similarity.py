@@ -202,9 +202,20 @@ def _plane_component(plane: int, dim: int, table: int = 0) -> str:
     """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
     hexdigit(md5('plane#<p>#<d>')) - 7.5 (table 0; table t > 0 salts
     the seed string so each LSH table gets an independent plane set).
-    Reproducible in any engine with md5."""
+    Reproducible in any engine with md5 — the DuckDB oracle replays the
+    md5 spelling verbatim; since r17 the SPARK side emits the folded
+    LITERAL instead (computed with the identical md5 recipe below):
+    every component is a half-integer, exactly representable in a
+    double, so the planned expression is bit-identical to what
+    constant-folding produced before while the analyzer sees one
+    literal per term instead of an md5/substr/instr subtree — the
+    signature expression's ~5x node count was measurable DRIVER time
+    on every construction and every re-analysis above it."""
+    import hashlib
+
     tag = f"plane#{plane}#{dim}" if table == 0 else f"plane#T{table}:{plane}#{dim}"
-    return f"(instr('0123456789abcdef', substr(md5('{tag}'), 1 + ({dim} % 32), 1)) - 1 - 7.5)"
+    digit = int(hashlib.md5(tag.encode()).hexdigest()[dim % 32], 16)
+    return repr(digit - 7.5)
 
 
 def lsh_signature(

@@ -1115,18 +1115,20 @@ def importance_weights(
     # which is exactly the Laplace limit: every feature scores
     # (cnt+1)/(0+n_buckets), so an empty target degrades to a uniform
     # model instead of an empty DataFrame.
-    t_tot = F.broadcast(
+    # ONE two-column totals row instead of separate t/r broadcasts
+    # (r17): llr_tbl and oov both consume the identical broadcast
+    # subtree, so the exchange is built once and reused at runtime,
+    # and construction pays two fewer plan analyses
+    tots = F.broadcast(
         target_model.agg(
             F.coalesce(F.max("total"), F.lit(0)).alias("t_total")
+        ).crossJoin(
+            raw_model.agg(F.coalesce(F.max("total"), F.lit(0)).alias("r_total"))
         )
-    )
-    r_tot = F.broadcast(
-        raw_model.agg(F.coalesce(F.max("total"), F.lit(0)).alias("r_total"))
     )
     llr_tbl = (
         t.join(r, "bucket", "full")
-        .crossJoin(t_tot)
-        .crossJoin(r_tot)
+        .crossJoin(tots)
         .select(
             "bucket",
             llr(
@@ -1135,9 +1137,8 @@ def importance_weights(
             ).cast("decimal(20,15)").alias("_llr"),
         )
     )
-    oov = (
-        t_tot.crossJoin(r_tot)
-        .select(llr(F.lit(0), F.lit(0)).cast("decimal(20,15)").alias("_oov_llr"))
+    oov = tots.select(
+        llr(F.lit(0), F.lit(0)).cast("decimal(20,15)").alias("_oov_llr")
     )
     from firebolt_spark.functions import track_persisted
 

@@ -37,8 +37,24 @@ def _bucket_sql(key: str, salt: str) -> str:
 
 
 
-def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _documents(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """The corpus table. ``spread=True`` opts a query into
+    catalog.spread_small_input — ONLY for queries whose dominant cost
+    is per-row expression work (md5 grams/features, window tiling,
+    fingerprint folds): a compact single-row-group fixture file scans
+    as ONE task, serializing that work onto one core. Measured r17 at
+    sf0.1: the opted-in queries gain 0.3-1.8 s each, while a blanket
+    spread COSTS shuffle-light queries ~0.2-0.5 s of pure exchange/AQE
+    barrier — hence per-query opt-in, and a no-op at warehouse scale
+    (inputs larger than the byte threshold are never touched)."""
+    df = load_table(spark, sf_dir, "documents")
+    if spread:
+        from firebolt_spark.catalog import spread_small_input
+
+        df = spread_small_input(spark, df, sf_dir, "documents")
+    return df
 
 
 def _documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,7 +1095,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (first 50 docs re-labeled) is scored against the EXISTING
     signature index; only the delta's shingles are computed. Oracle
     mirrors both signature tables and the band join."""
-    docs = _documents(spark, sf_dir)
+    docs = _documents(spark, sf_dir, spread=True)
     index_sigs = dedup.minhash_signatures(docs)
     new_docs = docs.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 2000000
@@ -2598,7 +2614,7 @@ def q_dedup_spans_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays window → md5 → row_number keep-first → coverage
     filter → rebuild, certifying the surviving text byte-for-byte."""
     return dedup.dedup_spans_overlap(
-        _documents(spark, sf_dir), span_words=_SPAN_WORDS
+        _documents(spark, sf_dir, spread=True), span_words=_SPAN_WORDS
     ).orderBy("doc_id")
 
 
@@ -2649,7 +2665,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(_WINNOW_W+1) of the gram volume. md5 hex minima compare
     identically in both engines, so the fingerprint SET is hash-exact."""
     return dedup.winnow_fingerprints(
-        _documents(spark, sf_dir), span_words=_SPAN_WORDS, window=_WINNOW_W
+        _documents(spark, sf_dir, spread=True), span_words=_SPAN_WORDS, window=_WINNOW_W
     ).orderBy("doc_id", "fingerprint")
 
 
@@ -2966,7 +2982,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same buckets, so logit AND score are certified value-for-value."""
     w = _pseudo_weights(spark, _FEAT_BUCKETS)
     return text.classifier_score(
-        _documents(spark, sf_dir),
+        _documents(spark, sf_dir, spread=True),
         w,
         n_buckets=_FEAT_BUCKETS,
         salt=_FEAT_SALT,
@@ -3008,7 +3024,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously tokenized+hashed a second time for the target)."""
     from firebolt_spark.functions import track_persisted
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents(spark, sf_dir, spread=True)
     feats = text.hashed_ngram_counts(
         docs,
         n_buckets=_FEAT_BUCKETS,
@@ -3899,7 +3915,7 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup ≤ 0.6 — see q_gopher_quality's rationale)."""
     from firebolt_spark.functions import weighted_sample
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents(spark, sf_dir, spread=True)
     gated = (
         text.gopher_quality(
             docs,

@@ -1824,3 +1824,52 @@ def test_gif_anim_pipeline_is_map_only(spark):
     plan = _executed_plan(q_multimodal_gif_anim(spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_small_input_scan_parallelization(spark):
+    """r17: spread_small_input spreads a small single-row-group parquet
+    input across the session's cores (a scan can never be more parallel
+    than its row-group count, so per-row operator work over compact
+    inputs would otherwise serialize onto ONE task) — the opt-in used
+    by the feature-hash / span-window queries. Pinned here: (a) the
+    repartition appears only under the byte threshold and row floor,
+    (b) pruning/pushdown still reach the parquet scan through it,
+    (c) results are row-identical to the untouched scan, (d) tiny dims
+    like nation stay un-repartitioned thanks to the rows-per-task
+    floor, (e) conf 0 disables it entirely."""
+    from firebolt_spark.catalog import (
+        SMALL_INPUT_CONF, load_table, spread_small_input,
+    )
+
+    prev = spark.conf.get(SMALL_INPUT_CONF, None)
+    try:
+        spark.conf.set(SMALL_INPUT_CONF, str(64 * 1024 * 1024))
+        docs = spread_small_input(
+            spark, load_table(spark, SF_DIR, "documents"), SF_DIR, "documents"
+        )
+        assert docs.rdd.getNumPartitions() > 1
+        plan = _executed_plan(
+            docs.filter(F.col("doc_id") < 10).select("doc_id", "lang")
+        )
+        assert "roundrobin" in plan.lower()
+        # pushdown/pruning reach the scan below the repartition
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+        assert "ReadSchema: struct<doc_id:bigint,lang:string" in plan
+        # tiny dims stay untouched (rows-per-task floor)
+        nation = spread_small_input(
+            spark, load_table(spark, SF_DIR, "nation"), SF_DIR, "nation"
+        )
+        assert "roundrobin" not in _executed_plan(nation).lower()
+        rows_par = sorted(tuple(r) for r in docs.collect())
+        spark.conf.set(SMALL_INPUT_CONF, "0")
+        plain = spread_small_input(
+            spark, load_table(spark, SF_DIR, "documents"), SF_DIR, "documents"
+        )
+        assert "roundrobin" not in _executed_plan(plain).lower()
+        rows_plain = sorted(tuple(r) for r in plain.collect())
+        assert rows_par == rows_plain
+    finally:
+        if prev is None:
+            spark.conf.unset(SMALL_INPUT_CONF)
+        else:
+            spark.conf.set(SMALL_INPUT_CONF, prev)
