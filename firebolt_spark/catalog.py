@@ -134,11 +134,28 @@ def spread_small_input(
     keep-first rules, samples and numbering all order on explicit
     keys), and predicates/pruning push through the repartition to the
     scan. A no-op above ``SMALL_INPUT_CONF`` bytes or below the
-    rows-per-task floor, so at warehouse scale the plan is unchanged."""
+    rows-per-task floor, so at warehouse scale the plan is unchanged.
+
+    The always-true nondeterministic filter above the repartition is a
+    deliberate PUSHDOWN BARRIER: Catalyst happily pushes deterministic
+    projections and filters through a repartition to shrink the
+    exchange — which re-serializes exactly the per-row work this spread
+    exists to parallelize back into the single-task scan stage
+    (measured r17: q_quality_selection's whole Gopher gate ran as a
+    0.97 s one-task Filter under the exchange). Deterministic
+    predicates cannot be reordered across a nondeterministic filter,
+    so everything the query computes stays on the spread side. The
+    trade (documented, deliberate): source-side predicate pushdown
+    from above is blocked too — callers opt in precisely when per-row
+    compute, not scan selectivity, dominates; at warehouse scale the
+    whole spread (and the barrier with it) vanishes under the byte
+    threshold, so at-scale pushdown is untouched."""
     n = _small_input_partitions(
         spark, os.path.join(sf_dir, f"{name}.parquet")
     )
-    return df.repartition(n) if n else df
+    if not n:
+        return df
+    return df.repartition(n).filter(F.monotonically_increasing_id() >= 0)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

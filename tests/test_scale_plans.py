@@ -1833,10 +1833,12 @@ def test_small_input_scan_parallelization(spark):
     inputs would otherwise serialize onto ONE task) — the opt-in used
     by the feature-hash / span-window queries. Pinned here: (a) the
     repartition appears only under the byte threshold and row floor,
-    (b) pruning/pushdown still reach the parquet scan through it,
-    (c) results are row-identical to the untouched scan, (d) tiny dims
-    like nation stay un-repartitioned thanks to the rows-per-task
-    floor, (e) conf 0 disables it entirely."""
+    (b) the nondeterministic barrier KEEPS caller compute above the
+    exchange (a pushed-down filter would re-serialize it into the
+    one-task scan stage — the documented pushdown trade), (c) results
+    are row-identical to the untouched scan, (d) tiny dims like nation
+    stay un-repartitioned thanks to the rows-per-task floor, (e) conf
+    0 disables it entirely."""
     from firebolt_spark.catalog import (
         SMALL_INPUT_CONF, load_table, spread_small_input,
     )
@@ -1852,9 +1854,11 @@ def test_small_input_scan_parallelization(spark):
             docs.filter(F.col("doc_id") < 10).select("doc_id", "lang")
         )
         assert "roundrobin" in plan.lower()
-        # pushdown/pruning reach the scan below the repartition
-        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
-        assert "ReadSchema: struct<doc_id:bigint,lang:string" in plan
+        # the barrier holds the caller's filter ABOVE the exchange —
+        # the scan must NOT have absorbed it (that would re-serialize
+        # per-row work into the one-task stage this spread parallelizes)
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" not in plan
+        assert "monotonically_increasing_id" in plan
         # tiny dims stay untouched (rows-per-task floor)
         nation = spread_small_input(
             spark, load_table(spark, SF_DIR, "nation"), SF_DIR, "nation"
