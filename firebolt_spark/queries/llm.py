@@ -2702,7 +2702,9 @@ def q_dedup_spans_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate selection → restricted keep-first → rebuild, certifying
     the surviving text byte-for-byte."""
     return dedup.dedup_spans_candidates(
-        _documents(spark, sf_dir), span_words=_SPAN_WORDS, window=_WINNOW_W
+        _documents(spark, sf_dir, spread=True),
+        span_words=_SPAN_WORDS,
+        window=_WINNOW_W,
     ).orderBy("doc_id")
 
 
@@ -3821,19 +3823,26 @@ def q_priority_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    shards = [
-        priority_sketch(
-            docs.filter(F.col("doc_id") % 3 == s),
-            "n_chars",
-            "doc_id",
-            k=_PSK_K,
-            group_cols=["source"],
-            salt=_PSK_SALT,
-        )
-        for s in range(3)
-    ]
+    # the three doc_id shards are built in ONE grouped pass (r17):
+    # sketching with the shard id as an extra group key partitions the
+    # rows exactly as three filtered builds would (each doc is in
+    # exactly one shard), so the per-(source, shard) sketch rows —
+    # sample, tau, metadata — are bit-identical to the former
+    # filter-per-shard unionByName, while the corpus is scanned once
+    # instead of three times and the plan is built once instead of
+    # three times. The merge path is exercised unchanged: it still
+    # rolls 3 independent shard sketches per source up to the one-shot
+    # sketch.
+    shards = priority_sketch(
+        docs.withColumn("_shard", F.col("doc_id") % 3),
+        "n_chars",
+        "doc_id",
+        k=_PSK_K,
+        group_cols=["source", "_shard"],
+        salt=_PSK_SALT,
+    ).drop("_shard")
     merged = priority_sketch_merge(
-        shards[0].unionByName(shards[1]).unionByName(shards[2]),
+        shards,
         "psk",
         k=_PSK_K,
         group_cols=["source"],
