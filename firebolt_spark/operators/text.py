@@ -1016,6 +1016,67 @@ def bucket_model_from_counts(feats: DataFrame) -> DataFrame:
     return counts.crossJoin(F.broadcast(total))
 
 
+def dsir_llr_tables(
+    target_model: DataFrame, raw_model: DataFrame, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The per-bucket Laplace-smoothed log-likelihood-ratio table and
+    the out-of-model constant of :func:`importance_weights` — factored
+    out (r17) so a fused composition (``q_quality_selection``) can
+    attach the same decimal-quantized llr values to ONE per-doc
+    aggregate instead of running a second feature pass. Returns
+    ``(llr_tbl, oov)``: ``(bucket, _llr decimal(20,15))`` rows and a
+    one-row ``(_oov_llr)`` constant. Pass PERSISTED models (each is
+    referenced twice: its count leg and its totals aggregate)."""
+
+    def llr(t_cnt: Column, r_cnt: Column) -> Column:
+        # one expression shape for joined rows AND the zero-count OOV
+        # constant, so quantization is identical on both paths
+        return F.log(
+            (t_cnt + F.lit(1)).cast("double")
+            / (F.col("t_total") + F.lit(n_buckets)).cast("double")
+        ) - F.log(
+            (r_cnt + F.lit(1)).cast("double")
+            / (F.col("r_total") + F.lit(n_buckets)).cast("double")
+        )
+
+    t = target_model.select("bucket", F.col("cnt").alias("t_cnt"))
+    r = raw_model.select("bucket", F.col("cnt").alias("r_cnt"))
+    # totals via an aggregate, NOT select(total).limit(1): an EMPTY
+    # model (e.g. a target_filter matching zero rows) has no rows to
+    # select, and a 0-row broadcast crossJoin would silently annihilate
+    # the whole result. agg() always returns one row; max(total) is the
+    # constant itself on a populated model and NULL→0 on an empty one —
+    # which is exactly the Laplace limit: every feature scores
+    # (cnt+1)/(0+n_buckets), so an empty target degrades to a uniform
+    # model instead of an empty DataFrame.
+    # ONE two-column totals row instead of separate t/r broadcasts
+    # (r17): llr_tbl and oov both consume the identical broadcast
+    # subtree, so the exchange is built once and reused at runtime,
+    # and construction pays two fewer plan analyses
+    tots = F.broadcast(
+        target_model.agg(
+            F.coalesce(F.max("total"), F.lit(0)).alias("t_total")
+        ).crossJoin(
+            raw_model.agg(F.coalesce(F.max("total"), F.lit(0)).alias("r_total"))
+        )
+    )
+    llr_tbl = (
+        t.join(r, "bucket", "full")
+        .crossJoin(tots)
+        .select(
+            "bucket",
+            llr(
+                F.coalesce(F.col("t_cnt"), F.lit(0)),
+                F.coalesce(F.col("r_cnt"), F.lit(0)),
+            ).cast("decimal(20,15)").alias("_llr"),
+        )
+    )
+    oov = tots.select(
+        llr(F.lit(0), F.lit(0)).cast("decimal(20,15)").alias("_oov_llr")
+    )
+    return llr_tbl, oov
+
+
 def importance_weights(
     docs: DataFrame,
     target_model: DataFrame,
@@ -1093,53 +1154,7 @@ def importance_weights(
     # persisting pins one execution of whatever subtree produced them
     target_model = target_model.persist()
     raw_model = raw_model.persist()
-
-    def llr(t_cnt: Column, r_cnt: Column) -> Column:
-        # one expression shape for joined rows AND the zero-count OOV
-        # constant, so quantization is identical on both paths
-        return F.log(
-            (t_cnt + F.lit(1)).cast("double")
-            / (F.col("t_total") + F.lit(n_buckets)).cast("double")
-        ) - F.log(
-            (r_cnt + F.lit(1)).cast("double")
-            / (F.col("r_total") + F.lit(n_buckets)).cast("double")
-        )
-
-    t = target_model.select("bucket", F.col("cnt").alias("t_cnt"))
-    r = raw_model.select("bucket", F.col("cnt").alias("r_cnt"))
-    # totals via an aggregate, NOT select(total).limit(1): an EMPTY
-    # model (e.g. a target_filter matching zero rows) has no rows to
-    # select, and a 0-row broadcast crossJoin would silently annihilate
-    # the whole result. agg() always returns one row; max(total) is the
-    # constant itself on a populated model and NULL→0 on an empty one —
-    # which is exactly the Laplace limit: every feature scores
-    # (cnt+1)/(0+n_buckets), so an empty target degrades to a uniform
-    # model instead of an empty DataFrame.
-    # ONE two-column totals row instead of separate t/r broadcasts
-    # (r17): llr_tbl and oov both consume the identical broadcast
-    # subtree, so the exchange is built once and reused at runtime,
-    # and construction pays two fewer plan analyses
-    tots = F.broadcast(
-        target_model.agg(
-            F.coalesce(F.max("total"), F.lit(0)).alias("t_total")
-        ).crossJoin(
-            raw_model.agg(F.coalesce(F.max("total"), F.lit(0)).alias("r_total"))
-        )
-    )
-    llr_tbl = (
-        t.join(r, "bucket", "full")
-        .crossJoin(tots)
-        .select(
-            "bucket",
-            llr(
-                F.coalesce(F.col("t_cnt"), F.lit(0)),
-                F.coalesce(F.col("r_cnt"), F.lit(0)),
-            ).cast("decimal(20,15)").alias("_llr"),
-        )
-    )
-    oov = tots.select(
-        llr(F.lit(0), F.lit(0)).cast("decimal(20,15)").alias("_oov_llr")
-    )
+    llr_tbl, oov = dsir_llr_tables(target_model, raw_model, n_buckets)
     from firebolt_spark.functions import track_persisted
 
     result = (

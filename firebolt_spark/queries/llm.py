@@ -3950,33 +3950,63 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry_cols=("lang",),
     ).persist()
     fcore = feats.drop("lang")
-    scores = text.classifier_score(
-        gated,
-        _pseudo_weights(spark, _FEAT_BUCKETS),
-        n_buckets=_FEAT_BUCKETS,
-        salt=_FEAT_SALT,
-        feats=fcore,
-    ).select("doc_id", "score")
-    iw = text.importance_weights(
-        gated,
-        text.bucket_model_from_counts(feats.filter(F.col("lang") == "en")),
-        n_buckets=_FEAT_BUCKETS,
-        salt=_FEAT_SALT,
-        feats=fcore,
+    # FUSED scoring (r17): the classifier dot product and the DSIR
+    # per-doc sum previously ran as two separate groupBy(doc_id)
+    # aggregations over the same feature table, joined back on doc_id —
+    # two feats passes, two shuffles, one join. Both are left-joins of
+    # feats against a bucket-bounded broadcast table followed by an
+    # exact decimal sum, so ONE combined (bucket, _w, _llr) broadcast
+    # and ONE aggregate computes both columns; every expression below
+    # (decimal quantization, coalesce fallbacks, round/sigmoid, the
+    # canonical-zero + 0.0) is copied verbatim from classifier_score /
+    # importance_weights, so scores and weights are bit-identical —
+    # certified by the unchanged oracle.
+    wdec = _pseudo_weights(spark, _FEAT_BUCKETS).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").cast("decimal(20,15)").alias("_w"),
     )
+    target_model = text.bucket_model_from_counts(
+        feats.filter(F.col("lang") == "en")
+    ).persist()
+    raw_model = text.bucket_model_from_counts(fcore).persist()
+    llr_tbl, oov = text.dsir_llr_tables(
+        target_model, raw_model, _FEAT_BUCKETS
+    )
+    combined = F.broadcast(wdec.join(llr_tbl, "bucket", "left"))
+    zero = F.lit(0).cast("decimal(20,15)")
+    cnt_dec = F.col("cnt").cast("decimal(10,0)")
+    per_doc = (
+        fcore.join(combined, "bucket", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_w"), zero) * cnt_dec).alias("_dot"),
+            F.sum(
+                F.coalesce(F.col("_llr"), F.col("_oov_llr")) * cnt_dec
+            ).alias("_dsum"),
+        )
+    )
+    logit = F.lit(0.0) + F.col("_dot").cast("double")
     pool = (
-        scores.join(iw.select("doc_id", "log_weight"), "doc_id")
+        per_doc.select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4
+            ).alias("score"),
+            (F.round(F.col("_dsum").cast("double"), 4) + F.lit(0.0)).alias(
+                "log_weight"
+            ),
+        )
         .filter(F.col("score") >= _QSEL_TAU)
         .withColumn("w", F.exp(F.col("log_weight")))
     )
-    # carry the importance_weights release handles through to the
-    # returned frame (derivation strips _persisted_inputs)
     return track_persisted(
         weighted_sample(pool, "w", _QSEL_K, "doc_id", salt=_QSEL_SALT)
         .select("doc_id", "score", "log_weight")
         .orderBy("doc_id"),
         feats,
-        *getattr(iw, "_persisted_inputs", []),
+        target_model,
+        raw_model,
     )
 
 
