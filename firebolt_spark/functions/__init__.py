@@ -40,13 +40,19 @@ def track_persisted(result: DataFrame, *handles: DataFrame) -> DataFrame:
 
 
 def release(*dfs: DataFrame) -> None:
-    """Unpersist every cached input attached via ``track_persisted``.
-    Call after materializing an operator's result (collect/write)."""
+    """Unpersist every cached input attached via ``track_persisted``,
+    recursively — a handle may itself carry handles (r17: the bucket
+    model builders persist their internal counts aggregate and attach
+    it to the model frame). The list is cleared BEFORE recursing, so a
+    handle cycle cannot loop and double-release is a no-op. Call after
+    materializing an operator's result (collect/write)."""
     for df in dfs:
-        for h in getattr(df, "_persisted_inputs", ()):
-            h.unpersist()
+        handles = list(getattr(df, "_persisted_inputs", ()))
         if hasattr(df, "_persisted_inputs"):
             df._persisted_inputs = []
+        for h in handles:
+            release(h)
+            h.unpersist()
 
 
 def newest_per_key(

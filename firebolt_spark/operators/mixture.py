@@ -53,6 +53,11 @@ def mix_plan(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # counts deliberately NOT persisted (r17): its two references (rows
+    # leg + broadcast min) share the map-side corpus scan via
+    # ReuseExchange, and only the stratum-sized reduce runs twice; a
+    # pin measurably cost +0.19x at sf0.1 (cache barrier) for no plan
+    # improvement.
     counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )

@@ -694,6 +694,13 @@ def unigram_model(
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
+    # deliberately NOT persisted (unlike the bounded bucket models,
+    # r17): the two references to counts (vocabulary rows + broadcast
+    # total) share their map-side scan via ReuseExchange, only the
+    # vocab-sized reduce runs twice — while pinning a dirty-web
+    # vocabulary (billions of types pre-pruning) would cache the one
+    # table this operator is designed not to hold. Measured: the pin
+    # cost +0.2 s at sf0.1 (cache barrier) for no plan improvement.
     total = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
     )
@@ -990,14 +997,23 @@ def hashed_bucket_model(
     (same layout trick as ``unigram_model``).  At most ``n_buckets``
     rows no matter the corpus size — the table a DSIR importance
     scorer broadcasts."""
+    from firebolt_spark.functions import track_persisted
+
     feats = docs.select(F.explode(_ngram_features(text_col, bigrams)).alias("_f"))
+    # counts PERSISTED (r17): the model plan references it twice — the
+    # rows leg and the broadcast total — and without the pin each
+    # reference re-runs the whole upstream feature scan (at 100 TB:
+    # a full extra corpus pass just to compute the total). The cache is
+    # bounded by n_buckets rows; release() frees it via the attached
+    # handle.
     counts = (
         feats.select(_feature_bucket(F.col("_f"), n_buckets, salt).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     total = counts.agg(F.sum("cnt").alias("total"))
-    return counts.crossJoin(F.broadcast(total))
+    return track_persisted(counts.crossJoin(F.broadcast(total)), counts)
 
 
 def bucket_model_from_counts(feats: DataFrame) -> DataFrame:
@@ -1010,10 +1026,17 @@ def bucket_model_from_counts(feats: DataFrame) -> DataFrame:
     e.g. its DSIR target model from the English slice of the ONE
     persisted feature table it already pays for (the same derivation
     :func:`importance_weights` uses internally for its default raw
-    model)."""
-    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    model). ``counts`` is persisted (bounded by the bucket count) so
+    the rows leg and the broadcast total share one evaluation instead
+    of re-scanning the feature table twice — see
+    :func:`hashed_bucket_model`; freed via the attached handle."""
+    from firebolt_spark.functions import track_persisted
+
+    counts = (
+        feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).persist()
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
-    return counts.crossJoin(F.broadcast(total))
+    return track_persisted(counts.crossJoin(F.broadcast(total)), counts)
 
 
 def dsir_llr_tables(
@@ -1145,11 +1168,9 @@ def importance_weights(
     if raw_model is None:
         # derive from the persisted per-doc feature table: summing the
         # per-doc counts per bucket IS the corpus model — no second
-        # corpus scan
-        counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-        raw_model = counts.crossJoin(
-            F.broadcast(counts.agg(F.sum("cnt").alias("total")))
-        )
+        # corpus scan (and the builder's persisted counts share one
+        # evaluation between the rows leg and the broadcast total)
+        raw_model = bucket_model_from_counts(feats)
     # bounded tables, referenced 2-3 times each (counts, total, llr):
     # persisting pins one execution of whatever subtree produced them
     target_model = target_model.persist()

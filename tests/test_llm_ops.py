@@ -1287,12 +1287,23 @@ def test_lm_cross_entropy_shuffle_join_path_matches_broadcast(spark):
     bc = {r["doc_id"]: r["bits_per_token"]
           for r in text_ops.lm_cross_entropy(
               docs, model=model, broadcast_model=True).collect()}
-    sh_df = text_ops.lm_cross_entropy(docs, model=model,
-                                      broadcast_model=False)
-    plan = sh_df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan.split("LocalTableScan")[0] or \
-        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    assert bc == {r["doc_id"]: r["bits_per_token"] for r in sh_df.collect()}
+    # simulate the too-big-to-broadcast vocabulary: since r17 the
+    # model's counts are persisted, so Catalyst sees an ACCURATE tiny
+    # size and auto-broadcasts this toy model even without the hint —
+    # correct planning, but this pin is about the shuffle path, so
+    # force the large-model condition by disabling auto-broadcast
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sh_df = text_ops.lm_cross_entropy(docs, model=model,
+                                          broadcast_model=False)
+        plan = sh_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan.split("LocalTableScan")[0] or \
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert bc == {r["doc_id"]: r["bits_per_token"]
+                      for r in sh_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
     # default with a CALLER-supplied model: no forced hint (Catalyst
     # decides) — must still be correct
     auto = {r["doc_id"]: r["bits_per_token"]
