@@ -1548,8 +1548,12 @@ def dedup_spans(
     result is deterministic and engine-portable; the DuckDB oracle
     replays the same rule verbatim.
     """
+    # unhex: the digest is internal (only min-(id, pos)-per-digest
+    # matters, and unhex is bijective so the groups are identical) —
+    # BINARY(16) halves the one digest shuffle vs 32-char hex (r17,
+    # guide §2.3 narrower types), making the claim above literally true
     meta = doc_spans(docs, span_words, text_col, id_col).select(
-        id_col, "pos", F.md5(F.col("span")).alias("digest")
+        id_col, "pos", F.unhex(F.md5(F.col("span"))).alias("digest")
     )
     return _rebuild_from_kept(
         docs, _keep_first_positions(meta, id_col), span_words, text_col, id_col
@@ -1588,7 +1592,13 @@ def dedup_lines(
     over the row's own lines). Deterministic total order (digest →
     min (id, pos)); the DuckDB oracle replays the identical rule.
     """
-    meta = _line_meta(docs, text_col, id_col, min_chars)
+    # unhex: the one-shot path keeps the digest in-plan, so BINARY(16)
+    # halves the keep-first shuffle (r17, guide §2.3). _line_meta stays
+    # hex — the incremental path persists its digests to the on-disk
+    # line index, whose column format is part of the operator contract.
+    meta = _line_meta(docs, text_col, id_col, min_chars).withColumn(
+        "digest", F.unhex("digest")
+    )
     return _rebuild_lines(
         docs, _keep_first_positions(meta, id_col), text_col, id_col,
         min_chars,
@@ -1894,8 +1904,11 @@ def _overlap_dup_pos(
     aggregate and the losing-occurrence join; uncached, the window
     tiling and md5 pass run twice — sf1: 13→10.7 s); callers attach it
     via ``track_persisted`` for release after materialization."""
+    # unhex: digest never leaves this subtree and unhex is bijective —
+    # BINARY(16) halves both the digest shuffle and the persisted cache
+    # vs 32-char hex (r17, guide §2.3 narrower types)
     meta = doc_windows(scope, span_words, text_col, id_col).select(
-        id_col, "pos", F.md5(F.col("span")).alias("digest")
+        id_col, "pos", F.unhex(F.md5(F.col("span"))).alias("digest")
     ).persist()
     winners = meta.groupBy("digest").agg(
         F.min(F.struct(id_col, "pos")).alias("w")
@@ -1999,10 +2012,20 @@ def winnow_fingerprints(
     # The isNotNull guard keeps semantics identical on the impossible
     # empty-array case and stays ABOVE the Generate (the generated
     # attribute cannot be pushed into the scan).
+    # The distinct is the operator's only shuffle: run it on the
+    # BINARY(16) form (unhex is bijective — identical distinct set) so
+    # it moves half the bytes, then restore the documented lowercase
+    # hex on the surviving ~2/(window+1) rows (hex() uppercases, hence
+    # lower()). r17, guide §2.3 narrower types.
     return (
-        docs.select(F.col(id_col), F.explode_outer(fps).alias("fingerprint"))
-        .filter(F.col("fingerprint").isNotNull())
+        docs.select(F.col(id_col), F.explode_outer(fps).alias("_fpb"))
+        .filter(F.col("_fpb").isNotNull())
+        .select(F.col(id_col), F.unhex("_fpb").alias("_fpb"))
         .distinct()
+        .select(
+            F.col(id_col),
+            F.lower(F.hex("_fpb")).alias("fingerprint"),
+        )
     )
 
 
@@ -2238,7 +2261,13 @@ def dedup_spans_candidates(
         # serving layout must not require. Three consumers → three
         # column-pruned scans.
         fp_rows = docs.sparkSession.read.parquet(index_path).select(
-            id_col, "_self_dup", "fingerprint"
+            id_col,
+            "_self_dup",
+            # on disk the index stays hex (artifact contract); in-plan
+            # the fingerprint is only grouped/joined on, so BINARY(16)
+            # halves those shuffles (unhex is bijective — identical
+            # groups). r17, guide §2.3.
+            F.unhex("fingerprint").alias("fingerprint"),
         )
         handles = []
     else:
@@ -2249,9 +2278,16 @@ def dedup_spans_candidates(
         # each. The cached rows are narrow (id, bool, fingerprint) at
         # ~2/(window+1) of the gram volume — exactly what
         # build_winnow_index materializes on disk.
-        fp_rows = _winnow_fp_rows(
-            docs, span_words, window, text_col, id_col
-        ).persist()
+        # unhex before the persist: the in-op fingerprint is only ever
+        # grouped/joined on, so the BINARY(16) form halves the cached
+        # rows AND the two fingerprint shuffles (bijective — identical
+        # candidate set). The on-disk index build keeps hex
+        # (_winnow_fp_rows is unchanged). r17, guide §2.3.
+        fp_rows = (
+            _winnow_fp_rows(docs, span_words, window, text_col, id_col)
+            .withColumn("fingerprint", F.unhex("fingerprint"))
+            .persist()
+        )
         handles = [fp_rows]
     shared = (
         fp_rows.groupBy("fingerprint")

@@ -2664,6 +2664,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees a shared fingerprint while the index stays
     ~2/(_WINNOW_W+1) of the gram volume. md5 hex minima compare
     identically in both engines, so the fingerprint SET is hash-exact."""
+    # spread: ~1.08x loss at sf0.1 (6-round interleaved) but a large
+    # win at sf1 where the same 2-row-group scan carries 10x the rows
+    # of per-row gram hashing — the scale step dominates the decision.
     return dedup.winnow_fingerprints(
         _documents(spark, sf_dir, spread=True), span_words=_SPAN_WORDS, window=_WINNOW_W
     ).orderBy("doc_id", "fingerprint")
@@ -2701,6 +2704,9 @@ def q_dedup_spans_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays winnow →
     candidate selection → restricted keep-first → rebuild, certifying
     the surviving text byte-for-byte."""
+    # spread: parity at sf0.1 (1.00x min / 1.09x median, 6 interleaved
+    # rounds) but ~2x at sf1 — the winnow gram hashing serializes on a
+    # 2-task scan carrying 10x the rows; the scale step decides.
     return dedup.dedup_spans_candidates(
         _documents(spark, sf_dir, spread=True),
         span_words=_SPAN_WORDS,
