@@ -31,49 +31,65 @@ hard cap 50 * 3 = 150 registered queries.  The policy, in order:
    already logs every round; parity/LLM/streaming queries keep the
    2-round ceiling.  Not yet needed.
 
-Round-17 first-50 rotation:
-slots 1-37: the THIRTY-SEVEN queries whose latest driver row is r14
-— two rounds stale, the staleness ceiling; VERDICT r16 Next #1 names
-them (written ahead in r16's prep block) and orders them to LEAD.
-None changed code in r17.
-slots 38-40: the sequence-packing family re-earning its rows —
-q_sequence_pack and q_sequence_texts changed operator code in r17
-(pack_sequences/pack_sequence_texts grew an optional precomputed
-token-count/token-array column and a min_doc_id ingest guard —
-VERDICT r16 Next #6 and ADVICE r16 #2; whitespace default
-bit-unchanged, proven by pinned tests) — plus the round-17 NEW
-query q_sequence_materialize (watermark-cut incremental sequence
-materialization, VERDICT r16 Next #3: the batch-expressible readout
-of the streaming materializer, oracle-compared on the stitched
-text).
-slots 41-50: TEN queries pre-rotated from the r15-latest cohort
-(q_tpch1_pricing_summary, q_tpch18_large_orders, q_dedup_exact,
-q_dedup_minhash, q_dedup_simhash, q_hash_split, q_text_stats,
-q_text_langid, q_text_normalize, q_text_token_counts — none changed
-code since r15; pre-rotating trims the r18 backlog from 47 to 37,
-the same move r15/r16 made).  New/changed budget used: 1 new + 2
-changed = 3 of the 13 slack slots.  Names absent from this list
-keep their module order after it.
+CHANGED-CODE RULE (amended round 18 per VERDICT r17 "What's wrong"
+#1): a query whose operator code was restructured in round N re-earns
+its driver oracle row in round N's first-50, ALWAYS — rotation math
+second.  The r17 rotation was frozen before the optimizer picked its
+targets, leaving 10 restructured queries without an r17 driver row;
+never again: the round's changed queries are added to the first-50 at
+the moment the change lands, displacing pre-rotation fillers if slots
+run out.
 
-R18 ROTATION PREP (write-ahead, the standing discipline): after this
-round's driver check, the queries whose latest row is r15 — two
-rounds stale at r18 — are the THIRTY-SEVEN (the 47 CORRECTNESS_r15
-keys not re-checked in r16, minus the 10 pre-rotated into r17 slots
-41-50): q_c4_line_filter, q_c4_pipeline, q_corpus_curation,
-q_decontaminate, q_dedup_clusters, q_dedup_embedding,
-q_dedup_incremental, q_dedup_simhash_pairs, q_dedup_spans,
-q_dedup_spans_overlap, q_embedding_quantize, q_frequent_items,
-q_grouped_collect, q_k2_index_request, q_lm_quality,
-q_media_curation, q_multimodal_frame_sample, q_multimodal_frames,
-q_multimodal_gif, q_multimodal_gif_anim, q_multimodal_png,
-q_multimodal_wav, q_multimodal_wav8, q_p7_docid, q_pii_redact,
-q_profile_events, q_s6_compaction, q_session_window,
-q_shard_packing, q_similarity_ann_lsh, q_skew_salted_join,
-q_temperature_mix, q_text_chunks, q_text_fingerprint,
-q_text_repetition, q_topic_clusters, q_winnow_fingerprints.
-They MUST lead _PRIORITY slots 1-37 in r18, leaving 13 slots for
-r18's new/changed queries (the budget rule above).  The 50
-r16-checked rows rotate in r19.
+Round-18 first-50 rotation:
+slots 1-37: the THIRTY-SEVEN queries whose latest driver row is r15
+— two rounds stale, the staleness ceiling; the r17 prep block wrote
+them ahead and VERDICT r17 confirms the order.  Eight of them
+(q_dedup_spans, q_dedup_spans_overlap, q_winnow_fingerprints,
+q_dedup_simhash_pairs, q_dedup_incremental, q_dedup_embedding,
+q_corpus_curation, q_lm_quality) are also r17-restructured queries
+re-earning their rows (VERDICT r17 Next #1).
+slots 38-39: q_priority_sketch and q_token_budget_mix — the other
+two r17-restructured queries, rotated in ahead of their scheduled
+r19 slot per the amended changed-code rule (VERDICT r17 Next #1
+names them explicitly).
+slots 40-41: q_dedup_spans_candidates and
+q_dedup_spans_candidates_indexed — operator code changed in r18
+(the winnow gram hash moved from md5-per-gram to a portable
+md5-per-word + polynomial rolling fold, VERDICT r17 Next #2; the
+DuckDB oracle replays the new fingerprints verbatim).
+slots 42-50: NINE queries pre-rotated from the r16-latest cohort
+(q_corpus_profile, q_corpus_quantiles, q_dedup_lines_incremental,
+q_distinct_sketch, q_quantile_sketch, q_similarity_bruteforce,
+q_topk_orders, q_window_rank, q_window_tumbling — bench-suite
+members, none changed code since r16; pre-rotating trims the r19
+backlog from 46 to 37, the same move r15-r17 made).  Names absent
+from this list keep their module order after it.
+
+R19 ROTATION PREP (write-ahead, the standing discipline): after this
+round's driver check, the queries whose latest row is r16 — two
+rounds stale at r19 — are the THIRTY-SEVEN r16-checked queries not
+re-checked since (the 50 CORRECTNESS_r16 keys minus q_sequence_pack
+and q_sequence_texts, which have r17 rows, minus the 9 pre-rotated
+into r18 slots 42-50, minus q_dedup_spans_candidates and
+q_dedup_spans_candidates_indexed, which take r18 rows): q_date_functions,
+q_dedup_incremental_indexed, q_dedup_ngram_jaccard_indexed,
+q_having, q_interleave_strata, q_join_anti, q_join_left_counts,
+q_join_semi, q_multimodal_jpeg, q_multimodal_jpeg_420,
+q_multimodal_jpeg_prog, q_multimodal_resample,
+q_multimodal_transcode, q_multimodal_video, q_percentiles, q_pivot,
+q_sample_by_source, q_setops, q_similarity_ann_ivf,
+q_snapshot_diff, q_stratified_sample, q_subquery_above_avg,
+q_tpch10_returned_items, q_tpch11_important_parts,
+q_tpch12_late_priority, q_tpch13_order_distribution,
+q_tpch14_promo_share, q_tpch15_top_supplier,
+q_tpch16_supplier_variety, q_tpch17_small_qty_revenue,
+q_tpch19_bracket_revenue, q_tpch20_promo_suppliers,
+q_tpch2_min_cost_supplier, q_tpch4_order_priority,
+q_tpch5_local_supplier, q_tpch6_revenue_forecast,
+q_tpch7_nation_volume.  They lead _PRIORITY slots 1-37 in r19,
+leaving 13 slots for r19's new/changed queries — and by the amended
+changed-code rule, any query whose code changes in r19 joins the
+first-50 immediately.
 """
 
 from __future__ import annotations
@@ -83,66 +99,67 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _PRIORITY = [
-    # r14-latest (two rounds stale) — VERDICT r16 Next #1 leads;
-    # written ahead in r16's prep block, order preserved
-    "q_tpch21_waiting_suppliers",
-    "q_tpch22_idle_balance",
-    "q_agg_shapes",
-    "q_anomaly_scores",
-    "q_array_functions",
-    "q_asof_join",
-    "q_classifier_score",
-    "q_dedup_lines",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
+    # slots 1-37: r15-latest (two rounds stale) — written ahead in the
+    # r17 prep block, confirmed by VERDICT r17; includes 8 of the 10
+    # r17-restructured queries re-earning their rows
+    "q_c4_line_filter",
+    "q_c4_pipeline",
+    "q_corpus_curation",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_incremental",
+    "q_dedup_simhash_pairs",
+    "q_dedup_spans",
+    "q_dedup_spans_overlap",
+    "q_embedding_quantize",
+    "q_frequent_items",
+    "q_grouped_collect",
+    "q_k2_index_request",
+    "q_lm_quality",
+    "q_media_curation",
+    "q_multimodal_frame_sample",
+    "q_multimodal_frames",
+    "q_multimodal_gif",
+    "q_multimodal_gif_anim",
+    "q_multimodal_png",
+    "q_multimodal_wav",
+    "q_multimodal_wav8",
+    "q_p7_docid",
+    "q_pii_redact",
+    "q_profile_events",
+    "q_s6_compaction",
+    "q_session_window",
+    "q_shard_packing",
+    "q_similarity_ann_lsh",
+    "q_skew_salted_join",
+    "q_temperature_mix",
+    "q_text_chunks",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_topic_clusters",
+    "q_winnow_fingerprints",
+    # slots 38-39: the other two r17-restructured queries (VERDICT r17
+    # Next #1 override — changed code re-earns its row NEXT round,
+    # rotation math second)
+    "q_priority_sketch",
+    "q_token_budget_mix",
+    # slots 40-41: operator code changed in r18 (winnow gram hash:
+    # md5-per-gram -> portable md5-per-word + polynomial rolling fold,
+    # VERDICT r17 Next #2)
     "q_dedup_spans_candidates",
     "q_dedup_spans_candidates_indexed",
-    "q_e1_error_split",
-    "q_e2_error_json",
-    "q_f1_filter",
-    "q_function_parade",
-    "q_gopher_quality",
-    "q_importance_weights",
-    "q_k1_produce_request",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_p2_parse",
-    "q_p4_json_build",
-    "q_p5_conditional",
-    "q_quality_selection",
-    "q_range_join",
-    "q_s2_scan",
-    "q_s3_lag_cap",
-    "q_s4_recovery_scan",
-    "q_s5_interval_merge",
-    "q_tpch3_shipping_priority",
-    "q_tpch8_market_share",
-    "q_tpch9_product_profit",
-    "q_weighted_sample",
-    "q_window_multi",
-    "q_x1_fanout",
-    "q_x2_tree_fanout",
-    # operator code changed in round 17 (precomputed token-count /
-    # token-array columns + min_doc_id ingest guard in
-    # pack_sequences/pack_sequence_texts — VERDICT r16 Next #6,
-    # ADVICE r16 #2): the packing pair re-earns its rows
-    "q_sequence_pack",
-    "q_sequence_texts",
-    # NEW in round 17 (VERDICT r16 Next #3): watermark-cut
-    # incremental sequence materialization readout
-    "q_sequence_materialize",
-    # pre-rotated from the r15-latest cohort (no code change since
-    # r15; trims the r18 backlog from 47 to 37)
-    "q_tpch1_pricing_summary",
-    "q_tpch18_large_orders",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_hash_split",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_normalize",
-    "q_text_token_counts",
+    # slots 42-50: pre-rotated from the r16-latest cohort (bench-suite
+    # members, no code change since r16; trims the r19 backlog 46->37)
+    "q_corpus_profile",
+    "q_corpus_quantiles",
+    "q_dedup_lines_incremental",
+    "q_distinct_sketch",
+    "q_quantile_sketch",
+    "q_similarity_bruteforce",
+    "q_topk_orders",
+    "q_window_rank",
+    "q_window_tumbling",
 ]
 
 
