@@ -946,6 +946,17 @@ def _compact_summary(payload: dict) -> dict:
         out["sf1_ratio_vs_sf01"] = sf1.get("ratio_vs_sf01")
         if "normalized_value" in sf1:
             out["sf1_normalized_value"] = sf1["normalized_value"]
+        # per-query sf1 walls (VERDICT r17 Next #5): the signal that
+        # resolves real change when sf0.1 walls are weather-bound.
+        # Emitted as an ARRAY aligned with this summary's "queries"
+        # key order (a second name->value dict would not fit the
+        # driver's ~2 KB stdout-tail window; nulls mark queries the
+        # sf1 step skipped/failed). Additions-only: every existing
+        # key above is untouched.
+        out["sf1_walls"] = [
+            round(sf1["queries"][n], 1) if n in sf1["queries"] else None
+            for n in out["queries"]
+        ]
     if payload.get("errors"):
         out["n_errors"] = len(payload["errors"])
     return out

@@ -132,9 +132,10 @@ def spread_small_input(
     input that the scan machinery cannot split. Results are unaffected
     (no operator in this engine depends on physical row placement —
     keep-first rules, samples and numbering all order on explicit
-    keys), and predicates/pruning push through the repartition to the
-    scan. A no-op above ``SMALL_INPUT_CONF`` bytes or below the
+    keys). A no-op above ``SMALL_INPUT_CONF`` bytes or below the
     rows-per-task floor, so at warehouse scale the plan is unchanged.
+    Note that NOTHING pushes through the spread from above — that is
+    the point of the barrier below (ADVICE r17 #2).
 
     The always-true nondeterministic filter above the repartition is a
     deliberate PUSHDOWN BARRIER: Catalyst happily pushes deterministic

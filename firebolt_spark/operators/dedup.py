@@ -18,8 +18,10 @@ standard scale shapes:
   (an inverted-index join — pairs sharing no shingle are never formed).
 
 Hash functions are md5-based so results are engine-portable (the
-DuckDB oracle computes identical digests); at production scale you'd
-swap xxhash64 for speed, the topology is unchanged.
+DuckDB oracle computes identical digests). Swapping xxhash64 for md5
+was MEASURED in r18 and bought only ~4-5% (the per-gram cost is
+higher-order-function plumbing, not the digest — see
+:func:`_gram_list`); the topology, not the hash, is the scale story.
 """
 
 from __future__ import annotations
@@ -182,9 +184,17 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    *,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Wide minhash signature per doc: h0..h{k-1} BIGINT.
+    ``carry_cols`` names extra input columns appended unchanged
+    (the r17 ``hashed_ngram_counts`` pattern — lets one persisted
+    corpus pass serve signature AND non-signature consumers); the
+    signature rows are identical either way.
 
     Two deliberate scale choices (round-3 rewrite of the
     explode+groupBy form):
@@ -212,7 +222,7 @@ def minhash_signatures(
     radius of any such degenerate clone set.
     """
     hashed = docs.where(F.col(text_col).isNotNull()).select(
-        "doc_id", word_shingles(text_col).alias("_sh_arr")
+        "doc_id", word_shingles(text_col).alias("_sh_arr"), *carry_cols
     )
     hashed = hashed.select(
         "doc_id",
@@ -220,6 +230,7 @@ def minhash_signatures(
             "transform(_sh_arr, s -> "
             "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
         ).alias("_h32"),
+        *carry_cols,
     )
     mh_a, mh_b = mh_constants(k)
     # selectExpr ships all k slot expressions in ONE py4j call (r17
@@ -232,6 +243,7 @@ def minhash_signatures(
             f"({mh_a[j]}L * h + {mh_b[j]}L) % {MH_PRIME}L)) AS h{j}"
             for j in range(k)
         ],
+        *carry_cols,
     )
 
 
@@ -280,12 +292,14 @@ def lsh_bands(signatures: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS) -
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     k: int = N_MINHASH,
     bands: int = N_BANDS,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via minhash-LSH with estimated
     Jaccard = fraction of agreeing minhashes.
@@ -299,8 +313,21 @@ def minhash_candidate_pairs(
 
     ``max_bucket`` (see ``cap_bucket_size``) drops degenerate band
     buckets before the self-join — at 100 TB always set it.
+
+    ``signatures`` injects a precomputed ``minhash_signatures``-shaped
+    table (doc_id, h0..h{k-1}) instead of signing ``docs`` here — the
+    composition hook (r18): a caller that already pays one corpus pass
+    for other per-doc columns persists ONE combined table and passes
+    the signature slice in. The CALLER owns persistence then (this
+    function persists only the signatures it builds itself); the pair
+    set is identical either way.
     """
-    sig = minhash_signatures(docs, text_col, k).persist()
+    if signatures is not None:
+        sig = signatures
+        handles: tuple[DataFrame, ...] = ()
+    else:
+        sig = minhash_signatures(docs, text_col, k).persist()
+        handles = (sig,)
     b = cap_bucket_size(lsh_bands(sig, k, bands), ["band", "band_hash"], max_bucket)
     cand = (
         b.alias("a")
@@ -333,7 +360,7 @@ def minhash_candidate_pairs(
             (matches / F.lit(float(k))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold),
-        sig,
+        *handles,
     )
 
 
@@ -1993,9 +2020,13 @@ def winnow_fingerprints(
     leaves its document's row), so the only shuffle is the final
     distinct on the already-winnowed set.
 
-    md5 hex strings compare lexicographically identically in any
-    engine, so the selected minima — and hence the fingerprint set —
-    are engine-portable (DuckDB oracle replays them verbatim).
+    The 60-bit gram hash (see :func:`_gram_list`) is the first 15 hex
+    digits of the gram's md5 as a BIGINT, so the selected minima — and
+    hence the fingerprint set — are engine-portable (DuckDB replays
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT`` verbatim). Round 18:
+    fingerprints are BIGINT — one 8-byte column through the distinct
+    shuffle (vs 32-char hex before r17, BINARY(16) in r17) and numeric
+    winnow minima instead of string compares.
     """
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
@@ -2012,32 +2043,44 @@ def winnow_fingerprints(
     # The isNotNull guard keeps semantics identical on the impossible
     # empty-array case and stays ABOVE the Generate (the generated
     # attribute cannot be pushed into the scan).
-    # The distinct is the operator's only shuffle: run it on the
-    # BINARY(16) form (unhex is bijective — identical distinct set) so
-    # it moves half the bytes, then restore the documented lowercase
-    # hex on the surviving ~2/(window+1) rows (hex() uppercases, hence
-    # lower()). r17, guide §2.3 narrower types.
+    # The distinct is the operator's only shuffle, on the 8-byte value.
     return (
-        docs.select(F.col(id_col), F.explode_outer(fps).alias("_fpb"))
-        .filter(F.col("_fpb").isNotNull())
-        .select(F.col(id_col), F.unhex("_fpb").alias("_fpb"))
+        docs.select(F.col(id_col), F.explode_outer(fps).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
         .distinct()
-        .select(
-            F.col(id_col),
-            F.lower(F.hex("_fpb")).alias("fingerprint"),
-        )
     )
 
 
 def _gram_list(text_col: str, k: int) -> str:
-    """SQL fragment: md5 of each overlapping k-word gram of
-    ``text_col`` (|g| = max(n-k,0)+1). The lambda binds the split
-    once (the word_shingles lesson: an inner reference would re-split
-    per element)."""
+    """SQL fragment: 60-bit BIGINT hash of each overlapping k-word gram
+    of ``text_col`` (|g| = max(n-k,0)+1) — md5 of the joined gram,
+    first 15 hex digits as an integer. The lambda binds the split once
+    (the word_shingles lesson: an inner reference would re-split per
+    element).
+
+    Round 18 (VERDICT r17 Next #2, guide §2.3): the BIGINT form makes
+    the winnow minima 8-byte numeric compares and every downstream
+    fingerprint shuffle/cache 8 bytes wide (vs 32-char hex pre-r17 /
+    BINARY(16) in r17), measured 0.91x on the sf1 winnow pipeline.
+    60 bits keeps birthday collisions harmless at 100 TB (~1e12 grams
+    -> ~1e6 false shared-fingerprint pairs, each only widening the
+    candidate superset the exact md5 pass then filters exactly).
+    MEASURED AND REJECTED alternatives (sf1, interleaved, r18 —
+    do not retry): (a) md5-once-per-word + two-lane polynomial
+    aggregate-fold per position, 1.6x WORSE — Catalyst higher-order
+    lambdas are interpreted, so 32 lambda invocations/position cost
+    more than one md5 of the joined gram; (b) the same with the fold
+    unrolled to one arithmetic expression, still 1.12x worse; (c)
+    xxhash64 instead of md5 (the VERDICT r17 suggestion), grams-only
+    0.95x / full-winnow 0.96x — NOT the 2x it assumed, because the
+    per-position cost is HOF plumbing + slice/join, not the digest —
+    and it has no DuckDB-portable replay. DuckDB mirrors this form
+    verbatim: ('0x' || substr(md5(array_to_string(...)), 1, 15))::BIGINT."""
     return (
         f"transform(array(split(trim(coalesce({text_col}, '')), ' ')), t -> "
         f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
-        f"  p -> md5(array_join(slice(t, p + 1, {k}), ' '))))[0]"
+        f"  p -> CAST(conv(substr(md5(array_join(slice(t, p + 1, {k}), ' ')),"
+        f" 1, 15), 16, 10) AS BIGINT)))[0]"
     )
 
 
@@ -2116,14 +2159,19 @@ def build_winnow_index(
     (:func:`append_winnow_index` and the probe both refuse without
     it). A later :func:`dedup_spans_candidates` call with
     ``index_path=`` reads these rows instead of re-running the
-    md5-gram winnow over the whole corpus — the expensive per-row work
+    gram winnow over the whole corpus — the expensive per-row work
     a repeated 100 TB dedup job would otherwise pay on every run.
+
+    Format v2 (round 18): ``fingerprint`` is the 60-bit BIGINT gram
+    hash (see :func:`_gram_list`), recorded in ``_meta`` as
+    ``fp = 'h60v1'``; probes refuse a v1 (md5-hex) index because its
+    stored minima were selected under a different gram hash.
     """
     fp = _winnow_fp_rows(docs, span_words, window, text_col, id_col)
     fp.write.mode("overwrite").parquet(path)
     meta = docs.sparkSession.createDataFrame(
-        [(int(span_words), int(window), id_col)],
-        "span_words int, window int, id_col string",
+        [(int(span_words), int(window), id_col, _WINNOW_FP_KIND)],
+        "span_words int, window int, id_col string, fp string",
     )
     meta.coalesce(1).write.mode("overwrite").json(path + "/_meta")
 
@@ -2174,11 +2222,19 @@ def append_winnow_index(
     _commit_staged(spark, staging, path, bid)
 
 
+#: On-disk winnow index fingerprint format tag. ``h60v1`` = the 60-bit
+#: BIGINT gram hash (round 18). Absent tag = the pre-r18 md5-hex
+#: format, whose stored minima are incomparable with current probes.
+_WINNOW_FP_KIND = "h60v1"
+
+
 def _read_winnow_meta(spark, path: str, id_col: str) -> dict:
     """Read and validate a winnow index's ``_meta`` sidecar. Refuses a
     missing sidecar (written LAST at build time, so absence means a
-    broken or partial index) and an id-column mismatch; the caller
-    checks span/window compatibility where it matters (probe)."""
+    broken or partial index), an id-column mismatch, and a fingerprint
+    format other than :data:`_WINNOW_FP_KIND` (the stored minima were
+    selected under a different gram hash — rebuild the index); the
+    caller checks span/window compatibility where it matters (probe)."""
     from firebolt_spark.operators.similarity import _read_index_meta
 
     meta = _read_index_meta(spark, path)
@@ -2192,6 +2248,12 @@ def _read_winnow_meta(spark, path: str, id_col: str) -> dict:
         raise ValueError(
             f"winnow index at {path} was built with id_col="
             f"{meta['id_col']!r}, got {id_col!r}"
+        )
+    if meta.get("fp") != _WINNOW_FP_KIND:
+        raise ValueError(
+            f"winnow index at {path} stores fingerprint format "
+            f"{meta.get('fp') or 'md5-hex (pre-r18)'!r}, this build "
+            f"probes {_WINNOW_FP_KIND!r}; rebuild the index"
         )
     return meta
 
@@ -2259,35 +2321,23 @@ def dedup_spans_candidates(
         # recompute is the whole point of the artifact), and at 100 TB
         # pinning the full index in executor memory is exactly what a
         # serving layout must not require. Three consumers → three
-        # column-pruned scans.
+        # column-pruned scans. Fingerprints are BIGINT on disk since
+        # the round-18 rolling-hash format (fp v2, validated above).
         fp_rows = docs.sparkSession.read.parquet(index_path).select(
-            id_col,
-            "_self_dup",
-            # on disk the index stays hex (artifact contract); in-plan
-            # the fingerprint is only grouped/joined on, so BINARY(16)
-            # halves those shuffles (unhex is bijective — identical
-            # groups). r17, guide §2.3.
-            F.unhex("fingerprint").alias("fingerprint"),
+            id_col, "_self_dup", "fingerprint"
         )
         handles = []
     else:
-        # persist: the md5-gram winnow is the expensive per-row work and
+        # persist: the gram winnow is the expensive per-row work and
         # fp_rows feeds THREE consumers (the shared-fingerprint
         # aggregate, the shared-fingerprint join probe, and the self-dup
         # id branch) — uncached, Catalyst re-runs the gram scan for
-        # each. The cached rows are narrow (id, bool, fingerprint) at
-        # ~2/(window+1) of the gram volume — exactly what
-        # build_winnow_index materializes on disk.
-        # unhex before the persist: the in-op fingerprint is only ever
-        # grouped/joined on, so the BINARY(16) form halves the cached
-        # rows AND the two fingerprint shuffles (bijective — identical
-        # candidate set). The on-disk index build keeps hex
-        # (_winnow_fp_rows is unchanged). r17, guide §2.3.
-        fp_rows = (
-            _winnow_fp_rows(docs, span_words, window, text_col, id_col)
-            .withColumn("fingerprint", F.unhex("fingerprint"))
-            .persist()
-        )
+        # each. The cached rows are narrow (id, bool, BIGINT
+        # fingerprint) at ~2/(window+1) of the gram volume — exactly
+        # what build_winnow_index materializes on disk.
+        fp_rows = _winnow_fp_rows(
+            docs, span_words, window, text_col, id_col
+        ).persist()
         handles = [fp_rows]
     shared = (
         fp_rows.groupBy("fingerprint")

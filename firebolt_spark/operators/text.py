@@ -68,9 +68,20 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality-scoring features: char/token counts, average token
-    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    length, punctuation ratio, stopword ratio, uppercase ratio.
+
+    ``carry_cols`` names extra input columns appended unchanged (e.g.
+    ``text`` itself, so a composition can chain further per-row
+    operators onto ONE corpus scan instead of re-scanning per
+    consumer — the r17 ``hashed_ngram_counts`` pattern). The stats
+    columns are identical either way."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -88,6 +99,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
         F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
         F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        *carry_cols,
     )
 
 

@@ -54,9 +54,9 @@ r19 slot per the amended changed-code rule (VERDICT r17 Next #1
 names them explicitly).
 slots 40-41: q_dedup_spans_candidates and
 q_dedup_spans_candidates_indexed — operator code changed in r18
-(the winnow gram hash moved from md5-per-gram to a portable
-md5-per-word + polynomial rolling fold, VERDICT r17 Next #2; the
-DuckDB oracle replays the new fingerprints verbatim).
+(the winnow gram hash narrowed from md5 hex to a 60-bit BIGINT,
+VERDICT r17 Next #2 as-measured; the DuckDB oracle replays the new
+fingerprints verbatim).
 slots 42-50: NINE queries pre-rotated from the r16-latest cohort
 (q_corpus_profile, q_corpus_quantiles, q_dedup_lines_incremental,
 q_distinct_sketch, q_quantile_sketch, q_similarity_bruteforce,
@@ -145,8 +145,7 @@ _PRIORITY = [
     "q_priority_sketch",
     "q_token_budget_mix",
     # slots 40-41: operator code changed in r18 (winnow gram hash:
-    # md5-per-gram -> portable md5-per-word + polynomial rolling fold,
-    # VERDICT r17 Next #2)
+    # md5 hex -> 60-bit BIGINT, VERDICT r17 Next #2 as-measured)
     "q_dedup_spans_candidates",
     "q_dedup_spans_candidates_indexed",
     # slots 42-50: pre-rotated from the r16-latest cohort (bench-suite

@@ -57,10 +57,12 @@ def _documents(
     return df
 
 
-def _documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _documents_with_dups(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents ∪ copies of the first 100 docs (offset ids) — gives the
     exact-dedup query real duplicate groups to find."""
-    d = _documents(spark, sf_dir)
+    d = _documents(spark, sf_dir, spread=spread)
     dup = d.filter(F.col("doc_id") < 100).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -1035,26 +1037,61 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the two keep/drop sides reduce to slim doc_id sets, so
     the final joins are broadcast-able; every stage is built from the
     operators this engine already oracle-checks individually.
+
+    Round 18 (VERDICT r17 Next #3, guide §2.4/§5): ONE corpus pass.
+    Stats, content digest and minhash signature are computed in a
+    single chained projection and persisted as one narrow table
+    (doc_id, 5 stats, BINARY(16) digest, 8 sig slots — never text);
+    the quality gate, the exact-dedup keeper aggregate, the LSH bands
+    and both scoring sides all read that cache. Before: three
+    independent corpus scans (stats, exact digests, signatures), each
+    re-parsing text. Result-identical: NULL-text docs — dropped by the
+    signature pass's NOT NULL guard — could never reach the output
+    anyway (their NULL n_tokens fails the quality gate, and the final
+    join is quality-inner), and the keeper aggregate loses only the
+    all-NULL digest group, whose keeper likewise can't pass quality.
+
+    spread: r17 measured spread 1.7x WORSE here — that was the
+    8-consumer shape, where every consumer's cached-partition reads
+    contended. With ONE fused producer the objection inverts: the
+    cache-population stage is the critical path and inherits the
+    fixture's one-task-per-shard scan, idling the other cores
+    (measured r18: unspread one-pass 1.13x worse than the 3-pass form
+    at sf1; spread one-pass is the win — see OPTIMIZATION_r18.md).
     """
-    docs = _documents_with_dups(spark, sf_dir)
-    stats = text.text_stats(docs)
-    quality = stats.filter(
+    docs = _documents_with_dups(spark, sf_dir, spread=True)
+    base = dedup.minhash_signatures(
+        text.text_stats(docs, carry_cols=("text",)).withColumn(
+            # internal-only digest: BINARY(16) halves the keeper
+            # aggregate's shuffle vs hex (unhex bijective — identical
+            # groups; the r17 §2.3 pattern)
+            "_dig", F.unhex(F.md5("text"))
+        ),
+        carry_cols=("n_tokens", "punct_ratio", "stopword_ratio", "_dig"),
+    ).persist()
+    quality = base.filter(
         (F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.3)
     )
-    keep_exact = dedup.exact_duplicates(docs).select(
-        F.col("keep_id").alias("doc_id")
-    )
+    keep_exact = base.groupBy("_dig").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
     drop_near = (
         dedup.minhash_candidate_pairs(
-            docs, threshold=0.9, max_bucket=_MAX_BUCKET_BANDS
+            None, threshold=0.9, max_bucket=_MAX_BUCKET_BANDS,
+            signatures=base.select(
+                "doc_id", *[f"h{j}" for j in range(dedup.N_MINHASH)]
+            ),
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return (
+    from firebolt_spark.functions import track_persisted
+
+    return track_persisted(
         quality.join(keep_exact, "doc_id")
         .join(drop_near, "doc_id", "left_anti")
-        .select("doc_id", "n_tokens", "stopword_ratio")
+        .select("doc_id", "n_tokens", "stopword_ratio"),
+        base,
     )
 
 
@@ -2662,8 +2699,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact overlapping pass (q_dedup_spans_overlap) affordable at
     100 TB: any shared passage >= _WINNOW_W + _SPAN_WORDS - 1 words
     guarantees a shared fingerprint while the index stays
-    ~2/(_WINNOW_W+1) of the gram volume. md5 hex minima compare
-    identically in both engines, so the fingerprint SET is hash-exact."""
+    ~2/(_WINNOW_W+1) of the gram volume. Round 18: the gram hash is
+    a 60-bit BIGINT (first 15 md5 hex digits of the joined gram) —
+    both engines compute it identically, so the fingerprint SET stays
+    hash-exact while the minima compare and the distinct shuffle run
+    on 8-byte integers."""
     # spread: ~1.08x loss at sf0.1 (6-round interleaved) but a large
     # win at sf1 where the same 2-row-group scan carries 10x the rows
     # of per-row gram hashing — the scale step dominates the decision.
@@ -2672,15 +2712,23 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "fingerprint")
 
 
+# The 60-bit BIGINT gram hash, mirroring dedup._gram_list verbatim:
+# first 15 hex digits of the joined gram's md5 via the parity-tested
+# ('0x'||hex)::BIGINT idiom (≡ Spark's conv(hex, 16, 10) cast BIGINT).
+def _gram_hash_sql(k: int) -> str:
+    return (
+        f"list_transform(range(0, greatest(len(words) - {k}, 0) + 1), "
+        f"p -> ('0x' || substr(md5(array_to_string("
+        f"words[p + 1 : p + {k}], ' ')), 1, 15))::BIGINT)"
+    )
+
+
 Q_WINNOW_FINGERPRINTS_SQL = f"""
     WITH base AS (
         SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
         FROM documents),
     grams AS (
-        SELECT doc_id,
-               list_transform(range(0, greatest(len(words) - {_SPAN_WORDS}, 0) + 1),
-                   p -> md5(array_to_string(
-                       words[p + 1 : p + {_SPAN_WORDS}], ' '))) AS g
+        SELECT doc_id, {_gram_hash_sql(_SPAN_WORDS)} AS g
         FROM base),
     fps AS (
         SELECT doc_id,
@@ -2844,10 +2892,7 @@ Q_DEDUP_SPANS_CANDIDATES_SQL = f"""
         SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS words
         FROM documents),
     grams AS (
-        SELECT doc_id, words,
-               list_transform(range(0, greatest(len(words) - {_SPAN_WORDS}, 0) + 1),
-                   p -> md5(array_to_string(
-                       words[p + 1 : p + {_SPAN_WORDS}], ' '))) AS g
+        SELECT doc_id, words, {_gram_hash_sql(_SPAN_WORDS)} AS g
         FROM base),
     fp_all AS (
         SELECT doc_id,
@@ -3978,6 +4023,13 @@ def q_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     llr_tbl, oov = text.dsir_llr_tables(
         target_model, raw_model, _FEAT_BUCKETS
     )
+    # wdec LEFT JOIN llr_tbl: equivalence with the two-pass form
+    # requires wdec to be DENSE over [0, n_buckets) — _pseudo_weights
+    # enumerates every bucket by construction, so no llr row is
+    # dropped. A sparse real-world weight table would need a full
+    # outer join (coalescing _w to the zero decimal) instead, or
+    # uncovered buckets' _llr would silently collapse to the OOV
+    # constant (ADVICE r17 #3).
     combined = F.broadcast(wdec.join(llr_tbl, "bucket", "left"))
     zero = F.lit(0).cast("decimal(20,15)")
     cnt_dec = F.col("cnt").cast("decimal(10,0)")

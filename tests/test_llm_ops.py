@@ -1969,10 +1969,11 @@ def test_winnow_index_probe_bit_identical_and_skips_recompute(spark, sf_dir, tmp
     )
     plan = indexed._jdf.queryExecution().optimizedPlan().toString()
     assert "array_min" not in plan, "index probe must not re-winnow"
-    # the index parquet scans are column-pruned: fingerprint:string in a
+    # the index parquet scans are column-pruned: fingerprint:bigint in a
     # scan ReadSchema only occurs when the artifact is being read (the
-    # in-op path has no scan producing a fingerprint column)
-    assert "fingerprint:string" in plan, "index scan missing from the plan"
+    # in-op path has no scan producing a fingerprint column; BIGINT is
+    # the r18 60-bit format)
+    assert "fingerprint:bigint" in plan, "index scan missing from the plan"
     assert "EqualTo(_self_dup,true)" in plan, (
         "self-dup branch must push its filter into the index scan"
     )

@@ -29,12 +29,25 @@ from firebolt_spark.queries import all_queries  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --suffix in BOTH forms (--suffix=X and --suffix X); the
+    # space-separated value must not leak into the positional args
+    # where it would be misread as a query name (ADVICE r17 #1)
+    argv = sys.argv[1:]
+    args: list[str] = []
     suffix = "before"
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--suffix"):
-            suffix = a.split("=", 1)[1] if "=" in a else "after"
-    cap_all = "--all" in sys.argv[1:]
+            if "=" in a:
+                suffix = a.split("=", 1)[1]
+            elif i + 1 < len(argv):
+                i += 1
+                suffix = argv[i]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
+    cap_all = "--all" in argv
     tag = args[0] if args else "r17"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
