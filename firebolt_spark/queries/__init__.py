@@ -57,39 +57,47 @@ q_dedup_spans_candidates_indexed — operator code changed in r18
 (the winnow gram hash narrowed from md5 hex to a 60-bit BIGINT,
 VERDICT r17 Next #2 as-measured; the DuckDB oracle replays the new
 fingerprints verbatim).
-slots 42-50: NINE queries pre-rotated from the r16-latest cohort
+slots 42-43: q_dedup_minhash (spread opt-in changed its plan in r18
+— results unchanged, measured 0.61x sf1 / 1.33x sf0.1, the scale
+step decides) and q_multimodal_jpeg (the restart-segment splitter's
+byte walk became a find() jump in r18 — bit-identical by the
+randomized parity tests, re-earning its row per the changed-code
+rule as the decode family's representative).
+slots 44-50: SEVEN queries pre-rotated from the r16-latest cohort
 (q_corpus_profile, q_corpus_quantiles, q_dedup_lines_incremental,
 q_distinct_sketch, q_quantile_sketch, q_similarity_bruteforce,
-q_topk_orders, q_window_rank, q_window_tumbling — bench-suite
-members, none changed code since r16; pre-rotating trims the r19
-backlog from 46 to 37, the same move r15-r17 made).  Names absent
-from this list keep their module order after it.
+q_window_rank — bench-suite members, none changed code since r16;
+pre-rotating trims the r19 backlog, the same move r15-r17 made;
+q_topk_orders and q_window_tumbling were displaced back to the r19
+backlog by the changed-code rule).  Names absent from this list
+keep their module order after it.
 
 R19 ROTATION PREP (write-ahead, the standing discipline): after this
 round's driver check, the queries whose latest row is r16 — two
-rounds stale at r19 — are the THIRTY-SEVEN r16-checked queries not
+rounds stale at r19 — are the THIRTY-EIGHT r16-checked queries not
 re-checked since (the 50 CORRECTNESS_r16 keys minus q_sequence_pack
-and q_sequence_texts, which have r17 rows, minus the 9 pre-rotated
-into r18 slots 42-50, minus q_dedup_spans_candidates and
-q_dedup_spans_candidates_indexed, which take r18 rows): q_date_functions,
+and q_sequence_texts, which have r17 rows, minus the 7 pre-rotated
+into r18 slots 44-50, minus q_dedup_spans_candidates,
+q_dedup_spans_candidates_indexed and q_multimodal_jpeg, which take
+r18 rows): q_date_functions,
 q_dedup_incremental_indexed, q_dedup_ngram_jaccard_indexed,
 q_having, q_interleave_strata, q_join_anti, q_join_left_counts,
-q_join_semi, q_multimodal_jpeg, q_multimodal_jpeg_420,
+q_join_semi, q_multimodal_jpeg_420,
 q_multimodal_jpeg_prog, q_multimodal_resample,
 q_multimodal_transcode, q_multimodal_video, q_percentiles, q_pivot,
 q_sample_by_source, q_setops, q_similarity_ann_ivf,
 q_snapshot_diff, q_stratified_sample, q_subquery_above_avg,
-q_tpch10_returned_items, q_tpch11_important_parts,
+q_topk_orders, q_tpch10_returned_items, q_tpch11_important_parts,
 q_tpch12_late_priority, q_tpch13_order_distribution,
 q_tpch14_promo_share, q_tpch15_top_supplier,
 q_tpch16_supplier_variety, q_tpch17_small_qty_revenue,
 q_tpch19_bracket_revenue, q_tpch20_promo_suppliers,
 q_tpch2_min_cost_supplier, q_tpch4_order_priority,
 q_tpch5_local_supplier, q_tpch6_revenue_forecast,
-q_tpch7_nation_volume.  They lead _PRIORITY slots 1-37 in r19,
-leaving 13 slots for r19's new/changed queries — and by the amended
-changed-code rule, any query whose code changes in r19 joins the
-first-50 immediately.
+q_tpch7_nation_volume, q_window_tumbling.  They lead _PRIORITY
+slots 1-38 in r19, leaving 12 slots for r19's new/changed queries —
+and by the amended changed-code rule, any query whose code changes
+in r19 joins the first-50 immediately.
 """
 
 from __future__ import annotations
@@ -148,17 +156,19 @@ _PRIORITY = [
     # md5 hex -> 60-bit BIGINT, VERDICT r17 Next #2 as-measured)
     "q_dedup_spans_candidates",
     "q_dedup_spans_candidates_indexed",
-    # slots 42-50: pre-rotated from the r16-latest cohort (bench-suite
-    # members, no code change since r16; trims the r19 backlog 46->37)
+    # slots 42-43: r18 changed-code re-earns (minhash spread opt-in;
+    # jpeg restart-splitter find() walk, decode-family representative)
+    "q_dedup_minhash",
+    "q_multimodal_jpeg",
+    # slots 44-50: pre-rotated from the r16-latest cohort (bench-suite
+    # members, no code change since r16; trims the r19 backlog)
     "q_corpus_profile",
     "q_corpus_quantiles",
     "q_dedup_lines_incremental",
     "q_distinct_sketch",
     "q_quantile_sketch",
     "q_similarity_bruteforce",
-    "q_topk_orders",
     "q_window_rank",
-    "q_window_tumbling",
 ]
 
 

@@ -148,8 +148,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (dedup.minhash_candidate_pairs):
     zero-shuffle in-row signatures, one-pass band emission, bucketed
     candidate join with est_jaccard scoring."""
+    # spread (r18): the persisted signature build is a single fused
+    # producer whose per-row shingle+md5+fold work otherwise inherits
+    # the fixture's one-task-per-shard scan — same shape that decided
+    # q_corpus_curation's opt-in. Measured: see OPTIMIZATION_r18.md.
     return dedup.minhash_candidate_pairs(
-        _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_BANDS
+        _documents(spark, sf_dir, spread=True), max_bucket=_MAX_BUCKET_BANDS
     )
 
 

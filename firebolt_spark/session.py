@@ -59,6 +59,16 @@ def get_spark(
         # catalog.load_table convert (ns DIV 1000 -> timestamp_micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/spill codec (guide §2.3): A/B-measured r18 at sf1 —
+        # zstd cut total shuffle bytes but cost more CPU than it saved
+        # on local[32]'s in-memory "network", suite-flat to slightly
+        # worse (see OPTIMIZATION_r18.md), so lz4 stays the default;
+        # the env override is the production knob for clusters where
+        # shuffle crosses real NICs and byte ratio wins.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # Non-ANSI eval: bad casts -> NULL rather than task failure. The
         # engine's per-row error-capture protocol (operators/sync.py) is the
         # sanctioned error path, mirroring the reference's per-event
