@@ -274,6 +274,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius
     (dedup.simhash_pairs): pigeonhole block equi-join — never
     all-pairs."""
+    # spread: MEASURED AND REJECTED r18 (0.94x sf1 — within noise —
+    # but 1.21x at sf0.1): unlike the minhash/curation builds, the
+    # wall here is the pigeonhole block JOIN, not the signature
+    # construction, so the spread exchange is mostly tax.
     return dedup.simhash_pairs(
         _documents(spark, sf_dir), max_bucket=_MAX_BUCKET_SIMHASH
     )
@@ -1430,7 +1434,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the eval set; the remaining corpus is scored by how many
     distinct word 5-grams it shares with it (n_hits; 0 = clean). The
     benchmark shingle table is broadcast — corpus never shuffles."""
-    d = _documents(spark, sf_dir)
+    # spread (r18): the corpus side's 5-gram shingle explode +
+    # broadcast probe is per-row work on the unsplittable fixture
+    # scan. Measured: see OPTIMIZATION_r18.md.
+    d = _documents(spark, sf_dir, spread=True)
     return dedup.decontaminate(
         d.filter(F.col("doc_id") % 20 != 7),
         d.filter(F.col("doc_id") % 20 == 7),
