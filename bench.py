@@ -953,8 +953,9 @@ def _compact_summary(payload: dict) -> dict:
         # driver's ~2 KB stdout-tail window; nulls mark queries the
         # sf1 step skipped/failed). Additions-only: every existing
         # key above is untouched.
+        sf1_q = sf1.get("queries", {})
         out["sf1_walls"] = [
-            round(sf1["queries"][n], 1) if n in sf1["queries"] else None
+            round(sf1_q[n], 1) if n in sf1_q else None
             for n in out["queries"]
         ]
     if payload.get("errors"):

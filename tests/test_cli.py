@@ -101,6 +101,9 @@ def test_bench_compact_summary_fits_driver_tail():
             "value": 9999.999,
             "ratio_vs_sf01": 99.99,
             "normalized_value": 9999.999,
+            # worst-case per-query sf1 walls: 3-digit values so the
+            # r18 sf1_walls array is pinned at its widest
+            "queries": {n: 999.99 for n in names},
         },
         "errors": {n: "x" for n in names},
     }
@@ -115,5 +118,8 @@ def test_bench_compact_summary_fits_driver_tail():
     # the fields a round-over-round comparison needs are all present
     for key in ("value", "subtotal_r1_suite", "normalized_suite_s",
                 "spark_probe_norm_s", "queries", "shuffle_total_bytes",
-                "sf1_value", "sf1_normalized_value", "n_errors"):
+                "sf1_value", "sf1_normalized_value", "sf1_walls",
+                "n_errors"):
         assert key in summary, key
+    # sf1_walls aligns 1:1 with the queries key order (r18)
+    assert len(summary["sf1_walls"]) == len(summary["queries"])
